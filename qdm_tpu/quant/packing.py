@@ -1,0 +1,131 @@
+"""Int-k bit packing.
+
+Two layouts:
+
+1. **Canonical TPU layout** (`pack_rows`/`unpack_rows`): integer codes
+   for a (K, N) = (in_features, out_features) weight are packed along K,
+   straight LSB-first nibble order, into an int32 array of shape
+   (K / elems_per_word, N).  Per-group `scales`/`zeros` are (K/g, N).
+   This keeps the lane (=N, output-channel) axis dense so the Pallas
+   W4A16 kernel can unpack with vectorized shifts and feed the MXU
+   without transposition.
+
+2. **AWQ interop layout** (`unpack_awq_layout`, `awq_to_canonical`,
+   `dequantize_gemm`): the AutoAWQ on-disk format — codes packed along
+   the *output* axis with the interleaved AWQ_ORDER — so checkpoints
+   produced by the reference stack load directly.
+   (reference: utils/packing_utils.py:4-102, utils/quant_utils.py:14-160)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
+AWQ_REVERSE_ORDER = (0, 4, 1, 5, 2, 6, 3, 7)
+
+
+def elems_per_word(bits: int) -> int:
+    assert 32 % bits == 0, f"bits={bits} must divide 32"
+    return 32 // bits
+
+
+# ---------------------------------------------------------------------------
+# canonical TPU layout
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def pack_rows(icodes, bits: int = 4):
+    """Pack unsigned integer codes (K, N) -> (K/epw, N) int32 along K.
+
+    LSB-first: code at row k lands in bit-slot (k % epw) of word k//epw.
+    """
+    epw = elems_per_word(bits)
+    k, n = icodes.shape
+    assert k % epw == 0, f"K={k} not divisible by {epw}"
+    w = icodes.astype(jnp.uint32).reshape(k // epw, epw, n)
+    shifts = (jnp.arange(epw, dtype=jnp.uint32) * bits)[None, :, None]
+    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+    return packed.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def unpack_rows(qweight, bits: int = 4):
+    """Inverse of pack_rows: (K/epw, N) int32 -> (K, N) int32 codes."""
+    epw = elems_per_word(bits)
+    kw, n = qweight.shape
+    w = qweight.astype(jnp.uint32)[:, None, :]
+    shifts = (jnp.arange(epw, dtype=jnp.uint32) * bits)[None, :, None]
+    codes = (w >> shifts) & jnp.uint32(2**bits - 1)
+    return codes.reshape(kw * epw, n).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# AWQ on-disk layout interop
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def unpack_awq_layout(qweight, qzeros, bits: int = 4):
+    """Column-wise unpack of AutoAWQ tensors (packing_utils.py:8-26).
+
+    qweight: (K, N/epw) int32, qzeros: (K/g, N/epw) int32.
+    Returns (iweights (K, N), izeros (K/g, N)) int32 — still in AWQ
+    interleaved order."""
+    shifts = jnp.arange(0, 32, bits, dtype=jnp.uint32)
+
+    def _unpack(q):
+        u = q.astype(jnp.uint32)[:, :, None] >> shifts[None, None, :]
+        u = u & jnp.uint32(2**bits - 1)
+        return u.reshape(q.shape[0], -1).astype(jnp.int32)
+
+    iweights = _unpack(qweight)
+    izeros = _unpack(qzeros) if qzeros is not None else None
+    return iweights, izeros
+
+
+def _reverse_order_indices(n: int, bits: int) -> np.ndarray:
+    """Permutation undoing the AWQ interleave (packing_utils.py:29-43)."""
+    epw = elems_per_word(bits)
+    idx = np.arange(n, dtype=np.int64).reshape(-1, epw)
+    assert epw == 8, "AWQ order is defined for 4-bit (8 elems/word)"
+    idx = idx[:, list(AWQ_REVERSE_ORDER)]
+    return idx.reshape(-1)
+
+
+def reverse_awq_order(iweights, izeros, bits: int = 4):
+    """Undo the AWQ interleave on unpacked codes
+    (packing_utils.py:29-43)."""
+    perm = _reverse_order_indices(iweights.shape[-1], bits)
+    iweights = iweights[:, perm]
+    if izeros is not None:
+        izeros = izeros[:, perm]
+    return iweights, izeros
+
+
+def dequantize_gemm(qweight, qzeros, scales, bits: int = 4, group_size: int = 128):
+    """AWQ-layout -> float weight (K, N) (packing_utils.py:87-102)."""
+    iweight, izeros = unpack_awq_layout(qweight, qzeros, bits)
+    iweight, izeros = reverse_awq_order(iweight, izeros, bits)
+    scales = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)
+    izeros = jnp.repeat(izeros, group_size, axis=0)
+    return (iweight - izeros).astype(jnp.float32) * scales
+
+
+def awq_to_canonical(qweight, qzeros, scales, bits: int = 4):
+    """Convert AutoAWQ on-disk tensors to the canonical TPU layout.
+
+    Returns (qweight_rows (K/epw, N) int32, scales (K/g, N) f32,
+    zeros (K/g, N) f32)."""
+    iweight, izeros = unpack_awq_layout(qweight, qzeros, bits)
+    iweight, izeros = reverse_awq_order(iweight, izeros, bits)
+    return (
+        pack_rows(iweight, bits),
+        scales.astype(jnp.float32),
+        izeros.astype(jnp.float32),
+    )
