@@ -1,0 +1,252 @@
+"""Quantization-aware Flax layers.
+
+``QDense`` / ``QConv`` are the TPU-native analogues of the reference's
+``WxAxLinear`` / ``WxAxConv2d`` drop-in modules
+(reference: quantize/fake_quant.py:170-398).  Instead of swapping module
+objects, every matmul-bearing layer consults a static
+:class:`~qdm_tpu.quant.plan.QuantPlan` for its own path:
+
+* mode "none"/"fake": plain ``x @ kernel`` (fake-quantized weights are
+  produced by the pytree transform in qdm_tpu/quant/apply.py — the
+  forward is unchanged, matching WxAxLinear's fp16-buffer execution,
+  fake_quant.py:215-225).
+* mode "fake_act": additionally fake-quantizes the input activation
+  (per-token/per-tensor for dense; per-channel/per-group for conv) —
+  the reference's `quant_act=True` path.
+* mode "w4a16"/"w8a8": parameters are packed integer buffers and the
+  forward dispatches to the Pallas kernels in qdm_tpu/ops/quant_matmul.
+
+When ``plan.capture_stats`` is set, layers sow the running per-channel
+absmax of their inputs into the 'calib' collection — the replacement for
+the reference's forward hooks (calib_data.py:105-124, apply_hook
+calib_data.py:216-224).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from qdm_tpu.ops import quant_matmul as qmm
+from qdm_tpu.quant import rtn
+from qdm_tpu.quant.plan import NO_QUANT, LayerQuantSpec, QuantPlan
+
+Dtype = Any
+
+NO_PLAN = QuantPlan()
+
+
+def _path_str(module: nn.Module) -> str:
+    return "/".join(str(p) for p in module.path)
+
+
+def _act_fake_quant_dense(x, spec: LayerQuantSpec):
+    if spec.act_quant == "per_tensor":
+        return rtn.quantize_activation_per_tensor_absmax(x, spec.a_bits)
+    return rtn.quantize_activation_per_token_absmax(x, spec.a_bits)
+
+
+def _act_fake_quant_conv(x, spec: LayerQuantSpec):
+    if spec.act_quant == "per_group" and spec.act_group_size > 1:
+        return rtn.quantize_activation_per_channel_group_absmax(
+            x, spec.act_group_size, spec.a_bits)
+    if spec.act_quant == "per_tensor":
+        return rtn.quantize_activation_per_tensor_absmax(x, spec.a_bits)
+    if spec.act_quant == "per_token":
+        return rtn.quantize_activation_per_token_absmax(x, spec.a_bits)
+    return rtn.quantize_activation_per_channel_absmax(x, spec.a_bits)
+
+
+class QDense(nn.Module):
+    """Quantization-aware dense layer.  Kernel layout (in, out)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    plan: QuantPlan = NO_PLAN
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        spec = self.plan.spec_for(_path_str(self))
+        in_features = x.shape[-1]
+
+        if self.plan.capture_stats:
+            # per-channel absmax of the input, max-reduced across calls
+            # within one apply (reference hook: calib_data.py:112-121)
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32).reshape(-1, in_features)), axis=0)
+            self.sow("calib", "act_absmax", amax,
+                     init_fn=lambda: jnp.zeros(in_features, jnp.float32),
+                     reduce_fn=jnp.maximum)
+
+        batch_shape = x.shape[:-1]
+        x2 = x.reshape(-1, in_features)
+
+        if spec.mode == "w4a16":
+            qweight = self.param(
+                "qweight",
+                nn.initializers.zeros_init(),
+                (qmm._round_up(in_features, max(qmm.PACK_BLOCK_K, spec.group_size)) // 8,
+                 qmm._round_up(self.features, qmm.LANE)),
+                jnp.int32)
+            n_groups = qweight.shape[0] * 8 // (spec.group_size if spec.group_size > 0 else in_features)
+            scales = self.param("scales", nn.initializers.ones_init(),
+                                (n_groups, qweight.shape[1]), jnp.float32)
+            zeros = self.param("zeros", nn.initializers.zeros_init(),
+                               (n_groups, qweight.shape[1]), jnp.float32) \
+                if spec.zero_point else None
+            if spec.quantize_act and spec.a_bits < 16:
+                x2 = _act_fake_quant_dense(x2, spec)
+            y = qmm.w4a16_matmul(x2.astype(self.dtype), qweight, scales, zeros,
+                                 group_size=spec.group_size if spec.group_size > 0 else in_features)
+            y = y[:, : self.features]
+        elif spec.mode == "w8a8":
+            w_i8 = self.param("qweight", nn.initializers.zeros_init(),
+                              (qmm._round_up(in_features, 256),
+                               qmm._round_up(self.features, qmm.LANE)), jnp.int8)
+            w_scale = self.param("scales", nn.initializers.ones_init(),
+                                 (1, w_i8.shape[1]), jnp.float32)
+            x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
+            y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
+            y = y[:, : self.features]
+        else:
+            kernel = self.param("kernel", self.kernel_init,
+                                (in_features, self.features), self.param_dtype)
+            if spec.mode == "fake_act" and spec.quantize_act and spec.a_bits < 16:
+                x2 = _act_fake_quant_dense(x2, spec)
+            y = jnp.dot(x2.astype(self.dtype), kernel.astype(self.dtype))
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(y.dtype)
+        return y.reshape(*batch_shape, self.features).astype(self.dtype)
+
+
+class QConv(nn.Module):
+    """Quantization-aware 2D convolution, NHWC.  Kernel (kh, kw, in, out).
+
+    Real packed kernels are linear-only (like the reference's kernel
+    zoo); quantized convs run fake-quant (WxAxConv2d semantics,
+    fake_quant.py:333-341)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    plan: QuantPlan = NO_PLAN
+
+    @nn.compact
+    def __call__(self, x):
+        spec = self.plan.spec_for(_path_str(self))
+        in_features = x.shape[-1]
+
+        if self.plan.capture_stats:
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32).reshape(-1, in_features)), axis=0)
+            self.sow("calib", "act_absmax", amax,
+                     init_fn=lambda: jnp.zeros(in_features, jnp.float32),
+                     reduce_fn=jnp.maximum)
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features), self.param_dtype)
+
+        if spec.mode == "fake_act" and spec.quantize_act and spec.a_bits < 16:
+            x = _act_fake_quant_conv(x, spec)
+
+        strides = (self.strides, self.strides) if isinstance(self.strides, int) else self.strides
+        if isinstance(self.padding, int):
+            padding = ((self.padding, self.padding), (self.padding, self.padding))
+        elif isinstance(self.padding, tuple):
+            padding = (self.padding, self.padding) if isinstance(self.padding[0], int) else self.padding
+        else:
+            padding = self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis, f32 statistics."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
+        orig_shape = x.shape
+        xf = x.astype(jnp.float32).reshape(x.shape[0], -1, self.num_groups, c // self.num_groups)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 3), keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = xf.reshape(orig_shape)
+        return (xf * scale + bias).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with optional affine params, f32 statistics."""
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
+        return y.astype(self.dtype)
+
+
+class RMSNorm(nn.Module):
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.epsilon)
+        return (y * scale).astype(self.dtype)
+
+
+class ScaledActivation(nn.Module):
+    """Divides an activation's output per-channel by a learned scale —
+    AWQ's gelu->fc migration target (reference: awq/modules/act.py via
+    scale.py:65-68)."""
+
+    act_fn: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        scales = self.param("scales", nn.initializers.ones_init(),
+                            (x.shape[-1],), jnp.float32)
+        return (self.act_fn(x) / scales.astype(x.dtype)).astype(x.dtype)

@@ -1,0 +1,106 @@
+"""Quantization plan: static mapping from parameter paths to layer specs.
+
+This replaces the reference's in-place nn.Module surgery
+(quantizer_SQ.py:456-516 swapping WxAxLinear/WxAxConv2d via setattr) with
+a *static, hashable* plan consulted by every QDense/QConv at trace time.
+The plan is part of the model definition, so changing it (e.g. fake ->
+real kernels) just rebuilds the cheap module tree while the params
+pytree is transformed separately (qdm_tpu/quant/apply.py).
+
+Pattern matching is substring-based, mirroring the reference's
+``exclude_layers_to_not_quantize`` (utils/module.py:59-67).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class LayerQuantSpec:
+    """Per-layer quantization behavior.
+
+    mode:
+      "none"     - plain bf16/f32 layer
+      "fake"     - weights were fake-quantized (pytree transform);
+                   runtime behaves like "none"
+      "fake_act" - like "fake" plus runtime activation fake-quant
+                   (WxAxLinear.forward semantics, fake_quant.py:214-225)
+      "w4a16"    - packed int4 weights, Pallas dequant-matmul
+      "w8a8"     - int8 weights + per-token int8 activations, Pallas
+                   int8 matmul
+    """
+
+    mode: str = "none"
+    w_bits: int = 8
+    a_bits: int = 16
+    group_size: int = 128
+    zero_point: bool = False
+    weight_quant: str = "group"      # group | per_channel | per_tensor
+    act_quant: str = "per_token"     # per_token | per_tensor | per_channel | per_group
+    act_group_size: int = 1
+    quantize_act: bool = False
+
+    @property
+    def is_real(self) -> bool:
+        return self.mode in ("w4a16", "w8a8")
+
+
+NO_QUANT = LayerQuantSpec()
+
+
+@dataclass(frozen=True)
+class QuantPlan:
+    """Ordered substring rules; the LAST matching rule wins.  Paths are
+    '/'-joined linen module paths, e.g.
+    'down_blocks_0/attentions_0/transformer_blocks_0/attn1/to_q'."""
+
+    rules: Tuple[Tuple[str, LayerQuantSpec], ...] = ()
+    default: LayerQuantSpec = NO_QUANT
+    capture_stats: bool = False   # sow per-layer input absmax ('calib' col)
+
+    def spec_for(self, path: str) -> LayerQuantSpec:
+        spec = self.default
+        for pattern, s in self.rules:
+            if pattern in path:
+                spec = s
+        return spec
+
+    def with_rule(self, pattern: str, spec: Optional[LayerQuantSpec]) -> "QuantPlan":
+        return dataclasses.replace(
+            self, rules=self.rules + ((pattern, spec if spec is not None else NO_QUANT),))
+
+    def with_capture(self, capture: bool = True) -> "QuantPlan":
+        return dataclasses.replace(self, capture_stats=capture)
+
+    def with_default(self, spec: LayerQuantSpec) -> "QuantPlan":
+        return dataclasses.replace(self, default=spec)
+
+
+def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> LayerQuantSpec:
+    """Build a LayerQuantSpec from a QuantConfig (models/_config.py
+    field semantics)."""
+    if mode is None:
+        if cfg.version == "real":
+            mode = "w8a8" if (cfg.quantize_act and cfg.a_bit <= 8 and cfg.w_bit == 8) else "w4a16"
+        elif cfg.version == "fake_act":
+            mode = "fake_act"
+        else:
+            mode = "fake"
+    if conv and mode in ("w4a16", "w8a8"):
+        # real kernels are linear-only (the reference kernel zoo is too);
+        # convs fall back to fake quant
+        mode = "fake_act" if cfg.quantize_act else "fake"
+    return LayerQuantSpec(
+        mode=mode,
+        w_bits=cfg.wv_bit if conv else cfg.w_bit,
+        a_bits=cfg.a_bit,
+        group_size=cfg.q_group_size,
+        zero_point=cfg.zero_point,
+        weight_quant=cfg.weight_quant_conv_type if conv else cfg.weight_quant_type,
+        act_quant=cfg.act_quant_conv_type if conv else cfg.act_quant_type,
+        act_group_size=cfg.act_quant_conv_group_size,
+        quantize_act=cfg.quantize_act and cfg.a_bit < 16,
+    )

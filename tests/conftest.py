@@ -12,3 +12,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# exact f32 matmuls in tests (JAX's default matmul precision is reduced)
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,78 @@
+"""Numerics tests for the Pallas quantized-matmul kernels (interpret
+mode on CPU) against the pure-jnp references and fp32 ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qdm_tpu.ops.quant_matmul import (
+    pack_rows_strided,
+    unpack_rows_strided,
+    pack_linear_int4,
+    pack_linear_int8,
+    w4a16_matmul_pallas,
+    w4a16_matmul_ref,
+    w8a8_matmul_pallas,
+    w8a8_matmul_ref,
+    quantize_act_per_token_int,
+    PACK_BLOCK_K,
+)
+from qdm_tpu.quant import quantize_tensor
+
+RNG = np.random.default_rng(7)
+
+
+def test_strided_pack_roundtrip():
+    codes = RNG.integers(0, 16, size=(256, 64)).astype(np.int32)
+    packed = pack_rows_strided(jnp.asarray(codes), PACK_BLOCK_K, 4)
+    assert packed.shape == (32, 64)
+    out = np.asarray(unpack_rows_strided(packed, PACK_BLOCK_K, 4))
+    np.testing.assert_array_equal(out, codes)
+
+
+def _quantize_weight(k, n, group_size, zero_point):
+    w = RNG.standard_normal((n, k)).astype(np.float32) * 0.05  # (out, in)
+    q = quantize_tensor(jnp.asarray(w), n_bits=4, group_size=group_size,
+                        zero_point=zero_point)
+    codes_kn = jnp.asarray(np.asarray(q.iweight).T)
+    scales_gn = jnp.asarray(np.asarray(q.scales).T)
+    zeros_gn = jnp.asarray(np.asarray(q.zeros).T) if q.zeros is not None else None
+    return w, pack_linear_int4(codes_kn, scales_gn, zeros_gn, group_size)
+
+
+@pytest.mark.parametrize("zero_point", [True, False])
+@pytest.mark.parametrize("m,k,n,g", [(64, 256, 128, 128), (17, 320, 320, 64),
+                                     (130, 256, 384, 256), (8, 128, 128, 128)])
+def test_w4a16_kernel_vs_ref(zero_point, m, k, n, g):
+    w, (qw, scales, zeros) = _quantize_weight(k, n, g, zero_point)
+    x = (RNG.standard_normal((m, k)) * 0.5).astype(np.float32)
+    got = np.asarray(w4a16_matmul_pallas(jnp.asarray(x), qw, scales, zeros,
+                                         group_size=g, interpret=True))[:, :n]
+    ref = np.asarray(w4a16_matmul_ref(jnp.asarray(x), qw, scales, zeros,
+                                      group_size=g))[:, :n]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # and ref must equal x @ dequant(w)
+    from qdm_tpu.quant import pseudo_quantize_tensor
+    w_dq, _, _ = pseudo_quantize_tensor(jnp.asarray(w), n_bits=4, group_size=g,
+                                        zero_point=zero_point)
+    want = x @ np.asarray(w_dq).T
+    np.testing.assert_allclose(ref, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 128), (33, 320, 320), (128, 512, 384)])
+def test_w8a8_kernel_vs_ref(m, k, n):
+    w = (RNG.standard_normal((k, n)) * 0.05).astype(np.float32)
+    w_codes = np.clip(np.round(w / (np.abs(w).max(0, keepdims=True) / 127)), -128, 127)
+    w_scale_n = np.abs(w).max(0) / 127
+    w_i8, ws = pack_linear_int8(jnp.asarray(w_codes.astype(np.int8)),
+                                jnp.asarray(w_scale_n))
+    x = (RNG.standard_normal((m, k))).astype(np.float32)
+    x_i8, xs = quantize_act_per_token_int(jnp.asarray(x), 8)
+    got = np.asarray(w8a8_matmul_pallas(x_i8, w_i8, xs, ws, out_dtype=jnp.float32,
+                                        interpret=True))[:, :n]
+    ref = np.asarray(w8a8_matmul_ref(x_i8, w_i8, xs, ws, out_dtype=jnp.float32))[:, :n]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # int8 quantized matmul should approximate the fp32 product
+    want = x @ w
+    err = np.abs(ref - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < 0.05, err
