@@ -1,0 +1,635 @@
+"""Diffusion pipeline with the reference's public lifecycle:
+
+    pipe = StableDiffusion1_x.from_pretrained(path)       (base.py:143-212)
+    pipe.quantize(quant_config, quantType='sq'|'awq'|'rtn')  (base.py:215-528)
+    images = pipe.generate(prompts, ...)                  (base.py:828-850)
+    pipe.save_quantized(dir)                              (base.py:530-582)
+    pipe = StableDiffusion1_x.from_quantized(dir)         (base.py:736-826)
+
+TPU-native restructuring: components are (module_def, params) pairs; the
+whole CFG denoising loop is one jitted ``lax.fori_loop``; quantization
+transforms the params pytree and rebuilds the module tree with a new
+QuantPlan; sampling shards the batch across a ``jax.sharding.Mesh``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.api import loader
+from qdm_tpu.calib.stats import RunningMeanMax, flatten_calib
+from qdm_tpu.config import QuantConfig
+from qdm_tpu.models import clip_text, schedulers, unet as unet_lib, vae as vae_lib
+from qdm_tpu.models.shims import sd_unet_scaling_groups, clip_text_scaling_groups
+from qdm_tpu.quant import apply as qapply
+from qdm_tpu.quant import awq as awq_lib
+from qdm_tpu.quant import smooth as smooth_lib
+from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan, spec_from_config
+from qdm_tpu.utils.tokenizer import SimpleTokenizer, load_tokenizer
+
+
+QUANTIZABLE_COMPONENTS = ("unet", "text_encoder", "vae", "transformer")
+
+
+class BaseDiffusionPipeline:
+    """Shared lifecycle for SD1.x / SDXL / SD3.x (reference
+    BaseAWQForDiffusion, models/base.py:106-850)."""
+
+    model_type = "base"
+    has_unet = True
+    has_transformer = False
+
+    def __init__(self):
+        self.components: Dict[str, Any] = {}      # name -> module def
+        self.params: Dict[str, dict] = {}         # name -> params tree
+        self.configs: Dict[str, Any] = {}         # name -> config dataclass
+        self.plans: Dict[str, QuantPlan] = {n: QuantPlan() for n in QUANTIZABLE_COMPONENTS}
+        self.tokenizer = None
+        self.scheduler_config = schedulers.SD15_SCHED
+        self.quant_config: Optional[QuantConfig] = None
+        self.quantized_components: List[str] = []
+        self.is_quantized = False
+        self.dtype = jnp.bfloat16
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        """Load a local diffusers-format checkpoint directory."""
+        self = cls()
+        self.dtype = dtype
+        self._load_components(path)
+        return self
+
+    @classmethod
+    def from_config(cls, overrides: Optional[dict] = None, dtype=jnp.bfloat16,
+                    seed: int = 0, tiny: bool = False):
+        """Random-init pipeline from architecture configs (tests/bench —
+        throughput is weight-independent)."""
+        self = cls()
+        self.dtype = dtype
+        self._build_default_configs(tiny=tiny, overrides=overrides or {})
+        self._random_init(seed)
+        self.tokenizer = SimpleTokenizer(
+            vocab_size=self.configs["text_encoder"].vocab_size,
+            max_len=self.configs["text_encoder"].max_position_embeddings)
+        return self
+
+    # hooks that subclasses specialize -----------------------------------
+
+    def _build_default_configs(self, tiny: bool, overrides: dict):
+        raise NotImplementedError
+
+    def _encode_prompts(self, prompts: Sequence[str], negative: Optional[Sequence[str]]):
+        raise NotImplementedError
+
+    # shared machinery -----------------------------------------------------
+
+    def _module(self, name: str):
+        """(Re)build a component's module def with its current plan."""
+        cfg = self.configs[name]
+        if name == "unet":
+            return unet_lib.UNet2DCondition(config=cfg, dtype=self.dtype,
+                                            plan=self.plans["unet"])
+        if name == "text_encoder" or name == "text_encoder_2":
+            return clip_text.CLIPTextModel(
+                config=cfg, dtype=self.dtype, plan=self.plans["text_encoder"],
+                with_projection=(name == "text_encoder_2"))
+        if name == "vae":
+            return vae_lib.AutoencoderKL(config=cfg, dtype=self.dtype,
+                                         plan=self.plans["vae"])
+        raise KeyError(name)
+
+    def _random_init(self, seed: int):
+        key = jax.random.PRNGKey(seed)
+        for name in self.components:
+            m = self._module(name)
+            args = self._init_args(name)
+            shapes = jax.eval_shape(lambda: m.init(key, *args))
+            self.params[name] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+            # cheap random-ish init: normal for kernels, ones for scales
+            k = [key]
+
+            def init_leaf(path, leaf):
+                nonlocal k
+                name_ = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+                k[0], sub = jax.random.split(k[0])
+                if name_ in ("kernel", "embedding"):
+                    fan_in = int(np.prod(leaf.shape[:-1])) or 1
+                    return jax.random.normal(sub, leaf.shape, leaf.dtype) / np.sqrt(fan_in)
+                if name_ == "scale":
+                    return jnp.ones(leaf.shape, leaf.dtype)
+                return jnp.zeros(leaf.shape, leaf.dtype)
+
+            self.params[name] = jax.tree_util.tree_map_with_path(
+                init_leaf, self.params[name])
+            self.components[name] = m
+
+    def _init_args(self, name: str):
+        if name == "unet":
+            cfg = self.configs["unet"]
+            s = max(cfg.sample_size, 8)
+            added = None
+            if cfg.addition_embed_type == "text_time":
+                added = {"text_embeds": jnp.zeros((1, 1280)),
+                         "time_ids": jnp.zeros((1, 6))}
+            ctx_len = 16
+            args = (jnp.zeros((1, s, s, cfg.in_channels)), jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1, ctx_len, cfg.cross_attention_dim)))
+            return args if added is None else args + (added,)
+        if name in ("text_encoder", "text_encoder_2"):
+            return (jnp.zeros((1, self.configs[name].max_position_embeddings),
+                              jnp.int32),)
+        if name == "vae":
+            cfg = self.configs[name]
+            return (jnp.zeros((1, 8, 8, cfg.latent_channels)),)
+        raise KeyError(name)
+
+    def _load_components(self, path: str):
+        self._build_configs_from_dir(path)
+        for name in list(self.components):
+            sub = os.path.join(path, name)
+            m = self._module(name)
+            args = self._init_args(name)
+            shapes = jax.eval_shape(
+                lambda m=m, args=args: m.init(jax.random.PRNGKey(0), *args))["params"]
+            sd = loader.load_safetensors_dir(sub)
+            prefixes = ("text_model.",) if "text_encoder" in name else ()
+            params, missing, unused = loader.convert_torch_state_dict(
+                sd, shapes, strip_prefixes=prefixes)
+            if missing:
+                raise ValueError(f"{name}: missing {len(missing)} params, e.g. {missing[:5]}")
+            self.params[name] = params
+            self.components[name] = m
+        tok_dir = os.path.join(path, "tokenizer")
+        self.tokenizer = load_tokenizer(tok_dir, self.configs["text_encoder"])
+
+    def _build_configs_from_dir(self, path: str):
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- quantize
+
+    def checkQuantStatus(self, quantUnet=True, quantTextEncoder=False,
+                         quantVAE=False, quantTransformer=False):
+        """Reject component choices the family doesn't have
+        (StableDiffusion1_x.py:35-37 / StableDiffusion3_5.py:33-35)."""
+        if quantTransformer and not self.has_transformer:
+            raise ValueError("this diffusion model has no transformer")
+        if quantUnet and not self.has_unet:
+            raise ValueError("this diffusion model has no unet")
+
+    def quantize(self, quant_config: Optional[dict] = None, quantType: str = "sq",
+                 quantUnet: bool = True, quantTextEncoder: bool = False,
+                 quantVAE: bool = False, quantTransformer: bool = False,
+                 quant_act: Optional[bool] = None,
+                 calib_prompts: Optional[Sequence[str]] = None,
+                 n_calib_steps: Optional[int] = None):
+        """Quantize selected components (reference base.py:215-528)."""
+        self.checkQuantStatus(quantUnet, quantTextEncoder, quantVAE, quantTransformer)
+        cfg = quant_config if isinstance(quant_config, QuantConfig) \
+            else QuantConfig.from_dict(quant_config)
+        cfg.quant_method = quantType.lower()
+        if quant_act is not None:
+            cfg.quantize_act = quant_act
+        if cfg.quantize_act and cfg.version == "fake":
+            cfg.version = "fake_act"   # base.py:424-426
+        self.quant_config = cfg
+
+        targets = []
+        if quantUnet and self.has_unet:
+            targets.append("unet")
+        if quantTransformer and self.has_transformer:
+            targets.append("transformer")
+        if quantTextEncoder:
+            targets += [n for n in self.components if n.startswith("text_encoder")]
+        if quantVAE:
+            targets.append("vae")
+
+        method = cfg.quant_method
+        for name in targets:
+            comp_key = "text_encoder" if name.startswith("text_encoder") else name
+            plan = self._make_plan(cfg, comp_key)
+            if method in ("sq", "smooth", "smoothquant"):
+                self._smoothquant_component(name, cfg)
+            elif method == "awq":
+                self._awq_component(name, cfg)
+            if cfg.version == "real":
+                self.params[name] = qapply.pack_params(self.params[name], plan)
+            else:
+                self.params[name] = qapply.fake_quantize_params(self.params[name], plan)
+            self.plans[comp_key] = plan
+            self.components[name] = self._module(name)
+            self.quantized_components.append(name)
+        self.is_quantized = True
+        return self
+
+    def _make_plan(self, cfg: QuantConfig, component: str) -> QuantPlan:
+        dense_spec = spec_from_config(cfg, conv=False)
+        conv_spec = spec_from_config(cfg, conv=True)
+        rules = [("conv", conv_spec), ("kernel4d", conv_spec)]
+        # conv layers are distinguished by module name ('conv' substring
+        # covers conv_in/conv1/conv2/conv_shortcut/conv_out/downsamplers/
+        # upsamplers convs and proj_in/out convs are 1x1 -> treated dense-like)
+        plan = QuantPlan(default=dense_spec, rules=tuple(rules))
+        for pat in (cfg.modules_to_not_convert or []):
+            plan = plan.with_rule(pat, None)
+        return plan
+
+    # --- calibration (diffusion): run the denoising loop with stats capture
+
+    def _calibrate_unet(self, cfg: QuantConfig,
+                        calib_prompts: Optional[Sequence[str]] = None):
+        """Per-channel absmax of every linear input, mean over denoise
+        steps (quantizer_SQ.py:323-356 + calib_data.py:174-245)."""
+        from qdm_tpu.calib.data import get_calib_prompts
+
+        calib = cfg.calib
+        prompts = list(calib_prompts) if calib_prompts else get_calib_prompts(
+            calib.dataset, calib.n_samples)
+        plan = self.plans["unet"].with_capture(True)
+        capture_unet = dataclasses.replace(self._unet_module(), plan=plan)
+
+        run = RunningMeanMax()
+        bs = calib.batch_size
+        steps = max(1, min(calib.n_steps, 50))
+        tables = schedulers.make_ddim(self.scheduler_config, steps)
+        h = w = self.default_sample_size()
+        for i in range(0, len(prompts), bs):
+            batch = prompts[i:i + bs]
+            ctx, uctx, added = self._encode_prompts(batch, None)
+            latents = jax.random.normal(
+                jax.random.PRNGKey(calib.seed),
+                (len(batch), h, w, self.latent_channels()), jnp.float32)
+            step_fn = self._make_calib_step(capture_unet, tables, steps,
+                                            cfg.calib.guidance_scale)
+            lat = latents
+            for s in range(steps):
+                lat, stats = step_fn(self.params["unet"], lat, ctx, uctx, added, s)
+                run.update(stats)
+        return run.mean()
+
+    def _unet_module(self):
+        return self.components["unet"]
+
+    def _make_calib_step(self, capture_unet, tables, steps, guidance):
+        @jax.jit
+        def step_fn(params, lat, ctx, uctx, added, s):
+            t = tables.timesteps[s]
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
+            out, mut = capture_unet.apply({"params": params}, *args,
+                                          mutable=["calib"])
+            eps_u, eps_c = jnp.split(out, 2, axis=0)
+            eps = eps_u + guidance * (eps_c - eps_u)
+            new_lat = schedulers.ddim_step(tables, eps, lat, s, steps)
+            return new_lat, flatten_calib(mut["calib"])
+        return step_fn
+
+    def _smoothquant_component(self, name: str, cfg: QuantConfig):
+        if name in ("unet", "transformer"):
+            stats = self._calibrate_unet(cfg)
+            groups = sd_unet_scaling_groups(self.params[name])
+            alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
+        else:
+            return  # text encoder/vae smoothing: not in reference either
+        self.params[name] = smooth_lib.smooth_params(
+            self.params[name], groups, stats, alpha=alpha)
+
+    def _awq_component(self, name: str, cfg: QuantConfig):
+        if name not in ("unet", "transformer"):
+            return
+        stats, input_feats = self._calibrate_unet_with_inputs(cfg)
+        groups = sd_unet_scaling_groups(self.params[name])
+        self.params[name] = awq_lib.awq_search_and_apply(
+            self.params[name], groups, input_feats, cfg)
+
+    def _calibrate_unet_with_inputs(self, cfg: QuantConfig, name: str = "unet"):
+        """AWQ needs sampled layer inputs, not just absmax: run a few
+        denoise steps with 'calib_x' capture and concat the sampled rows
+        (the jnp analogue of _get_input_feat, quantizer.py:1093-1141)."""
+        from qdm_tpu.calib.data import get_calib_prompts
+
+        calib = cfg.calib
+        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        plan = self.plans[name].with_capture(True, inputs=True)
+        capture_unet = dataclasses.replace(self.components[name], plan=plan)
+        steps = max(1, min(calib.n_steps, 4))
+        tables = schedulers.make_ddim(self.scheduler_config, steps)
+        h = w = self.default_sample_size()
+        run = RunningMeanMax()
+        ctx, uctx, added = self._encode_prompts(prompts, None)
+        latents = jax.random.normal(jax.random.PRNGKey(calib.seed),
+                                    (len(prompts), h, w, self.latent_channels()),
+                                    jnp.float32)
+
+        @jax.jit
+        def step_fn(params, lat, ctx, uctx, added, s):
+            t = tables.timesteps[s]
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
+            out, mut = capture_unet.apply({"params": params}, *args,
+                                          mutable=["calib", "calib_x"])
+            eps_u, eps_c = jnp.split(out, 2, axis=0)
+            eps = eps_u + calib.guidance_scale * (eps_c - eps_u)
+            new_lat = schedulers.ddim_step(tables, eps, lat, s, steps)
+            return new_lat, flatten_calib(mut["calib"]), \
+                flatten_calib(mut["calib_x"], leaf="x")
+
+        lat = latents
+        feat_lists: Dict[str, list] = {}
+        for s in range(steps):
+            lat, stats, feats = step_fn(self.params[name], lat, ctx, uctx, added, s)
+            run.update(stats)
+            for k, v in feats.items():
+                feat_lists.setdefault(k, []).append(v)
+        input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feat_lists.items()}
+        return run.mean(), input_feats
+
+    # -------------------------------------------------------------- generate
+
+    def default_sample_size(self) -> int:
+        return self.configs["unet"].sample_size
+
+    def latent_channels(self) -> int:
+        return self.configs["unet"].in_channels
+
+    def generate(self, prompt, negative_prompt=None, num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5, seed: int = 0,
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 latents: Optional[jnp.ndarray] = None, decode: bool = True):
+        """Text -> images (reference base.py:828-850; unlike the
+        reference, steps/size/guidance args are honored)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negatives = None
+        if negative_prompt is not None:
+            negatives = [negative_prompt] if isinstance(negative_prompt, str) \
+                else list(negative_prompt)
+        ctx, uctx, added = self._encode_prompts(prompts, negatives)
+        h = (height or self.default_sample_size() * 8) // 8
+        w = (width or self.default_sample_size() * 8) // 8
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (len(prompts), h, w, self.latent_channels()), jnp.float32)
+        lat = self.denoise(latents, ctx, uctx, added, num_inference_steps,
+                           guidance_scale)
+        if not decode or "vae" not in self.components:
+            return lat
+        return self.decode_latents(lat)
+
+    def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float):
+        tables = schedulers.make_ddim(self.scheduler_config, steps)
+        unet = self.components["unet"]
+        params = self.params["unet"]
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def loop(params, latents, ctx, uctx, added, steps):
+            def body(s, lat):
+                t = tables.timesteps[s]
+                lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+                ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
+                eps = unet.apply({"params": params}, *args)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance * (eps_c - eps_u)
+                return schedulers.ddim_step(tables, eps, lat, s, steps)
+
+            return jax.lax.fori_loop(0, steps, body, latents)
+
+        return loop(params, latents, ctx, uctx, added, steps)
+
+    def decode_latents(self, latents):
+        vae = self.components["vae"]
+        img = vae.apply({"params": self.params["vae"]}, latents.astype(self.dtype),
+                        method=vae.decode)
+        return np.asarray(((img.astype(jnp.float32) + 1) / 2).clip(0, 1))
+
+    # ------------------------------------------------------------ save/load
+
+    def save_quantized(self, save_dir: str):
+        """Artifact contract parity (base.py:530-582): per-component
+        params + quant manifest `quant_components.json`."""
+        os.makedirs(save_dir, exist_ok=True)
+        manifest = {
+            "model_type": self.model_type,
+            "quantized_components": self.quantized_components,
+            "quantization_config": self.quant_config.to_transformers_dict()
+            if self.quant_config else None,
+        }
+        with open(os.path.join(save_dir, "quant_components.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        if self.quant_config:
+            self.quant_config.save(os.path.join(save_dir, "quant_config.json"))
+        for name, params in self.params.items():
+            d = os.path.join(save_dir, name)
+            os.makedirs(d, exist_ok=True)
+            self._save_component(d, name, params)
+        with open(os.path.join(save_dir, "pipeline_config.json"), "w") as f:
+            json.dump({n: dataclasses.asdict(c) for n, c in self.configs.items()},
+                      f, indent=2, default=str)
+
+    def _save_component(self, d: str, name: str, params):
+        from safetensors.numpy import save_file
+
+        flat = {}
+
+        def rec(tree, prefix):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    rec(v, prefix + (k,))
+                else:
+                    flat["|".join(prefix + (k,))] = np.asarray(v)
+
+        rec(params, ())
+        save_file(flat, os.path.join(d, "params.safetensors"))
+
+    @classmethod
+    def from_quantized(cls, save_dir: str, dtype=jnp.bfloat16):
+        """Rebuild a quantized pipeline (base.py:736-826)."""
+        self = cls()
+        self.dtype = dtype
+        with open(os.path.join(save_dir, "quant_components.json")) as f:
+            manifest = json.load(f)
+        self.quant_config = QuantConfig.from_pretrained(save_dir)
+        self.quantized_components = manifest["quantized_components"]
+        with open(os.path.join(save_dir, "pipeline_config.json")) as f:
+            cfgs = json.load(f)
+        self._restore_configs(cfgs)
+        for name in self.configs:
+            comp_key = "text_encoder" if name.startswith("text_encoder") else name
+            if name in self.quantized_components:
+                self.plans[comp_key] = self._make_plan(self.quant_config, comp_key)
+            self.params[name] = self._load_component(os.path.join(save_dir, name))
+            self.components[name] = self._module(name)
+        self.tokenizer = SimpleTokenizer(
+            vocab_size=self.configs["text_encoder"].vocab_size,
+            max_len=self.configs["text_encoder"].max_position_embeddings)
+        self.is_quantized = True
+        return self
+
+    def _restore_configs(self, cfgs: dict):
+        raise NotImplementedError
+
+    @staticmethod
+    def _load_component(d: str):
+        from safetensors import safe_open
+
+        params: dict = {}
+        with safe_open(os.path.join(d, "params.safetensors"), framework="np") as f:
+            for key in f.keys():
+                path = key.split("|")
+                sub = params
+                for p in path[:-1]:
+                    sub = sub.setdefault(p, {})
+                sub[path[-1]] = jnp.asarray(f.get_tensor(key))
+        return params
+
+
+class StableDiffusion1_x(BaseDiffusionPipeline):
+    """SD1.x family (reference models/StableDiffusion1_x.py)."""
+
+    model_type = "StableDiffusionPipeline"
+
+    def _build_default_configs(self, tiny: bool, overrides: dict):
+        if tiny:
+            self.configs = {"unet": unet_lib.tiny_unet_config(),
+                            "text_encoder": dataclasses.replace(
+                                clip_text.tiny_clip_config(), hidden_size=32),
+                            "vae": vae_lib.tiny_vae_config()}
+            # tiny text encoder must match unet cross_attention_dim
+        else:
+            self.configs = {"unet": unet_lib.SD15_UNET,
+                            "text_encoder": clip_text.SD15_TEXT,
+                            "vae": vae_lib.SD_VAE}
+        for k, v in overrides.items():
+            self.configs[k] = v
+        self.components = {n: None for n in self.configs}
+
+    def _build_configs_from_dir(self, path: str):
+        self.configs = {
+            "unet": loader.unet_config_from_diffusers(
+                loader.load_json(os.path.join(path, "unet", "config.json"))),
+            "text_encoder": loader.clip_config_from_hf(
+                loader.load_json(os.path.join(path, "text_encoder", "config.json"))),
+            "vae": loader.vae_config_from_diffusers(
+                loader.load_json(os.path.join(path, "vae", "config.json"))),
+        }
+        sched = os.path.join(path, "scheduler", "scheduler_config.json")
+        if os.path.exists(sched):
+            sc = loader.load_json(sched)
+            self.scheduler_config = schedulers.SchedulerConfig(
+                num_train_timesteps=sc.get("num_train_timesteps", 1000),
+                beta_start=sc.get("beta_start", 0.00085),
+                beta_end=sc.get("beta_end", 0.012),
+                beta_schedule=sc.get("beta_schedule", "scaled_linear"),
+                steps_offset=sc.get("steps_offset", 1),
+                prediction_type=sc.get("prediction_type", "epsilon"),
+            )
+        self.components = {n: None for n in self.configs}
+
+    def _restore_configs(self, cfgs: dict):
+        self.configs = {
+            "unet": unet_lib.UNetConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                           for k, v in cfgs["unet"].items()}),
+            "text_encoder": clip_text.CLIPTextConfig(**cfgs["text_encoder"]),
+            "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                        for k, v in cfgs["vae"].items()}),
+        }
+
+    def _encode_prompts(self, prompts, negatives):
+        te = self.components["text_encoder"]
+        ids = self.tokenizer(prompts)
+        last, _, _ = te.apply({"params": self.params["text_encoder"]}, ids)
+        ctx = last
+        neg = negatives if negatives is not None else [""] * len(prompts)
+        uids = self.tokenizer(neg)
+        ulast, _, _ = te.apply({"params": self.params["text_encoder"]}, uids)
+        return ctx, ulast, None
+
+
+class StableDiffusionXL(BaseDiffusionPipeline):
+    """SDXL (reference models/StableDiffusionXL.py): dual text encoders,
+    text_time addition embeddings, optional refiner not supported."""
+
+    model_type = "StableDiffusionXLPipeline"
+
+    def _build_default_configs(self, tiny: bool, overrides: dict):
+        if tiny:
+            ucfg = dataclasses.replace(unet_lib.tiny_unet_config(),
+                                       addition_embed_type="text_time",
+                                       cross_attention_dim=64,
+                                       projection_class_embeddings_input_dim=32 + 6 * 256)
+            self.configs = {
+                "unet": ucfg,
+                "text_encoder": clip_text.tiny_clip_config(),
+                "text_encoder_2": clip_text.tiny_clip_config(),
+                "vae": vae_lib.tiny_vae_config(),
+            }
+        else:
+            self.configs = {"unet": unet_lib.SDXL_UNET,
+                            "text_encoder": clip_text.SD15_TEXT,
+                            "text_encoder_2": clip_text.SDXL_TEXT2,
+                            "vae": vae_lib.SDXL_VAE}
+        for k, v in overrides.items():
+            self.configs[k] = v
+        self.components = {n: None for n in self.configs}
+
+    def _build_configs_from_dir(self, path: str):
+        self.configs = {
+            "unet": loader.unet_config_from_diffusers(
+                loader.load_json(os.path.join(path, "unet", "config.json"))),
+            "text_encoder": loader.clip_config_from_hf(
+                loader.load_json(os.path.join(path, "text_encoder", "config.json"))),
+            "text_encoder_2": loader.clip_config_from_hf(
+                loader.load_json(os.path.join(path, "text_encoder_2", "config.json"))),
+            "vae": loader.vae_config_from_diffusers(
+                loader.load_json(os.path.join(path, "vae", "config.json"))),
+        }
+        self.components = {n: None for n in self.configs}
+
+    def _restore_configs(self, cfgs: dict):
+        self.configs = {
+            "unet": unet_lib.UNetConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                           for k, v in cfgs["unet"].items()}),
+            "text_encoder": clip_text.CLIPTextConfig(**cfgs["text_encoder"]),
+            "text_encoder_2": clip_text.CLIPTextConfig(**cfgs["text_encoder_2"]),
+            "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                        for k, v in cfgs["vae"].items()}),
+        }
+
+    def _encode_prompts(self, prompts, negatives):
+        ids = self.tokenizer(prompts)
+        te1, te2 = self.components["text_encoder"], self.components["text_encoder_2"]
+        _, pen1, _ = te1.apply({"params": self.params["text_encoder"]}, ids)
+        _, pen2, pooled = te2.apply({"params": self.params["text_encoder_2"]}, ids)
+        ctx = jnp.concatenate([pen1, pen2], axis=-1)
+        neg = negatives if negatives is not None else [""] * len(prompts)
+        uids = self.tokenizer(neg)
+        _, upen1, _ = te1.apply({"params": self.params["text_encoder"]}, uids)
+        _, upen2, upooled = te2.apply({"params": self.params["text_encoder_2"]}, uids)
+        uctx = jnp.concatenate([upen1, upen2], axis=-1)
+        size = self.default_sample_size() * 8
+        time_ids = jnp.tile(jnp.array([[size, size, 0, 0, size, size]], jnp.float32),
+                            (len(prompts) * 2, 1))
+        added = {"text_embeds": jnp.concatenate([upooled, pooled], axis=0),
+                 "time_ids": time_ids}
+        return ctx, uctx, added
+
+    def denoise(self, latents, ctx, uctx, added, steps, guidance):
+        # added conds are pre-concatenated (uncond; cond) — reuse base loop
+        return super().denoise(latents, ctx, uctx, added, steps, guidance)

@@ -86,6 +86,12 @@ class QDense(nn.Module):
         batch_shape = x.shape[:-1]
         x2 = x.reshape(-1, in_features)
 
+        if self.plan.capture_inputs:
+            rows = min(self.plan.capture_rows, x2.shape[0])
+            self.sow("calib_x", "x", x2[:rows].astype(jnp.float32),
+                     init_fn=lambda: jnp.zeros((rows, in_features), jnp.float32),
+                     reduce_fn=lambda a, b: b)
+
         if spec.mode == "w4a16":
             qweight = self.param(
                 "qweight",

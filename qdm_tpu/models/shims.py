@@ -1,0 +1,81 @@
+"""Per-model-family quantization hooks.
+
+The TPU-native analogue of the reference's model shims
+(StableDiffusion1_x.get_smoothing_blocks / get_layers_for_scaling_unet,
+models/StableDiffusion1_x.py:96-150): functions that, given a param
+pytree, produce SmoothQuant scaling groups and AWQ search groups by
+walking the tree — no module objects involved.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+from qdm_tpu.quant.smooth import ScalingGroup
+
+
+def _walk(tree, prefix=()):
+    if isinstance(tree, dict):
+        yield prefix, tree
+        for k, v in tree.items():
+            yield from _walk(v, prefix + (str(k),))
+
+
+def find_transformer_blocks(params: dict) -> List[Tuple[str, ...]]:
+    """Paths of every BasicTransformerBlock param subtree
+    (the reference smooths all of them: StableDiffusion1_x.py:96-102)."""
+    blocks = []
+    for path, sub in _walk(params):
+        if path and re.fullmatch(r"transformer_blocks_\d+", path[-1]) \
+                and "norm1" in sub and "attn1" in sub:
+            blocks.append(path)
+    return blocks
+
+
+def sd_unet_scaling_groups(params: dict) -> List[ScalingGroup]:
+    """SD UNet SmoothQuant groups (StableDiffusion1_x.py:115-150):
+
+    * norm1 -> attn1.{to_q, to_k, to_v}  (self-attention QKV)
+    * norm3 -> ff.net_0.proj             (GEGLU in-projection)
+
+    Cross-attention (attn2) is intentionally NOT smoothed — its q input
+    comes from norm2 but k/v take the text context; the reference skips
+    it too."""
+    groups = []
+    for b in find_transformer_blocks(params):
+        groups.append(ScalingGroup(
+            prev_path=b + ("norm1",),
+            layer_paths=(b + ("attn1", "to_q"), b + ("attn1", "to_k"),
+                         b + ("attn1", "to_v")),
+        ))
+        groups.append(ScalingGroup(
+            prev_path=b + ("norm3",),
+            layer_paths=(b + ("ff", "net_0", "proj"),),
+        ))
+    return groups
+
+
+def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
+    """CLIP text encoder groups (reference models/clip.py:100-147):
+    layer_norm1 -> q/k/v_proj, layer_norm2 -> mlp.fc1."""
+    groups = []
+    for path, sub in _walk(params):
+        if path and re.fullmatch(r"layers_\d+", path[-1]) and "self_attn" in sub:
+            groups.append(ScalingGroup(
+                prev_path=path + ("layer_norm1",),
+                layer_paths=(path + ("self_attn", "q_proj"),
+                             path + ("self_attn", "k_proj"),
+                             path + ("self_attn", "v_proj")),
+            ))
+            groups.append(ScalingGroup(
+                prev_path=path + ("layer_norm2",),
+                layer_paths=(path + ("mlp/fc1",),),
+            ))
+    return groups
+
+
+def awq_search_groups(params: dict, scaling_groups: List[ScalingGroup]):
+    """AWQ reuses the same (prev_op, layers) topology for its grid
+    search (quantizer.py:288-321); expressed on param paths."""
+    return scaling_groups

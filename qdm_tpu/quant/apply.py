@@ -1,0 +1,162 @@
+"""Quantization as a pytree transform.
+
+The reference mutates nn.Modules in place and swaps them for WxAx*
+wrappers (quantizer_SQ.py:456-516, fake_quant.py:234-258,343-382).
+Here the same algorithms are pure functions ``params -> params`` driven
+by a :class:`QuantPlan`:
+
+* :func:`fake_quantize_params` — RTN fake quant of every planned layer's
+  kernel (quantize-dequantize in place; the forward stays unchanged).
+* :func:`pack_params` — produce packed integer params (w4a16 / w8a8
+  leaves) consumed by the Pallas kernels.
+
+Weight orientation: flax dense kernels are (in, out); the reference
+formulas operate on (out, in) with groups along in-features.  We
+transpose views accordingly so group/channel semantics match
+fake_quant.py exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qdm_tpu.ops import quant_matmul as qmm
+from qdm_tpu.quant import pseudo, rtn
+from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+
+def iter_layers(tree, prefix: Tuple[str, ...] = ()):
+    """Yield (path_tuple, layer_dict) for every param dict holding a
+    'kernel' leaf."""
+    if isinstance(tree, dict):
+        if "kernel" in tree and not isinstance(tree["kernel"], dict):
+            yield prefix, tree
+            return
+        for k, v in tree.items():
+            yield from iter_layers(v, prefix + (str(k),))
+
+
+def path_str(path: Tuple[str, ...]) -> str:
+    return "/".join(path)
+
+
+def _set_at(tree: dict, path: Tuple[str, ...], value) -> dict:
+    """Functional nested-dict update."""
+    if len(path) == 0:
+        return value
+    out = dict(tree)
+    out[path[0]] = _set_at(tree[path[0]], path[1:], value)
+    return out
+
+
+def _fake_quant_dense_kernel(kernel, spec: LayerQuantSpec):
+    """kernel (in, out) -> fake-quantized kernel, reference row
+    semantics ((out, in) groups along in: fake_quant.py:21-105)."""
+    w_oi = kernel.T
+    if spec.weight_quant == "group":
+        if spec.zero_point:
+            gs = spec.group_size if spec.group_size > 0 else w_oi.shape[-1]
+            gs = rtn.resolve_group_size(w_oi.shape[-1], gs) or w_oi.shape[-1]
+            w_oi, _, _ = pseudo.pseudo_quantize_tensor(
+                w_oi, n_bits=spec.w_bits, group_size=gs, zero_point=True)
+        else:
+            w_oi = rtn.quantize_weight_absmax(w_oi, spec.w_bits, spec.group_size)
+    elif spec.weight_quant == "per_channel":
+        w_oi = rtn.quantize_weight_per_channel_absmax(w_oi, spec.w_bits)
+    else:
+        w_oi = rtn.quantize_weight_per_tensor_absmax(w_oi, spec.w_bits)
+    return w_oi.T
+
+
+def _fake_quant_conv_kernel(kernel, spec: LayerQuantSpec):
+    """kernel (kh, kw, in, out); per_channel = per output channel."""
+    if spec.weight_quant == "per_tensor":
+        return rtn.quantize_weight_per_tensor_absmax(kernel, spec.w_bits)
+    # per_channel / group both map to per-out-channel for convs
+    w_o = jnp.moveaxis(kernel, -1, 0)
+    w_o = rtn.quantize_weight_per_channel_absmax(w_o, spec.w_bits)
+    return jnp.moveaxis(w_o, 0, -1)
+
+
+def fake_quantize_params(params: dict, plan: QuantPlan) -> dict:
+    """RTN fake-quantize every planned layer (modes fake/fake_act and,
+    for convs, the real modes' conv fallback)."""
+    out = params
+    for path, layer in iter_layers(params):
+        spec = plan.spec_for(path_str(path))
+        if spec.mode == "none":
+            continue
+        kernel = layer["kernel"]
+        if kernel.ndim == 2:
+            newk = _fake_quant_dense_kernel(kernel, spec)
+        elif kernel.ndim == 4:
+            cspec = spec
+            newk = _fake_quant_conv_kernel(kernel, cspec)
+        else:
+            continue
+        out = _set_at(out, path + ("kernel",), newk.astype(kernel.dtype))
+    return out
+
+
+def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
+    """Replace a {'kernel','bias'?} dense layer with packed params."""
+    kernel = layer["kernel"]          # (K, N)
+    k, n = kernel.shape
+    new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
+    if spec.mode == "w4a16":
+        gs = spec.group_size if spec.group_size > 0 else k
+        gs = rtn.resolve_group_size(k, gs) or k
+        q = pseudo.quantize_tensor(kernel.T, n_bits=4, group_size=gs,
+                                   zero_point=spec.zero_point)
+        codes_kn = q.iweight.T
+        scales_gn = q.scales.T
+        zeros_gn = q.zeros.T if q.zeros is not None else None
+        if not spec.zero_point:
+            # symmetric codes in [-8, 7]
+            pass
+        qweight, scales, zeros = qmm.pack_linear_int4(
+            codes_kn, scales_gn, zeros_gn, gs)
+        new["qweight"] = qweight
+        new["scales"] = scales
+        if zeros is not None:
+            new["zeros"] = zeros
+    elif spec.mode == "w8a8":
+        w_abs = jnp.clip(jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-5, None)
+        scale_n = w_abs / 127.0
+        codes = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale_n[None, :]),
+                         -128, 127)
+        new["qweight"], new["scales"] = qmm.pack_linear_int8(codes, scale_n)
+    else:
+        return layer
+    return new
+
+
+def pack_params(params: dict, plan: QuantPlan) -> dict:
+    """Produce the packed-params pytree matching a plan with real modes.
+
+    Dense layers planned w4a16/w8a8 get packed buffers; convs planned
+    real fall back to fake quant (kernel zoo parity: linear-only)."""
+    out = params
+    for path, layer in iter_layers(params):
+        spec = plan.spec_for(path_str(path))
+        if not spec.is_real:
+            continue
+        kernel = layer["kernel"]
+        if kernel.ndim == 2:
+            out = _set_at(out, path, pack_dense_layer(layer, spec))
+        elif kernel.ndim == 4:
+            newk = _fake_quant_conv_kernel(kernel, spec)
+            out = _set_at(out, path + ("kernel",), newk.astype(kernel.dtype))
+    return out
+
+
+def quantized_param_count(params: dict, plan: QuantPlan) -> Dict[str, int]:
+    """Diagnostic: how many layers each mode got."""
+    counts: Dict[str, int] = {}
+    for path, layer in iter_layers(params):
+        spec = plan.spec_for(path_str(path))
+        counts[spec.mode] = counts.get(spec.mode, 0) + 1
+    return counts

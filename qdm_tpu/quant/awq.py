@@ -1,0 +1,163 @@
+"""AWQ: activation-aware weight quantization (scale grid search + clip
+search) as jitted pytree transforms.
+
+Faithful to the reference math (quantize/quantizer.py):
+
+* duo-scaling grid  s = x_mean^r / (w_mean^(1-r) + 1e-4), r = i/20,
+  normalized by sqrt(s.max * s.min), loss = MSE of the scaled+quantized
+  group output vs the fp output  (_search_best_scale/_compute_best_scale,
+  quantizer.py:605-751);
+* per-(out-channel, group) clip search over a 20-point max-val shrink
+  grid to 0.5, on <=512 sampled tokens, skipping q/k layers
+  (_search_best_clip/_compute_best_clip, quantizer.py:785-863).
+
+Deviations (documented): the search loss uses the scaling group's own
+linear outputs as module2inspect (the reference uses the enclosing
+attention/MLP module for multi-layer groups); the 20-point grid runs as
+a single `lax.map` scan instead of a Python loop with state_dict
+save/restore.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qdm_tpu.quant import pseudo, rtn
+from qdm_tpu.quant.apply import _set_at
+from qdm_tpu.quant.smooth import ScalingGroup, apply_smooth_scales, _get_at
+
+AVOID_CLIPPING = ("q_", "k_", "query", "key", "Wqkv", "to_q", "to_k")
+
+
+def _group_quantize_rows(w, n_bits, group_size, zero_point):
+    """pseudo_quantize_tensor on the last axis of any-rank w."""
+    shape = w.shape
+    w2 = w.reshape(-1, shape[-1])
+    wq, _, _ = pseudo.pseudo_quantize_tensor(
+        w2, n_bits=n_bits, group_size=group_size, zero_point=zero_point)
+    return wq.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "group_size", "zero_point",
+                                             "n_grid", "duo_scaling"))
+def search_best_scale(x, w_cat_oi, n_bits: int = 4, group_size: int = 128,
+                      zero_point: bool = True, n_grid: int = 20,
+                      duo_scaling: bool = True):
+    """Grid-search the per-in-channel AWQ scale.
+
+    x: (S, C) sampled inputs; w_cat_oi: (N_total, C) concatenated layer
+    weights (out, in).  Returns (best_scales (C,), losses (n_grid,))."""
+    C = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    wf = w_cat_oi.astype(jnp.float32)
+
+    # w_mean: per-group-normalized weight magnitude, mean per in-channel
+    # (quantizer.py:627-638)
+    gs = group_size if group_size > 0 else C
+    wg = jnp.abs(wf).reshape(-1, gs)
+    wg = wg / (jnp.max(wg, axis=1, keepdims=True) + 1e-6)
+    w_mean = wg.reshape(wf.shape).mean(axis=0)
+
+    # x_mean: per-channel mean abs input (quantizer.py:640-660)
+    x_mean = jnp.abs(xf).mean(axis=0)
+
+    fp_out = xf @ wf.T                      # (S, N_total)
+
+    def loss_for(ratio):
+        if duo_scaling:
+            s = jnp.clip(x_mean ** ratio / (w_mean ** (1 - ratio) + 1e-4), 1e-4, None)
+        else:
+            s = jnp.clip(x_mean ** ratio, 1e-4, None)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        s = jnp.where(jnp.isfinite(s), s, 1.0)
+        wq = _group_quantize_rows(wf * s[None, :], n_bits, gs, zero_point) / s[None, :]
+        out = xf @ wq.T
+        return jnp.mean((out - fp_out) ** 2), s
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    losses, scales = jax.lax.map(loss_for, ratios)
+    best = jnp.argmin(losses)
+    return scales[best], losses
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "group_size", "zero_point",
+                                             "n_grid", "max_shrink", "n_sample_token"))
+def compute_best_clip(w_oi, x, n_bits: int = 4, group_size: int = 128,
+                      zero_point: bool = True, n_grid: int = 20,
+                      max_shrink: float = 0.5, n_sample_token: int = 512):
+    """Per-(out-channel, group) clip threshold search
+    (quantizer.py:804-863).  w_oi (N, C); x (S, C).
+    Returns best_max_val (N, n_groups)."""
+    N, C = w_oi.shape
+    gs = group_size if group_size > 0 else C
+    n_g = C // gs
+    step = max(1, x.shape[0] // n_sample_token)
+    xs = x[::step].astype(jnp.float32)                 # (S', C)
+    xs = xs.reshape(1, xs.shape[0], n_g, gs)           # (1, S', n_g, gs)
+    w = w_oi.astype(jnp.float32).reshape(N, 1, n_g, gs)
+
+    org_max = jnp.max(jnp.abs(w), axis=-1, keepdims=True)      # (N,1,n_g,1)
+    org_out = jnp.sum(xs * w, axis=-1)                          # (N, S', n_g)
+
+    def body(carry, i_s):
+        best_max, min_err = carry
+        max_val = org_max * (1 - i_s / n_grid)
+        cur_w = jnp.clip(w, -max_val, max_val)
+        qw = _group_quantize_rows(cur_w, n_bits, gs, zero_point)
+        cur_out = jnp.sum(xs * qw, axis=-1)
+        err = jnp.mean((cur_out - org_out) ** 2, axis=1).reshape(min_err.shape)
+        better = err < min_err
+        return (jnp.where(better, max_val, best_max),
+                jnp.where(better, err, min_err)), None
+
+    steps = jnp.arange(int(max_shrink * n_grid), dtype=jnp.float32)
+    (best_max, _), _ = jax.lax.scan(body, (org_max, jnp.full_like(org_max, 1e9)), steps)
+    return best_max.reshape(N, n_g)
+
+
+def apply_clip_to_kernel(kernel, max_val):
+    """kernel (C, N); max_val (N, n_groups) -> clamped kernel
+    (apply_clip, scale.py:24-34)."""
+    C, N = kernel.shape
+    n_g = max_val.shape[1]
+    gs = C // n_g
+    w = kernel.astype(jnp.float32).T.reshape(N, n_g, gs)
+    mv = max_val[:, :, None]
+    w = jnp.clip(w, -mv, mv)
+    return w.reshape(N, C).T.astype(kernel.dtype)
+
+
+def awq_search_and_apply(params: dict, groups: Sequence[ScalingGroup],
+                         input_feats: Dict[str, jnp.ndarray], cfg,
+                         do_clip: bool = True) -> dict:
+    """Full AWQ pass over scaling groups: scale search -> migrate ->
+    clip search -> clamp.  Weight quantization itself happens afterwards
+    in the shared fake/pack transform (pipeline.quantize)."""
+    out = params
+    for g in groups:
+        key = "/".join(g.layer_paths[0])
+        if key not in input_feats:
+            continue
+        x = input_feats[key]
+        kernels = [_get_at(out, lp)["kernel"] for lp in g.layer_paths]
+        w_cat = jnp.concatenate([k.T for k in kernels], axis=0)   # (N_tot, C)
+        gs = rtn.resolve_group_size(w_cat.shape[-1], cfg.q_group_size) or w_cat.shape[-1]
+        s, _ = search_best_scale(x, w_cat, n_bits=cfg.w_bit, group_size=gs,
+                                 zero_point=cfg.zero_point)
+        out = apply_smooth_scales(out, g, s)
+        if do_clip:
+            x_scaled = x / s[None, :]   # scale.py:74-79
+            for lp in g.layer_paths:
+                name = lp[-1]
+                if any(a in name for a in AVOID_CLIPPING):
+                    continue
+                kernel = _get_at(out, lp)["kernel"]
+                mv = compute_best_clip(kernel.T, x_scaled, n_bits=cfg.w_bit,
+                                       group_size=gs, zero_point=cfg.zero_point)
+                out = _set_at(out, lp + ("kernel",),
+                              apply_clip_to_kernel(kernel, mv))
+    return out

@@ -59,7 +59,9 @@ class QuantPlan:
 
     rules: Tuple[Tuple[str, LayerQuantSpec], ...] = ()
     default: LayerQuantSpec = NO_QUANT
-    capture_stats: bool = False   # sow per-layer input absmax ('calib' col)
+    capture_stats: bool = False    # sow per-layer input absmax ('calib' col)
+    capture_inputs: bool = False   # sow sampled input rows ('calib_x' col, AWQ)
+    capture_rows: int = 64
 
     def spec_for(self, path: str) -> LayerQuantSpec:
         spec = self.default
@@ -72,8 +74,9 @@ class QuantPlan:
         return dataclasses.replace(
             self, rules=self.rules + ((pattern, spec if spec is not None else NO_QUANT),))
 
-    def with_capture(self, capture: bool = True) -> "QuantPlan":
-        return dataclasses.replace(self, capture_stats=capture)
+    def with_capture(self, capture: bool = True, inputs: bool = False) -> "QuantPlan":
+        return dataclasses.replace(self, capture_stats=capture,
+                                   capture_inputs=inputs)
 
     def with_default(self, spec: LayerQuantSpec) -> "QuantPlan":
         return dataclasses.replace(self, default=spec)

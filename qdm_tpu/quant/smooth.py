@@ -1,0 +1,97 @@
+"""SmoothQuant scale migration as a pytree transform.
+
+Reference semantics (quantizer_SQ.py:393-431 ``smooth_ln_fcs``):
+
+    weight_scales = max over fcs of per-in-channel absmax of fc.weight
+    s = act_absmax**alpha / weight_scales**(1-alpha)   (clamped 1e-5)
+    ln.weight /= s ; ln.bias /= s ; fc.weight *= s (per in-channel)
+
+alpha = 0.5 for LLMs (quantizer_SQ.py:287), 0.80 for diffusion
+(quantizer_SQ.py:349).  Activation stats are the mean over denoise steps
+of the per-step per-channel absmax (Mean_Max_Activation_Hook,
+calib_data.py:105-124; mean_of_dict, StableDiffusion1_x.py:104-112) —
+here produced by the sown 'calib' collection (qdm_tpu/calib/stats.py).
+
+Scaling groups are declared per model family (the analogue of
+get_layers_for_scaling_unet, StableDiffusion1_x.py:115-150).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from qdm_tpu.quant.apply import _set_at
+
+
+@dataclass(frozen=True)
+class ScalingGroup:
+    """prev_op (a norm layer path) feeding a set of linear layer paths.
+
+    Paths are tuples of param-tree keys addressing the layer dict
+    (e.g. ('down_blocks_0/attentions_0', 'transformer_blocks_0', 'attn1',
+    'to_q'))."""
+
+    prev_path: Tuple[str, ...]
+    layer_paths: Tuple[Tuple[str, ...], ...]
+
+
+def _get_at(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def compute_smooth_scales(params: dict, group: ScalingGroup,
+                          act_absmax: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """s (in_features,) per smooth_ln_fcs (quantizer_SQ.py:414-421)."""
+    w_scales = []
+    for lp in group.layer_paths:
+        kernel = _get_at(params, lp)["kernel"]        # (in, out)
+        w_scales.append(jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=1))
+    weight_scales = jnp.clip(jnp.max(jnp.stack(w_scales), axis=0), 1e-5, None)
+    act = jnp.clip(act_absmax.astype(jnp.float32), 1e-5, None)
+    s = jnp.clip(act ** alpha / weight_scales ** (1.0 - alpha), 1e-5, None)
+    return s
+
+
+def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> dict:
+    """norm scale/bias /= s; fc kernels *= s per in-channel."""
+    out = params
+    prev = _get_at(params, group.prev_path)
+    if "scale" in prev:
+        out = _set_at(out, group.prev_path + ("scale",),
+                      (prev["scale"].astype(jnp.float32) / s).astype(prev["scale"].dtype))
+    if "bias" in prev:
+        out = _set_at(out, group.prev_path + ("bias",),
+                      (prev["bias"].astype(jnp.float32) / s).astype(prev["bias"].dtype))
+    for lp in group.layer_paths:
+        layer = _get_at(out, lp)
+        kernel = layer["kernel"]
+        newk = (kernel.astype(jnp.float32) * s[:, None]).astype(kernel.dtype)
+        out = _set_at(out, lp + ("kernel",), newk)
+    return out
+
+
+def smooth_params(params: dict, groups: Sequence[ScalingGroup],
+                  act_stats: Dict[str, jnp.ndarray], alpha: float = 0.80) -> dict:
+    """Apply SmoothQuant migration for every group.
+
+    act_stats maps '/'-joined layer paths to per-channel absmax.  For a
+    group the stats of its first layer are representative (all layers in
+    a group share the same input, e.g. to_q/to_k/to_v; the reference
+    passes per-layer hook means but smooth_ln_fcs only consumes one
+    act_scales vector per group)."""
+    out = params
+    for g in groups:
+        key = "/".join(g.layer_paths[0])
+        stats = [act_stats[("/".join(lp))] for lp in g.layer_paths
+                 if "/".join(lp) in act_stats]
+        if not stats:
+            raise KeyError(f"no activation stats for group {key}")
+        act = jnp.max(jnp.stack(stats), axis=0)
+        s = compute_smooth_scales(out, g, act, alpha)
+        out = apply_smooth_scales(out, g, s)
+    return out

@@ -1,0 +1,94 @@
+"""End-to-end pipeline lifecycle tests on tiny random models:
+from_config -> generate -> quantize(rtn/sq/awq) -> generate ->
+save_quantized -> from_quantized (reference lifecycle base.py:143-850)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qdm_tpu.api import StableDiffusion1_x, StableDiffusionXL
+from qdm_tpu.config import QuantConfig
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+
+
+def _gen(p, **kw):
+    return p.generate("a cat on a table", num_inference_steps=2, seed=0,
+                      height=64, width=64, **kw)
+
+
+def test_generate_fp(pipe):
+    img = _gen(pipe)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+
+
+def test_rtn_quantize_generate(pipe):
+    import copy
+
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    p.quantize({"w_bit": 8, "q_group_size": 0, "weight_quant_type": "per_channel",
+                "version": "fake"}, quantType="rtn")
+    assert p.is_quantized and "unet" in p.quantized_components
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    # 8-bit fake quant barely moves the output
+    assert np.abs(img - base).mean() < 0.1
+
+
+def test_sq_quantize(pipe):
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    cfg = QuantConfig(w_bit=8, q_group_size=0, weight_quant_type="per_channel",
+                      version="fake", alpha=0.8)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    base = _gen(p)
+    p.quantize(cfg, quantType="sq")
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.1
+
+
+def test_awq_quantize(pipe):
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    cfg = QuantConfig(w_bit=4, q_group_size=32, version="fake", zero_point=True)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="awq")
+    img = _gen(p)
+    assert np.isfinite(img).all()
+
+
+def test_save_load_roundtrip(tmp_path, pipe):
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    p.quantize({"w_bit": 8, "q_group_size": 0, "weight_quant_type": "per_channel",
+                "version": "fake"}, quantType="rtn")
+    img1 = _gen(p)
+    d = str(tmp_path / "qmodel")
+    p.save_quantized(d)
+    p2 = StableDiffusion1_x.from_quantized(d, dtype=jnp.float32)
+    img2 = _gen(p2)
+    np.testing.assert_allclose(img1, img2, atol=1e-5)
+
+
+def test_real_w8a8_pipeline():
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    p.quantize({"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True},
+               quantType="rtn")
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.15
+
+
+def test_sdxl_tiny_generate():
+    p = StableDiffusionXL.from_config(tiny=True, dtype=jnp.float32)
+    img = p.generate("a dog", num_inference_steps=2, seed=0, height=64, width=64)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all()
