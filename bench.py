@@ -67,12 +67,12 @@ def make_loop(model, steps, guidance=7.5):
 
 
 def time_loop(loop, params, latents, ctx, uctx, reps):
-    out = loop(params, latents, ctx, uctx)
-    out.block_until_ready()
+    # force full completion with a scalar fetch: on the tunneled device,
+    # block_until_ready can return before compute finishes
+    float(jnp.sum(loop(params, latents, ctx, uctx)))
     t0 = time.time()
     for _ in range(reps):
-        out = loop(params, latents, ctx, uctx)
-    out.block_until_ready()
+        s = float(jnp.sum(loop(params, latents, ctx, uctx)))
     return (time.time() - t0) / reps
 
 

@@ -1,0 +1,255 @@
+"""Causal-LM quantization pipeline — lifecycle parity with the
+reference's ``BaseAWQForCausalLM`` (models/base.py:853-1922):
+
+    lm = CausalLM.from_pretrained(path)        (base.py:1248-1336)
+    lm.quantize(tokenizer, quant_config, quantType='awq')  (base.py:890-1150)
+    lm.generate(ids, max_new_tokens=...)
+    lm.save_quantized(dir) / CausalLM.from_quantized(dir)  (base.py:1177-1526)
+
+TPU-native restructuring: calibration captures per-layer inputs/absmax
+by sowing during one forward over the calib batch (vs the reference's
+sequential per-layer Catcher + hook machinery, quantizer.py:1002-1141);
+AWQ scale/clip grid searches run as jitted scans; decode uses a static
+KV cache inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.calib.stats import RunningMeanMax, flatten_calib
+from qdm_tpu.config import QuantConfig
+from qdm_tpu.models import llama as llama_lib
+from qdm_tpu.models.shims import llama_scaling_groups
+from qdm_tpu.quant import apply as qapply
+from qdm_tpu.quant import awq as awq_lib
+from qdm_tpu.quant import smooth as smooth_lib
+from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan, spec_from_config
+
+
+class CausalLM:
+    """LLaMA-family causal LM with the reference quantize lifecycle."""
+
+    def __init__(self):
+        self.config: Optional[llama_lib.LlamaConfig] = None
+        self.params: Optional[dict] = None
+        self.plan = QuantPlan()
+        self.quant_config: Optional[QuantConfig] = None
+        self.dtype = jnp.bfloat16
+        self.is_quantized = False
+
+    # ------------------------------------------------------------------ build
+
+    @property
+    def model(self) -> llama_lib.LlamaForCausalLM:
+        return llama_lib.LlamaForCausalLM(config=self.config, dtype=self.dtype,
+                                          plan=self.plan)
+
+    @classmethod
+    def from_config(cls, config: Optional[llama_lib.LlamaConfig] = None,
+                    dtype=jnp.float32, seed: int = 0):
+        self = cls()
+        self.dtype = dtype
+        self.config = config or llama_lib.tiny_llama_config()
+        rng = np.random.default_rng(seed)
+        shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8), jnp.int32)))["params"]
+
+        def init_leaf(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("kernel", "embedding"):
+                fan_in = int(np.prod(leaf.shape[:-1])) or 1
+                return jnp.asarray(
+                    rng.standard_normal(leaf.shape, np.float32) / np.sqrt(fan_in),
+                    leaf.dtype)
+            if name == "scale":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            return jnp.zeros(leaf.shape, leaf.dtype)
+
+        self.params = jax.tree_util.tree_map_with_path(init_leaf, shapes)
+        return self
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        """Load an HF transformers checkpoint dir (LLaMA/Qwen2-style)."""
+        from qdm_tpu.api import loader
+
+        self = cls()
+        self.dtype = dtype
+        hf = loader.load_json(os.path.join(path, "config.json"))
+        self.config = llama_lib.LlamaConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            num_key_value_heads=hf.get("num_key_value_heads",
+                                       hf["num_attention_heads"]),
+            max_position_embeddings=hf.get("max_position_embeddings", 4096),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            attention_bias=hf.get("attention_bias",
+                                  hf.get("model_type") == "qwen2"),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        )
+        shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8), jnp.int32)))["params"]
+        sd = loader.load_safetensors_dir(path)
+        params, missing, _ = loader.convert_torch_state_dict(
+            sd, shapes, strip_prefixes=("model.",))
+        if missing:
+            raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
+        self.params = params
+        return self
+
+    # --------------------------------------------------------------- quantize
+
+    def _make_plan(self, cfg: QuantConfig) -> QuantPlan:
+        plan = QuantPlan(default=spec_from_config(cfg, conv=False))
+        # lm_head / embeddings are never converted (reference
+        # modules_to_not_convert + kernel-path exclusions)
+        plan = plan.with_rule("lm_head", None)
+        for pat in (cfg.modules_to_not_convert or []):
+            plan = plan.with_rule(pat, None)
+        return plan
+
+    def _calibrate(self, cfg: QuantConfig, calib_ids: np.ndarray,
+                   capture_inputs: bool):
+        plan = self.plan.with_capture(True, inputs=capture_inputs)
+        model = llama_lib.LlamaForCausalLM(config=self.config, dtype=self.dtype,
+                                           plan=plan)
+        run = RunningMeanMax()
+        feats: Dict[str, list] = {}
+        mutable = ["calib"] + (["calib_x"] if capture_inputs else [])
+
+        @jax.jit
+        def fwd(params, ids):
+            _, mut = model.apply({"params": params}, ids, mutable=mutable)
+            stats = flatten_calib(mut["calib"])
+            xs = flatten_calib(mut["calib_x"], leaf="x") if capture_inputs else {}
+            return stats, xs
+
+        bs = cfg.calib.batch_size
+        for i in range(0, calib_ids.shape[0], bs):
+            stats, xs = fwd(self.params, jnp.asarray(calib_ids[i:i + bs]))
+            run.update(stats)
+            for k, v in xs.items():
+                feats.setdefault(k, []).append(v)
+        input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feats.items()}
+        return run.mean(), input_feats
+
+    def quantize(self, tokenizer=None, quant_config: Optional[dict] = None,
+                 quantType: str = "awq", calib_data: Optional[np.ndarray] = None):
+        """calib_data: (n, seq) int32 token blocks; if None, built from
+        qdm_tpu.calib.data.get_calib_dataset (pileval semantics)."""
+        cfg = quant_config if isinstance(quant_config, QuantConfig) \
+            else QuantConfig.from_dict(quant_config)
+        cfg.quant_method = quantType.lower()
+        self.quant_config = cfg
+        plan = self._make_plan(cfg)
+
+        method = cfg.quant_method
+        if method in ("awq", "sq", "smooth", "smoothquant"):
+            if calib_data is None:
+                from qdm_tpu.calib.data import get_calib_dataset
+
+                calib_data = get_calib_dataset(
+                    tokenizer=tokenizer, n_samples=min(cfg.calib.n_samples, 32),
+                    max_seq_len=cfg.calib.max_seq_len)
+            stats, feats = self._calibrate(cfg, np.asarray(calib_data),
+                                           capture_inputs=(method == "awq"))
+            groups = llama_scaling_groups(self.params,
+                                          include_fc_groups=(method == "awq"))
+            if method == "awq":
+                self.params = awq_lib.awq_search_and_apply(
+                    self.params, groups, feats, cfg)
+            else:
+                # alpha = 0.5 for LLMs (quantizer_SQ.py:287)
+                norm_groups = [g for g in groups]
+                self.params = smooth_lib.smooth_params(
+                    self.params, norm_groups, stats,
+                    alpha=cfg.alpha if cfg.alpha != 0.80 else 0.5)
+
+        if cfg.version == "real":
+            self.params = qapply.pack_params(self.params, plan)
+        else:
+            self.params = qapply.fake_quantize_params(self.params, plan)
+        self.plan = plan
+        self.is_quantized = True
+        return self
+
+    # --------------------------------------------------------------- generate
+
+    def logits(self, input_ids) -> jnp.ndarray:
+        out, _ = self.model.apply({"params": self.params},
+                                  jnp.asarray(input_ids))
+        return out
+
+    def generate(self, input_ids, max_new_tokens: int = 32) -> np.ndarray:
+        """Greedy decode with a static KV cache inside jit."""
+        model = self.model
+        ids = jnp.asarray(input_ids)
+        b, s = ids.shape
+        max_len = s + max_new_tokens
+        caches = model.init_cache(b, max_len)
+
+        @jax.jit
+        def prefill(params, ids, caches):
+            logits, caches = model.apply({"params": params}, ids,
+                                         kv_caches=caches, cache_index=0)
+            return jnp.argmax(logits[:, -1], axis=-1), caches
+
+        @jax.jit
+        def step(params, tok, caches, idx):
+            logits, caches = model.apply({"params": params}, tok[:, None],
+                                         kv_caches=caches, cache_index=idx)
+            return jnp.argmax(logits[:, -1], axis=-1), caches
+
+        tok, caches = prefill(self.params, ids, caches)
+        out = [np.asarray(tok)]
+        for i in range(max_new_tokens - 1):
+            tok, caches = step(self.params, tok, caches, s + i)
+            out.append(np.asarray(tok))
+        return np.concatenate([np.asarray(ids), np.stack(out, 1)], axis=1)
+
+    # -------------------------------------------------------------- save/load
+
+    def save_quantized(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        from qdm_tpu.utils.serialization import save_params
+
+        save_params(self.params, os.path.join(save_dir, "params.safetensors"))
+        if self.quant_config:
+            self.quant_config.save(os.path.join(save_dir, "quant_config.json"))
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump({"architectures": ["LlamaForCausalLM"],
+                       "quantization_config":
+                           self.quant_config.to_transformers_dict()
+                           if self.quant_config else None,
+                       **dataclasses.asdict(self.config)}, f, indent=2)
+
+    @classmethod
+    def from_quantized(cls, save_dir: str, dtype=jnp.bfloat16):
+        from qdm_tpu.utils.serialization import load_params
+
+        self = cls()
+        self.dtype = dtype
+        with open(os.path.join(save_dir, "config.json")) as f:
+            hf = json.load(f)
+        fields = {f.name for f in dataclasses.fields(llama_lib.LlamaConfig)}
+        self.config = llama_lib.LlamaConfig(
+            **{k: v for k, v in hf.items() if k in fields})
+        self.quant_config = QuantConfig.from_pretrained(save_dir)
+        self.plan = self._make_plan(self.quant_config)
+        self.params = load_params(os.path.join(save_dir, "params.safetensors"))
+        self.is_quantized = True
+        return self

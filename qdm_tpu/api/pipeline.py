@@ -110,29 +110,24 @@ class BaseDiffusionPipeline:
         raise KeyError(name)
 
     def _random_init(self, seed: int):
-        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
         for name in self.components:
             m = self._module(name)
             args = self._init_args(name)
-            shapes = jax.eval_shape(lambda: m.init(key, *args))
-            self.params[name] = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
-            # cheap random-ish init: normal for kernels, ones for scales
-            k = [key]
+            shapes = jax.eval_shape(
+                lambda m=m, args=args: m.init(jax.random.PRNGKey(0), *args))["params"]
 
             def init_leaf(path, leaf):
-                nonlocal k
                 name_ = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-                k[0], sub = jax.random.split(k[0])
                 if name_ in ("kernel", "embedding"):
                     fan_in = int(np.prod(leaf.shape[:-1])) or 1
-                    return jax.random.normal(sub, leaf.shape, leaf.dtype) / np.sqrt(fan_in)
+                    v = rng.standard_normal(leaf.shape, np.float32) / np.sqrt(fan_in)
+                    return jnp.asarray(v, leaf.dtype)
                 if name_ == "scale":
                     return jnp.ones(leaf.shape, leaf.dtype)
                 return jnp.zeros(leaf.shape, leaf.dtype)
 
-            self.params[name] = jax.tree_util.tree_map_with_path(
-                init_leaf, self.params[name])
+            self.params[name] = jax.tree_util.tree_map_with_path(init_leaf, shapes)
             self.components[name] = m
 
     def _init_args(self, name: str):
@@ -141,7 +136,9 @@ class BaseDiffusionPipeline:
             s = max(cfg.sample_size, 8)
             added = None
             if cfg.addition_embed_type == "text_time":
-                added = {"text_embeds": jnp.zeros((1, 1280)),
+                te_dim = (cfg.projection_class_embeddings_input_dim
+                          - 6 * cfg.addition_time_embed_dim)
+                added = {"text_embeds": jnp.zeros((1, te_dim)),
                          "time_ids": jnp.zeros((1, 6))}
             ctx_len = 16
             args = (jnp.zeros((1, s, s, cfg.in_channels)), jnp.zeros((1,), jnp.int32),
@@ -444,19 +441,9 @@ class BaseDiffusionPipeline:
                       f, indent=2, default=str)
 
     def _save_component(self, d: str, name: str, params):
-        from safetensors.numpy import save_file
+        from qdm_tpu.utils.serialization import save_params
 
-        flat = {}
-
-        def rec(tree, prefix):
-            for k, v in tree.items():
-                if isinstance(v, dict):
-                    rec(v, prefix + (k,))
-                else:
-                    flat["|".join(prefix + (k,))] = np.asarray(v)
-
-        rec(params, ())
-        save_file(flat, os.path.join(d, "params.safetensors"))
+        save_params(params, os.path.join(d, "params.safetensors"))
 
     @classmethod
     def from_quantized(cls, save_dir: str, dtype=jnp.bfloat16):
@@ -487,17 +474,9 @@ class BaseDiffusionPipeline:
 
     @staticmethod
     def _load_component(d: str):
-        from safetensors import safe_open
+        from qdm_tpu.utils.serialization import load_params
 
-        params: dict = {}
-        with safe_open(os.path.join(d, "params.safetensors"), framework="np") as f:
-            for key in f.keys():
-                path = key.split("|")
-                sub = params
-                for p in path[:-1]:
-                    sub = sub.setdefault(p, {})
-                sub[path[-1]] = jnp.asarray(f.get_tensor(key))
-        return params
+        return load_params(os.path.join(d, "params.safetensors"))
 
 
 class StableDiffusion1_x(BaseDiffusionPipeline):

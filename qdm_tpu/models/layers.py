@@ -116,8 +116,13 @@ class QDense(nn.Module):
                                qmm._round_up(self.features, qmm.LANE)), jnp.int8)
             w_scale = self.param("scales", nn.initializers.ones_init(),
                                  (1, w_i8.shape[1]), jnp.float32)
-            x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
-            y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
+            if qmm.on_tpu():
+                # act quantization fused into the kernel (no HBM pass)
+                y = qmm.w8a8_matmul_fused(x2.astype(self.dtype), w_i8, w_scale,
+                                          out_dtype=self.dtype)
+            else:
+                x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
+                y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
             y = y[:, : self.features]
         else:
             kernel = self.param("kernel", self.kernel_init,

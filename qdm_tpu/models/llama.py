@@ -1,0 +1,200 @@
+"""Flax causal LM (LLaMA family) — the TPU-native counterpart of the
+reference's HF-LLM path (BaseAWQForCausalLM, models/base.py:853-1922,
+and the qwen2/stablelm/llava/cohere shims).
+
+One config covers LLaMA / Qwen2 / StableLM-style architectures:
+RMSNorm (or LayerNorm) + RoPE attention (optional QKV biases, GQA) +
+SwiGLU (or GELU) MLP.  Module names mirror HF keys
+(model.layers.N.self_attn.q_proj -> layers_N/self_attn/q_proj).
+
+Every linear is a QDense consulting the QuantPlan, so AWQ/SmoothQuant/
+RTN and the packed W4A16/W8A8 kernels apply exactly as on the diffusion
+models.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from qdm_tpu.models.layers import LayerNorm, NO_PLAN, QDense, RMSNorm
+from qdm_tpu.quant.plan import QuantPlan
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    attention_bias: bool = False      # Qwen2: True
+    norm_type: str = "rmsnorm"        # stablelm: "layernorm"
+    mlp_act: str = "silu"             # swiglu default
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+QWEN2_7B = LlamaConfig(vocab_size=152064, hidden_size=3584,
+                       intermediate_size=18944, num_hidden_layers=28,
+                       num_attention_heads=28, num_key_value_heads=4,
+                       rope_theta=1000000.0, attention_bias=True,
+                       max_position_embeddings=32768)
+
+
+def tiny_llama_config() -> LlamaConfig:
+    return LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=128)
+
+
+def rope(x, positions, theta: float):
+    """Rotary embedding; x (B, S, H, D)."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions.astype(jnp.float32)[..., None] * freqs      # (B,S,D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    plan: QuantPlan = NO_PLAN
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, cache_index=None):
+        cfg = self.config
+        b, s, _ = x.shape
+        h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        q = QDense(h * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                   plan=self.plan, name="q_proj")(x).reshape(b, s, h, d)
+        k = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                   plan=self.plan, name="k_proj")(x).reshape(b, s, hkv, d)
+        v = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                   plan=self.plan, name="v_proj")(x).reshape(b, s, hkv, d)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache                       # (B, T, hkv, d)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            k, v = ck, cv
+            kv_len = ck.shape[1]
+            k_pos = jnp.arange(kv_len)[None, :]
+            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+        else:
+            kv_len = s
+            mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+
+        if hkv < h:
+            k = jnp.repeat(k, h // hkv, axis=2)
+            v = jnp.repeat(v, h // hkv, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (d ** -0.5)
+        logits = jnp.where(mask, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * d)
+        out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                     plan=self.plan, name="o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    plan: QuantPlan = NO_PLAN
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        gate = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                      plan=self.plan, name="gate_proj")(x)
+        up = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                    plan=self.plan, name="up_proj")(x)
+        act = nn.silu(gate) if cfg.mlp_act == "silu" else nn.gelu(gate)
+        return QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                      plan=self.plan, name="down_proj")(act * up)
+
+
+class LlamaDecoderLayer(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    plan: QuantPlan = NO_PLAN
+
+    def _norm(self, name):
+        if self.config.norm_type == "layernorm":
+            return LayerNorm(dtype=self.dtype, name=name)
+        return RMSNorm(epsilon=self.config.rms_norm_eps, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, cache_index=None):
+        h, new_cache = LlamaAttention(
+            self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
+            self._norm("input_layernorm")(x), positions, kv_cache, cache_index)
+        x = x + h
+        x = x + LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
+                         name="mlp")(self._norm("post_attention_layernorm")(x))
+        return x, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    config: LlamaConfig
+    dtype: Dtype = jnp.bfloat16
+    plan: QuantPlan = NO_PLAN
+
+    @nn.compact
+    def __call__(self, input_ids, positions=None, kv_caches=None,
+                 cache_index=None):
+        cfg = self.config
+        b, s = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            if cache_index is not None:
+                positions = positions + cache_index
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                     name="embed_tokens")(input_ids)
+        new_caches = []
+        for i in range(cfg.num_hidden_layers):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            x, nc = LlamaDecoderLayer(cfg, dtype=self.dtype, plan=self.plan,
+                                      name=f"layers_{i}")(
+                x, positions, cache_i, cache_index)
+            new_caches.append(nc)
+        if cfg.norm_type == "layernorm":
+            x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        else:
+            x = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype, name="norm")(x)
+        if cfg.tie_word_embeddings:
+            embed = self.variables["params"]["embed_tokens"]["embedding"]
+            logits = x @ embed.T.astype(self.dtype)
+        else:
+            logits = QDense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
+                            plan=self.plan, name="lm_head")(x)
+        return logits.astype(jnp.float32), (new_caches if kv_caches is not None else None)
+
+    def init_cache(self, batch: int, max_len: int):
+        cfg = self.config
+        return [(jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim),
+                           self.dtype),
+                 jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim),
+                           self.dtype))
+                for _ in range(cfg.num_hidden_layers)]

@@ -75,6 +75,41 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
     return groups
 
 
+def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[ScalingGroup]:
+    """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
+    input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
+    -> gate/up, up_proj -> down_proj."""
+    groups = []
+    for path, sub in _walk(params):
+        if path and re.fullmatch(r"layers_\d+", path[-1]) and "self_attn" in sub:
+            groups.append(ScalingGroup(
+                prev_path=path + ("input_layernorm",),
+                layer_paths=(path + ("self_attn", "q_proj"),
+                             path + ("self_attn", "k_proj"),
+                             path + ("self_attn", "v_proj")),
+            ))
+            groups.append(ScalingGroup(
+                prev_path=path + ("post_attention_layernorm",),
+                layer_paths=(path + ("mlp", "gate_proj"),
+                             path + ("mlp", "up_proj")),
+            ))
+            if include_fc_groups:
+                v_out = sub["self_attn"]["v_proj"]["kernel"].shape[1]
+                o_in = sub["self_attn"]["o_proj"]["kernel"].shape[0]
+                if v_out == o_in:
+                    # GQA (v_out < o_in) cannot migrate v->o scales;
+                    # upstream AutoAWQ skips this group too
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("self_attn", "v_proj"),
+                        layer_paths=(path + ("self_attn", "o_proj"),),
+                    ))
+                groups.append(ScalingGroup(
+                    prev_path=path + ("mlp", "up_proj"),
+                    layer_paths=(path + ("mlp", "down_proj"),),
+                ))
+    return groups
+
+
 def awq_search_groups(params: dict, scaling_groups: List[ScalingGroup]):
     """AWQ reuses the same (prev_op, layers) topology for its grid
     search (quantizer.py:288-321); expressed on param paths."""

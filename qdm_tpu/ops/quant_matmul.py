@@ -305,6 +305,59 @@ def w8a8_matmul_pallas(x_i8, w_i8, x_scale, w_scale, block_m: int = 256,
     return out[:m]
 
 
+def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref):
+    """Single-pass W8A8: bf16 x block (bm, K) is per-token quantized
+    in-register (no extra HBM pass), int8 MXU dot, rescale."""
+    xf = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.clip(absmax, 1e-5, None) / 127.0
+    xi = jnp.round(xf / xs).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xi, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (acc.astype(jnp.float32) * xs * ws_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
+def w8a8_matmul_fused(x, w_i8, w_scale, block_m: int = 512,
+                      block_n: int = 512, out_dtype=None,
+                      interpret: bool = False):
+    """bf16/f32 x (M, K) @ int8 (K', N): per-token activation
+    quantization fused into the kernel.  Requires K' small enough that a
+    (bm, K') x block fits VMEM (true for all SD/CLIP layers)."""
+    m, k = x.shape
+    kp, n = w_i8.shape
+    assert k <= kp
+    out_dtype = out_dtype or x.dtype
+    block_n = _pick_block(n, block_n)
+    bm = min(block_m, _round_up(m, 16))
+    mp = _round_up(m, bm)
+    xp = x
+    if mp != m or kp != k:
+        xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+
+    out = pl.pallas_call(
+        _w8a8_fused_kernel,
+        grid=(mp // bm, n // block_n),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j: (i, 0)),
+            pl.BlockSpec((kp, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xp, w_i8, w_scale)
+    return out[:m]
+
+
 def w8a8_matmul_ref(x_i8, w_i8, x_scale, w_scale, out_dtype=jnp.bfloat16):
     k = x_i8.shape[-1]
     acc = jax.lax.dot_general(

@@ -58,15 +58,29 @@ def compute_smooth_scales(params: dict, group: ScalingGroup,
 
 
 def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> dict:
-    """norm scale/bias /= s; fc kernels *= s per in-channel."""
+    """prev divided by s, following fc kernels multiplied by s.
+
+    prev is a norm (scale/bias /= s, scale_ln_fcs scale.py:87-113) or a
+    linear (last len(s) output channels of its kernel and bias /= s,
+    scale_fc_fc(s) scale.py:116-153)."""
     out = params
     prev = _get_at(params, group.prev_path)
-    if "scale" in prev:
-        out = _set_at(out, group.prev_path + ("scale",),
-                      (prev["scale"].astype(jnp.float32) / s).astype(prev["scale"].dtype))
-    if "bias" in prev:
-        out = _set_at(out, group.prev_path + ("bias",),
-                      (prev["bias"].astype(jnp.float32) / s).astype(prev["bias"].dtype))
+    if "kernel" in prev:
+        kern = prev["kernel"]     # (in, out)
+        n = s.shape[0]
+        newk = kern.astype(jnp.float32).at[:, kern.shape[1] - n:].divide(s[None, :])
+        out = _set_at(out, group.prev_path + ("kernel",), newk.astype(kern.dtype))
+        if "bias" in prev:
+            b = prev["bias"]
+            newb = b.astype(jnp.float32).at[b.shape[0] - n:].divide(s)
+            out = _set_at(out, group.prev_path + ("bias",), newb.astype(b.dtype))
+    else:
+        if "scale" in prev:
+            out = _set_at(out, group.prev_path + ("scale",),
+                          (prev["scale"].astype(jnp.float32) / s).astype(prev["scale"].dtype))
+        if "bias" in prev:
+            out = _set_at(out, group.prev_path + ("bias",),
+                          (prev["bias"].astype(jnp.float32) / s).astype(prev["bias"].dtype))
     for lp in group.layer_paths:
         layer = _get_at(out, lp)
         kernel = layer["kernel"]

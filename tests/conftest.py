@@ -1,5 +1,9 @@
-"""Test conftest: force JAX onto a virtual 8-device CPU mesh so sharding
-tests run without TPU hardware."""
+"""Test conftest: force JAX onto a virtual 8-device CPU mesh so tests
+run fast and sharding tests need no TPU hardware.
+
+Note: this environment's sitecustomize registers a remote 'axon' TPU
+plugin and overrides jax_platforms, so the env var alone is not enough —
+we must update jax.config before any backend initialization."""
 
 import os
 
@@ -15,5 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls in tests (JAX's default matmul precision is reduced)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
