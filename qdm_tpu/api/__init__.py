@@ -1,2 +1,4 @@
 from qdm_tpu.api.pipeline import (  # noqa: F401
-    BaseDiffusionPipeline, StableDiffusion1_x, StableDiffusionXL)
+    BaseDiffusionPipeline, StableDiffusion1_x, StableDiffusionXL,
+    StableDiffusion3_5)
+from qdm_tpu.api.causal_lm import CausalLM  # noqa: F401

@@ -612,3 +612,202 @@ class StableDiffusionXL(BaseDiffusionPipeline):
     def denoise(self, latents, ctx, uctx, added, steps, guidance):
         # added conds are pre-concatenated (uncond; cond) — reuse base loop
         return super().denoise(latents, ctx, uctx, added, steps, guidance)
+
+
+class StableDiffusion3_5(BaseDiffusionPipeline):
+    """SD3.x MMDiT family (reference models/StableDiffusion3_5.py):
+    transformer instead of unet (checkQuantStatus rejects unet,
+    StableDiffusion3_5.py:33-35); rectified-flow Euler sampling.
+
+    The T5-XXL context slot is zero-padded when no T5 encoder is present
+    (the CLIP-only operating mode diffusers also supports)."""
+
+    model_type = "StableDiffusion3Pipeline"
+    has_unet = False
+    has_transformer = True
+
+    def _build_default_configs(self, tiny: bool, overrides: dict):
+        from qdm_tpu.models import mmdit as mmdit_lib
+
+        if tiny:
+            tcfg = dataclasses.replace(clip_text.tiny_clip_config(),
+                                       projection_dim=8)
+            self.configs = {
+                "transformer": mmdit_lib.tiny_mmdit_config(),
+                "text_encoder": tcfg,
+                "text_encoder_2": tcfg,
+                "vae": dataclasses.replace(vae_lib.tiny_vae_config(),
+                                           latent_channels=4,
+                                           use_quant_conv=False),
+            }
+        else:
+            self.configs = {
+                "transformer": mmdit_lib.SD35_MEDIUM,
+                "text_encoder": dataclasses.replace(clip_text.SD15_TEXT,
+                                                    projection_dim=768),
+                "text_encoder_2": clip_text.SDXL_TEXT2,
+                "vae": vae_lib.SD3_VAE,
+            }
+        for k, v in overrides.items():
+            self.configs[k] = v
+        self.components = {n: None for n in self.configs}
+
+    def _module(self, name: str):
+        if name == "transformer":
+            from qdm_tpu.models.mmdit import MMDiT
+
+            return MMDiT(config=self.configs["transformer"], dtype=self.dtype,
+                         plan=self.plans["transformer"])
+        if name.startswith("text_encoder"):
+            # SD3 pools the *projected* embedding of BOTH CLIP encoders
+            return clip_text.CLIPTextModel(
+                config=self.configs[name], dtype=self.dtype,
+                plan=self.plans["text_encoder"], with_projection=True)
+        return super()._module(name)
+
+    def _init_args(self, name: str):
+        if name == "transformer":
+            cfg = self.configs["transformer"]
+            s = cfg.sample_size
+            return (jnp.zeros((1, s, s, cfg.in_channels)),
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1, 16, cfg.joint_attention_dim)),
+                    jnp.zeros((1, cfg.pooled_projection_dim)))
+        return super()._init_args(name)
+
+    def _build_configs_from_dir(self, path: str):
+        from qdm_tpu.models import mmdit as mmdit_lib
+
+        tcfg = loader.load_json(os.path.join(path, "transformer", "config.json"))
+        self.configs = {
+            "transformer": mmdit_lib.MMDiTConfig(
+                sample_size=tcfg.get("sample_size", 128),
+                patch_size=tcfg.get("patch_size", 2),
+                in_channels=tcfg.get("in_channels", 16),
+                num_layers=tcfg.get("num_layers", 24),
+                attention_head_dim=tcfg.get("attention_head_dim", 64),
+                num_attention_heads=tcfg.get("num_attention_heads", 24),
+                joint_attention_dim=tcfg.get("joint_attention_dim", 4096),
+                caption_projection_dim=tcfg.get("caption_projection_dim", 1536),
+                pooled_projection_dim=tcfg.get("pooled_projection_dim", 2048),
+                pos_embed_max_size=tcfg.get("pos_embed_max_size", 192),
+                out_channels=tcfg.get("out_channels", 16),
+            ),
+            "text_encoder": loader.clip_config_from_hf(
+                loader.load_json(os.path.join(path, "text_encoder", "config.json"))),
+            "text_encoder_2": loader.clip_config_from_hf(
+                loader.load_json(os.path.join(path, "text_encoder_2", "config.json"))),
+            "vae": loader.vae_config_from_diffusers(
+                loader.load_json(os.path.join(path, "vae", "config.json"))),
+        }
+        self.components = {n: None for n in self.configs}
+
+    def _restore_configs(self, cfgs: dict):
+        from qdm_tpu.models import mmdit as mmdit_lib
+
+        self.configs = {
+            "transformer": mmdit_lib.MMDiTConfig(**cfgs["transformer"]),
+            "text_encoder": clip_text.CLIPTextConfig(**cfgs["text_encoder"]),
+            "text_encoder_2": clip_text.CLIPTextConfig(**cfgs["text_encoder_2"]),
+            "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                        for k, v in cfgs["vae"].items()}),
+        }
+
+    def default_sample_size(self) -> int:
+        return self.configs["transformer"].sample_size
+
+    def latent_channels(self) -> int:
+        return self.configs["transformer"].in_channels
+
+    def _encode_prompts(self, prompts, negatives):
+        cfg = self.configs["transformer"]
+        ids = self.tokenizer(prompts)
+        te1, te2 = self.components["text_encoder"], self.components["text_encoder_2"]
+        _, pen1, pooled1 = te1.apply({"params": self.params["text_encoder"]}, ids)
+        _, pen2, pooled2 = te2.apply({"params": self.params["text_encoder_2"]}, ids)
+        clip_ctx = jnp.concatenate([pen1, pen2], axis=-1)
+        pad = cfg.joint_attention_dim - clip_ctx.shape[-1]
+        ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        pooled = jnp.concatenate([pooled1, pooled2], axis=-1)
+
+        neg = negatives if negatives is not None else [""] * len(prompts)
+        uids = self.tokenizer(neg)
+        _, upen1, upooled1 = te1.apply({"params": self.params["text_encoder"]}, uids)
+        _, upen2, upooled2 = te2.apply({"params": self.params["text_encoder_2"]}, uids)
+        uctx = jnp.pad(jnp.concatenate([upen1, upen2], axis=-1),
+                       ((0, 0), (0, 0), (0, pad)))
+        upooled = jnp.concatenate([upooled1, upooled2], axis=-1)
+        added = {"pooled": jnp.concatenate([upooled, pooled], axis=0)}
+        return ctx, uctx, added
+
+    def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float):
+        """Rectified-flow Euler loop (FlowMatchEulerDiscrete parity)."""
+        tables = schedulers.make_flow_match(steps)
+        model = self.components["transformer"]
+        params = self.params["transformer"]
+        pooled = added["pooled"]
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def loop(params, latents, ctx, uctx, pooled, steps):
+            def body(s, lat):
+                t = tables.timesteps[s]
+                lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+                ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                v = model.apply({"params": params}, lat_in, tt, ctx_in, pooled)
+                v_u, v_c = jnp.split(v, 2, axis=0)
+                v = v_u + guidance * (v_c - v_u)
+                return schedulers.flow_match_step(tables, v, lat, s)
+
+            return jax.lax.fori_loop(0, steps, body, latents)
+
+        return loop(params, latents, ctx, uctx, pooled, steps)
+
+    def _smoothquant_component(self, name: str, cfg: QuantConfig):
+        if name != "transformer":
+            return
+        from qdm_tpu.models.shims import sd3_scaling_groups
+
+        stats = self._calibrate_transformer(cfg)
+        groups = sd3_scaling_groups(self.params["transformer"])
+        self.params["transformer"] = smooth_lib.smooth_params(
+            self.params["transformer"], groups, stats, alpha=cfg.alpha)
+
+    def _calibrate_transformer(self, cfg: QuantConfig):
+        from qdm_tpu.calib.data import get_calib_prompts
+
+        calib = cfg.calib
+        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        plan = self.plans["transformer"].with_capture(True)
+        capture = dataclasses.replace(self.components["transformer"], plan=plan)
+        steps = max(1, min(calib.n_steps, 8))
+        tables = schedulers.make_flow_match(steps)
+        ctx, uctx, added = self._encode_prompts(prompts, None)
+        s = self.default_sample_size()
+        lat = jax.random.normal(jax.random.PRNGKey(calib.seed),
+                                (len(prompts), s, s, self.latent_channels()),
+                                jnp.float32)
+        run = RunningMeanMax()
+
+        @jax.jit
+        def step_fn(params, lat, s_idx):
+            t = tables.timesteps[s_idx]
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            v, mut = capture.apply({"params": params}, lat_in, tt, ctx_in,
+                                   added["pooled"], mutable=["calib"])
+            v_u, v_c = jnp.split(v, 2, axis=0)
+            v = v_u + cfg.calib.guidance_scale * (v_c - v_u)
+            return schedulers.flow_match_step(tables, v, lat, s_idx), \
+                flatten_calib(mut["calib"])
+
+        for si in range(steps):
+            lat, stats = step_fn(self.params["transformer"], lat, si)
+            run.update(stats)
+        return run.mean()
+
+    def _awq_component(self, name: str, cfg: QuantConfig):
+        # AWQ on SD3.5 reuses the SQ-captured stats for scale search
+        # via the generic engine in a future round; smoothing + RTN for now
+        self._smoothquant_component(name, cfg)

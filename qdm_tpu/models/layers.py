@@ -112,7 +112,7 @@ class QDense(nn.Module):
             y = y[:, : self.features]
         elif spec.mode == "w8a8":
             w_i8 = self.param("qweight", nn.initializers.zeros_init(),
-                              (qmm._round_up(in_features, 256),
+                              (qmm._round_up(in_features, 32),
                                qmm._round_up(self.features, qmm.LANE)), jnp.int8)
             w_scale = self.param("scales", nn.initializers.ones_init(),
                                  (1, w_i8.shape[1]), jnp.float32)

@@ -110,6 +110,47 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[S
     return groups
 
 
+def sd3_scaling_groups(params: dict) -> List[ScalingGroup]:
+    """MMDiT SmoothQuant groups: AdaLN-modulated norm -> attn qkv and
+    -> ff in-proj, per stream (DiTAS-style smoothing for SD3.5).
+
+    AdaLN-Zero chunk layout (mmdit.JointTransformerBlock): 0=shift_msa,
+    1=scale_msa, 3=shift_mlp, 4=scale_mlp."""
+    groups = []
+    for path, sub in _walk(params):
+        if path and re.fullmatch(r"transformer_blocks_\d+", path[-1]) \
+                and "attn" in sub and "norm1" in sub:
+            groups.append(ScalingGroup(
+                prev_path=path + ("norm1", "linear"),
+                layer_paths=(path + ("attn", "to_q"), path + ("attn", "to_k"),
+                             path + ("attn", "to_v")),
+                adaln=(0, 1, 6),
+            ))
+            groups.append(ScalingGroup(
+                prev_path=path + ("norm1", "linear"),
+                layer_paths=(path + ("ff", "net_0/proj"),),
+                adaln=(3, 4, 6),
+            ))
+            if "norm1_context" in sub and "linear" in sub["norm1_context"] \
+                    and "add_q_proj" in sub["attn"]:
+                n_chunks = sub["norm1_context"]["linear"]["kernel"].shape[1] // \
+                    sub["attn"]["add_q_proj"]["kernel"].shape[0]
+                groups.append(ScalingGroup(
+                    prev_path=path + ("norm1_context", "linear"),
+                    layer_paths=(path + ("attn", "add_q_proj"),
+                                 path + ("attn", "add_k_proj"),
+                                 path + ("attn", "add_v_proj")),
+                    adaln=(0, 1, n_chunks),
+                ))
+                if "ff_context" in sub and n_chunks == 6:
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("norm1_context", "linear"),
+                        layer_paths=(path + ("ff_context", "net_0/proj"),),
+                        adaln=(3, 4, 6),
+                    ))
+    return groups
+
+
 def awq_search_groups(params: dict, scaling_groups: List[ScalingGroup]):
     """AWQ reuses the same (prev_op, layers) topology for its grid
     search (quantizer.py:288-321); expressed on param paths."""

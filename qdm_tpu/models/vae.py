@@ -30,10 +30,14 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215  # SD1.x/SDXL(0.13025 for sdxl-vae)
+    shift_factor: float = 0.0        # SD3: 0.0609
+    use_quant_conv: bool = True      # SD3: False
 
 
 SD_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(scaling_factor=0.13025)
+SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305,
+                    shift_factor=0.0609, use_quant_conv=False)
 
 
 def tiny_vae_config() -> VAEConfig:
@@ -167,17 +171,23 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.decoder = VAEDecoder(self.config, dtype=self.dtype, plan=self.plan)
         self.encoder = VAEEncoder(self.config, dtype=self.dtype, plan=self.plan)
-        self.post_quant_conv = QConv(self.config.latent_channels, (1, 1), 1, 0,
-                                     dtype=self.dtype, plan=self.plan)
-        self.quant_conv = QConv(self.config.latent_channels * 2, (1, 1), 1, 0,
-                                dtype=self.dtype, plan=self.plan)
+        if self.config.use_quant_conv:
+            self.post_quant_conv = QConv(self.config.latent_channels, (1, 1), 1, 0,
+                                         dtype=self.dtype, plan=self.plan)
+            self.quant_conv = QConv(self.config.latent_channels * 2, (1, 1), 1, 0,
+                                    dtype=self.dtype, plan=self.plan)
 
     def decode(self, z):
-        z = z / self.config.scaling_factor
-        return self.decoder(self.post_quant_conv(z))
+        z = z / self.config.scaling_factor + self.config.shift_factor
+        if self.config.use_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z)
 
     def encode_moments(self, x):
-        return self.quant_conv(self.encoder(x))
+        h = self.encoder(x)
+        if self.config.use_quant_conv:
+            h = self.quant_conv(h)
+        return h
 
     def __call__(self, z):
         return self.decode(z)

@@ -121,7 +121,7 @@ def pack_linear_int4(icodes_kn, scales_gn, zeros_gn, group_size: int,
     return pack_rows_strided(codes_p, PACK_BLOCK_K, 4), scales_p, zeros_p
 
 
-def pack_linear_int8(icodes_kn, scale_n, n_mult: int = LANE, k_mult: int = 256):
+def pack_linear_int8(icodes_kn, scale_n, n_mult: int = LANE, k_mult: int = 32):
     """Pad int8 codes (K, N) + per-out-channel scales (N,) for the W8A8
     kernel.  Returns (w_i8 (K', N'), w_scale (1, N') f32)."""
     k, n = icodes_kn.shape

@@ -38,8 +38,9 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
 # row-split (in axis over 'model') for output projections (psum at the
 # boundary inserted by GSPMD).
 _COL_SPLIT = (r"to_q", r"to_k", r"to_v", r"net_0/proj", r"fc1", r"q_proj",
-              r"k_proj", r"v_proj", r"linear_1")
-_ROW_SPLIT = (r"to_out_0", r"net_2", r"fc2", r"out_proj", r"linear_2")
+              r"k_proj", r"v_proj", r"gate_proj", r"up_proj", r"linear_1")
+_ROW_SPLIT = (r"to_out_0", r"net_2", r"fc2", r"out_proj", r"o_proj",
+              r"down_proj", r"linear_2")
 
 
 def param_pspec(path_str: str, leaf_name: str, ndim: int, tp: bool) -> P:

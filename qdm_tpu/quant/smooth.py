@@ -19,7 +19,7 @@ get_layers_for_scaling_unet, StableDiffusion1_x.py:115-150).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -32,10 +32,18 @@ class ScalingGroup:
 
     Paths are tuples of param-tree keys addressing the layer dict
     (e.g. ('down_blocks_0/attentions_0', 'transformer_blocks_0', 'attn1',
-    'to_q'))."""
+    'to_q')).
+
+    adaln: for AdaLN-modulated norms (MMDiT) the norm has no static
+    affine, so s is folded into the modulation linear at prev_path:
+    adaln = (shift_chunk_idx, scale_chunk_idx, n_chunks).  The modulated
+    output is h*(1+scale)+shift, so dividing it by s requires
+    scale' = (1+scale)/s - 1 (weight cols /= s, bias' = (bias+1)/s - 1)
+    and shift' = shift/s."""
 
     prev_path: Tuple[str, ...]
     layer_paths: Tuple[Tuple[str, ...], ...]
+    adaln: Optional[Tuple[int, int, int]] = None
 
 
 def _get_at(tree, path):
@@ -65,7 +73,22 @@ def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> di
     scale_fc_fc(s) scale.py:116-153)."""
     out = params
     prev = _get_at(params, group.prev_path)
-    if "kernel" in prev:
+    if group.adaln is not None:
+        shift_i, scale_i, n_chunks = group.adaln
+        kern = prev["kernel"].astype(jnp.float32)     # (in, n_chunks*dim)
+        bias = prev["bias"].astype(jnp.float32)
+        dim = kern.shape[1] // n_chunks
+        sh = slice(shift_i * dim, (shift_i + 1) * dim)
+        sc = slice(scale_i * dim, (scale_i + 1) * dim)
+        kern = kern.at[:, sh].divide(s[None, :])
+        bias = bias.at[sh].divide(s)
+        kern = kern.at[:, sc].divide(s[None, :])
+        bias = bias.at[sc].set((bias[sc] + 1.0) / s - 1.0)
+        out = _set_at(out, group.prev_path + ("kernel",),
+                      kern.astype(prev["kernel"].dtype))
+        out = _set_at(out, group.prev_path + ("bias",),
+                      bias.astype(prev["bias"].dtype))
+    elif "kernel" in prev:
         kern = prev["kernel"]     # (in, out)
         n = s.shape[0]
         newk = kern.astype(jnp.float32).at[:, kern.shape[1] - n:].divide(s[None, :])

@@ -1,0 +1,56 @@
+"""Multi-chip sharding tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from qdm_tpu.parallel.mesh import make_mesh, param_pspec, shard_params, batch_sharding
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_param_pspec_rules():
+    assert param_pspec("layers_0/self_attn/q_proj", "kernel", 2, True) == P(None, "model")
+    assert param_pspec("layers_0/self_attn/o_proj", "kernel", 2, True) == P("model", None)
+    assert param_pspec("blocks/attn1/to_q", "kernel", 2, True) == P(None, "model")
+    assert param_pspec("blocks/ff/net_2", "kernel", 2, True) == P("model", None)
+    assert param_pspec("norm1", "scale", 1, True) == P()
+    assert param_pspec("anything", "kernel", 2, False) == P()
+
+
+def test_sharded_dense_matches_single():
+    """Column+row TP split of an MLP must reproduce the single-device
+    result (collectives inserted by GSPMD)."""
+    mesh = make_mesh(2, 4)
+    params = {
+        "mlp": {
+            "gate_proj": {"kernel": jnp.asarray(np.random.default_rng(0)
+                                                .standard_normal((64, 128), np.float32))},
+            "down_proj": {"kernel": jnp.asarray(np.random.default_rng(1)
+                                                .standard_normal((128, 64), np.float32))},
+        }
+    }
+
+    def f(p, x):
+        h = jax.nn.silu(x @ p["mlp"]["gate_proj"]["kernel"])
+        return h @ p["mlp"]["down_proj"]["kernel"]
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((16, 64), np.float32))
+    want = f(params, x)
+
+    sp = shard_params(params, mesh, tp=True)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(f)(sp, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -92,3 +92,23 @@ def test_sdxl_tiny_generate():
     img = p.generate("a dog", num_inference_steps=2, seed=0, height=64, width=64)
     assert img.shape == (1, 16, 16, 3)
     assert np.isfinite(img).all()
+
+
+def test_sd35_tiny_generate_and_sq():
+    from qdm_tpu.api import StableDiffusion3_5
+
+    p = StableDiffusion3_5.from_config(tiny=True, dtype=jnp.float32)
+    img = p.generate("a red cube", num_inference_steps=2, seed=0)
+    assert img.shape[0] == 1 and img.shape[-1] == 3
+    assert np.isfinite(img).all()
+
+    cfg = QuantConfig(w_bit=8, q_group_size=0, weight_quant_type="per_channel",
+                      version="fake", alpha=0.8)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="sq", quantUnet=False, quantTransformer=True)
+    assert "transformer" in p.quantized_components
+    img2 = p.generate("a red cube", num_inference_steps=2, seed=0)
+    assert np.isfinite(img2).all()
+    assert np.abs(img2 - img).mean() < 0.2
