@@ -71,6 +71,7 @@ def _normalize_tensor(x, eps=1e-10):
 
 def lpips_distance(img0, img1, weights: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """LPIPS(img0, img1) per image; weights from load_lpips_weights."""
+    assert img0.shape[1] >= 64 and img0.shape[2] >= 64, "LPIPS needs >=64px"
     def prep(x):
         x = x * 2.0 - 1.0                      # [0,1] -> [-1,1]
         return (x - _SHIFT) / _SCALE

@@ -56,7 +56,12 @@ def _fake_quant_dense_kernel(kernel, spec: LayerQuantSpec):
     """kernel (in, out) -> fake-quantized kernel, reference row
     semantics ((out, in) groups along in: fake_quant.py:21-105)."""
     w_oi = kernel.T
-    if spec.weight_quant == "group":
+    if spec.weight_quant == "codebook":
+        from qdm_tpu.quant.codebook import codebook_quantize_weight
+
+        w_oi, _ = codebook_quantize_weight(w_oi, n_bits=spec.w_bits,
+                                           group_size=spec.group_size)
+    elif spec.weight_quant == "group":
         if spec.zero_point:
             gs = spec.group_size if spec.group_size > 0 else w_oi.shape[-1]
             gs = rtn.resolve_group_size(w_oi.shape[-1], gs) or w_oi.shape[-1]

@@ -96,13 +96,19 @@ def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> Lay
         # real kernels are linear-only (the reference kernel zoo is too);
         # convs fall back to fake quant
         mode = "fake_act" if cfg.quantize_act else "fake"
+    weight_quant = cfg.weight_quant_conv_type if conv else cfg.weight_quant_type
+    if cfg.quant_method == "codebook" and not conv:
+        # experimental k-means codebook weights (genCodeBook.py via
+        # fake_quant.py:53-69 codeBookQuantInd)
+        weight_quant = "codebook"
+        mode = "fake_act" if cfg.quantize_act else "fake"
     return LayerQuantSpec(
         mode=mode,
         w_bits=cfg.wv_bit if conv else cfg.w_bit,
         a_bits=cfg.a_bit,
         group_size=cfg.q_group_size,
         zero_point=cfg.zero_point,
-        weight_quant=cfg.weight_quant_conv_type if conv else cfg.weight_quant_type,
+        weight_quant=weight_quant,
         act_quant=cfg.act_quant_conv_type if conv else cfg.act_quant_type,
         act_group_size=cfg.act_quant_conv_group_size,
         quantize_act=cfg.quantize_act and cfg.a_bit < 16,

@@ -1,0 +1,87 @@
+"""Evaluation harness tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qdm_tpu.evaluation import (
+    kl_and_topk, eval_kl_divergence, evaluate_perplexity, bin_conf,
+    mse, psnr, ssim, lpips_distance, random_lpips_weights)
+from qdm_tpu.evaluation.eval_utils import word_error_rate, eval_mmlu
+from qdm_tpu.evaluation.humaneval import (
+    check_correctness, estimate_pass_at_k, eval_humaneval)
+
+RNG = np.random.default_rng(0)
+
+
+def test_kl_identical_models_zero():
+    logits = jnp.asarray(RNG.standard_normal((2, 5, 17)), jnp.float32)
+    kl, t1, t5, t10 = kl_and_topk(logits, logits)
+    np.testing.assert_allclose(np.asarray(kl), 0, atol=1e-5)
+    assert float(t1.mean()) == 1.0 and float(t5.mean()) == 1.0
+
+
+def test_kl_harness_aggregates():
+    a = lambda ids: jnp.asarray(RNG.standard_normal((1, 4, 11)), jnp.float32)
+    b = lambda ids: jnp.asarray(RNG.standard_normal((1, 4, 11)), jnp.float32)
+    out = eval_kl_divergence(a, b, [np.zeros((1, 4), np.int32)] * 3)
+    assert out["kl_mean"] > 0 and out["n_tokens"] == 12
+    assert 0 <= out["top1_agreement"] <= 1
+    assert bin_conf(0.5, 100) > 0
+
+
+def test_perplexity_uniform_model():
+    V = 32
+    logits_fn = lambda ids: jnp.zeros((*np.asarray(ids).shape, V), jnp.float32)
+    ppl = evaluate_perplexity(logits_fn, np.zeros(64, np.int32), seqlen=16)
+    np.testing.assert_allclose(ppl, V, rtol=1e-4)
+
+
+def test_image_metrics():
+    a = jnp.asarray(RNG.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    assert float(mse(a, a).max()) == 0
+    assert float(psnr(a, a).min()) > 100
+    np.testing.assert_allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-5)
+    w = random_lpips_weights()
+    d_same = lpips_distance(a, a, w)
+    b = jnp.clip(a + 0.5, 0, 1)
+    d_diff = lpips_distance(a, b, w)
+    assert float(d_same.max()) < 1e-6
+    assert float(d_diff.min()) > 0
+
+
+def test_wer():
+    assert word_error_rate(["the cat sat"], ["the cat sat"]) == 0
+    assert word_error_rate(["the cat sat"], ["the dog sat"]) == 1 / 3
+
+
+def test_humaneval_sandbox():
+    problem = {
+        "task_id": "t/0",
+        "prompt": "def add(a, b):\n",
+        "test": "def check(f):\n    assert f(1, 2) == 3\n",
+        "entry_point": "add",
+    }
+    good = check_correctness(problem, "    return a + b\n")
+    bad = check_correctness(problem, "    return a - b\n")
+    assert good["passed"] and not bad["passed"]
+    out = eval_humaneval(lambda p: ["    return a + b\n", "    return 0\n"],
+                         [problem], ks=(1, 2))
+    assert out["pass@2"] == 1.0
+
+
+def test_pass_at_k_estimator():
+    # 1 correct of 4 samples: pass@1 = 0.25, pass@4 = 1.0
+    np.testing.assert_allclose(estimate_pass_at_k([4], [1], 1), [0.25])
+    np.testing.assert_allclose(estimate_pass_at_k([4], [1], 4), [1.0])
+
+
+def test_mmlu_scoring():
+    from qdm_tpu.utils.tokenizer import SimpleTokenizer
+    from qdm_tpu.api.causal_lm import CausalLM
+
+    tok = SimpleTokenizer(vocab_size=256, max_len=64)
+    lm = CausalLM.from_config(dtype=jnp.float32)
+    items = [{"question": "2+2?", "choices": ["3", "4", "5", "6"], "answer": 1}]
+    out = eval_mmlu(lm.logits, tok, items)
+    assert out["n"] == 1 and out["accuracy"] in (0.0, 1.0)
