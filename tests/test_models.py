@@ -131,3 +131,61 @@ def test_vae_decode():
     params = m.init(jax.random.PRNGKey(5), z, method=m.decode)["params"]
     img = m.apply({"params": params}, z, method=m.decode)
     assert img.shape == (1, 8, 8, 3)
+
+
+def test_t5_encoder_forward():
+    from qdm_tpu.models.t5 import T5Encoder, tiny_t5_config
+
+    cfg = tiny_t5_config()
+    m = T5Encoder(config=cfg, dtype=jnp.float32)
+    ids = jnp.array([[3, 7, 1, 0, 0, 0, 0, 0]])
+    params = m.init(KEY, ids)["params"]
+    out = m.apply({"params": params}, ids)
+    assert out.shape == (1, 8, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmdit_forward_and_quant():
+    from qdm_tpu.models.mmdit import MMDiT, tiny_mmdit_config
+
+    cfg = tiny_mmdit_config()
+    m = MMDiT(config=cfg, dtype=jnp.float32)
+    lat = jax.random.normal(KEY, (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 80))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    t = jnp.array([500.0, 100.0])
+    params = m.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)["params"]
+    out = m.apply({"params": params}, lat, t, ctx, pooled)
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    plan = QuantPlan(default=LayerQuantSpec(mode="fake", w_bits=8, group_size=0,
+                                            weight_quant="per_channel"))
+    qp = fake_quantize_params(params, plan)
+    qout = m.apply({"params": qp}, lat, t, ctx, pooled)
+    rel = np.abs(np.asarray(qout) - np.asarray(out)).max() / (np.abs(np.asarray(out)).max() + 1e-9)
+    assert 0 < rel < 0.1, rel
+
+
+def test_mmdit_adaln_smooth_invariance():
+    from qdm_tpu.models.mmdit import MMDiT, tiny_mmdit_config
+    from qdm_tpu.models.shims import sd3_scaling_groups
+    from qdm_tpu.quant.smooth import smooth_params
+
+    cfg = tiny_mmdit_config()
+    plan_cap = QuantPlan(capture_stats=True)
+    m = MMDiT(config=cfg, dtype=jnp.float32)
+    mcap = MMDiT(config=cfg, dtype=jnp.float32, plan=plan_cap)
+    lat = jax.random.normal(KEY, (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 80))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    t = jnp.array([500.0, 100.0])
+    params = m.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)["params"]
+    base = np.asarray(m.apply({"params": params}, lat, t, ctx, pooled))
+    _, mut = mcap.apply({"params": params}, lat, t, ctx, pooled, mutable=["calib"])
+    stats = flatten_calib(mut["calib"])
+    groups = sd3_scaling_groups(params)
+    assert len(groups) >= 6
+    smoothed = smooth_params(params, groups, stats, alpha=0.8)
+    out = np.asarray(m.apply({"params": smoothed}, lat, t, ctx, pooled))
+    np.testing.assert_allclose(out, base, rtol=5e-4, atol=5e-4)
