@@ -20,15 +20,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# native-reader mmaps kept alive for the process (their tensor views are
+# zero-copy; pages are file-backed and reclaimable by the OS)
+_KEEPALIVE: list = []
+
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    """Load every *.safetensors in a dir (sharded or single)."""
-    from safetensors import safe_open
+    """Load every *.safetensors in a dir (sharded or single).
 
+    Uses the native mmap reader (native/safetensors_reader.cpp) when
+    available — zero-copy views into the mapping — falling back to the
+    Python safetensors package."""
     tensors: Dict[str, np.ndarray] = {}
     files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
     if not files:
         raise FileNotFoundError(f"no safetensors in {path}")
+
+    from qdm_tpu.utils.native_loader import get_lib
+
+    if get_lib() is not None:
+        from qdm_tpu.utils.native_loader import NativeSafetensors
+
+        for fn in files:
+            ns = NativeSafetensors(os.path.join(path, fn))
+            _KEEPALIVE.append(ns)  # zero-copy views alias the mmap
+            tensors.update(ns.tensors(copy=False))
+        return tensors
+
+    from safetensors import safe_open
+
     for fn in files:
         with safe_open(os.path.join(path, fn), framework="np") as f:
             for k in f.keys():
