@@ -19,6 +19,7 @@ from qdm_tpu.quant.apply import pack_params
 NOQ = LayerQuantSpec(mode="none")
 W8 = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
 W4 = LayerQuantSpec(mode="w4a16", w_bits=4, group_size=128, zero_point=True)
+W816 = LayerQuantSpec(mode="w8a16", w_bits=8)
 
 SHALLOW = ("down_blocks_0", "down_blocks_1", "up_blocks_2", "up_blocks_3")
 NOCONV = (("conv", NOQ), ("time_emb", NOQ), ("time_embedding", NOQ))
@@ -49,7 +50,8 @@ def main():
 
     for name, plan in [
         ("w8a8_all", plan_all(W8)),
-        ("w8a8_deep", plan_deep(W8)),
+        ("w8a16_all", plan_all(W816)),
+        ("w8a16_deep", plan_deep(W816)),
         ("w4a16_all", plan_all(W4)),
         ("w4a16_deep", plan_deep(W4)),
     ]:

@@ -93,13 +93,15 @@ class QDense(nn.Module):
                      reduce_fn=lambda a, b: b)
 
         if spec.mode == "w4a16":
+            # effective group size: same resolution as pack_params
+            # (reference shrink-by-32 quirk, fake_quant.py:33-40)
+            gs = spec.group_size if spec.group_size > 0 else in_features
+            gs = rtn.resolve_group_size(in_features, gs) or in_features
+            kp = qmm._round_up(in_features, max(qmm.PACK_BLOCK_K, gs))
             qweight = self.param(
-                "qweight",
-                nn.initializers.zeros_init(),
-                (qmm._round_up(in_features, max(qmm.PACK_BLOCK_K, spec.group_size)) // 8,
-                 qmm._round_up(self.features, qmm.LANE)),
-                jnp.int32)
-            n_groups = qweight.shape[0] * 8 // (spec.group_size if spec.group_size > 0 else in_features)
+                "qweight", nn.initializers.zeros_init(),
+                (kp // 8, qmm._round_up(self.features, qmm.LANE)), jnp.int32)
+            n_groups = kp // gs
             scales = self.param("scales", nn.initializers.ones_init(),
                                 (n_groups, qweight.shape[1]), jnp.float32)
             zeros = self.param("zeros", nn.initializers.zeros_init(),
@@ -108,7 +110,18 @@ class QDense(nn.Module):
             if spec.quantize_act and spec.a_bits < 16:
                 x2 = _act_fake_quant_dense(x2, spec)
             y = qmm.w4a16_matmul(x2.astype(self.dtype), qweight, scales, zeros,
-                                 group_size=spec.group_size if spec.group_size > 0 else in_features)
+                                 group_size=gs)
+            y = y[:, : self.features]
+        elif spec.mode == "w8a16":
+            # weight-only int8: XLA fuses the dequant into the matmul
+            # operand stream (no pallas call, no act quant)
+            w_i8 = self.param("qweight", nn.initializers.zeros_init(),
+                              (qmm._round_up(in_features, 32),
+                               qmm._round_up(self.features, qmm.LANE)), jnp.int8)
+            w_scale = self.param("scales", nn.initializers.ones_init(),
+                                 (1, w_i8.shape[1]), jnp.float32)
+            w = w_i8[:in_features].astype(self.dtype) * w_scale.astype(self.dtype)
+            y = jnp.dot(x2.astype(self.dtype), w)
             y = y[:, : self.features]
         elif spec.mode == "w8a8":
             w_i8 = self.param("qweight", nn.initializers.zeros_init(),

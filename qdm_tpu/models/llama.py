@@ -162,16 +162,22 @@ class LlamaForCausalLM(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, input_ids, positions=None, kv_caches=None,
-                 cache_index=None):
+    def __call__(self, input_ids=None, positions=None, kv_caches=None,
+                 cache_index=None, input_embeds=None):
         cfg = self.config
-        b, s = input_ids.shape
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                         name="embed_tokens")
+        if input_embeds is not None:
+            # VLM path: image features already projected to LM space are
+            # concatenated with token embeddings by the caller
+            x = input_embeds.astype(self.dtype)
+        else:
+            x = embed(input_ids)
+        b, s = x.shape[:2]
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
             if cache_index is not None:
                 positions = positions + cache_index
-        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                     name="embed_tokens")(input_ids)
         new_caches = []
         for i in range(cfg.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None

@@ -274,7 +274,7 @@ def w8a8_matmul_pallas(x_i8, w_i8, x_scale, w_scale, block_m: int = 256,
     m, k = x_i8.shape
     kp, n = w_i8.shape
     assert k <= kp
-    block_k = _pick_block(kp, block_k)
+    block_k = _pick_block(kp, block_k, mult=32)   # int8 sublane granule
     block_n = _pick_block(n, block_n)
     assert kp % block_k == 0 and n % block_n == 0, (kp, n, block_k, block_n)
     bm = min(block_m, _round_up(m, 32))
@@ -306,18 +306,21 @@ def w8a8_matmul_pallas(x_i8, w_i8, x_scale, w_scale, block_m: int = 256,
 
 
 def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref):
-    """Single-pass W8A8: bf16 x block (bm, K) is per-token quantized
-    in-register (no extra HBM pass), int8 MXU dot, rescale."""
-    xf = x_ref[:].astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    xs = jnp.clip(absmax, 1e-5, None) / 127.0
-    xi = jnp.round(xf / xs).astype(jnp.int8)
+    """Single-pass W8A8: x block (bm, K) is per-token quantized
+    in-register (no extra HBM pass), int8 MXU dot, rescale.
+    Uses reciprocal-multiply (VPU divides are slow)."""
+    xf = x_ref[:]
+    absmax = jnp.clip(jnp.max(jnp.abs(xf.astype(jnp.float32)), axis=1,
+                              keepdims=True), 1e-5, None)
+    inv = 127.0 / absmax
+    xi = jnp.round(xf.astype(jnp.float32) * inv).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xi, w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[:] = (acc.astype(jnp.float32) * xs * ws_ref[:]).astype(o_ref.dtype)
+    o_ref[:] = (acc.astype(jnp.float32) * ((absmax / 127.0) * ws_ref[:])
+                ).astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -128,7 +128,7 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
         new["scales"] = scales
         if zeros is not None:
             new["zeros"] = zeros
-    elif spec.mode == "w8a8":
+    elif spec.mode in ("w8a8", "w8a16"):
         w_abs = jnp.clip(jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-5, None)
         scale_n = w_abs / 127.0
         codes = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale_n[None, :]),

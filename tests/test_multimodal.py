@@ -1,0 +1,68 @@
+"""CLIP dual-encoder + LLaVA VLM pipeline tests (reference
+models/clip.py + models/llava.py parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qdm_tpu.api.multimodal import CLIPModel, LlavaModel
+from qdm_tpu.config import QuantConfig
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return CLIPModel.from_config(dtype=jnp.float32)
+
+
+def _inputs(clip):
+    ids = RNG.integers(0, 128, (2, clip.text_config.max_position_embeddings)).astype(np.int32)
+    px = RNG.standard_normal((2, clip.vision_config.image_size,
+                              clip.vision_config.image_size, 3)).astype(np.float32)
+    return ids, px
+
+
+def test_clip_similarity(clip):
+    ids, px = _inputs(clip)
+    sim = np.asarray(clip(ids, px))
+    assert sim.shape == (2, 2)
+    assert np.isfinite(sim).all() and np.abs(sim).max() <= 1.001
+
+
+def test_clip_quantize_sections(clip):
+    m = CLIPModel.from_config(dtype=jnp.float32)
+    ids, px = _inputs(m)
+    base = np.asarray(m(ids, px))
+    m.quantize({"w_bit": 8, "q_group_size": 0, "weight_quant_type": "per_channel",
+                "version": "fake"}, quantType="sq", quantText=True, quantVision=True,
+               calib_ids=ids, calib_pixels=px)
+    assert set(m.quantized_sections) == {"text", "vision"}
+    sim = np.asarray(m(ids, px))
+    assert np.isfinite(sim).all()
+    assert np.abs(sim - base).max() < 0.2
+
+
+def test_clip_projection_exclusion(clip):
+    m = CLIPModel.from_config(dtype=jnp.float32)
+    proj_before = np.asarray(m.params["text"]["text_projection"]["kernel"])
+    m.quantize({"w_bit": 4, "q_group_size": 0, "weight_quant_type": "per_channel",
+                "version": "fake"}, quantType="rtn", quantText=True,
+               quantTextProjection=False)
+    np.testing.assert_array_equal(
+        np.asarray(m.params["text"]["text_projection"]["kernel"]), proj_before)
+
+
+def test_llava_joint_forward_and_quant():
+    m = LlavaModel.from_config(dtype=jnp.float32)
+    ids = RNG.integers(0, 256, (1, 6)).astype(np.int32)
+    px = RNG.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    logits = np.asarray(m.logits(ids, px))
+    n_img_tokens = (16 // 8) ** 2 - 0  # penultimate drops CLS -> 4 patches
+    assert logits.shape == (1, 4 + 6, 256)
+    assert np.isfinite(logits).all()
+
+    m.quantize({"w_bit": 8, "q_group_size": 32, "version": "fake"},
+               quantType="rtn", quantVision=True, quantText=True)
+    q = np.asarray(m.logits(ids, px))
+    assert np.isfinite(q).all()
