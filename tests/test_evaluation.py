@@ -85,3 +85,41 @@ def test_mmlu_scoring():
     items = [{"question": "2+2?", "choices": ["3", "4", "5", "6"], "answer": 1}]
     out = eval_mmlu(lm.logits, tok, items)
     assert out["n"] == 1 and out["accuracy"] in (0.0, 1.0)
+
+
+def test_vl_preprocess():
+    from qdm_tpu.utils.vl_preprocess import smart_resize, fetch_image, smart_nframes
+
+    h, w = smart_resize(480, 640)
+    assert h % 28 == 0 and w % 28 == 0
+    assert abs((h / w) - (480 / 640)) < 0.1
+    img = fetch_image(RNG.uniform(0, 1, (60, 80, 3)).astype(np.float32))
+    assert img.ndim == 3 and img.shape[2] == 3 and img.max() <= 1.0
+    assert smart_nframes(100, video_fps=25.0) == 8
+
+
+def test_module_utils():
+    from qdm_tpu.utils.module import (
+        get_named_linears, get_op_by_name, exclude_layers_to_not_quantize)
+
+    params = {"a": {"q_proj": {"kernel": jnp.zeros((4, 4))},
+                    "conv": {"kernel": jnp.zeros((3, 3, 4, 4))}}}
+    lins = get_named_linears(params)
+    assert list(lins) == ["a/q_proj"]
+    assert get_op_by_name(params, "a/q_proj")["kernel"].shape == (4, 4)
+    assert exclude_layers_to_not_quantize(lins, ["q_proj"]) == {}
+
+
+def test_diagnostics():
+    from qdm_tpu.utils.diagnostics import (
+        weight_histograms, quantization_error_report)
+    from qdm_tpu.quant.apply import fake_quantize_params
+    from qdm_tpu.quant.plan import QuantPlan, LayerQuantSpec
+
+    params = {"fc": {"kernel": jnp.asarray(RNG.standard_normal((32, 16)), jnp.float32)}}
+    hists = weight_histograms(params)
+    assert "fc" in hists and sum(hists["fc"]["hist"]) == 32 * 16
+    qp = fake_quantize_params(params, QuantPlan(default=LayerQuantSpec(
+        mode="fake", w_bits=4, group_size=0, weight_quant="per_channel")))
+    rep = quantization_error_report(params, qp)
+    assert rep["fc"]["frobenius"] > 0 and rep["fc"]["rel_error"] < 0.2
