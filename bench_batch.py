@@ -17,6 +17,8 @@ NOCONV = (("conv", NOQ), ("time_emb", NOQ), ("time_embedding", NOQ))
 
 
 def main():
+    import sys
+    batches = [int(b) for b in sys.argv[1:]] or [8]
     steps, reps, latent = 20, 2, 64
     plan8 = QuantPlan(default=W8, rules=NOCONV)
 
@@ -25,7 +27,7 @@ def main():
 
     params = None
     qparams = None
-    for batch in (1, 4, 8):
+    for batch in batches:
         latents = jax.random.normal(jax.random.PRNGKey(0), (batch, latent, latent, 4), jnp.float32)
         ctx = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, 768), jnp.bfloat16)
         uctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, 768), jnp.bfloat16)

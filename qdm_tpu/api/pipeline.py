@@ -190,7 +190,7 @@ class BaseDiffusionPipeline:
                  quantVAE: bool = False, quantTransformer: bool = False,
                  quant_act: Optional[bool] = None,
                  calib_prompts: Optional[Sequence[str]] = None,
-                 n_calib_steps: Optional[int] = None):
+                 calib_cache: Optional[str] = None):
         """Quantize selected components (reference base.py:215-528)."""
         self.checkQuantStatus(quantUnet, quantTextEncoder, quantVAE, quantTransformer)
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
@@ -217,7 +217,7 @@ class BaseDiffusionPipeline:
             comp_key = "text_encoder" if name.startswith("text_encoder") else name
             plan = self._make_plan(cfg, comp_key)
             if method in ("sq", "smooth", "smoothquant"):
-                self._smoothquant_component(name, cfg)
+                self._smoothquant_component(name, cfg, calib_cache=calib_cache)
             elif method == "awq":
                 self._awq_component(name, cfg)
             if cfg.version == "real":
@@ -294,9 +294,17 @@ class BaseDiffusionPipeline:
             return new_lat, flatten_calib(mut["calib"])
         return step_fn
 
-    def _smoothquant_component(self, name: str, cfg: QuantConfig):
+    def _smoothquant_component(self, name: str, cfg: QuantConfig,
+                               calib_cache: Optional[str] = None):
         if name in ("unet", "transformer"):
-            stats = self._calibrate_unet(cfg)
+            from qdm_tpu.calib.stats import load_stats, save_stats
+
+            if calib_cache and os.path.exists(calib_cache):
+                stats = load_stats(calib_cache)
+            else:
+                stats = self._calibrate_unet(cfg)
+                if calib_cache:
+                    save_stats(stats, calib_cache)
             groups = sd_unet_scaling_groups(self.params[name])
             alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
         else:
@@ -763,7 +771,8 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
 
         return loop(params, latents, ctx, uctx, pooled, steps)
 
-    def _smoothquant_component(self, name: str, cfg: QuantConfig):
+    def _smoothquant_component(self, name: str, cfg: QuantConfig,
+                               calib_cache: Optional[str] = None):
         if name != "transformer":
             return
         from qdm_tpu.models.shims import sd3_scaling_groups

@@ -38,6 +38,27 @@ def flatten_calib(calib_tree: dict, leaf: str = "act_absmax") -> Dict[str, jnp.n
     return out
 
 
+def save_stats(stats: Dict[str, jnp.ndarray], path: str) -> None:
+    """Checkpoint calibration stats so long calibrations can resume
+    (SURVEY.md §5 checkpoint/resume plan — the reference recomputes the
+    full 50-step x 96-prompt sweep every run)."""
+    from safetensors.numpy import save_file
+    import numpy as np
+
+    save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in stats.items()},
+              path)
+
+
+def load_stats(path: str) -> Dict[str, jnp.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = jnp.asarray(f.get_tensor(k))
+    return out
+
+
 class RunningMeanMax:
     """Running mean over steps of per-step per-channel absmax — the
     reference's mean_of_dict collapsed online (no per-step dict kept)."""

@@ -131,11 +131,23 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_q")(x)
-        k = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_k")(context)
-        v = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_v")(context)
+        if self.plan.fuse_qkv and is_self:
+            qkv = QDense(inner * 3, use_bias=False, dtype=self.dtype,
+                         plan=self.plan, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.plan.fuse_qkv:
+            q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan,
+                       name="to_q")(x)
+            kv = QDense(inner * 2, use_bias=False, dtype=self.dtype,
+                        plan=self.plan, name="to_kv")(context)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_q")(x)
+            k = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_k")(context)
+            v = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_v")(context)
         b, sq = q.shape[0], q.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, -1, self.heads, self.dim_head)

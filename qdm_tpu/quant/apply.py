@@ -158,6 +158,57 @@ def pack_params(params: dict, plan: QuantPlan) -> dict:
     return out
 
 
+def fuse_qkv_params(params: dict) -> dict:
+    """Merge attention projections into fused kernels
+    (fused_utils.py:45-142 parity, as a pytree transform).
+
+    Self-attention (k input dim == q input dim): to_q/to_k/to_v ->
+    to_qkv.  Cross-attention: to_k/to_v -> to_kv.  Apply AFTER scale
+    migration / AWQ (their groups address unfused paths) and before
+    packing; use a plan with fuse_qkv=True for the matching modules."""
+
+    def rec(tree, name=""):
+        if not isinstance(tree, dict):
+            return tree
+        out = {k: rec(v, k) for k, v in tree.items()}
+        if all(k in out for k in ("to_q", "to_k", "to_v")) and \
+                isinstance(out["to_q"], dict) and "kernel" in out["to_q"]:
+            kq, kk, kv = (out[k]["kernel"] for k in ("to_q", "to_k", "to_v"))
+            # self-attention modules are named attn1 in the UNet; cross
+            # attention (attn2) only fuses k/v (they share the context)
+            if name == "attn1":
+                out["to_qkv"] = {"kernel": jnp.concatenate([kq, kk, kv], axis=1)}
+                for k in ("to_q", "to_k", "to_v"):
+                    del out[k]
+            elif name == "attn2":
+                out["to_kv"] = {"kernel": jnp.concatenate([kk, kv], axis=1)}
+                del out["to_k"], out["to_v"]
+        return out
+
+    return rec(params)
+
+
+def unfuse_qkv_params(params: dict) -> dict:
+    """Inverse of fuse_qkv_params (for saving in the canonical layout)."""
+
+    def rec(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {k: rec(v) for k, v in tree.items()}
+        if "to_qkv" in out and isinstance(out["to_qkv"], dict) \
+                and "kernel" in out["to_qkv"]:
+            kq, kk, kv = jnp.split(out.pop("to_qkv")["kernel"], 3, axis=1)
+            out["to_q"], out["to_k"], out["to_v"] = \
+                {"kernel": kq}, {"kernel": kk}, {"kernel": kv}
+        if "to_kv" in out and isinstance(out["to_kv"], dict) \
+                and "kernel" in out["to_kv"]:
+            kk, kv = jnp.split(out.pop("to_kv")["kernel"], 2, axis=1)
+            out["to_k"], out["to_v"] = {"kernel": kk}, {"kernel": kv}
+        return out
+
+    return rec(params)
+
+
 def quantized_param_count(params: dict, plan: QuantPlan) -> Dict[str, int]:
     """Diagnostic: how many layers each mode got."""
     counts: Dict[str, int] = {}

@@ -62,6 +62,7 @@ class QuantPlan:
     capture_stats: bool = False    # sow per-layer input absmax ('calib' col)
     capture_inputs: bool = False   # sow sampled input rows ('calib_x' col, AWQ)
     capture_rows: int = 64
+    fuse_qkv: bool = False         # fused q/k/v projections (fused_utils.py:45-142)
 
     def spec_for(self, path: str) -> LayerQuantSpec:
         spec = self.default

@@ -189,3 +189,21 @@ def test_mmdit_adaln_smooth_invariance():
     smoothed = smooth_params(params, groups, stats, alpha=0.8)
     out = np.asarray(m.apply({"params": smoothed}, lat, t, ctx, pooled))
     np.testing.assert_allclose(out, base, rtol=5e-4, atol=5e-4)
+
+
+def test_fuse_qkv_equivalence(tiny_unet):
+    """Fused-QKV execution must match unfused (fused_utils.py parity)."""
+    import dataclasses
+    from qdm_tpu.quant.apply import fuse_qkv_params, unfuse_qkv_params
+
+    m, params, (x, t, ctx) = tiny_unet
+    base = np.asarray(m.apply({"params": params}, x, t, ctx))
+    fused = fuse_qkv_params(params)
+    mf = dataclasses.replace(m, plan=QuantPlan(fuse_qkv=True))
+    out = np.asarray(mf.apply({"params": fused}, x, t, ctx))
+    np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-5)
+
+    # roundtrip back to canonical layout
+    unfused = unfuse_qkv_params(fused)
+    out2 = np.asarray(m.apply({"params": unfused}, x, t, ctx))
+    np.testing.assert_allclose(out2, base, rtol=2e-5, atol=2e-5)
