@@ -99,15 +99,19 @@ def main():
     t = jnp.zeros((2 * batch,), jnp.int32)
     lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
 
-    # --- bf16 baseline
-    base_model = build(QuantPlan(), cfg)
-    params = random_params(base_model, lat2, t, jnp.concatenate([ctx, uctx]))
+    # --- bf16 baseline (QKV-fused, same fusion as the quantized model)
+    from qdm_tpu.quant.apply import fuse_qkv_params
+
+    base_model = build(QuantPlan(fuse_qkv=True), cfg)
+    params = random_params(build(QuantPlan(), cfg), lat2, t,
+                           jnp.concatenate([ctx, uctx]))
+    params = fuse_qkv_params(params)
     base_loop = make_loop(base_model, steps)
     dt_base = time_loop(base_loop, params, latents, ctx, uctx, reps)
 
-    # --- W8A8: packed int8 dense via Pallas, convs kept bf16
+    # --- W8A8: packed int8 dense via Pallas (fused QKV), convs kept bf16
     w8_spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
-    plan = QuantPlan(default=w8_spec,
+    plan = QuantPlan(default=w8_spec, fuse_qkv=True,
                      rules=(("conv", LayerQuantSpec(mode="none")),
                             ("time_emb", LayerQuantSpec(mode="none")),
                             ("time_embedding", LayerQuantSpec(mode="none"))))

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""LLM decode throughput: bf16 vs W4A16 packed (Pallas) on TPU.
+
+Single-stream decode (batch 1) is weight-bandwidth-bound — the regime
+the reference's CUDA kernel zoo targets (WQLinear_GEMV etc.).  The whole
+decode loop runs inside one jit (lax.scan over the KV cache), so tunnel
+dispatch latency is amortized.
+
+Prints one JSON line per variant.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.api.causal_lm import CausalLM
+from qdm_tpu.models import llama as llama_lib
+from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+from qdm_tpu.quant.apply import pack_params
+
+BENCH_1B = llama_lib.LlamaConfig(
+    vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+    num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
+    max_position_embeddings=2048)
+
+
+def decode_loop(model, params, prompt_ids, n_tokens: int, max_len: int):
+    caches = model.init_cache(prompt_ids.shape[0], max_len)
+
+    @jax.jit
+    def run(params, ids):
+        logits, caches2 = model.apply({"params": params}, ids,
+                                      kv_caches=caches, cache_index=0)
+        tok0 = jnp.argmax(logits[:, -1], axis=-1)
+
+        def body(carry, i):
+            tok, cs = carry
+            lg, cs = model.apply({"params": params}, tok[:, None],
+                                 kv_caches=cs, cache_index=ids.shape[1] + i)
+            return (jnp.argmax(lg[:, -1], axis=-1), cs), tok
+
+        (_, _), toks = jax.lax.scan(body, (tok0, caches2),
+                                    jnp.arange(n_tokens))
+        return toks
+
+    return run
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    n_new, prefill = (64, 128) if on_tpu else (4, 8)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, prefill)), jnp.int32)
+    max_len = prefill + n_new + 1
+
+    def timed(model, params):
+        run = decode_loop(model, params, ids, n_new, max_len)
+        toks = run(params, ids)
+        jax.block_until_ready(toks)
+        float(jnp.sum(toks))  # force completion
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            toks = run(params, ids)
+            float(jnp.sum(toks))
+        return (time.time() - t0) / reps
+
+    dt_bf = timed(lm.model, lm.params)
+
+    plan = QuantPlan(default=LayerQuantSpec(mode="w4a16", w_bits=4,
+                                            group_size=128, zero_point=True))
+    plan = plan.with_rule("lm_head", None)
+    qparams = pack_params(lm.params, plan)
+    lm.plan = plan
+    dt_q = timed(lm.model, qparams)
+
+    print(json.dumps({"metric": "LLM 1B decode tok/s (batch 1)",
+                      "bf16_tok_s": round(n_new / dt_bf, 1),
+                      "w4a16_tok_s": round(n_new / dt_q, 1),
+                      "speedup": round(dt_bf / dt_q, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,27 @@ class BaseDiffusionPipeline:
         self.quantized_components: List[str] = []
         self.is_quantized = False
         self.dtype = jnp.bfloat16
+        self.mesh = None  # set via with_mesh() for multi-chip sampling
+
+    def with_mesh(self, mesh=None, tp: bool = False):
+        """Shard sampling/calibration over a device mesh: batch over
+        'data', optional tensor-parallel params over 'model'
+        (SURVEY.md §2c: the reference has no data parallelism; this is
+        the images/sec/chip scaling axis)."""
+        from qdm_tpu.parallel.mesh import make_mesh, shard_params
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        for name in self.params:
+            self.params[name] = shard_params(self.params[name], self.mesh, tp=tp)
+        return self
+
+    def _shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from qdm_tpu.parallel.mesh import batch_sharding
+
+        return tuple(jax.device_put(a, batch_sharding(self.mesh))
+                     if a is not None and a.ndim >= 1 else a for a in arrays)
 
     # ------------------------------------------------------------------ load
 
@@ -190,7 +211,9 @@ class BaseDiffusionPipeline:
                  quantVAE: bool = False, quantTransformer: bool = False,
                  quant_act: Optional[bool] = None,
                  calib_prompts: Optional[Sequence[str]] = None,
-                 calib_cache: Optional[str] = None):
+                 calib_cache: Optional[str] = None,
+                 debugSavePath: Optional[str] = None,
+                 debugPlot: bool = False):
         """Quantize selected components (reference base.py:215-528)."""
         self.checkQuantStatus(quantUnet, quantTextEncoder, quantVAE, quantTransformer)
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
@@ -216,6 +239,7 @@ class BaseDiffusionPipeline:
         for name in targets:
             comp_key = "text_encoder" if name.startswith("text_encoder") else name
             plan = self._make_plan(cfg, comp_key)
+            pre_params = self.params[name] if debugSavePath else None
             if method in ("sq", "smooth", "smoothquant"):
                 self._smoothquant_component(name, cfg, calib_cache=calib_cache)
             elif method == "awq":
@@ -227,6 +251,23 @@ class BaseDiffusionPipeline:
             self.plans[comp_key] = plan
             self.components[name] = self._module(name)
             self.quantized_components.append(name)
+            if debugSavePath:
+                # debug artifacts (reference debugPlot/debugSavePath,
+                # quantizer.py:277-384) — arrays/JSON first, PNGs optional
+                from qdm_tpu.utils import diagnostics as diag
+
+                os.makedirs(debugSavePath, exist_ok=True)
+                hists = diag.weight_histograms(self.params[name], max_layers=64)
+                diag.save_report(hists, os.path.join(debugSavePath,
+                                                     f"{name}_hists.json"))
+                if cfg.version != "real":
+                    rep = diag.quantization_error_report(pre_params,
+                                                         self.params[name])
+                    diag.save_report(rep, os.path.join(
+                        debugSavePath, f"{name}_quant_error.json"))
+                if debugPlot:
+                    diag.plot_histograms(hists, os.path.join(debugSavePath,
+                                                             f"{name}_hists"))
         self.is_quantized = True
         return self
 
@@ -400,6 +441,7 @@ class BaseDiffusionPipeline:
         tables = schedulers.make_ddim(self.scheduler_config, steps)
         unet = self.components["unet"]
         params = self.params["unet"]
+        latents, ctx, uctx = self._shard_batch(latents, ctx, uctx)
 
         @functools.partial(jax.jit, static_argnames=("steps",))
         def loop(params, latents, ctx, uctx, added, steps):

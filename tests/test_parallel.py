@@ -54,3 +54,16 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_pipeline_data_parallel_generate():
+    """Mesh-sharded generation must match single-device output."""
+    import jax.numpy as jnp
+    from qdm_tpu.api import StableDiffusion1_x
+
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    prompts = ["a"] * 8
+    img_single = p.generate(prompts, num_inference_steps=2, seed=0)
+    p.with_mesh(make_mesh(8, 1))
+    img_sharded = p.generate(prompts, num_inference_steps=2, seed=0)
+    np.testing.assert_allclose(img_sharded, img_single, rtol=5e-4, atol=5e-4)
