@@ -123,3 +123,20 @@ def test_diagnostics():
         mode="fake", w_bits=4, group_size=0, weight_quant="per_channel")))
     rep = quantization_error_report(params, qp)
     assert rep["fc"]["frobenius"] > 0 and rep["fc"]["rel_error"] < 0.2
+
+
+def test_pipeline_eval_harness():
+    from qdm_tpu.api import StableDiffusion1_x
+    from qdm_tpu.evaluation.pipeline_eval import eval_quantized_pipeline
+
+    p1 = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    import copy
+    p2 = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    p2.quantize({"w_bit": 8, "q_group_size": 0, "weight_quant_type": "per_channel",
+                 "version": "fake"}, quantType="rtn")
+    out = eval_quantized_pipeline(p1, p2, ["a cat", "a dog"],
+                                  num_inference_steps=2, seed=0,
+                                  height=64, width=64)
+    assert out["n_images"] == 2
+    assert out["mse"] < 0.05          # W8 barely changes images
+    assert out["ssim"] > 0.8
