@@ -305,21 +305,27 @@ def w8a8_matmul_pallas(x_i8, w_i8, x_scale, w_scale, block_m: int = 256,
     return out[:m]
 
 
-def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref):
-    """Single-pass W8A8: x block (bm, K) is per-token quantized
-    in-register (no extra HBM pass), int8 MXU dot, rescale.
-    Uses reciprocal-multiply (VPU divides are slow)."""
-    xf = x_ref[:]
-    absmax = jnp.clip(jnp.max(jnp.abs(xf.astype(jnp.float32)), axis=1,
-                              keepdims=True), 1e-5, None)
-    inv = 127.0 / absmax
-    xi = jnp.round(xf.astype(jnp.float32) * inv).astype(jnp.int8)
+def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref, xi_ref, xs_ref):
+    """Single-pass W8A8: x block (bm, K) is per-token quantized once per
+    m-block into VMEM scratch (the j grid axis is innermost, so the
+    quantized block is reused for every n-block), int8 MXU dot, rescale.
+    Reciprocal-multiply (VPU divides are slow)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                          1e-5, None)
+        xi_ref[:] = jnp.round(xf * (127.0 / absmax)).astype(jnp.int8)
+        xs_ref[:] = absmax / 127.0
+
     acc = jax.lax.dot_general(
-        xi, w_ref[:],
+        xi_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[:] = (acc.astype(jnp.float32) * ((absmax / 127.0) * ws_ref[:])
+    o_ref[:] = (acc.astype(jnp.float32) * (xs_ref[:] * ws_ref[:])
                 ).astype(o_ref.dtype)
 
 
@@ -353,8 +359,10 @@ def w8a8_matmul_fused(x, w_i8, w_scale, block_m: int = 512,
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, kp), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(xp, w_i8, w_scale)
