@@ -42,6 +42,8 @@ class LlamaConfig:
     norm_type: str = "rmsnorm"        # stablelm: "layernorm"
     mlp_act: str = "silu"             # swiglu default
     tie_word_embeddings: bool = False
+    parallel_residual: bool = False   # cohere: x + attn(ln x) + mlp(ln x)
+    logit_scale: float = 1.0          # cohere: e.g. 0.0625
 
     @property
     def head_dim(self) -> int:
@@ -147,6 +149,15 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None):
+        if self.config.parallel_residual:
+            # cohere-style: one norm feeds attention AND the MLP
+            h = self._norm("input_layernorm")(x)
+            attn, new_cache = LlamaAttention(
+                self.config, dtype=self.dtype, plan=self.plan,
+                name="self_attn")(h, positions, kv_cache, cache_index)
+            mlp = LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
+                           name="mlp")(h)
+            return x + attn + mlp, new_cache
         h, new_cache = LlamaAttention(
             self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
             self._norm("input_layernorm")(x), positions, kv_cache, cache_index)
@@ -195,7 +206,8 @@ class LlamaForCausalLM(nn.Module):
         else:
             logits = QDense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
                             plan=self.plan, name="lm_head")(x)
-        return logits.astype(jnp.float32), (new_caches if kv_caches is not None else None)
+        logits = logits.astype(jnp.float32) * cfg.logit_scale
+        return logits, (new_caches if kv_caches is not None else None)
 
     def init_cache(self, batch: int, max_len: int):
         cfg = self.config

@@ -39,10 +39,13 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
     "tiny": llama_lib.tiny_llama_config(),
 }
 
-# architectures needing dedicated blocks (tracked; reference shims
-# bloom.py / cohere.py): bloom = ALiBi + fused-QKV + LayerNorm embeds,
-# cohere = parallel attention+FFN residual + CohereLayerNorm
-PLANNED_FAMILIES = ("bloom", "cohere")
+# cohere: parallel attention+FFN residual, tied embeddings, logit scale
+LLM_CONFIG_PRESETS["cohere"] = llama_lib.LlamaConfig(
+    norm_type="layernorm", parallel_residual=True,
+    tie_word_embeddings=True, logit_scale=0.0625)
+
+# bloom (ALiBi + fused QKV) has its own module: qdm_tpu.models.bloom
+from qdm_tpu.models.bloom import BloomConfig, BloomForCausalLM  # noqa: F401,E402
 
 
 def from_pretrained(path: str, **kw):

@@ -151,6 +151,30 @@ def sd3_scaling_groups(params: dict) -> List[ScalingGroup]:
     return groups
 
 
+def bloom_scaling_groups(params: dict) -> List[ScalingGroup]:
+    """Bloom groups (reference bloom.py): input_layernorm ->
+    query_key_value, post_attention_layernorm -> dense_h_to_4h, and the
+    scalable-GELU group gelu_impl -> dense_4h_to_h
+    (get_act_for_scaling, bloom.py:13-19)."""
+    groups = []
+    for path, sub in _walk(params):
+        if path and re.fullmatch(r"h_\d+", path[-1]) \
+                and "self_attention/query_key_value" in sub:
+            groups.append(ScalingGroup(
+                prev_path=path + ("input_layernorm",),
+                layer_paths=(path + ("self_attention/query_key_value",),),
+            ))
+            groups.append(ScalingGroup(
+                prev_path=path + ("post_attention_layernorm",),
+                layer_paths=(path + ("mlp/dense_h_to_4h",),),
+            ))
+            groups.append(ScalingGroup(
+                prev_path=path + ("mlp/gelu_impl",),
+                layer_paths=(path + ("mlp/dense_4h_to_h",),),
+            ))
+    return groups
+
+
 def awq_search_groups(params: dict, scaling_groups: List[ScalingGroup]):
     """AWQ reuses the same (prev_op, layers) topology for its grid
     search (quantizer.py:288-321); expressed on param paths."""

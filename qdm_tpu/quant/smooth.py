@@ -97,6 +97,11 @@ def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> di
             b = prev["bias"]
             newb = b.astype(jnp.float32).at[b.shape[0] - n:].divide(s)
             out = _set_at(out, group.prev_path + ("bias",), newb.astype(b.dtype))
+    elif "scales" in prev and "scale" not in prev:
+        # ScaledActivation prev (gelu -> fc migration, scale_gelu_fc
+        # scale.py:156-164): the module divides its output by `scales`
+        new = (prev["scales"].astype(jnp.float32) * s).astype(prev["scales"].dtype)
+        out = _set_at(out, group.prev_path + ("scales",), new)
     else:
         if "scale" in prev:
             out = _set_at(out, group.prev_path + ("scale",),

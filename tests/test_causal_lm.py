@@ -92,3 +92,50 @@ def test_real_w4a16_lm():
     # int4 packed execution approximates fp logits direction
     corr = np.corrcoef(fp.reshape(-1), q.reshape(-1))[0, 1]
     assert corr > 0.9, corr
+
+
+def test_bloom_forward_and_smooth():
+    import jax
+    from qdm_tpu.models.bloom import BloomForCausalLM, tiny_bloom_config
+    from qdm_tpu.models.shims import bloom_scaling_groups
+    from qdm_tpu.quant.smooth import smooth_params
+    from qdm_tpu.quant.plan import QuantPlan
+    from qdm_tpu.calib.stats import flatten_calib
+    import dataclasses
+
+    cfg = tiny_bloom_config()
+    m = BloomForCausalLM(config=cfg, dtype=jnp.float32)
+    ids = jnp.asarray(RNG.integers(0, 256, (2, 8)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), ids)["params"]
+    # randomize kernels so smoothing is non-trivial
+    base = np.asarray(m.apply({"params": params}, ids))
+    assert base.shape == (2, 8, 256)
+    assert np.isfinite(base).all()
+
+    mcap = dataclasses.replace(m, plan=QuantPlan(capture_stats=True))
+    _, mut = mcap.apply({"params": params}, ids, mutable=["calib"])
+    stats = flatten_calib(mut["calib"])
+    groups = bloom_scaling_groups(params)
+    assert len(groups) == 2 * 3
+    # the gelu->fc group has no stats key for the act output; use the
+    # fc input stats captured on dense_4h_to_h
+    smoothed = smooth_params(params, groups, stats, alpha=0.5)
+    out = np.asarray(m.apply({"params": smoothed}, ids))
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-4)
+
+
+def test_cohere_parallel_residual():
+    from qdm_tpu.models.llama import LlamaForCausalLM, tiny_llama_config
+    import dataclasses, jax
+
+    cfg = dataclasses.replace(tiny_llama_config(), parallel_residual=True,
+                              norm_type="layernorm", tie_word_embeddings=True,
+                              logit_scale=0.0625)
+    m = LlamaForCausalLM(config=cfg, dtype=jnp.float32)
+    ids = jnp.asarray(RNG.integers(0, 256, (1, 8)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), ids)["params"]
+    out, _ = m.apply({"params": params}, ids)
+    assert out.shape == (1, 8, 256)
+    assert np.isfinite(np.asarray(out)).all()
+    # no post_attention_layernorm in parallel-residual blocks
+    assert "post_attention_layernorm" not in params["layers_0"]
