@@ -147,10 +147,53 @@ class CausalLM:
         input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feats.items()}
         return run.mean(), input_feats
 
+    def _awq_sequential(self, cfg: QuantConfig, calib_ids: np.ndarray):
+        """Faithful AWQ layer loop (quantizer.py:216-385): inputs for
+        layer i+1 are produced by the already-scaled/clipped/quantized
+        layer i.  Per layer: capture linear inputs, grid-search scales,
+        clip, fake-quantize, then propagate."""
+        from qdm_tpu.models.llama import LlamaDecoderLayer
+
+        model = self.model
+        embed_table = self.params["embed_tokens"]["embedding"]
+        ids = jnp.asarray(calib_ids)
+        x = embed_table[ids].astype(self.dtype)
+        b, s = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+
+        layer_names = sorted((k for k in self.params if k.startswith("layers_")),
+                             key=lambda k: int(k.split("_")[1]))
+        plan_cap = self.plan.with_capture(True, inputs=True)
+        for lname in layer_names:
+            layer_params = self.params[lname]
+            groups_full = llama_scaling_groups({lname: layer_params})
+            groups = [dataclasses.replace(g, prev_path=g.prev_path[1:],
+                                          layer_paths=tuple(p[1:] for p in g.layer_paths))
+                      for g in groups_full]
+            layer_mod = LlamaDecoderLayer(self.config, dtype=self.dtype,
+                                          plan=plan_cap)
+            (_, _), mut = layer_mod.apply({"params": layer_params}, x, positions,
+                                          mutable=["calib", "calib_x"])
+            from qdm_tpu.calib.stats import flatten_calib
+
+            feats = flatten_calib(mut["calib_x"], leaf="x")
+            new_layer = awq_lib.awq_search_and_apply(layer_params, groups,
+                                                     feats, cfg)
+            new_layer = qapply.fake_quantize_params(
+                new_layer, self._make_plan(cfg))
+            self.params[lname] = new_layer
+            # propagate through the quantized layer (quantizer.py:1135)
+            layer_q = LlamaDecoderLayer(self.config, dtype=self.dtype,
+                                        plan=self.plan)
+            x, _ = layer_q.apply({"params": new_layer}, x, positions)
+
     def quantize(self, tokenizer=None, quant_config: Optional[dict] = None,
-                 quantType: str = "awq", calib_data: Optional[np.ndarray] = None):
+                 quantType: str = "awq", calib_data: Optional[np.ndarray] = None,
+                 sequential: bool = False):
         """calib_data: (n, seq) int32 token blocks; if None, built from
-        qdm_tpu.calib.data.get_calib_dataset (pileval semantics)."""
+        qdm_tpu.calib.data.get_calib_dataset (pileval semantics).
+        sequential=True runs the reference's per-layer AWQ propagation
+        (slower, more faithful; default is one-shot capture)."""
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
             else QuantConfig.from_dict(quant_config)
         cfg.quant_method = quantType.lower()
@@ -158,6 +201,18 @@ class CausalLM:
         plan = self._make_plan(cfg)
 
         method = cfg.quant_method
+        if method == "awq" and sequential and cfg.version != "real":
+            if calib_data is None:
+                from qdm_tpu.calib.data import get_calib_dataset
+
+                calib_data = get_calib_dataset(
+                    tokenizer=tokenizer, n_samples=min(cfg.calib.n_samples, 32),
+                    max_seq_len=cfg.calib.max_seq_len)
+            self._awq_sequential(cfg, np.asarray(calib_data))
+            # non-layer params (embeddings/norms) stay fp; lm_head excluded
+            self.plan = plan
+            self.is_quantized = True
+            return self
         if method in ("awq", "sq", "smooth", "smoothquant"):
             if calib_data is None:
                 from qdm_tpu.calib.data import get_calib_dataset

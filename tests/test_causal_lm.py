@@ -139,3 +139,16 @@ def test_cohere_parallel_residual():
     assert np.isfinite(np.asarray(out)).all()
     # no post_attention_layernorm in parallel-residual blocks
     assert "post_attention_layernorm" not in params["layers_0"]
+
+
+def test_awq_sequential():
+    cfg = QuantConfig(w_bit=4, q_group_size=32, version="fake", zero_point=True)
+    cfg.calib.n_samples = 2
+    m = CausalLM.from_config(dtype=jnp.float32)
+    ids = _calib(2, 8)
+    fp = np.asarray(m.logits(ids))
+    m.quantize(quant_config=cfg, quantType="awq", calib_data=_calib(2, 16),
+               sequential=True)
+    q = np.asarray(m.logits(ids))
+    assert np.isfinite(q).all()
+    assert (q.argmax(-1) == fp.argmax(-1)).mean() > 0.2
