@@ -342,6 +342,11 @@ def w8a8_matmul_fused(x, w_i8, w_scale, block_m: int = 512,
     kp, n = w_i8.shape
     assert k <= kp
     out_dtype = out_dtype or x.dtype
+    # VMEM budget: x bf16 (2B) + int8 scratch (1B) scale with bm*K;
+    # weights double-buffer with K*bn.  Shrink blocks for large K.
+    if kp > 2560:
+        block_m = min(block_m, 256)
+        block_n = min(block_n, 256)
     block_n = _pick_block(n, block_n)
     bm = min(block_m, _round_up(m, 16))
     mp = _round_up(m, bm)
