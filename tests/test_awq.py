@@ -1,0 +1,67 @@
+"""AWQ engine unit tests: determinism, formula checks, clip behavior
+(SURVEY.md §4 test plan: 'AWQ grid-search determinism on a fixed toy
+layer')."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from qdm_tpu.quant.awq import (search_best_scale, compute_best_clip,
+                               apply_clip_to_kernel, awq_search_and_apply)
+from qdm_tpu.quant.smooth import ScalingGroup
+from qdm_tpu.config import QuantConfig
+
+RNG = np.random.default_rng(42)
+
+
+def _toy():
+    x = RNG.standard_normal((256, 64)).astype(np.float32)
+    x[:, 7] *= 20.0   # channel outlier
+    w = (RNG.standard_normal((48, 64)) * 0.1).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(w)
+
+
+def test_scale_search_deterministic():
+    x, w = _toy()
+    s1, l1 = search_best_scale(x, w, n_bits=4, group_size=32)
+    s2, l2 = search_best_scale(x, w, n_bits=4, group_size=32)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.asarray(l1).shape == (20,)
+
+
+def test_scale_search_helps_outlier_channel():
+    """The searched scale must reduce quantized-output MSE vs no scale."""
+    from qdm_tpu.quant.pseudo import pseudo_quantize_tensor
+
+    x, w = _toy()
+    s, losses = search_best_scale(x, w, n_bits=4, group_size=32)
+    fp = np.asarray(x @ w.T)
+    wq0, _, _ = pseudo_quantize_tensor(w, n_bits=4, group_size=32)
+    base_err = ((np.asarray(x @ wq0.T) - fp) ** 2).mean()
+    # losses[0] is ratio=0 (pure weight-driven); best <= all grid points
+    assert float(np.asarray(losses).min()) <= base_err * 1.001
+    assert float(np.asarray(s).min()) > 0
+
+
+def test_clip_search_shrinks_only_helpful():
+    x, w = _toy()
+    mv = compute_best_clip(w, x, n_bits=4, group_size=32)
+    org = np.abs(np.asarray(w).reshape(48, 2, 32)).max(-1)
+    assert mv.shape == (48, 2)
+    assert (np.asarray(mv) <= org + 1e-6).all()
+    clipped = apply_clip_to_kernel(w.T, mv)
+    assert (np.abs(np.asarray(clipped)) <= np.repeat(np.asarray(mv).T, 32, 0) + 1e-5).all()
+
+
+def test_awq_search_and_apply_end_to_end():
+    x, w = _toy()
+    params = {
+        "norm": {"scale": jnp.ones(64), "bias": jnp.zeros(64)},
+        "fc": {"kernel": w.T, "bias": jnp.zeros(48)},
+    }
+    g = ScalingGroup(prev_path=("norm",), layer_paths=(("fc",),))
+    cfg = QuantConfig(w_bit=4, q_group_size=32, zero_point=True)
+    out = awq_search_and_apply(params, [g], {"fc": x}, cfg)
+    # norm absorbed 1/s, fc took s
+    assert not np.allclose(np.asarray(out["norm"]["scale"]), 1.0)
+    assert not np.array_equal(np.asarray(out["fc"]["kernel"]), np.asarray(w.T))
