@@ -859,6 +859,44 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         return run.mean()
 
     def _awq_component(self, name: str, cfg: QuantConfig):
-        # AWQ on SD3.5 reuses the SQ-captured stats for scale search
-        # via the generic engine in a future round; smoothing + RTN for now
-        self._smoothquant_component(name, cfg)
+        """AWQ scale+clip search on the MMDiT scaling groups using
+        sampled layer inputs captured over flow-match denoise steps."""
+        if name != "transformer":
+            return
+        from qdm_tpu.calib.data import get_calib_prompts
+        from qdm_tpu.models.shims import sd3_scaling_groups
+
+        calib = cfg.calib
+        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        plan = self.plans["transformer"].with_capture(True, inputs=True)
+        capture = dataclasses.replace(self.components["transformer"], plan=plan)
+        steps = max(1, min(calib.n_steps, 4))
+        tables = schedulers.make_flow_match(steps)
+        ctx, uctx, added = self._encode_prompts(prompts, None)
+        s = self.default_sample_size()
+        lat = jax.random.normal(jax.random.PRNGKey(calib.seed),
+                                (len(prompts), s, s, self.latent_channels()),
+                                jnp.float32)
+
+        @jax.jit
+        def step_fn(params, lat, s_idx):
+            t = tables.timesteps[s_idx]
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            v, mut = capture.apply({"params": params}, lat_in, tt, ctx_in,
+                                   added["pooled"], mutable=["calib", "calib_x"])
+            v_u, v_c = jnp.split(v, 2, axis=0)
+            v = v_u + cfg.calib.guidance_scale * (v_c - v_u)
+            return schedulers.flow_match_step(tables, v, lat, s_idx), \
+                flatten_calib(mut["calib_x"], leaf="x")
+
+        feat_lists: Dict[str, list] = {}
+        for si in range(steps):
+            lat, feats = step_fn(self.params["transformer"], lat, si)
+            for k, v in feats.items():
+                feat_lists.setdefault(k, []).append(v)
+        input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feat_lists.items()}
+        groups = sd3_scaling_groups(self.params["transformer"])
+        self.params["transformer"] = awq_lib.awq_search_and_apply(
+            self.params["transformer"], groups, input_feats, cfg)

@@ -112,3 +112,16 @@ def test_sd35_tiny_generate_and_sq():
     img2 = p.generate("a red cube", num_inference_steps=2, seed=0)
     assert np.isfinite(img2).all()
     assert np.abs(img2 - img).mean() < 0.2
+
+
+def test_sd35_awq_quantize():
+    from qdm_tpu.api import StableDiffusion3_5
+
+    p = StableDiffusion3_5.from_config(tiny=True, dtype=jnp.float32)
+    cfg = QuantConfig(w_bit=4, q_group_size=16, version="fake", zero_point=True)
+    cfg.calib.n_samples = 2
+    cfg.calib.n_steps = 2
+    img0 = p.generate("a cube", num_inference_steps=2, seed=0)
+    p.quantize(cfg, quantType="awq", quantUnet=False, quantTransformer=True)
+    img = p.generate("a cube", num_inference_steps=2, seed=0)
+    assert np.isfinite(img).all()
