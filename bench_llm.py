@@ -74,18 +74,19 @@ def main():
         return (time.time() - t0) / reps
 
     dt_bf = timed(lm.model, lm.params)
+    out = {"metric": "LLM 1B decode tok/s (batch 1)",
+           "bf16_tok_s": round(n_new / dt_bf, 1)}
 
-    plan = QuantPlan(default=LayerQuantSpec(mode="w4a16", w_bits=4,
-                                            group_size=128, zero_point=True))
-    plan = plan.with_rule("lm_head", None)
-    qparams = pack_params(lm.params, plan)
-    lm.plan = plan
-    dt_q = timed(lm.model, qparams)
-
-    print(json.dumps({"metric": "LLM 1B decode tok/s (batch 1)",
-                      "bf16_tok_s": round(n_new / dt_bf, 1),
-                      "w4a16_tok_s": round(n_new / dt_q, 1),
-                      "speedup": round(dt_bf / dt_q, 3)}), flush=True)
+    for mode in ("w4a16", "w4a8"):
+        plan = QuantPlan(default=LayerQuantSpec(mode=mode, w_bits=4,
+                                                group_size=128, zero_point=True))
+        plan = plan.with_rule("lm_head", None)
+        qparams = pack_params(lm.params, plan)
+        lm.plan = plan
+        dt_q = timed(lm.model, qparams)
+        out[f"{mode}_tok_s"] = round(n_new / dt_q, 1)
+        out[f"{mode}_speedup"] = round(dt_bf / dt_q, 3)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ class QDense(nn.Module):
                      init_fn=lambda: jnp.zeros((rows, in_features), jnp.float32),
                      reduce_fn=lambda a, b: b)
 
-        if spec.mode == "w4a16":
+        if spec.mode in ("w4a16", "w4a8"):
             # effective group size: same resolution as pack_params
             # (reference shrink-by-32 quirk, fake_quant.py:33-40)
             gs = spec.group_size if spec.group_size > 0 else in_features
@@ -107,10 +107,19 @@ class QDense(nn.Module):
             zeros = self.param("zeros", nn.initializers.zeros_init(),
                                (n_groups, qweight.shape[1]), jnp.float32) \
                 if spec.zero_point else None
-            if spec.quantize_act and spec.a_bits < 16:
-                x2 = _act_fake_quant_dense(x2, spec)
-            y = qmm.w4a16_matmul(x2.astype(self.dtype), qweight, scales, zeros,
-                                 group_size=gs)
+            if spec.mode == "w4a8" and gs == qmm.PACK_BLOCK_K:
+                # int4 storage, int8 MXU compute (QQQ-style)
+                if qmm.on_tpu():
+                    y = qmm.w4a8_matmul_pallas(x2.astype(self.dtype), qweight,
+                                               scales, zeros, group_size=gs)
+                else:
+                    y = qmm.w4a8_matmul_ref(x2.astype(self.dtype), qweight,
+                                            scales, zeros, group_size=gs)
+            else:
+                if spec.quantize_act and spec.a_bits < 16:
+                    x2 = _act_fake_quant_dense(x2, spec)
+                y = qmm.w4a16_matmul(x2.astype(self.dtype), qweight, scales,
+                                     zeros, group_size=gs)
             y = y[:, : self.features]
         elif spec.mode == "w8a16":
             # weight-only int8: XLA fuses the dequant into the matmul

@@ -241,6 +241,114 @@ def w4a16_matmul(x, qweight, scales, zeros, group_size: int = 128, **kw):
 
 
 # ---------------------------------------------------------------------------
+# W4A8: int4 storage, int8 MXU compute (QQQ-style)
+# ---------------------------------------------------------------------------
+# On TPU the W4A16 float dequant costs ~1 VPU op per weight element,
+# which at small M rivals just streaming bf16 weights from HBM.  W4A8
+# keeps weights int4 in HBM (4x traffic saving), unpacks to int8 with
+# two integer ops, and runs the dot on the int8 MXU; per-group scales
+# multiply the int32 accumulator.  Requires block_k == group_size.
+
+
+def _w4a8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, xi_ref, xs_ref, acc_ref,
+                 *, block_k: int, n_k: int):
+    j = pl.program_id(1)
+    k_idx = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(j == 0, k_idx == 0))
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                          1e-5, None)
+        xi_ref[:] = jnp.round(xf * (127.0 / absmax)).astype(jnp.int8)
+        xs_ref[:] = absmax / 127.0
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = _unpack_block(qw_ref[:])                       # (bk, bn) int32
+    z = z_ref[pl.ds(k_idx, 1)].astype(jnp.int32)           # (1, bn) integer zp
+    wi = (codes - z).astype(jnp.int8)
+    pi = jax.lax.dot_general(
+        xi_ref[:, pl.ds(k_idx * block_k, block_k)], wi,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[:] += pi.astype(jnp.float32) * s_ref[pl.ds(k_idx, 1)]
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n", "interpret"))
+def w4a8_matmul_pallas(x, qweight, scales, zeros, group_size: int = 128,
+                       block_m: int = 256, block_n: int = 256,
+                       interpret: bool = False):
+    """x (M, K) @ int4-packed weight with int8 activations/compute.
+
+    Same packed layout as w4a16 (pack_linear_int4); requires
+    group_size == PACK_BLOCK_K (the per-k-block scale application).
+    zeros None => symmetric (codes biased by +8 at pack time)."""
+    m, k = x.shape
+    kp = qweight.shape[0] * 8
+    n = qweight.shape[1]
+    assert k <= kp
+    block_k = PACK_BLOCK_K
+    assert group_size == block_k, \
+        f"w4a8 requires group_size == {block_k}, got {group_size}"
+    if kp > 2560:
+        block_m = min(block_m, 256)
+        block_n = min(block_n, 256)
+    block_n = _pick_block(n, block_n)
+    if zeros is None:
+        zeros = jnp.full_like(scales, 8.0)
+    bm = min(block_m, _round_up(m, 16))
+    mp = _round_up(m, bm)
+    xp = x
+    if kp != k or mp != m:
+        xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    n_k = kp // block_k
+    n_groups = scales.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, block_k=block_k, n_k=n_k),
+        grid=(mp // bm, n // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((block_k // 8, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((n_groups, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((n_groups, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, kp), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32),
+                        pltpu.VMEM((bm, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, qweight, scales, zeros)
+    return out[:m]
+
+
+def w4a8_matmul_ref(x, qweight, scales, zeros, group_size: int = 128):
+    """jnp reference: per-token int8 act quant + int4 dequant matmul."""
+    xi, xs = quantize_act_per_token_int(x, 8)
+    codes = unpack_rows_strided(qweight, PACK_BLOCK_K, 4)
+    z = jnp.repeat(zeros if zeros is not None else jnp.full_like(scales, 8.0),
+                   group_size, axis=0)
+    s = jnp.repeat(scales, group_size, axis=0)
+    w = (codes.astype(jnp.float32) - z) * s
+    k = x.shape[-1]
+    acc = xi.astype(jnp.float32) @ (w[:k] if k < w.shape[0] else w)
+    return (acc * xs).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # W8A8: int8 x int8 MXU matmul
 # ---------------------------------------------------------------------------
 

@@ -111,7 +111,7 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
     kernel = layer["kernel"]          # (K, N)
     k, n = kernel.shape
     new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
-    if spec.mode == "w4a16":
+    if spec.mode in ("w4a16", "w4a8"):
         gs = spec.group_size if spec.group_size > 0 else k
         gs = rtn.resolve_group_size(k, gs) or k
         q = pseudo.quantize_tensor(kernel.T, n_bits=4, group_size=gs,

@@ -45,7 +45,7 @@ class LayerQuantSpec:
 
     @property
     def is_real(self) -> bool:
-        return self.mode in ("w4a16", "w8a8", "w8a16")
+        return self.mode in ("w4a16", "w4a8", "w8a8", "w8a16")
 
 
 NO_QUANT = LayerQuantSpec()

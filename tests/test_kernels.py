@@ -76,3 +76,20 @@ def test_w8a8_kernel_vs_ref(m, k, n):
     want = x @ w
     err = np.abs(ref - want).max() / (np.abs(want).max() + 1e-9)
     assert err < 0.05, err
+
+
+@pytest.mark.parametrize("zero_point", [True, False])
+def test_w4a8_kernel_vs_ref(zero_point):
+    from qdm_tpu.ops.quant_matmul import w4a8_matmul_pallas, w4a8_matmul_ref
+
+    m, k, n, g = 48, 256, 256, 128
+    w, (qw, scales, zeros) = _quantize_weight(k, n, g, zero_point)
+    x = jnp.asarray((RNG.standard_normal((m, k)) * 0.5), jnp.float32)
+    got = np.asarray(w4a8_matmul_pallas(x, qw, scales, zeros, group_size=g,
+                                        interpret=True))[:, :n]
+    ref = np.asarray(w4a8_matmul_ref(x, qw, scales, zeros, group_size=g))[:, :n]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # and it approximates the fp product
+    want = np.asarray(x) @ w.T
+    rel = np.abs(ref - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.15, rel
