@@ -112,8 +112,7 @@ def main():
     # --- W8A8: packed int8 dense via Pallas (fused QKV), convs kept bf16
     w8_spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
     plan = QuantPlan(default=w8_spec, fuse_qkv=True,
-                     rules=(("conv", LayerQuantSpec(mode="none")),
-                            ("time_emb", LayerQuantSpec(mode="none")),
+                     rules=(("time_emb", LayerQuantSpec(mode="none")),
                             ("time_embedding", LayerQuantSpec(mode="none"))))
     qparams = pack_params(params, plan)
     q_model = build(plan, cfg)

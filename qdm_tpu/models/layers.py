@@ -187,13 +187,6 @@ class QConv(nn.Module):
                      init_fn=lambda: jnp.zeros(in_features, jnp.float32),
                      reduce_fn=jnp.maximum)
 
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (*self.kernel_size, in_features, self.features), self.param_dtype)
-
-        if spec.mode == "fake_act" and spec.quantize_act and spec.a_bits < 16:
-            x = _act_fake_quant_conv(x, spec)
-
         strides = (self.strides, self.strides) if isinstance(self.strides, int) else self.strides
         if isinstance(self.padding, int):
             padding = ((self.padding, self.padding), (self.padding, self.padding))
@@ -201,6 +194,37 @@ class QConv(nn.Module):
             padding = (self.padding, self.padding) if isinstance(self.padding[0], int) else self.padding
         else:
             padding = self.padding
+
+        if spec.mode == "w8a8":
+            # real int8 conv: XLA lowers int8 x int8 conv onto the int8
+            # MXU (measured 1.7-5.9x faster than bf16 conv on v5e);
+            # per-tensor dynamic act scale + per-out-channel weight scale
+            ki = self.param("qweight", nn.initializers.zeros_init(),
+                            (*self.kernel_size, in_features, self.features),
+                            jnp.int8)
+            w_scale = self.param("scales", nn.initializers.ones_init(),
+                                 (self.features,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            xs = jnp.clip(jnp.max(jnp.abs(xf)), 1e-5, None) / 127.0
+            xi = jnp.round(xf / xs).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xi, ki, window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * (xs * w_scale)).astype(self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros_init(),
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(y.dtype)
+            return y
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features), self.param_dtype)
+
+        if spec.mode == "fake_act" and spec.quantize_act and spec.a_bits < 16:
+            x = _act_fake_quant_conv(x, spec)
+
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=strides, padding=padding,

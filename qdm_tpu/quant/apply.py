@@ -153,8 +153,18 @@ def pack_params(params: dict, plan: QuantPlan) -> dict:
         if kernel.ndim == 2:
             out = _set_at(out, path, pack_dense_layer(layer, spec))
         elif kernel.ndim == 4:
-            newk = _fake_quant_conv_kernel(kernel, spec)
-            out = _set_at(out, path + ("kernel",), newk.astype(kernel.dtype))
+            if spec.mode == "w8a8":
+                # real int8 conv: per-out-channel symmetric codes
+                kf = kernel.astype(jnp.float32)
+                s = jnp.clip(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-5, None) / 127.0
+                codes = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
+                new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
+                new["qweight"] = codes
+                new["scales"] = s
+                out = _set_at(out, path, new)
+            else:
+                newk = _fake_quant_conv_kernel(kernel, spec)
+                out = _set_at(out, path + ("kernel",), newk.astype(kernel.dtype))
     return out
 
 

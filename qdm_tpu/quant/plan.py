@@ -93,9 +93,10 @@ def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> Lay
             mode = "fake_act"
         else:
             mode = "fake"
-    if conv and mode in ("w4a16", "w8a8"):
-        # real kernels are linear-only (the reference kernel zoo is too);
-        # convs fall back to fake quant
+    if conv and mode in ("w4a16", "w4a8", "w8a16"):
+        # int4/weight-only real kernels are linear-only; convs in those
+        # configs fall back to fake quant.  w8a8 convs ARE real (XLA
+        # int8 conv on the MXU).
         mode = "fake_act" if cfg.quantize_act else "fake"
     weight_quant = cfg.weight_quant_conv_type if conv else cfg.weight_quant_type
     if cfg.quant_method == "codebook" and not conv:

@@ -207,3 +207,17 @@ def test_fuse_qkv_equivalence(tiny_unet):
     unfused = unfuse_qkv_params(fused)
     out2 = np.asarray(m.apply({"params": unfused}, x, t, ctx))
     np.testing.assert_allclose(out2, base, rtol=2e-5, atol=2e-5)
+
+
+def test_w8a8_conv_matches_fp_approx():
+    from qdm_tpu.models.layers import QConv
+    spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
+    x = jax.random.normal(KEY, (2, 8, 8, 16), jnp.float32)
+    conv = QConv(24, (3, 3), 1, 1, dtype=jnp.float32, plan=QuantPlan())
+    params = conv.init(jax.random.PRNGKey(1), x)["params"]
+    fp = np.asarray(conv.apply({"params": params}, x))
+    packed = pack_params({"c": params}, QuantPlan(default=spec))["c"]
+    qconv = QConv(24, (3, 3), 1, 1, dtype=jnp.float32, plan=QuantPlan(default=spec))
+    q = np.asarray(qconv.apply({"params": packed}, x))
+    rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.1, rel
