@@ -111,9 +111,16 @@ def main():
 
     # --- W8A8: packed int8 dense via Pallas (fused QKV), convs kept bf16
     w8_spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
+    # int8 convs only where they win: the big 3x3 resnet convs; 1x1
+    # projections / io convs / samplers stay bf16 (XLA emulates or
+    # de-fuses int8 there)
+    noq = LayerQuantSpec(mode="none")
     plan = QuantPlan(default=w8_spec, fuse_qkv=True,
-                     rules=(("time_emb", LayerQuantSpec(mode="none")),
-                            ("time_embedding", LayerQuantSpec(mode="none"))))
+                     rules=(("time_emb", noq), ("time_embedding", noq),
+                            ("conv_in", noq), ("conv_out", noq),
+                            ("conv_shortcut", noq), ("proj_in", noq),
+                            ("proj_out", noq), ("downsamplers", noq),
+                            ("upsamplers", noq)))
     qparams = pack_params(params, plan)
     q_model = build(plan, cfg)
     q_loop = make_loop(q_model, steps)
