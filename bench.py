@@ -16,6 +16,9 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,16 +114,13 @@ def main():
 
     # --- W8A8: packed int8 dense via Pallas (fused QKV), convs kept bf16
     w8_spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
-    # int8 convs only where they win: the big 3x3 resnet convs; 1x1
-    # projections / io convs / samplers stay bf16 (XLA emulates or
-    # de-fuses int8 there)
+    # convs stay bf16: dynamic per-tensor act quant before each conv
+    # serializes on a scalar reduction and negates the int8 conv win
+    # (see BENCH_NOTES.md); static-scale int8 convs are round-2 work
     noq = LayerQuantSpec(mode="none")
     plan = QuantPlan(default=w8_spec, fuse_qkv=True,
-                     rules=(("time_emb", noq), ("time_embedding", noq),
-                            ("conv_in", noq), ("conv_out", noq),
-                            ("conv_shortcut", noq), ("proj_in", noq),
-                            ("proj_out", noq), ("downsamplers", noq),
-                            ("upsamplers", noq)))
+                     rules=(("conv", noq), ("time_emb", noq),
+                            ("time_embedding", noq)))
     qparams = pack_params(params, plan)
     q_model = build(plan, cfg)
     q_loop = make_loop(q_model, steps)
