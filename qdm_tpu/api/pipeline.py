@@ -240,12 +240,18 @@ class BaseDiffusionPipeline:
             comp_key = "text_encoder" if name.startswith("text_encoder") else name
             plan = self._make_plan(cfg, comp_key)
             pre_params = self.params[name] if debugSavePath else None
+            act_stats = None
             if method in ("sq", "smooth", "smoothquant"):
-                self._smoothquant_component(name, cfg, calib_cache=calib_cache)
+                act_stats = self._smoothquant_component(name, cfg,
+                                                        calib_cache=calib_cache)
             elif method == "awq":
                 self._awq_component(name, cfg)
             if cfg.version == "real":
                 self.params[name] = qapply.pack_params(self.params[name], plan)
+                if act_stats:
+                    # calibrated static act scales for int8 convs
+                    self.params[name] = qapply.fill_static_act_scales(
+                        self.params[name], act_stats)
             else:
                 self.params[name] = qapply.fake_quantize_params(self.params[name], plan)
             self.plans[comp_key] = plan
@@ -349,9 +355,10 @@ class BaseDiffusionPipeline:
             groups = sd_unet_scaling_groups(self.params[name])
             alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
         else:
-            return  # text encoder/vae smoothing: not in reference either
+            return None  # text encoder/vae smoothing: not in reference either
         self.params[name] = smooth_lib.smooth_params(
             self.params[name], groups, stats, alpha=alpha)
+        return stats
 
     def _awq_component(self, name: str, cfg: QuantConfig):
         if name not in ("unet", "transformer"):
@@ -816,13 +823,14 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
     def _smoothquant_component(self, name: str, cfg: QuantConfig,
                                calib_cache: Optional[str] = None):
         if name != "transformer":
-            return
+            return None
         from qdm_tpu.models.shims import sd3_scaling_groups
 
         stats = self._calibrate_transformer(cfg)
         groups = sd3_scaling_groups(self.params["transformer"])
         self.params["transformer"] = smooth_lib.smooth_params(
             self.params["transformer"], groups, stats, alpha=cfg.alpha)
+        return stats
 
     def _calibrate_transformer(self, cfg: QuantConfig):
         from qdm_tpu.calib.data import get_calib_prompts

@@ -197,16 +197,23 @@ class QConv(nn.Module):
 
         if spec.mode == "w8a8":
             # real int8 conv: XLA lowers int8 x int8 conv onto the int8
-            # MXU (measured 1.7-5.9x faster than bf16 conv on v5e);
-            # per-tensor dynamic act scale + per-out-channel weight scale
+            # MXU (measured 1.7-5.9x faster than bf16 conv on v5e).
+            # act scale: 'static' uses a calibrated per-tensor scale (no
+            # runtime reduction — the dynamic scalar max serializes the
+            # pipeline, BENCH_NOTES.md); otherwise dynamic per-tensor.
             ki = self.param("qweight", nn.initializers.zeros_init(),
                             (*self.kernel_size, in_features, self.features),
                             jnp.int8)
             w_scale = self.param("scales", nn.initializers.ones_init(),
                                  (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
-            xs = jnp.clip(jnp.max(jnp.abs(xf)), 1e-5, None) / 127.0
-            xi = jnp.round(xf / xs).astype(jnp.int8)
+            if spec.act_quant == "static":
+                xs = self.param("act_scale", nn.initializers.ones_init(),
+                                (1,), jnp.float32)[0]
+                xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            else:
+                xs = jnp.clip(jnp.max(jnp.abs(xf)), 1e-5, None) / 127.0
+                xi = jnp.round(xf / xs).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xi, ki, window_strides=strides, padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

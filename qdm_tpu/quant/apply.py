@@ -161,6 +161,8 @@ def pack_params(params: dict, plan: QuantPlan) -> dict:
                 new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
                 new["qweight"] = codes
                 new["scales"] = s
+                if spec.act_quant == "static":
+                    new["act_scale"] = jnp.ones((1,), jnp.float32)
                 out = _set_at(out, path, new)
             else:
                 newk = _fake_quant_conv_kernel(kernel, spec)
@@ -217,6 +219,31 @@ def unfuse_qkv_params(params: dict) -> dict:
         return out
 
     return rec(params)
+
+
+def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
+                           margin: float = 1.0) -> dict:
+    """Set calibrated static activation scales on packed int8 layers.
+
+    act_stats: per-layer per-channel input absmax (calibration mean);
+    the static per-tensor scale is max-over-channels / 127 * margin."""
+    out = params
+
+    def rec(tree, prefix):
+        nonlocal out
+        if isinstance(tree, dict):
+            if "act_scale" in tree and not isinstance(tree["act_scale"], dict):
+                key = "/".join(prefix)
+                if key in act_stats:
+                    s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
+                    out = _set_at(out, prefix + ("act_scale",),
+                                  jnp.asarray([s * margin], jnp.float32))
+                return
+            for k, v in tree.items():
+                rec(v, prefix + (str(k),))
+
+    rec(params, ())
+    return out
 
 
 def quantized_param_count(params: dict, plan: QuantPlan) -> Dict[str, int]:

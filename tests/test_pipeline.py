@@ -125,3 +125,30 @@ def test_sd35_awq_quantize():
     p.quantize(cfg, quantType="awq", quantUnet=False, quantTransformer=True)
     img = p.generate("a cube", num_inference_steps=2, seed=0)
     assert np.isfinite(img).all()
+
+
+def test_real_w8a8_static_conv_pipeline():
+    """version=real with static-scale int8 convs: calibrated act scales
+    fill the act_scale leaves and generation stays sane."""
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    cfg = QuantConfig(w_bit=8, a_bit=8, version="real", quantize_act=True,
+                      act_quant_conv_type="static")
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="sq")
+    # act_scale params were calibrated (not all ones)
+    from qdm_tpu.quant.apply import iter_layers
+    scales = []
+    def walk(t):
+        if isinstance(t, dict):
+            if "act_scale" in t and not isinstance(t["act_scale"], dict):
+                scales.append(float(np.asarray(t["act_scale"])[0]))
+            for v in t.values():
+                walk(v)
+    walk(p.params["unet"])
+    assert scales and any(abs(s - 1.0) > 1e-6 for s in scales)
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.25
