@@ -182,7 +182,12 @@ class BaseDiffusionPipeline:
             shapes = jax.eval_shape(
                 lambda m=m, args=args: m.init(jax.random.PRNGKey(0), *args))["params"]
             sd = loader.load_safetensors_dir(sub)
-            prefixes = ("text_model.",) if "text_encoder" in name else ()
+            if name == "text_encoder_3":
+                prefixes = ("encoder.",)       # T5EncoderModel keys
+            elif "text_encoder" in name:
+                prefixes = ("text_model.",)
+            else:
+                prefixes = ()
             params, missing, unused = loader.convert_torch_state_dict(
                 sd, shapes, strip_prefixes=prefixes)
             if missing:
@@ -709,19 +714,6 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             self.configs[k] = v
         self.components = {n: None for n in self.configs}
 
-    def _module(self, name: str):
-        if name == "transformer":
-            from qdm_tpu.models.mmdit import MMDiT
-
-            return MMDiT(config=self.configs["transformer"], dtype=self.dtype,
-                         plan=self.plans["transformer"])
-        if name.startswith("text_encoder"):
-            # SD3 pools the *projected* embedding of BOTH CLIP encoders
-            return clip_text.CLIPTextModel(
-                config=self.configs[name], dtype=self.dtype,
-                plan=self.plans["text_encoder"], with_projection=True)
-        return super()._module(name)
-
     def _init_args(self, name: str):
         if name == "transformer":
             cfg = self.configs["transformer"]
@@ -730,6 +722,8 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
                     jnp.zeros((1,), jnp.float32),
                     jnp.zeros((1, 16, cfg.joint_attention_dim)),
                     jnp.zeros((1, cfg.pooled_projection_dim)))
+        if name == "text_encoder_3":
+            return (jnp.zeros((1, 16), jnp.int32),)
         return super()._init_args(name)
 
     def _build_configs_from_dir(self, path: str):
@@ -757,7 +751,41 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             "vae": loader.vae_config_from_diffusers(
                 loader.load_json(os.path.join(path, "vae", "config.json"))),
         }
+        te3 = os.path.join(path, "text_encoder_3", "config.json")
+        if os.path.exists(te3):
+            from qdm_tpu.models import t5 as t5_lib
+
+            t5cfg = loader.load_json(te3)
+            self.configs["text_encoder_3"] = t5_lib.T5Config(
+                vocab_size=t5cfg.get("vocab_size", 32128),
+                d_model=t5cfg.get("d_model", 4096),
+                d_kv=t5cfg.get("d_kv", 64),
+                d_ff=t5cfg.get("d_ff", 10240),
+                num_layers=t5cfg.get("num_layers", 24),
+                num_heads=t5cfg.get("num_heads", 64),
+            )
         self.components = {n: None for n in self.configs}
+
+    def _module(self, name: str):
+        if name == "text_encoder_3":
+            from qdm_tpu.models.t5 import T5Encoder
+
+            return T5Encoder(config=self.configs[name], dtype=self.dtype,
+                             plan=self.plans["text_encoder"])
+        return StableDiffusion3_5._module_base(self, name)
+
+    def _module_base(self, name: str):
+        # (separated so text_encoder_3 dispatch stays override-safe)
+        if name == "transformer":
+            from qdm_tpu.models.mmdit import MMDiT
+
+            return MMDiT(config=self.configs["transformer"], dtype=self.dtype,
+                         plan=self.plans["transformer"])
+        if name.startswith("text_encoder"):
+            return clip_text.CLIPTextModel(
+                config=self.configs[name], dtype=self.dtype,
+                plan=self.plans["text_encoder"], with_projection=True)
+        return BaseDiffusionPipeline._module(self, name)
 
     def _restore_configs(self, cfgs: dict):
         from qdm_tpu.models import mmdit as mmdit_lib
@@ -769,6 +797,10 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
                                         for k, v in cfgs["vae"].items()}),
         }
+        if "text_encoder_3" in cfgs:
+            from qdm_tpu.models.t5 import T5Config
+
+            self.configs["text_encoder_3"] = T5Config(**cfgs["text_encoder_3"])
 
     def default_sample_size(self) -> int:
         return self.configs["transformer"].sample_size
@@ -785,6 +817,12 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         clip_ctx = jnp.concatenate([pen1, pen2], axis=-1)
         pad = cfg.joint_attention_dim - clip_ctx.shape[-1]
         ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        if "text_encoder_3" in self.components and \
+                self.components["text_encoder_3"] is not None:
+            # append T5 sequence to the joint context (SD3 protocol)
+            t5 = self.components["text_encoder_3"]
+            t5_out = t5.apply({"params": self.params["text_encoder_3"]}, ids)
+            ctx = jnp.concatenate([ctx, t5_out.astype(ctx.dtype)], axis=1)
         pooled = jnp.concatenate([pooled1, pooled2], axis=-1)
 
         neg = negatives if negatives is not None else [""] * len(prompts)
@@ -793,6 +831,11 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         _, upen2, upooled2 = te2.apply({"params": self.params["text_encoder_2"]}, uids)
         uctx = jnp.pad(jnp.concatenate([upen1, upen2], axis=-1),
                        ((0, 0), (0, 0), (0, pad)))
+        if "text_encoder_3" in self.components and \
+                self.components["text_encoder_3"] is not None:
+            t5 = self.components["text_encoder_3"]
+            ut5 = t5.apply({"params": self.params["text_encoder_3"]}, uids)
+            uctx = jnp.concatenate([uctx, ut5.astype(uctx.dtype)], axis=1)
         upooled = jnp.concatenate([upooled1, upooled2], axis=-1)
         added = {"pooled": jnp.concatenate([upooled, pooled], axis=0)}
         return ctx, uctx, added

@@ -152,3 +152,23 @@ def test_real_w8a8_static_conv_pipeline():
     img = _gen(p)
     assert np.isfinite(img).all()
     assert np.abs(img - base).mean() < 0.25
+
+
+def test_sd35_with_t5_generate():
+    """SD3.5 with a tiny T5 third encoder appended to the joint context."""
+    import dataclasses
+    from qdm_tpu.api import StableDiffusion3_5
+    from qdm_tpu.models.t5 import tiny_t5_config
+
+    p = StableDiffusion3_5.from_config(tiny=True, dtype=jnp.float32)
+    t5cfg = dataclasses.replace(tiny_t5_config(), d_model=80)  # == joint dim
+    p.configs["text_encoder_3"] = t5cfg
+    p.components["text_encoder_3"] = None
+    # init params for the new component
+    m = p._module("text_encoder_3")
+    import jax
+    params = m.init(jax.random.PRNGKey(9), *p._init_args("text_encoder_3"))["params"]
+    p.params["text_encoder_3"] = params
+    p.components["text_encoder_3"] = m
+    img = p.generate("a cube", num_inference_steps=2, seed=0)
+    assert np.isfinite(img).all()
