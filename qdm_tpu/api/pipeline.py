@@ -289,6 +289,12 @@ class BaseDiffusionPipeline:
         # conv layers are distinguished by module name ('conv' substring
         # covers conv_in/conv1/conv2/conv_shortcut/conv_out/downsamplers/
         # upsamplers convs and proj_in/out convs are 1x1 -> treated dense-like)
+        if cfg.quantize_act and cfg.a_bit < 16 and cfg.version == "fake_act":
+            # q/k/v outputs feed the attention bmm: the reference fake-
+            # quantizes them (quantize_bmm_input, quantizer_SQ.py:463)
+            qkv_spec = dataclasses.replace(dense_spec, quantize_output=True)
+            for pat in ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj"):
+                rules.append((pat, qkv_spec))
         plan = QuantPlan(default=dense_spec, rules=tuple(rules))
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)

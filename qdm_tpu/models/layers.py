@@ -157,6 +157,9 @@ class QDense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros_init(),
                               (self.features,), self.param_dtype)
             y = y + bias.astype(y.dtype)
+        if spec.quantize_output and spec.a_bits < 16:
+            # WxAxLinear output_quant (fake_quant.py:222-225)
+            y = _act_fake_quant_dense(y, spec)
         return y.reshape(*batch_shape, self.features).astype(self.dtype)
 
 

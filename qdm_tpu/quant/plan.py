@@ -39,9 +39,13 @@ class LayerQuantSpec:
     group_size: int = 128
     zero_point: bool = False
     weight_quant: str = "group"      # group | per_channel | per_tensor
-    act_quant: str = "per_token"     # per_token | per_tensor | per_channel | per_group
+    act_quant: str = "per_token"     # per_token | per_tensor | per_channel | per_group | static
     act_group_size: int = 1
     quantize_act: bool = False
+    # fake-quantize the layer OUTPUT too — the reference enables this
+    # for q/k/v projections feeding the attention bmm
+    # (quantize_bmm_input, quantizer_SQ.py:463/487)
+    quantize_output: bool = False
 
     @property
     def is_real(self) -> bool:
