@@ -293,6 +293,78 @@ class CausalLM:
                        **dataclasses.asdict(self.config)}, f, indent=2)
 
     @classmethod
+    def from_quantized_autoawq(cls, path: str, dtype=jnp.bfloat16):
+        """Load an AutoAWQ-quantized checkpoint (the reference
+        ecosystem's on-disk format: per-linear qweight/qzeros/scales in
+        AWQ column-packed order, models/base.py:1338-1526) and convert
+        to this framework's packed W4A16 layout."""
+        from qdm_tpu.api import loader
+        from qdm_tpu.quant.packing import awq_to_canonical, unpack_awq_layout, \
+            reverse_awq_order
+        from qdm_tpu.ops.quant_matmul import pack_linear_int4
+
+        self = cls()
+        self.dtype = dtype
+        hf = loader.load_json(os.path.join(path, "config.json"))
+        qc = hf.get("quantization_config") or {}
+        self.quant_config = QuantConfig.from_transformers_dict(qc)
+        self.quant_config.version = "real"
+        gs = self.quant_config.q_group_size
+        fields = {f.name for f in dataclasses.fields(llama_lib.LlamaConfig)}
+        self.config = llama_lib.LlamaConfig(
+            **{k: v for k, v in hf.items() if k in fields})
+        self.plan = self._make_plan(self.quant_config)
+
+        sd = loader.load_safetensors_dir(path)
+        shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8), jnp.int32)))["params"]
+
+        # convert qweight/qzeros/scales triples to canonical packing
+        converted: Dict[str, np.ndarray] = {}
+        for key in list(sd):
+            if key.endswith(".qweight"):
+                base = key[: -len(".qweight")]
+                qw = jnp.asarray(np.ascontiguousarray(sd[key]))
+                qz = jnp.asarray(np.ascontiguousarray(sd[base + ".qzeros"]))
+                sc = jnp.asarray(np.ascontiguousarray(sd[base + ".scales"]))
+                iw, iz = unpack_awq_layout(qw, qz, 4)
+                iw, iz = reverse_awq_order(iw, iz, 4)
+                pq, ps, pz = pack_linear_int4(iw, sc.astype(jnp.float32),
+                                              iz.astype(jnp.float32), gs)
+                converted[base + ".qweight_rows"] = np.asarray(pq)
+                converted[base + ".scales_rows"] = np.asarray(ps)
+                converted[base + ".zeros_rows"] = np.asarray(pz)
+        # regular (fp) leaves load through the normal converter
+        fp_sd = {k: v for k, v in sd.items()
+                 if not any(k.endswith(s) for s in
+                            (".qweight", ".qzeros", ".scales"))}
+        params, missing, _ = loader.convert_torch_state_dict(
+            fp_sd, shapes, strip_prefixes=("model.",))
+        # insert packed leaves at their tree positions
+        from qdm_tpu.api.loader import _merge_segments, _locate
+
+        for key, val in converted.items():
+            stem, leaf = key.rsplit(".", 1)
+            k2 = stem
+            if k2.startswith("model."):
+                k2 = k2[len("model."):]
+            loc = _locate(shapes, _merge_segments(k2))
+            if loc is None:
+                continue
+            path_t, leaf_dict = loc
+            name = {"qweight_rows": "qweight", "scales_rows": "scales",
+                    "zeros_rows": "zeros"}[leaf]
+            sub = params
+            for p in path_t:
+                sub = sub[p]
+            sub[name] = jnp.asarray(val)
+
+        self.params = params
+        self.is_quantized = True
+        return self
+
+    @classmethod
     def from_quantized(cls, save_dir: str, dtype=jnp.bfloat16):
         from qdm_tpu.utils.serialization import load_params
 
