@@ -157,6 +157,30 @@ class CrossAttention(nn.Module):
         return QDense(self.query_dim, dtype=self.dtype, plan=self.plan, name="to_out_0")(out)
 
 
+class _W8A8GEGLUProj(nn.Module):
+    """Fused int8 GEGLU projection (param layout identical to the
+    QDense w8a8 layer it replaces, so pack_params output loads as-is)."""
+
+    features: int          # 2 * inner_dim
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x2):
+        from qdm_tpu.ops import quant_matmul as qmm
+
+        in_features = x2.shape[-1]
+        w_i8 = self.param("qweight", nn.initializers.zeros_init(),
+                          (qmm._round_up(in_features, 32),
+                           qmm._round_up(self.features, qmm.LANE)), jnp.int8)
+        w_scale = self.param("scales", nn.initializers.ones_init(),
+                             (1, w_i8.shape[1]), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        bias_p = jnp.zeros((1, w_i8.shape[1]), jnp.float32).at[0, :self.features].set(bias)
+        return qmm.w8a8_geglu_fused(x2.astype(self.dtype), w_i8, w_scale,
+                                    bias_p, out_dtype=self.dtype)
+
+
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: Dtype = jnp.bfloat16
@@ -164,6 +188,18 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from qdm_tpu.ops.quant_matmul import on_tpu, _round_up, LANE
+
+        spec = self.plan.spec_for("/".join(str(p) for p in self.path) + "/proj")
+        fusable = (spec.mode == "w8a8" and on_tpu()
+                   and self.inner_dim % LANE == 0
+                   and _round_up(self.inner_dim * 2, LANE) == self.inner_dim * 2)
+        if fusable:
+            # single fused kernel: both halves + gelu gating in-kernel,
+            # no (M, 2*inner) HBM round trip
+            return _W8A8GEGLUProj(self.inner_dim * 2, dtype=self.dtype,
+                                  name="proj")(x.reshape(-1, x.shape[-1])
+                                               ).reshape(*x.shape[:-1], self.inner_dim)
         h = QDense(self.inner_dim * 2, dtype=self.dtype, plan=self.plan, name="proj")(x)
         hidden, gate = jnp.split(h, 2, axis=-1)
         return hidden * nn.gelu(gate, approximate=False)

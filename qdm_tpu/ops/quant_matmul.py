@@ -240,6 +240,91 @@ def w4a16_matmul(x, qweight, scales, zeros, group_size: int = 128, **kw):
     return w4a16_matmul_ref(x, qweight, scales, zeros, group_size)
 
 
+def _w8a8_geglu_kernel(x_ref, wh_ref, wg_ref, wsh_ref, wsg_ref, bh_ref,
+                       bg_ref, o_ref, xi_ref, xs_ref):
+    """Fused GEGLU: out = (x@Wh + bh) * gelu(x@Wg + bg), both matmuls
+    int8, activations quantized once into VMEM scratch.  Avoids
+    materializing the (M, 2*inner) projection in HBM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                          1e-5, None)
+        xi_ref[:] = jnp.round(xf * (127.0 / absmax)).astype(jnp.int8)
+        xs_ref[:] = absmax / 127.0
+
+    def dot(w_ref, ws_ref, b_ref):
+        acc = jax.lax.dot_general(
+            xi_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (xs_ref[:] * ws_ref[:]) + b_ref[:]
+
+    h = dot(wh_ref, wsh_ref, bh_ref)
+    g = dot(wg_ref, wsg_ref, bg_ref)
+    o_ref[:] = (h * jax.nn.gelu(g, approximate=False)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
+def w8a8_geglu_fused(x, w_i8, w_scale, bias, block_m: int = 256,
+                     block_n: int = 256, out_dtype=None,
+                     interpret: bool = False):
+    """x (M, K) through an int8 GEGLU projection (K, 2*inner') ->
+    (M, inner').  Column layout: [hidden | gate] halves."""
+    m, k = x.shape
+    kp, n2 = w_i8.shape
+    half = n2 // 2
+    assert k <= kp
+    out_dtype = out_dtype or x.dtype
+    if kp > 2560:
+        block_m = min(block_m, 256)
+        block_n = min(block_n, 256)
+    block_n = _pick_block(half, block_n)
+    bm = min(block_m, _round_up(m, 16))
+    mp = _round_up(m, bm)
+    xp = x
+    if mp != m or kp != k:
+        xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    nb = half // block_n
+
+    out = pl.pallas_call(
+        _w8a8_geglu_kernel,
+        grid=(mp // bm, nb),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j: (i, 0)),
+            pl.BlockSpec((kp, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((kp, block_n), lambda i, j, _nb=nb: (0, j + _nb)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, _nb=nb: (0, j + _nb)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, _nb=nb: (0, j + _nb)),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, half), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, kp), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, w_i8, w_i8, w_scale, w_scale, bias, bias)
+    return out[:m]
+
+
+def w8a8_geglu_ref(x, w_i8, w_scale, bias, out_dtype=None):
+    xi, xs = quantize_act_per_token_int(x, 8)
+    k = x.shape[-1]
+    acc = jax.lax.dot_general(xi.astype(jnp.int32), w_i8[:k].astype(jnp.int32),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * w_scale + bias
+    h, g = jnp.split(y, 2, axis=-1)
+    return (h * jax.nn.gelu(g, approximate=False)).astype(out_dtype or x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # W4A8: int4 storage, int8 MXU compute (QQQ-style)
 # ---------------------------------------------------------------------------

@@ -93,3 +93,20 @@ def test_w4a8_kernel_vs_ref(zero_point):
     want = np.asarray(x) @ w.T
     rel = np.abs(ref - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 0.15, rel
+
+
+def test_w8a8_geglu_fused_vs_ref():
+    from qdm_tpu.ops.quant_matmul import (w8a8_geglu_fused, w8a8_geglu_ref,
+                                          pack_linear_int8)
+
+    m, k, inner = 40, 128, 128
+    w = (RNG.standard_normal((k, 2 * inner)) * 0.05).astype(np.float32)
+    wc = np.clip(np.round(w / (np.abs(w).max(0, keepdims=True) / 127)),
+                 -128, 127).astype(np.int8)
+    w_i8, ws = pack_linear_int8(jnp.asarray(wc), jnp.asarray(np.abs(w).max(0) / 127))
+    bias = jnp.asarray(RNG.standard_normal((1, w_i8.shape[1])) * 0.1, jnp.float32)
+    x = jnp.asarray(RNG.standard_normal((m, k)), jnp.float32)
+    got = np.asarray(w8a8_geglu_fused(x, w_i8, ws, bias, out_dtype=jnp.float32,
+                                      interpret=True))
+    ref = np.asarray(w8a8_geglu_ref(x, w_i8, ws, bias, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref[:, :inner], rtol=2e-5, atol=2e-5)
