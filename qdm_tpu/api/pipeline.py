@@ -434,14 +434,22 @@ class BaseDiffusionPipeline:
     def generate(self, prompt, negative_prompt=None, num_inference_steps: int = 50,
                  guidance_scale: float = 7.5, seed: int = 0,
                  height: Optional[int] = None, width: Optional[int] = None,
-                 latents: Optional[jnp.ndarray] = None, decode: bool = True):
+                 latents: Optional[jnp.ndarray] = None, decode: bool = True,
+                 num_images_per_prompt: int = 1, output_type: str = "np"):
         """Text -> images (reference base.py:828-850; unlike the
-        reference, steps/size/guidance args are honored)."""
+        reference, steps/size/guidance args are honored).
+
+        output_type: 'np' (N,H,W,3 float [0,1]), 'latent', or 'pil'."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         negatives = None
         if negative_prompt is not None:
             negatives = [negative_prompt] if isinstance(negative_prompt, str) \
                 else list(negative_prompt)
+        if num_images_per_prompt > 1:
+            prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
+            if negatives is not None:
+                negatives = [n for n in negatives
+                             for _ in range(num_images_per_prompt)]
         ctx, uctx, added = self._encode_prompts(prompts, negatives)
         h = (height or self.default_sample_size() * 8) // 8
         w = (width or self.default_sample_size() * 8) // 8
@@ -451,9 +459,27 @@ class BaseDiffusionPipeline:
                 (len(prompts), h, w, self.latent_channels()), jnp.float32)
         lat = self.denoise(latents, ctx, uctx, added, num_inference_steps,
                            guidance_scale)
-        if not decode or "vae" not in self.components:
+        if output_type == "latent" or not decode or "vae" not in self.components:
             return lat
-        return self.decode_latents(lat)
+        images = self.decode_latents(lat)
+        if output_type == "pil":
+            from PIL import Image
+
+            return [Image.fromarray((np.asarray(im) * 255).astype(np.uint8))
+                    for im in images]
+        return images
+
+    @staticmethod
+    def save_images(images, prefix: str = "out"):
+        """Write (N, H, W, 3) float images as PNGs."""
+        from PIL import Image
+
+        paths = []
+        for i, im in enumerate(np.asarray(images)):
+            p = f"{prefix}_{i:03d}.png"
+            Image.fromarray((im * 255).astype(np.uint8)).save(p)
+            paths.append(p)
+        return paths
 
     def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float):
         tables = schedulers.make_ddim(self.scheduler_config, steps)
