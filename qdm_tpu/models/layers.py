@@ -71,7 +71,9 @@ class QDense(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        """residual, if given, is added to the output (same shape as the
+        output) — fused into the packed kernels' epilogue on TPU."""
         spec = self.plan.spec_for(_path_str(self))
         in_features = x.shape[-1]
 
@@ -85,6 +87,7 @@ class QDense(nn.Module):
 
         batch_shape = x.shape[:-1]
         x2 = x.reshape(-1, in_features)
+        res2 = residual.reshape(-1, self.features) if residual is not None else None
 
         if self.plan.capture_inputs:
             rows = min(self.plan.capture_rows, x2.shape[0])
@@ -139,12 +142,20 @@ class QDense(nn.Module):
             w_scale = self.param("scales", nn.initializers.ones_init(),
                                  (1, w_i8.shape[1]), jnp.float32)
             if qmm.on_tpu():
-                # act quantization fused into the kernel (no HBM pass)
-                y = qmm.w8a8_matmul_fused(x2.astype(self.dtype), w_i8, w_scale,
-                                          out_dtype=self.dtype)
-            else:
-                x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
-                y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
+                # act quantization + bias + residual fused into the kernel
+                bias_p = jnp.zeros((1, w_i8.shape[1]), jnp.float32)
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros_init(),
+                                      (self.features,), self.param_dtype)
+                    bias_p = bias_p.at[0, : self.features].set(
+                        bias.astype(jnp.float32))
+                y = qmm.w8a8_matmul_fused_epi(
+                    x2.astype(self.dtype), w_i8, w_scale, bias_p,
+                    residual=res2, out_dtype=self.dtype)
+                y = y[:, : self.features]
+                return y.reshape(*batch_shape, self.features).astype(self.dtype)
+            x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
+            y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
             y = y[:, : self.features]
         else:
             kernel = self.param("kernel", self.kernel_init,
@@ -160,6 +171,8 @@ class QDense(nn.Module):
         if spec.quantize_output and spec.a_bits < 16:
             # WxAxLinear output_quant (fake_quant.py:222-225)
             y = _act_fake_quant_dense(y, spec)
+        if res2 is not None:
+            y = y + res2.astype(y.dtype)
         return y.reshape(*batch_shape, self.features).astype(self.dtype)
 
 

@@ -130,7 +130,7 @@ class CrossAttention(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, residual=None):
         is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
@@ -154,7 +154,8 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, -1, self.heads, self.dim_head)
         out = dot_product_attention(q, k, v)
         out = out.reshape(b, sq, inner)
-        return QDense(self.query_dim, dtype=self.dtype, plan=self.plan, name="to_out_0")(out)
+        return QDense(self.query_dim, dtype=self.dtype, plan=self.plan,
+                      name="to_out_0")(out, residual=residual)
 
 
 class _W8A8GEGLUProj(nn.Module):
@@ -212,9 +213,10 @@ class FeedForward(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         h = GEGLU(self.dim * self.mult, dtype=self.dtype, plan=self.plan, name="net_0")(x)
-        return QDense(self.dim, dtype=self.dtype, plan=self.plan, name="net_2")(h)
+        return QDense(self.dim, dtype=self.dtype, plan=self.plan,
+                      name="net_2")(h, residual=residual)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -230,15 +232,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        # residual adds ride the projection kernels' epilogues
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               dtype=self.dtype, plan=self.plan, name="attn1")(h)
+        x = CrossAttention(self.dim, self.heads, self.dim_head,
+                           dtype=self.dtype, plan=self.plan, name="attn1")(
+            h, residual=x)
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               context_dim=self.context_dim, dtype=self.dtype,
-                               plan=self.plan, name="attn2")(h, context)
+        x = CrossAttention(self.dim, self.heads, self.dim_head,
+                           context_dim=self.context_dim, dtype=self.dtype,
+                           plan=self.plan, name="attn2")(h, context, residual=x)
         h = LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, plan=self.plan, name="ff")(h)
+        x = FeedForward(self.dim, dtype=self.dtype, plan=self.plan,
+                        name="ff")(h, residual=x)
         return x
 
 

@@ -524,6 +524,84 @@ def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref, xi_ref, xs_ref):
                 ).astype(o_ref.dtype)
 
 
+def _w8a8_fused_epi_kernel(x_ref, w_ref, ws_ref, b_ref, r_ref, o_ref,
+                           xi_ref, xs_ref, *, has_residual: bool):
+    """W8A8 with fused epilogue: out = acc*scales + bias (+ residual) —
+    removes the separate bias / residual-add HBM passes."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                          1e-5, None)
+        xi_ref[:] = jnp.round(xf * (127.0 / absmax)).astype(jnp.int8)
+        xs_ref[:] = absmax / 127.0
+
+    acc = jax.lax.dot_general(
+        xi_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (xs_ref[:] * ws_ref[:]) + b_ref[:]
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
+def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
+                          block_m: int = 512, block_n: int = 512,
+                          out_dtype=None, interpret: bool = False):
+    """w8a8_matmul_fused + bias (+ residual) epilogue.  bias (1, N')
+    f32; residual (M, N_logical<=N') or None."""
+    m, k = x.shape
+    kp, n = w_i8.shape
+    assert k <= kp
+    out_dtype = out_dtype or x.dtype
+    if kp > 2560:
+        block_m = min(block_m, 256)
+        block_n = min(block_n, 256)
+    block_n = _pick_block(n, block_n)
+    bm = min(block_m, _round_up(m, 16))
+    mp = _round_up(m, bm)
+    xp = x
+    if mp != m or kp != k:
+        xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    has_residual = residual is not None
+    if has_residual:
+        rp = residual
+        if rp.shape != (mp, n):
+            rp = jnp.pad(residual, ((0, mp - residual.shape[0]),
+                                    (0, n - residual.shape[1])))
+    else:
+        rp = jnp.zeros((1, n), out_dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_fused_epi_kernel, has_residual=has_residual),
+        grid=(mp // bm, n // block_n),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j: (i, 0)),
+            pl.BlockSpec((kp, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            (pl.BlockSpec((bm, block_n), lambda i, j: (i, j)) if has_residual
+             else pl.BlockSpec((1, block_n), lambda i, j: (0, j))),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, kp), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, w_i8, w_scale, bias, rp)
+    return out[:m]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_m", "block_n", "out_dtype", "interpret"))

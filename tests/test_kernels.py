@@ -110,3 +110,24 @@ def test_w8a8_geglu_fused_vs_ref():
                                       interpret=True))
     ref = np.asarray(w8a8_geglu_ref(x, w_i8, ws, bias, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, ref[:, :inner], rtol=2e-5, atol=2e-5)
+
+
+def test_w8a8_fused_epi_residual():
+    from qdm_tpu.ops.quant_matmul import (w8a8_matmul_fused_epi, w8a8_matmul_ref,
+                                          quantize_act_per_token_int,
+                                          pack_linear_int8)
+
+    m, k, n = 24, 128, 128
+    w = (RNG.standard_normal((k, n)) * 0.05).astype(np.float32)
+    wc = np.clip(np.round(w / (np.abs(w).max(0, keepdims=True) / 127)),
+                 -128, 127).astype(np.int8)
+    w_i8, ws = pack_linear_int8(jnp.asarray(wc), jnp.asarray(np.abs(w).max(0) / 127))
+    bias = jnp.asarray(RNG.standard_normal((1, n)) * 0.1, jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((m, n)), jnp.float32)
+    x = jnp.asarray(RNG.standard_normal((m, k)), jnp.float32)
+    got = np.asarray(w8a8_matmul_fused_epi(x, w_i8, ws, bias, residual=res,
+                                           out_dtype=jnp.float32, interpret=True))
+    xi, xs = quantize_act_per_token_int(x, 8)
+    want = np.asarray(w8a8_matmul_ref(xi, w_i8, xs, ws, out_dtype=jnp.float32)) \
+        + np.asarray(bias) + np.asarray(res)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
