@@ -151,8 +151,13 @@ class QDense(nn.Module):
                         bias.astype(jnp.float32))
                 y = qmm.w8a8_matmul_fused_epi(
                     x2.astype(self.dtype), w_i8, w_scale, bias_p,
-                    residual=res2, out_dtype=self.dtype)
+                    out_dtype=self.dtype)
                 y = y[:, : self.features]
+                if res2 is not None:
+                    # the add fuses into the kernel's output consumer in
+                    # XLA; feeding the residual through the kernel added
+                    # an input stream and measured slower
+                    y = y + res2.astype(y.dtype)
                 return y.reshape(*batch_shape, self.features).astype(self.dtype)
             x_i8, x_scale = qmm.quantize_act_per_token_int(x2, min(spec.a_bits, 8))
             y = qmm.w8a8_matmul(x_i8, w_i8, x_scale, w_scale, out_dtype=self.dtype)
