@@ -153,3 +153,29 @@ def test_quantize_dequantize_roundtrip(zero_point):
         assert iw.min() >= 0 and iw.max() <= 15
     else:
         assert iw.min() >= -8 and iw.max() <= 7
+
+
+def test_edge_cases():
+    """Odd shapes / tiny groups / boundary values."""
+    from qdm_tpu.quant import (quantize_weight_absmax, pseudo_quantize_tensor,
+                               resolve_group_size)
+
+    # 1-row, 1-group
+    w = jnp.array([[0.0, 0.0, 0.0, 0.0]])
+    out = np.asarray(quantize_weight_absmax(w, 8, 0))
+    assert np.isfinite(out).all() and (out == 0).all()
+
+    # constant weights quantize to themselves
+    w = jnp.full((4, 32), 2.5)
+    out = np.asarray(quantize_weight_absmax(w, 8, 0))
+    np.testing.assert_allclose(out, 2.5, rtol=1e-2)
+
+    # group_size larger than row -> shrink path
+    assert resolve_group_size(64, 128) == 64
+
+    # 2-bit quantization: 4 levels
+    w = jnp.asarray(RNG.standard_normal((8, 64)), jnp.float32)
+    wq, s, z = pseudo_quantize_tensor(w, n_bits=2, group_size=32, zero_point=True)
+    per_group_vals = np.asarray(wq).reshape(-1, 32)
+    for row in per_group_vals[:4]:
+        assert len(np.unique(np.round(row, 6))) <= 4
