@@ -564,10 +564,6 @@ def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
     if kp > 2560:
         block_m = min(block_m, 256)
         block_n = min(block_n, 256)
-    elif kp <= 1280 and m >= 2048:
-        # large-M small-K layers: bigger m-blocks amortize the act
-        # quantization and grid overheads (x block bf16 <= 2.6MB)
-        block_m = max(block_m, 1024)
     block_n = _pick_block(n, block_n)
     bm = min(block_m, _round_up(m, 16))
     mp = _round_up(m, bm)
