@@ -118,7 +118,7 @@ def main():
     # serializes on a scalar reduction and negates the int8 conv win
     # (see BENCH_NOTES.md); static-scale int8 convs are round-2 work
     noq = LayerQuantSpec(mode="none")
-    plan = QuantPlan(default=w8_spec, fuse_qkv=True,
+    plan = QuantPlan(default=w8_spec, fuse_qkv=True, fuse_ln=True,
                      rules=(("conv", noq), ("time_emb", noq),
                             ("time_embedding", noq)))
     qparams = pack_params(params, plan)

@@ -43,6 +43,15 @@ def _path_str(module: nn.Module) -> str:
     return "/".join(str(p) for p in module.path)
 
 
+def _ln_apply(x, ln, eps: float = 1e-5):
+    """Explicit LayerNorm with given (scale, bias) — the reference math
+    for the fused-LN fallback paths."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * ln[0] + ln[1]).astype(x.dtype)
+
+
 def _act_fake_quant_dense(x, spec: LayerQuantSpec):
     if spec.act_quant == "per_tensor":
         return rtn.quantize_activation_per_tensor_absmax(x, spec.a_bits)
@@ -71,11 +80,15 @@ class QDense(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x, residual=None):
-        """residual, if given, is added to the output (same shape as the
-        output) — fused into the packed kernels' epilogue on TPU."""
+    def __call__(self, x, residual=None, ln=None):
+        """residual, if given, is added to the output; ln=(scale, bias),
+        if given, LayerNorms the input — both fold into the packed
+        kernels on TPU (BENCH_NOTES.md fusion playbook)."""
         spec = self.plan.spec_for(_path_str(self))
         in_features = x.shape[-1]
+        if ln is not None and not (spec.mode == "w8a8" and qmm.on_tpu()):
+            x = _ln_apply(x, ln)
+            ln = None
 
         if self.plan.capture_stats:
             # per-channel absmax of the input, max-reduced across calls
@@ -150,7 +163,7 @@ class QDense(nn.Module):
                     bias_p = bias_p.at[0, : self.features].set(
                         bias.astype(jnp.float32))
                 y = qmm.w8a8_matmul_fused_epi(
-                    x2.astype(self.dtype), w_i8, w_scale, bias_p,
+                    x2.astype(self.dtype), w_i8, w_scale, bias_p, ln=ln,
                     out_dtype=self.dtype)
                 y = y[:, : self.features]
                 if res2 is not None:
@@ -287,7 +300,10 @@ class GroupNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm with optional affine params, f32 statistics."""
+    """LayerNorm with optional affine params, f32 statistics.
+
+    return_params_only=True declares and returns (scale, bias) without
+    computing — used to fold the norm into a following packed kernel."""
 
     epsilon: float = 1e-5
     use_scale: bool = True
@@ -296,8 +312,14 @@ class LayerNorm(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params_only: bool = False):
         c = x.shape[-1]
+        if return_params_only:
+            assert self.use_scale and self.use_bias
+            return (self.param("scale", nn.initializers.ones_init(), (c,),
+                               self.param_dtype),
+                    self.param("bias", nn.initializers.zeros_init(), (c,),
+                               self.param_dtype))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)

@@ -130,24 +130,28 @@ class CrossAttention(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x, context=None, residual=None):
+    def __call__(self, x, context=None, residual=None, ln=None):
+        """ln, if given, LayerNorms the query-side input x (folded into
+        the q/kv projection kernels when they're packed int8)."""
         is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
         if self.plan.fuse_qkv and is_self:
             qkv = QDense(inner * 3, use_bias=False, dtype=self.dtype,
-                         plan=self.plan, name="to_qkv")(x)
+                         plan=self.plan, name="to_qkv")(x, ln=ln)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         elif self.plan.fuse_qkv:
             q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan,
-                       name="to_q")(x)
+                       name="to_q")(x, ln=ln)
             kv = QDense(inner * 2, use_bias=False, dtype=self.dtype,
                         plan=self.plan, name="to_kv")(context)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_q")(x)
-            k = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_k")(context)
-            v = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_v")(context)
+            q = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_q")(x, ln=ln)
+            k = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_k")(
+                context, ln=ln if is_self else None)
+            v = QDense(inner, use_bias=False, dtype=self.dtype, plan=self.plan, name="to_v")(
+                context, ln=ln if is_self else None)
         b, sq = q.shape[0], q.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, -1, self.heads, self.dim_head)
@@ -232,15 +236,29 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        # residual adds ride the projection kernels' epilogues
-        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = CrossAttention(self.dim, self.heads, self.dim_head,
-                           dtype=self.dtype, plan=self.plan, name="attn1")(
-            h, residual=x)
-        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = CrossAttention(self.dim, self.heads, self.dim_head,
-                           context_dim=self.context_dim, dtype=self.dtype,
-                           plan=self.plan, name="attn2")(h, context, residual=x)
+        # residual adds ride the projection kernels' epilogues; with
+        # plan.fuse_ln the norms fold into the packed qkv kernels too
+        if self.plan.fuse_ln:
+            ln1 = LayerNorm(dtype=self.dtype, name="norm1")(
+                x, return_params_only=True)
+            x = CrossAttention(self.dim, self.heads, self.dim_head,
+                               dtype=self.dtype, plan=self.plan, name="attn1")(
+                x, residual=x, ln=ln1)
+            ln2 = LayerNorm(dtype=self.dtype, name="norm2")(
+                x, return_params_only=True)
+            x = CrossAttention(self.dim, self.heads, self.dim_head,
+                               context_dim=self.context_dim, dtype=self.dtype,
+                               plan=self.plan, name="attn2")(
+                x, context, residual=x, ln=ln2)
+        else:
+            h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = CrossAttention(self.dim, self.heads, self.dim_head,
+                               dtype=self.dtype, plan=self.plan, name="attn1")(
+                h, residual=x)
+            h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = CrossAttention(self.dim, self.heads, self.dim_head,
+                               context_dim=self.context_dim, dtype=self.dtype,
+                               plan=self.plan, name="attn2")(h, context, residual=x)
         h = LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = FeedForward(self.dim, dtype=self.dtype, plan=self.plan,
                         name="ff")(h, residual=x)

@@ -524,15 +524,22 @@ def _w8a8_fused_kernel(x_ref, w_ref, ws_ref, o_ref, xi_ref, xs_ref):
                 ).astype(o_ref.dtype)
 
 
-def _w8a8_fused_epi_kernel(x_ref, w_ref, ws_ref, b_ref, r_ref, o_ref,
-                           xi_ref, xs_ref, *, has_residual: bool):
-    """W8A8 with fused epilogue: out = acc*scales + bias (+ residual) —
-    removes the separate bias / residual-add HBM passes."""
+def _w8a8_fused_epi_kernel(x_ref, w_ref, ws_ref, b_ref, r_ref, ln_s_ref,
+                           ln_b_ref, o_ref, xi_ref, xs_ref, *,
+                           has_residual: bool, has_ln: bool, ln_eps: float):
+    """W8A8 with fused prologue/epilogue: optional LayerNorm folded into
+    the quantization pass (saves the separate LN HBM round trip), then
+    out = acc*scales + bias (+ residual)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
+        if has_ln:
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=1, keepdims=True)
+            xf = xc * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[:] + ln_b_ref[:]
         absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
                           1e-5, None)
         xi_ref[:] = jnp.round(xf * (127.0 / absmax)).astype(jnp.int8)
@@ -551,16 +558,27 @@ def _w8a8_fused_epi_kernel(x_ref, w_ref, ws_ref, b_ref, r_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
-def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
+    static_argnames=("block_m", "block_n", "out_dtype", "ln_eps", "interpret"))
+def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None, ln=None,
                           block_m: int = 512, block_n: int = 512,
-                          out_dtype=None, interpret: bool = False):
-    """w8a8_matmul_fused + bias (+ residual) epilogue.  bias (1, N')
-    f32; residual (M, N_logical<=N') or None."""
+                          out_dtype=None, ln_eps: float = 1e-5,
+                          interpret: bool = False):
+    """w8a8_matmul_fused + bias (+ residual) epilogue, optional fused
+    LayerNorm prologue.  bias (1, N') f32; residual (M, N_logical<=N')
+    or None; ln = (scale (K,), bias (K,)) applied to x before
+    quantization (requires un-padded K)."""
     m, k = x.shape
     kp, n = w_i8.shape
     assert k <= kp
     out_dtype = out_dtype or x.dtype
+    has_ln = ln is not None
+    if has_ln and kp != k:
+        # padded K would corrupt the in-kernel mean/var; normalize outside
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps) * ln[0] + ln[1]).astype(x.dtype)
+        has_ln = False
     if kp > 2560:
         block_m = min(block_m, 256)
         block_n = min(block_n, 256)
@@ -578,9 +596,16 @@ def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
                                     (0, n - residual.shape[1])))
     else:
         rp = jnp.zeros((1, n), out_dtype)
+    if has_ln:
+        ln_s = ln[0].reshape(1, kp).astype(jnp.float32)
+        ln_b = ln[1].reshape(1, kp).astype(jnp.float32)
+    else:
+        ln_s = jnp.ones((1, kp), jnp.float32)
+        ln_b = jnp.zeros((1, kp), jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_w8a8_fused_epi_kernel, has_residual=has_residual),
+        functools.partial(_w8a8_fused_epi_kernel, has_residual=has_residual,
+                          has_ln=has_ln, ln_eps=ln_eps),
         grid=(mp // bm, n // block_n),
         in_specs=[
             pl.BlockSpec((bm, kp), lambda i, j: (i, 0)),
@@ -589,6 +614,8 @@ def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
             (pl.BlockSpec((bm, block_n), lambda i, j: (i, j)) if has_residual
              else pl.BlockSpec((1, block_n), lambda i, j: (0, j))),
+            pl.BlockSpec((1, kp), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, kp), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
@@ -598,7 +625,7 @@ def w8a8_matmul_fused_epi(x, w_i8, w_scale, bias, residual=None,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, w_i8, w_scale, bias, rp)
+    )(xp, w_i8, w_scale, bias, rp, ln_s, ln_b)
     return out[:m]
 
 

@@ -67,6 +67,7 @@ class QuantPlan:
     capture_inputs: bool = False   # sow sampled input rows ('calib_x' col, AWQ)
     capture_rows: int = 64
     fuse_qkv: bool = False         # fused q/k/v projections (fused_utils.py:45-142)
+    fuse_ln: bool = False          # fold LayerNorms into the following packed matmul
 
     def spec_for(self, path: str) -> LayerQuantSpec:
         spec = self.default

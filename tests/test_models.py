@@ -16,6 +16,7 @@ from qdm_tpu.quant.apply import (
 from qdm_tpu.calib.stats import flatten_calib
 
 KEY = jax.random.PRNGKey(0)
+RNG = np.random.default_rng(11)
 
 
 @pytest.fixture(scope="module")
@@ -221,3 +222,41 @@ def test_w8a8_conv_matches_fp_approx():
     q = np.asarray(qconv.apply({"params": packed}, x))
     rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
     assert rel < 0.1, rel
+
+
+def test_fuse_ln_equivalence(tiny_unet):
+    """plan.fuse_ln must not change outputs (LN folded into kernels on
+    TPU, applied explicitly on CPU)."""
+    import dataclasses
+
+    m, params, (x, t, ctx) = tiny_unet
+    base = np.asarray(m.apply({"params": params}, x, t, ctx))
+    mf = dataclasses.replace(m, plan=QuantPlan(fuse_ln=True))
+    out = np.asarray(mf.apply({"params": params}, x, t, ctx))
+    np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-5)
+
+
+def test_w8a8_ln_fused_kernel():
+    from qdm_tpu.ops.quant_matmul import (w8a8_matmul_fused_epi,
+                                          quantize_act_per_token_int,
+                                          w8a8_matmul_ref, pack_linear_int8)
+
+    m, k, n = 24, 128, 128
+    w = (RNG.standard_normal((k, n)) * 0.05).astype(np.float32)
+    wc = np.clip(np.round(w / (np.abs(w).max(0, keepdims=True) / 127)),
+                 -128, 127).astype(np.int8)
+    w_i8, ws = pack_linear_int8(jnp.asarray(wc), jnp.asarray(np.abs(w).max(0) / 127))
+    bias = jnp.zeros((1, n), jnp.float32)
+    ln = (jnp.asarray(RNG.uniform(0.5, 2.0, k), jnp.float32),
+          jnp.asarray(RNG.standard_normal(k) * 0.1, jnp.float32))
+    x = jnp.asarray(RNG.standard_normal((m, k)), jnp.float32)
+    got = np.asarray(w8a8_matmul_fused_epi(x, w_i8, ws, bias, ln=ln,
+                                           out_dtype=jnp.float32, interpret=True))
+    # reference: explicit LN then int8 matmul
+    xf = np.asarray(x)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    xn = (xf - mu) / np.sqrt(var + 1e-5) * np.asarray(ln[0]) + np.asarray(ln[1])
+    xi, xs = quantize_act_per_token_int(jnp.asarray(xn, jnp.float32), 8)
+    want = np.asarray(w8a8_matmul_ref(xi, w_i8, xs, ws, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
