@@ -185,6 +185,40 @@ bool parse_header(const char* hdr, size_t len, std::vector<TensorInfo>* out) {
   return s.eat('}');
 }
 
+// Byte width of a safetensors dtype tag; 0 = unknown.
+uint64_t dtype_size(const std::string& d) {
+  if (d == "F64" || d == "I64" || d == "U64") return 8;
+  if (d == "F32" || d == "I32" || d == "U32") return 4;
+  if (d == "F16" || d == "BF16" || d == "I16" || d == "U16") return 2;
+  if (d == "I8" || d == "U8" || d == "BOOL" || d == "F8_E4M3" ||
+      d == "F8_E5M2")
+    return 1;
+  return 0;
+}
+
+// The header is untrusted input (checkpoints come from the hub / disk).
+// Reject any tensor whose offsets fall outside the data section or whose
+// byte length disagrees with shape x dtype, so st_tensor_data /
+// st_tensor_nbytes can never hand Python an out-of-bounds pointer.
+bool validate_tensors(const std::vector<TensorInfo>& tensors,
+                      uint64_t data_len) {
+  for (const auto& t : tensors) {
+    if (t.begin > t.end || t.end > data_len) return false;
+    uint64_t esize = dtype_size(t.dtype);
+    if (esize == 0) return false;
+    uint64_t count = 1;
+    for (int64_t d : t.shape) {
+      if (d < 0) return false;
+      uint64_t ud = static_cast<uint64_t>(d);
+      if (ud != 0 && count > UINT64_MAX / ud) return false;  // overflow
+      count *= ud;
+    }
+    if (count > UINT64_MAX / esize) return false;
+    if (t.end - t.begin != count * esize) return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -207,7 +241,9 @@ void* st_open(const char* path) {
   const uint8_t* base = static_cast<const uint8_t*>(map);
   uint64_t hdr_len;
   std::memcpy(&hdr_len, base, 8);  // little-endian header length
-  if (8 + hdr_len > len) {
+  // untrusted length: compare without the `8 + hdr_len` sum, which wraps
+  // for hdr_len near UINT64_MAX (len >= 8 is guaranteed above)
+  if (hdr_len > len - 8) {
     munmap(map, len);
     ::close(fd);
     return nullptr;
@@ -218,7 +254,8 @@ void* st_open(const char* path) {
   f->map_len = len;
   f->data = base + 8 + hdr_len;
   if (!parse_header(reinterpret_cast<const char*>(base + 8), hdr_len,
-                    &f->tensors)) {
+                    &f->tensors) ||
+      !validate_tensors(f->tensors, len - 8 - hdr_len)) {
     munmap(map, len);
     ::close(fd);
     delete f;

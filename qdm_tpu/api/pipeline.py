@@ -323,7 +323,10 @@ class BaseDiffusionPipeline:
             batch = prompts[i:i + bs]
             ctx, uctx, added = self._encode_prompts(batch, None)
             latents = jax.random.normal(
-                jax.random.PRNGKey(calib.seed),
+                # per-batch noise: fold the batch index into the seed so
+                # calibration sees diverse initial latents (the reference
+                # draws fresh noise per sample, calib_data.py:139-172)
+                jax.random.fold_in(jax.random.PRNGKey(calib.seed), i // bs),
                 (len(batch), h, w, self.latent_channels()), jnp.float32)
             step_fn = self._make_calib_step(capture_unet, tables, steps,
                                             cfg.calib.guidance_scale)

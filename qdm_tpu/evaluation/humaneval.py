@@ -24,13 +24,40 @@ from typing import Callable, Dict, Iterable, List, Sequence
 
 import numpy as np
 
+# Defense-in-depth for untrusted model-generated code: resource limits,
+# plus reliability_guard-style neutering of destructive interpreter
+# surface (humaneval_utils.py:367-464 semantics, re-designed): the
+# subprocess runs chdir'd into an empty scratch dir (see
+# check_correctness), cannot write large files (RLIMIT_FSIZE), cannot
+# spawn processes, and every destructive os/shutil entry point is
+# replaced before the candidate executes.  This is best-effort Python-
+# level containment — run the whole harness inside a container for
+# hostile inputs.
 _SANDBOX_PRELUDE = """
-import resource, sys, builtins, os
+import resource, sys, builtins, os, shutil, subprocess
 resource.setrlimit(resource.RLIMIT_AS, (2_000_000_000, 2_000_000_000))
 resource.setrlimit(resource.RLIMIT_CPU, (10, 10))
+resource.setrlimit(resource.RLIMIT_FSIZE, (1_000_000, 1_000_000))
 os.environ.clear()
 builtins.exit = None
 builtins.quit = None
+builtins.help = None
+for _name in ("kill", "killpg", "system", "popen", "fork", "forkpty",
+              "remove", "removedirs", "rmdir", "unlink", "rename",
+              "renames", "replace", "truncate", "chmod", "chown",
+              "chroot", "setuid", "setgid", "fchdir", "putenv"):
+    if hasattr(os, _name):
+        setattr(os, _name, None)
+for _name in ("rmtree", "move", "chown"):
+    setattr(shutil, _name, None)
+subprocess.Popen = None
+subprocess.run = None
+subprocess.call = None
+subprocess.check_call = None
+subprocess.check_output = None
+sys.modules["ipdb"] = None
+sys.modules["joblib"] = None
+sys.modules["psutil"] = None
 """
 
 
@@ -45,18 +72,21 @@ def check_correctness(problem: Dict, completion: str, timeout: float = 10.0,
         problem["test"],
         f"check({problem['entry_point']})",
     ])
-    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(program)
-        path = f.name
-    try:
-        proc = subprocess.run([sys.executable, path], capture_output=True,
-                              timeout=timeout)
-        passed = proc.returncode == 0
-        result = "passed" if passed else f"failed: {proc.stderr[-300:].decode(errors='replace')}"
-    except subprocess.TimeoutExpired:
-        passed, result = False, "timed out"
-    finally:
-        os.unlink(path)
+    # program file lives OUTSIDE the scratch cwd so the candidate can't
+    # read or clobber it; the subprocess sees only an empty directory
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "prog.py")
+        scratch = os.path.join(tmp, "scratch")
+        os.mkdir(scratch)
+        with open(path, "w") as f:
+            f.write(program)
+        try:
+            proc = subprocess.run([sys.executable, path], capture_output=True,
+                                  timeout=timeout, cwd=scratch)
+            passed = proc.returncode == 0
+            result = "passed" if passed else f"failed: {proc.stderr[-300:].decode(errors='replace')}"
+        except subprocess.TimeoutExpired:
+            passed, result = False, "timed out"
     return {"task_id": problem.get("task_id"), "passed": passed,
             "result": result, "completion_id": completion_id}
 

@@ -166,6 +166,10 @@ class QDense(nn.Module):
                     x2.astype(self.dtype), w_i8, w_scale, bias_p, ln=ln,
                     out_dtype=self.dtype)
                 y = y[:, : self.features]
+                if spec.quantize_output and spec.a_bits < 16:
+                    # keep the fused path's epilogue semantics identical
+                    # to the fallback path below (bias is already in y)
+                    y = _act_fake_quant_dense(y, spec)
                 if res2 is not None:
                     # the add fuses into the kernel's output consumer in
                     # XLA; feeding the residual through the kernel added

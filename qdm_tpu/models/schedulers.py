@@ -23,6 +23,9 @@ class SchedulerConfig:
     steps_offset: int = 1
     prediction_type: str = "epsilon"   # "epsilon" | "v_prediction"
     timestep_spacing: str = "leading"
+    # SD1.x/SDXL scheduler configs ship set_alpha_to_one=False: the final
+    # DDIM step uses alphas_cumprod[0] rather than 1.0 (diffusers parity)
+    set_alpha_to_one: bool = False
 
 
 SD15_SCHED = SchedulerConfig()
@@ -56,8 +59,9 @@ def make_ddim(cfg: SchedulerConfig, num_inference_steps: int) -> DDIMTables:
         ts = jnp.round(jnp.arange(cfg.num_train_timesteps, 0,
                                   -cfg.num_train_timesteps / num_inference_steps)
                        ).astype(jnp.int32) - 1
-    return DDIMTables(ts, alphas_cumprod, jnp.asarray(1.0, jnp.float32),
-                      cfg.prediction_type)
+    final_alpha = (jnp.asarray(1.0, jnp.float32) if cfg.set_alpha_to_one
+                   else alphas_cumprod[0])
+    return DDIMTables(ts, alphas_cumprod, final_alpha, cfg.prediction_type)
 
 
 def ddim_step(tables: DDIMTables, model_output, sample, step_index,
