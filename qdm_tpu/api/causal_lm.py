@@ -85,6 +85,32 @@ class CausalLM:
         self = cls()
         self.dtype = dtype
         hf = loader.load_json(os.path.join(path, "config.json"))
+        if hf.get("model_type") == "qwen":
+            # Qwen-1 (fused c_attn arch, reference models/qwen.py):
+            # remap to the canonical layout, halve the doubled ffn dim
+            self.config = llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"] // 2,
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hf["num_attention_heads"],
+                max_position_embeddings=hf.get("seq_length", 8192),
+                rope_theta=hf.get("rotary_emb_base", 10000.0),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-6),
+                attention_bias=True,
+            )
+            shapes = jax.eval_shape(
+                lambda: self.model.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 8), jnp.int32)))["params"]
+            sd = loader.qwen1_to_llama_state_dict(
+                loader.load_safetensors_dir(path))
+            params, missing, _ = loader.convert_torch_state_dict(
+                sd, shapes, strip_prefixes=("model.",))
+            if missing:
+                raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
+            self.params = params
+            return self
         self.config = llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -189,16 +215,31 @@ class CausalLM:
 
     def quantize(self, tokenizer=None, quant_config: Optional[dict] = None,
                  quantType: str = "awq", calib_data: Optional[np.ndarray] = None,
-                 sequential: bool = False):
+                 sequential: bool = False,
+                 debug_attention_path: Optional[str] = None):
         """calib_data: (n, seq) int32 token blocks; if None, built from
         qdm_tpu.calib.data.get_calib_dataset (pileval semantics).
         sequential=True runs the reference's per-layer AWQ propagation
-        (slower, more faithful; default is one-shot capture)."""
+        (slower, more faithful; default is one-shot capture).
+        debug_attention_path: directory for the attention-delta
+        diagnostic (reference debugAttentionMap,
+        quantizer.py:305-317,358-373): layer-0 attention-prob deltas
+        before-scale/after-scale vs after-quant, JSON + optional PNG."""
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
             else QuantConfig.from_dict(quant_config)
         cfg.quant_method = quantType.lower()
         self.quant_config = cfg
         plan = self._make_plan(cfg)
+
+        def _qk_snapshot(params):
+            layer0 = params.get("layers_0", {}).get("self_attn", {})
+            if "q_proj" in layer0 and "kernel" in layer0.get("q_proj", {}):
+                return (np.asarray(layer0["q_proj"]["kernel"]),
+                        np.asarray(layer0["k_proj"]["kernel"]))
+            return None
+
+        qk_before = _qk_snapshot(self.params) if debug_attention_path else None
+        attn_x = None
 
         method = cfg.quant_method
         if method == "awq" and sequential and cfg.version != "real":
@@ -222,6 +263,11 @@ class CausalLM:
                     max_seq_len=cfg.calib.max_seq_len)
             stats, feats = self._calibrate(cfg, np.asarray(calib_data),
                                            capture_inputs=(method == "awq"))
+            if qk_before is not None and feats:
+                for key, rows in feats.items():
+                    if "layers_0" in key and "q_proj" in key:
+                        attn_x = np.asarray(rows)
+                        break
             groups = llama_scaling_groups(self.params,
                                           include_fc_groups=(method == "awq"))
             if method == "awq":
@@ -233,6 +279,29 @@ class CausalLM:
                 self.params = smooth_lib.smooth_params(
                     self.params, norm_groups, stats,
                     alpha=cfg.alpha if cfg.alpha != 0.80 else 0.5)
+
+        if qk_before is not None:
+            # attention-delta diagnostic (debugAttentionMap parity):
+            # probs from the (possibly scale-migrated) weights vs their
+            # fake-quantized counterparts
+            from qdm_tpu.utils import diagnostics as diag
+
+            qk_scaled = _qk_snapshot(self.params)
+            qk_quant = _qk_snapshot(
+                qapply.fake_quantize_params(self.params, plan))
+            if attn_x is None:
+                rng = np.random.default_rng(0)
+                attn_x = rng.standard_normal(
+                    (32, qk_before[0].shape[0])).astype(np.float32)
+            report = diag.attention_delta_report(
+                attn_x, qk_before, qk_scaled, qk_quant,
+                num_heads=self.config.num_attention_heads)
+            os.makedirs(debug_attention_path, exist_ok=True)
+            diag.save_report(report, os.path.join(debug_attention_path,
+                                                  "attention_delta.json"))
+            diag.plot_attention_delta(
+                report, os.path.join(debug_attention_path,
+                                     "AttentionDelta_AWQ.png"))
 
         if cfg.version == "real":
             self.params = qapply.pack_params(self.params, plan)

@@ -245,3 +245,52 @@ def vae_config_from_diffusers(cfg: dict):
         norm_num_groups=cfg.get("norm_num_groups", 32),
         scaling_factor=cfg.get("scaling_factor", 0.18215),
     )
+
+
+def qwen1_to_llama_state_dict(sd):
+    """Rename a Qwen-1 checkpoint (fused c_attn architecture, reference
+    models/qwen.py:1-55) into the canonical LLaMA-family naming this
+    loader understands.
+
+    Qwen-1 blocks: ln_1 -> attn.c_attn (fused qkv, bias) -> attn.c_proj;
+    ln_2 -> mlp.{w1 (up), w2 (gate, silu'd)} -> mlp.c_proj.  The fused
+    c_attn rows are split q/k/v; scale-migration groups then address the
+    three projections jointly, which is mathematically identical to the
+    reference's single-fused-layer group (qwen.py:25-33)."""
+    import numpy as np
+
+    out = {}
+    ren = {
+        "transformer.wte.weight": "model.embed_tokens.weight",
+        "transformer.ln_f.weight": "model.norm.weight",
+        "lm_head.weight": "lm_head.weight",
+    }
+    for key, v in sd.items():
+        if key in ren:
+            out[ren[key]] = v
+            continue
+        if not key.startswith("transformer.h."):
+            continue
+        rest = key[len("transformer.h."):]
+        i, sub = rest.split(".", 1)
+        base = f"model.layers.{i}."
+        if sub.startswith("attn.c_attn."):
+            leaf = sub.rsplit(".", 1)[1]          # weight | bias
+            q, k, vv = np.split(np.asarray(v), 3, axis=0)
+            for name, part in (("q_proj", q), ("k_proj", k), ("v_proj", vv)):
+                out[base + f"self_attn.{name}.{leaf}"] = part
+        elif sub == "attn.c_proj.weight":
+            out[base + "self_attn.o_proj.weight"] = v
+        elif sub == "ln_1.weight":
+            out[base + "input_layernorm.weight"] = v
+        elif sub == "ln_2.weight":
+            out[base + "post_attention_layernorm.weight"] = v
+        elif sub == "mlp.w1.weight":
+            out[base + "mlp.up_proj.weight"] = v
+        elif sub == "mlp.w2.weight":
+            out[base + "mlp.gate_proj.weight"] = v
+        elif sub == "mlp.c_proj.weight":
+            out[base + "mlp.down_proj.weight"] = v
+        else:
+            out[base + sub] = v
+    return out

@@ -60,6 +60,7 @@ class BaseDiffusionPipeline:
         self.is_quantized = False
         self.dtype = jnp.bfloat16
         self.mesh = None  # set via with_mesh() for multi-chip sampling
+        self.refiner = None  # SDXL only (StableDiffusionXL.py:13-17)
 
     def with_mesh(self, mesh=None, tp: bool = False):
         """Shard sampling/calibration over a device mesh: batch over
@@ -84,12 +85,22 @@ class BaseDiffusionPipeline:
     # ------------------------------------------------------------------ load
 
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
-        """Load a local diffusers-format checkpoint directory."""
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        refiner_path: Optional[str] = None):
+        """Load a local diffusers-format checkpoint directory.
+        refiner_path: optional SDXL refiner checkpoint (reference
+        base.py:181-183 / StableDiffusionXL.py:13-17); other families
+        reject it (StableDiffusion1_x.py:9-10)."""
         self = cls()
         self.dtype = dtype
         self._load_components(path)
+        if refiner_path is not None:
+            self._load_refiner(refiner_path)
         return self
+
+    def _load_refiner(self, path: str):
+        raise ValueError(
+            f"{self.model_type} has no refiner model (only SDXL does)")
 
     @classmethod
     def from_config(cls, overrides: Optional[dict] = None, dtype=jnp.bfloat16,
@@ -157,10 +168,16 @@ class BaseDiffusionPipeline:
             s = max(cfg.sample_size, 8)
             added = None
             if cfg.addition_embed_type == "text_time":
-                te_dim = (cfg.projection_class_embeddings_input_dim
-                          - 6 * cfg.addition_time_embed_dim)
+                if "text_encoder_2" in self.configs:
+                    te_dim = self.configs["text_encoder_2"].projection_dim
+                    n_ids = ((cfg.projection_class_embeddings_input_dim - te_dim)
+                             // cfg.addition_time_embed_dim)
+                else:
+                    n_ids = 6
+                    te_dim = (cfg.projection_class_embeddings_input_dim
+                              - n_ids * cfg.addition_time_embed_dim)
                 added = {"text_embeds": jnp.zeros((1, te_dim)),
-                         "time_ids": jnp.zeros((1, 6))}
+                         "time_ids": jnp.zeros((1, n_ids))}
             ctx_len = 16
             args = (jnp.zeros((1, s, s, cfg.in_channels)), jnp.zeros((1,), jnp.int32),
                     jnp.zeros((1, ctx_len, cfg.cross_attention_dim)))
@@ -247,10 +264,11 @@ class BaseDiffusionPipeline:
             pre_params = self.params[name] if debugSavePath else None
             act_stats = None
             if method in ("sq", "smooth", "smoothquant"):
-                act_stats = self._smoothquant_component(name, cfg,
-                                                        calib_cache=calib_cache)
+                act_stats = self._smoothquant_component(
+                    name, cfg, calib_cache=calib_cache,
+                    calib_prompts=calib_prompts)
             elif method == "awq":
-                self._awq_component(name, cfg)
+                self._awq_component(name, cfg, calib_prompts=calib_prompts)
             if cfg.version == "real":
                 self.params[name] = qapply.pack_params(self.params[name], plan)
                 if act_stats:
@@ -356,14 +374,15 @@ class BaseDiffusionPipeline:
         return step_fn
 
     def _smoothquant_component(self, name: str, cfg: QuantConfig,
-                               calib_cache: Optional[str] = None):
+                               calib_cache: Optional[str] = None,
+                               calib_prompts: Optional[Sequence[str]] = None):
         if name in ("unet", "transformer"):
             from qdm_tpu.calib.stats import load_stats, save_stats
 
             if calib_cache and os.path.exists(calib_cache):
                 stats = load_stats(calib_cache)
             else:
-                stats = self._calibrate_unet(cfg)
+                stats = self._calibrate_unet(cfg, calib_prompts=calib_prompts)
                 if calib_cache:
                     save_stats(stats, calib_cache)
             groups = sd_unet_scaling_groups(self.params[name])
@@ -374,22 +393,27 @@ class BaseDiffusionPipeline:
             self.params[name], groups, stats, alpha=alpha)
         return stats
 
-    def _awq_component(self, name: str, cfg: QuantConfig):
+    def _awq_component(self, name: str, cfg: QuantConfig,
+                       calib_prompts: Optional[Sequence[str]] = None):
         if name not in ("unet", "transformer"):
             return
-        stats, input_feats = self._calibrate_unet_with_inputs(cfg)
+        stats, input_feats = self._calibrate_unet_with_inputs(
+            cfg, calib_prompts=calib_prompts)
         groups = sd_unet_scaling_groups(self.params[name])
         self.params[name] = awq_lib.awq_search_and_apply(
             self.params[name], groups, input_feats, cfg)
 
-    def _calibrate_unet_with_inputs(self, cfg: QuantConfig, name: str = "unet"):
+    def _calibrate_unet_with_inputs(self, cfg: QuantConfig, name: str = "unet",
+                                    calib_prompts: Optional[Sequence[str]] = None):
         """AWQ needs sampled layer inputs, not just absmax: run a few
         denoise steps with 'calib_x' capture and concat the sampled rows
         (the jnp analogue of _get_input_feat, quantizer.py:1093-1141)."""
         from qdm_tpu.calib.data import get_calib_prompts
 
         calib = cfg.calib
-        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        prompts = (list(calib_prompts)[: max(2, min(calib.n_samples, 8))]
+                   if calib_prompts
+                   else get_calib_prompts(calib.dataset, min(calib.n_samples, 8)))
         plan = self.plans[name].with_capture(True, inputs=True)
         capture_unet = dataclasses.replace(self.components[name], plan=plan)
         steps = max(1, min(calib.n_steps, 4))
@@ -484,11 +508,15 @@ class BaseDiffusionPipeline:
             paths.append(p)
         return paths
 
-    def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float):
+    def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float,
+                step_range: Optional[Tuple[int, int]] = None):
+        """Run DDIM steps [lo, hi) of a `steps`-step schedule (the full
+        schedule by default; a sub-range for base->refiner handoff)."""
         tables = schedulers.make_ddim(self.scheduler_config, steps)
         unet = self.components["unet"]
         params = self.params["unet"]
         latents, ctx, uctx = self._shard_batch(latents, ctx, uctx)
+        lo, hi = step_range if step_range is not None else (0, steps)
 
         @functools.partial(jax.jit, static_argnames=("steps",))
         def loop(params, latents, ctx, uctx, added, steps):
@@ -503,7 +531,7 @@ class BaseDiffusionPipeline:
                 eps = eps_u + guidance * (eps_c - eps_u)
                 return schedulers.ddim_step(tables, eps, lat, s, steps)
 
-            return jax.lax.fori_loop(0, steps, body, latents)
+            return jax.lax.fori_loop(lo, hi, body, latents)
 
         return loop(params, latents, ctx, uctx, added, steps)
 
@@ -640,9 +668,74 @@ class StableDiffusion1_x(BaseDiffusionPipeline):
 
 class StableDiffusionXL(BaseDiffusionPipeline):
     """SDXL (reference models/StableDiffusionXL.py): dual text encoders,
-    text_time addition embeddings, optional refiner not supported."""
+    text_time addition embeddings, optional refiner pipeline
+    (StableDiffusionXL.py:13-17; unlike the reference, the refiner is
+    also *used*: generate(use_refiner=True) runs the standard SDXL
+    base->refiner denoising handoff)."""
 
     model_type = "StableDiffusionXLPipeline"
+
+    def _load_refiner(self, path: str):
+        self.refiner = StableDiffusionXL.from_pretrained(path, dtype=self.dtype)
+
+    @classmethod
+    def tiny_refiner(cls, dtype=jnp.float32, seed: int = 1):
+        """Random-init tiny refiner-architecture pipeline (img2img SDXL:
+        single text encoder (te2), 5 addition time-ids incl. aesthetic
+        score)."""
+        self = cls()
+        self.dtype = dtype
+        tiny2 = clip_text.tiny_clip_config()
+        ucfg = dataclasses.replace(
+            unet_lib.tiny_unet_config(),
+            addition_embed_type="text_time",
+            cross_attention_dim=tiny2.hidden_size,
+            projection_class_embeddings_input_dim=tiny2.projection_dim + 5 * 256)
+        self.configs = {"unet": ucfg, "text_encoder_2": tiny2,
+                        "vae": vae_lib.tiny_vae_config()}
+        self.components = {n: None for n in self.configs}
+        self._random_init(seed)
+        self.tokenizer = SimpleTokenizer(vocab_size=tiny2.vocab_size,
+                                         max_len=tiny2.max_position_embeddings)
+        return self
+
+    def generate(self, prompt, *args, use_refiner: bool = False,
+                 high_noise_frac: float = 0.8, **kw):
+        """SDXL generate; with use_refiner=True run the base UNet on
+        steps [0, frac*steps) and the refiner UNet on the rest (the
+        diffusers denoising_end/denoising_start handoff)."""
+        if not use_refiner or self.refiner is None:
+            return super().generate(prompt, *args, **kw)
+        steps = kw.pop("num_inference_steps", 50)
+        guidance = kw.pop("guidance_scale", 7.5)
+        seed = kw.pop("seed", 0)
+        output_type = kw.pop("output_type", "np")
+        negative_prompt = kw.pop("negative_prompt", None)
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negatives = ([negative_prompt] if isinstance(negative_prompt, str)
+                     else negative_prompt)
+        split = max(1, min(steps - 1, int(round(steps * high_noise_frac))))
+        ctx, uctx, added = self._encode_prompts(prompts, negatives)
+        h = w = self.default_sample_size()
+        latents = kw.pop("latents", None)
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (len(prompts), h, w, self.latent_channels()), jnp.float32)
+        lat = self.denoise(latents, ctx, uctx, added, steps, guidance,
+                           step_range=(0, split))
+        rctx, ructx, radded = self.refiner._encode_prompts(prompts, negatives)
+        lat = self.refiner.denoise(lat, rctx, ructx, radded, steps, guidance,
+                                   step_range=(split, steps))
+        if output_type == "latent":
+            return lat
+        images = self.decode_latents(lat)
+        if output_type == "pil":
+            from PIL import Image
+
+            return [Image.fromarray((np.asarray(im) * 255).astype(np.uint8))
+                    for im in images]
+        return images
 
     def _build_default_configs(self, tiny: bool, overrides: dict):
         if tiny:
@@ -669,46 +762,65 @@ class StableDiffusionXL(BaseDiffusionPipeline):
         self.configs = {
             "unet": loader.unet_config_from_diffusers(
                 loader.load_json(os.path.join(path, "unet", "config.json"))),
-            "text_encoder": loader.clip_config_from_hf(
-                loader.load_json(os.path.join(path, "text_encoder", "config.json"))),
             "text_encoder_2": loader.clip_config_from_hf(
                 loader.load_json(os.path.join(path, "text_encoder_2", "config.json"))),
             "vae": loader.vae_config_from_diffusers(
                 loader.load_json(os.path.join(path, "vae", "config.json"))),
         }
+        # the refiner checkpoint layout has no first text encoder
+        te1 = os.path.join(path, "text_encoder", "config.json")
+        if os.path.exists(te1):
+            self.configs["text_encoder"] = loader.clip_config_from_hf(
+                loader.load_json(te1))
         self.components = {n: None for n in self.configs}
 
     def _restore_configs(self, cfgs: dict):
         self.configs = {
             "unet": unet_lib.UNetConfig(**{k: tuple(v) if isinstance(v, list) else v
                                            for k, v in cfgs["unet"].items()}),
-            "text_encoder": clip_text.CLIPTextConfig(**cfgs["text_encoder"]),
             "text_encoder_2": clip_text.CLIPTextConfig(**cfgs["text_encoder_2"]),
             "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
                                         for k, v in cfgs["vae"].items()}),
         }
+        if "text_encoder" in cfgs:  # absent for refiner-arch saves
+            self.configs["text_encoder"] = clip_text.CLIPTextConfig(
+                **cfgs["text_encoder"])
 
     def _encode_prompts(self, prompts, negatives):
         ids = self.tokenizer(prompts)
-        te1, te2 = self.components["text_encoder"], self.components["text_encoder_2"]
-        _, pen1, _ = te1.apply({"params": self.params["text_encoder"]}, ids)
+        te2 = self.components["text_encoder_2"]
         _, pen2, pooled = te2.apply({"params": self.params["text_encoder_2"]}, ids)
-        ctx = jnp.concatenate([pen1, pen2], axis=-1)
         neg = negatives if negatives is not None else [""] * len(prompts)
         uids = self.tokenizer(neg)
-        _, upen1, _ = te1.apply({"params": self.params["text_encoder"]}, uids)
         _, upen2, upooled = te2.apply({"params": self.params["text_encoder_2"]}, uids)
-        uctx = jnp.concatenate([upen1, upen2], axis=-1)
+        if "text_encoder" in self.components:
+            te1 = self.components["text_encoder"]
+            _, pen1, _ = te1.apply({"params": self.params["text_encoder"]}, ids)
+            _, upen1, _ = te1.apply({"params": self.params["text_encoder"]}, uids)
+            ctx = jnp.concatenate([pen1, pen2], axis=-1)
+            uctx = jnp.concatenate([upen1, upen2], axis=-1)
+        else:  # refiner: te2 only
+            ctx, uctx = pen2, upen2
         size = self.default_sample_size() * 8
-        time_ids = jnp.tile(jnp.array([[size, size, 0, 0, size, size]], jnp.float32),
+        ucfg = self.configs["unet"]
+        n_ids = ((ucfg.projection_class_embeddings_input_dim - pooled.shape[-1])
+                 // ucfg.addition_time_embed_dim)
+        if n_ids == 5:
+            # refiner conditioning: (h, w, crop_h, crop_w, aesthetic_score)
+            row = [size, size, 0, 0, 6.0]
+        else:
+            row = [size, size, 0, 0, size, size]
+        time_ids = jnp.tile(jnp.array([row], jnp.float32),
                             (len(prompts) * 2, 1))
         added = {"text_embeds": jnp.concatenate([upooled, pooled], axis=0),
                  "time_ids": time_ids}
         return ctx, uctx, added
 
-    def denoise(self, latents, ctx, uctx, added, steps, guidance):
+    def denoise(self, latents, ctx, uctx, added, steps, guidance,
+                step_range=None):
         # added conds are pre-concatenated (uncond; cond) — reuse base loop
-        return super().denoise(latents, ctx, uctx, added, steps, guidance)
+        return super().denoise(latents, ctx, uctx, added, steps, guidance,
+                               step_range=step_range)
 
 
 class StableDiffusion3_5(BaseDiffusionPipeline):
@@ -899,22 +1011,26 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         return loop(params, latents, ctx, uctx, pooled, steps)
 
     def _smoothquant_component(self, name: str, cfg: QuantConfig,
-                               calib_cache: Optional[str] = None):
+                               calib_cache: Optional[str] = None,
+                               calib_prompts: Optional[Sequence[str]] = None):
         if name != "transformer":
             return None
         from qdm_tpu.models.shims import sd3_scaling_groups
 
-        stats = self._calibrate_transformer(cfg)
+        stats = self._calibrate_transformer(cfg, calib_prompts=calib_prompts)
         groups = sd3_scaling_groups(self.params["transformer"])
         self.params["transformer"] = smooth_lib.smooth_params(
             self.params["transformer"], groups, stats, alpha=cfg.alpha)
         return stats
 
-    def _calibrate_transformer(self, cfg: QuantConfig):
+    def _calibrate_transformer(self, cfg: QuantConfig,
+                               calib_prompts: Optional[Sequence[str]] = None):
         from qdm_tpu.calib.data import get_calib_prompts
 
         calib = cfg.calib
-        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        prompts = (list(calib_prompts)[: max(2, min(calib.n_samples, 8))]
+                   if calib_prompts
+                   else get_calib_prompts(calib.dataset, min(calib.n_samples, 8)))
         plan = self.plans["transformer"].with_capture(True)
         capture = dataclasses.replace(self.components["transformer"], plan=plan)
         steps = max(1, min(calib.n_steps, 8))
@@ -944,7 +1060,8 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             run.update(stats)
         return run.mean()
 
-    def _awq_component(self, name: str, cfg: QuantConfig):
+    def _awq_component(self, name: str, cfg: QuantConfig,
+                       calib_prompts: Optional[Sequence[str]] = None):
         """AWQ scale+clip search on the MMDiT scaling groups using
         sampled layer inputs captured over flow-match denoise steps."""
         if name != "transformer":
@@ -953,7 +1070,9 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         from qdm_tpu.models.shims import sd3_scaling_groups
 
         calib = cfg.calib
-        prompts = get_calib_prompts(calib.dataset, min(calib.n_samples, 8))
+        prompts = (list(calib_prompts)[: max(2, min(calib.n_samples, 8))]
+                   if calib_prompts
+                   else get_calib_prompts(calib.dataset, min(calib.n_samples, 8)))
         plan = self.plans["transformer"].with_capture(True, inputs=True)
         capture = dataclasses.replace(self.components["transformer"], plan=plan)
         steps = max(1, min(calib.n_steps, 4))

@@ -55,6 +55,12 @@ class QuantConfig:
     act_quant_conv_type: str = "per_channel"
     act_quant_conv_group_size: int = 1
     quantize_act: bool = False
+    # real-kernel backend for w8a8: "auto" picks the pure-XLA int8 path
+    # when activations use calibrated static scales (fastest on v5e,
+    # bench_xla_int8.py) and the Pallas fused kernel otherwise;
+    # "pallas"/"xla" force one.  The reference's analogue is the
+    # GEMM/GEMV/marlin/exllama `version` switch (models/base.py:1623-1638).
+    kernel_backend: str = "auto"
     modules_to_not_convert: Optional[List[str]] = None
     # SmoothQuant migration strength: reference uses 0.5 for LLMs
     # (quantizer_SQ.py:287) and 0.80 for diffusion (quantizer_SQ.py:349).

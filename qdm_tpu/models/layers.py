@@ -137,6 +137,29 @@ class QDense(nn.Module):
                 y = qmm.w4a16_matmul(x2.astype(self.dtype), qweight, scales,
                                      zeros, group_size=gs)
             y = y[:, : self.features]
+        elif spec.mode == "w8a8_xla":
+            # pure-XLA int8 path: no pallas call, so XLA fuses the
+            # quantize into the producer (LN/GELU) and the dequant +
+            # bias + residual epilogue into the matmul, the same way it
+            # fuses bf16 — measured 1.3-1.8x vs bf16 with static scales
+            # on v5e (bench_xla_int8.py).  act_quant "static" uses a
+            # calibrated per-tensor scale (fill_static_act_scales);
+            # anything else falls back to dynamic per-token scales.
+            w_i8 = self.param("qweight", nn.initializers.zeros_init(),
+                              (in_features, self.features), jnp.int8)
+            w_scale = self.param("scales", nn.initializers.ones_init(),
+                                 (self.features,), jnp.float32)
+            xf = x2.astype(jnp.float32)
+            if spec.act_quant == "static":
+                xs = self.param("act_scale", nn.initializers.ones_init(),
+                                (1,), jnp.float32)[0]
+            else:
+                xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                              1e-5, None) / 127.0
+            xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(xi, w_i8, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (xs * w_scale)
         elif spec.mode == "w8a16":
             # weight-only int8: XLA fuses the dequant into the matmul
             # operand stream (no pallas call, no act quant)

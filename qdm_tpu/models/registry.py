@@ -35,6 +35,9 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
     "qwen2-7b": llama_lib.QWEN2_7B,
     "qwen2": llama_lib.LlamaConfig(attention_bias=True),
     "mistral": llama_lib.LlamaConfig(num_key_value_heads=8),
+    # Qwen-1 (reference models/qwen.py): fused c_attn with bias ->
+    # attention_bias=True after the loader splits c_attn into q/k/v
+    "qwen": llama_lib.LlamaConfig(attention_bias=True),
     "stablelm": llama_lib.LlamaConfig(norm_type="layernorm"),
     "tiny": llama_lib.tiny_llama_config(),
 }

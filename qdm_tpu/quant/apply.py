@@ -128,12 +128,19 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
         new["scales"] = scales
         if zeros is not None:
             new["zeros"] = zeros
-    elif spec.mode in ("w8a8", "w8a16"):
+    elif spec.mode in ("w8a8", "w8a8_xla", "w8a16"):
         w_abs = jnp.clip(jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-5, None)
         scale_n = w_abs / 127.0
         codes = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale_n[None, :]),
                          -128, 127)
-        new["qweight"], new["scales"] = qmm.pack_linear_int8(codes, scale_n)
+        if spec.mode == "w8a8_xla":
+            # unpadded buffers: XLA needs no tile padding
+            new["qweight"] = codes.astype(jnp.int8)
+            new["scales"] = scale_n.astype(jnp.float32)
+            if spec.act_quant == "static":
+                new["act_scale"] = jnp.ones((1,), jnp.float32)
+        else:
+            new["qweight"], new["scales"] = qmm.pack_linear_int8(codes, scale_n)
     else:
         return layer
     return new

@@ -31,6 +31,12 @@ class LayerQuantSpec:
       "w4a16"    - packed int4 weights, Pallas dequant-matmul
       "w8a8"     - int8 weights + per-token int8 activations, Pallas
                    int8 matmul
+      "w8a8_xla" - int8 weights + int8 activations expressed in plain
+                   jnp (XLA int8 MXU dot): with act_quant="static"
+                   (calibrated per-tensor scales) XLA fuses the
+                   quantize into the producer and the dequant epilogue
+                   into the matmul, beating bf16 1.3-1.8x on v5e
+                   (bench_xla_int8.py) with zero Pallas boundaries
     """
 
     mode: str = "none"
@@ -49,7 +55,7 @@ class LayerQuantSpec:
 
     @property
     def is_real(self) -> bool:
-        return self.mode in ("w4a16", "w4a8", "w8a8", "w8a16")
+        return self.mode in ("w4a16", "w4a8", "w8a8", "w8a8_xla", "w8a16")
 
 
 NO_QUANT = LayerQuantSpec()
@@ -93,7 +99,14 @@ def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> Lay
     field semantics)."""
     if mode is None:
         if cfg.version == "real":
-            mode = "w8a8" if (cfg.quantize_act and cfg.a_bit <= 8 and cfg.w_bit == 8) else "w4a16"
+            if cfg.quantize_act and cfg.a_bit <= 8 and cfg.w_bit == 8:
+                backend = getattr(cfg, "kernel_backend", "auto")
+                act_type = cfg.act_quant_conv_type if conv else cfg.act_quant_type
+                use_xla = (backend == "xla" or
+                           (backend == "auto" and act_type == "static"))
+                mode = "w8a8_xla" if (use_xla and not conv) else "w8a8"
+            else:
+                mode = "w4a16"
         elif cfg.version == "fake_act":
             mode = "fake_act"
         else:

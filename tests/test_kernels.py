@@ -2,6 +2,7 @@
 mode on CPU) against the pure-jnp references and fp32 ground truth."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -110,6 +111,43 @@ def test_w8a8_geglu_fused_vs_ref():
                                       interpret=True))
     ref = np.asarray(w8a8_geglu_ref(x, w_i8, ws, bias, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, ref[:, :inner], rtol=2e-5, atol=2e-5)
+
+
+def test_w8a8_xla_dense_layer_matches_math():
+    """QDense mode w8a8_xla (static + dynamic scales) equals the explicit
+    int8 dequant formula."""
+    import numpy as np
+    from qdm_tpu.models.layers import QDense
+    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+    from qdm_tpu.quant.apply import pack_dense_layer
+
+    k, n, m = 24, 16, 10
+    key = jax.random.PRNGKey(0)
+    kern = jax.random.normal(key, (k, n), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (m, k), jnp.float32)
+
+    for act_quant in ("static", "per_token"):
+        spec = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                              quantize_act=True, act_quant=act_quant)
+        plan = QuantPlan(default=spec)
+        layer = pack_dense_layer({"kernel": kern, "bias": bias}, spec)
+        if act_quant == "static":
+            layer["act_scale"] = jnp.asarray([0.05], jnp.float32)
+        model = QDense(n, dtype=jnp.float32, plan=plan)
+        y = model.apply({"params": layer}, x)
+
+        wi = np.asarray(layer["qweight"], np.float32)
+        ws = np.asarray(layer["scales"], np.float32)
+        if act_quant == "static":
+            xs = 0.05
+            xi = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+        else:
+            xs = np.clip(np.abs(np.asarray(x)).max(-1, keepdims=True), 1e-5,
+                         None) / 127.0
+            xi = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+        want = (xi @ wi) * (xs * ws) + np.asarray(bias)
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-4)
 
 
 def test_w8a8_fused_epi_residual():

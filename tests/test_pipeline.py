@@ -154,6 +154,61 @@ def test_real_w8a8_static_conv_pipeline():
     assert np.abs(img - base).mean() < 0.25
 
 
+def test_real_w8a8_xla_static_pipeline():
+    """kernel_backend auto + static act scales routes dense layers to the
+    pure-XLA int8 path (w8a8_xla) with calibrated per-tensor scales."""
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    cfg = QuantConfig(w_bit=8, a_bit=8, version="real", quantize_act=True,
+                      act_quant_type="static", act_quant_conv_type="static")
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="sq")
+    from qdm_tpu.quant.plan import spec_from_config
+    assert spec_from_config(cfg).mode == "w8a8_xla"
+    # dense layers carry unpadded int8 qweight + calibrated act_scale
+    found = []
+    def walk(t, path=()):
+        if isinstance(t, dict):
+            if "qweight" in t and not isinstance(t["qweight"], dict):
+                found.append((path, t))
+                return
+            for k, v in t.items():
+                walk(v, path + (k,))
+    walk(p.params["unet"])
+    dense = [(p_, t) for p_, t in found if t["qweight"].ndim == 2
+             and t["qweight"].dtype == jnp.int8]
+    assert dense, "no w8a8_xla dense layers packed"
+    assert any("act_scale" in t and abs(float(np.asarray(t["act_scale"])[0]) - 1.0)
+               > 1e-6 for _, t in dense)
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.25
+
+
+def test_sdxl_refiner_generate():
+    """SDXL base->refiner handoff (reference loads a refiner pipeline,
+    StableDiffusionXL.py:13-17; here it also runs)."""
+    p = StableDiffusionXL.from_config(tiny=True, dtype=jnp.float32)
+    p.refiner = StableDiffusionXL.tiny_refiner()
+    img = p.generate("a dog", num_inference_steps=4, seed=0,
+                     use_refiner=True, high_noise_frac=0.5)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all()
+    # without the refiner flag the plain path still works
+    img2 = p.generate("a dog", num_inference_steps=2, seed=0,
+                      height=64, width=64)
+    assert np.isfinite(np.asarray(img2)).all()
+
+
+def test_refiner_rejected_on_sd15(tmp_path):
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    import pytest
+    with pytest.raises(ValueError, match="no refiner"):
+        p._load_refiner(str(tmp_path))
+
+
 def test_sd35_with_t5_generate():
     """SD3.5 with a tiny T5 third encoder appended to the joint context."""
     import dataclasses
