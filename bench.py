@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Benchmark: SD1.5 UNet denoising throughput (images/sec/chip),
-quantized (W8A8 Pallas kernels) vs bf16 XLA baseline.
+quantized W8A8 vs bf16 XLA baseline.
 
 Prints ONE JSON line:
   {"metric": ..., "value": imgs_per_sec, "unit": "img/s",
    "vs_baseline": speedup_vs_bf16}
 
-Matches BASELINE.json config "SD1.5 W8A8, 512x512, 20 DDIM steps":
-batch 1 prompt with CFG (batch 2 through the UNet), the full 20-step
-loop compiled as one lax.fori_loop (so tunnel dispatch latency is
-amortized away).
+BASELINE.json's axis is images/sec/chip, so the headline config is the
+throughput mode: batch 8 (CFG batch 16 through the UNet), 512x512,
+20 DDIM steps, the full loop compiled as one lax.fori_loop.  The
+quantized path is the round-2 winner: W8A8 with calibrated static
+per-tensor activation scales expressed in plain XLA (w8a8_xla dense +
+XLA int8 convs) — no Pallas fusion boundaries; see BENCH_NOTES.md for
+the sweep that selected it.
 """
 
 import json
@@ -79,20 +82,48 @@ def time_loop(loop, params, latents, ctx, uctx, reps):
     return (time.time() - t0) / reps
 
 
+def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
+    """The headline quantized config: fused-QKV params, capture-derived
+    static act scales, w8a8_xla dense + XLA int8 convs."""
+    from qdm_tpu.calib.stats import flatten_calib
+    from qdm_tpu.quant.apply import (fill_static_act_scales, fuse_qkv_params,
+                                     pack_params)
+    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+    noq = LayerQuantSpec(mode="none")
+    w8x = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                         quantize_act=True, act_quant="static")
+    conv = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
+                          act_quant="static")
+    plan = QuantPlan(default=w8x, fuse_qkv=True,
+                     rules=(("conv", conv), ("time_emb", noq),
+                            ("time_embedding", noq)))
+    params = fuse_qkv_params(params)
+    cap = build(QuantPlan(fuse_qkv=True).with_capture(True), cfg)
+
+    @jax.jit
+    def capture(params, lat2, t, ctx2):
+        _, mut = cap.apply({"params": params}, lat2, t, ctx2,
+                           mutable=["calib"])
+        return mut
+
+    stats = flatten_calib(jax.device_get(capture(params, lat2, t, ctx2))["calib"])
+    qparams = fill_static_act_scales(pack_params(params, plan), stats)
+    return plan, params, qparams
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     from qdm_tpu.models.unet import SD15_UNET, tiny_unet_config
-    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
-    from qdm_tpu.quant.apply import pack_params
+    from qdm_tpu.quant.plan import QuantPlan
 
     if on_tpu:
-        cfg, steps, reps, latent = SD15_UNET, 20, 3, 64
+        cfg, steps, reps, latent, batch = SD15_UNET, 20, 3, 64, 8
         ctx_dim, ctx_len = 768, 77
     else:  # CPU smoke mode
-        cfg, steps, reps, latent = tiny_unet_config(), 2, 1, 8
+        cfg, steps, reps, latent, batch = tiny_unet_config(), 2, 1, 8, 2
         ctx_dim, ctx_len = cfg.cross_attention_dim, 7
 
-    batch = 1
     latents = jax.random.normal(jax.random.PRNGKey(0),
                                 (batch, latent, latent, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1),
@@ -101,35 +132,24 @@ def main():
                              (batch, ctx_len, ctx_dim), jnp.bfloat16)
     t = jnp.zeros((2 * batch,), jnp.int32)
     lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
+    ctx2 = jnp.concatenate([ctx, uctx])
 
-    # --- bf16 baseline (QKV-fused, same fusion as the quantized model)
-    from qdm_tpu.quant.apply import fuse_qkv_params
+    params = random_params(build(QuantPlan(), cfg), lat2, t, ctx2)
+    plan, params, qparams = quantized_plan_and_params(cfg, params, lat2, t, ctx2)
 
+    # bf16 baseline shares the fused-QKV structure (same fusion advantages)
     base_model = build(QuantPlan(fuse_qkv=True), cfg)
-    params = random_params(build(QuantPlan(), cfg), lat2, t,
-                           jnp.concatenate([ctx, uctx]))
-    params = fuse_qkv_params(params)
-    base_loop = make_loop(base_model, steps)
-    dt_base = time_loop(base_loop, params, latents, ctx, uctx, reps)
+    dt_base = time_loop(make_loop(base_model, steps), params, latents, ctx,
+                        uctx, reps)
 
-    # --- W8A8: packed int8 dense via Pallas (fused QKV), convs kept bf16
-    w8_spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
-    # convs stay bf16: dynamic per-tensor act quant before each conv
-    # serializes on a scalar reduction and negates the int8 conv win
-    # (see BENCH_NOTES.md); static-scale int8 convs are round-2 work
-    noq = LayerQuantSpec(mode="none")
-    plan = QuantPlan(default=w8_spec, fuse_qkv=True, fuse_ln=True,
-                     rules=(("conv", noq), ("time_emb", noq),
-                            ("time_embedding", noq)))
-    qparams = pack_params(params, plan)
     q_model = build(plan, cfg)
-    q_loop = make_loop(q_model, steps)
-    dt_q = time_loop(q_loop, qparams, latents, ctx, uctx, reps)
+    dt_q = time_loop(make_loop(q_model, steps), qparams, latents, ctx, uctx,
+                     reps)
 
     imgs_per_sec = batch / dt_q
     base_imgs_per_sec = batch / dt_base
     print(json.dumps({
-        "metric": "SD1.5 UNet W8A8 images/sec/chip (512px, 20 DDIM steps, CFG)"
+        "metric": "SD1.5 UNet W8A8-static images/sec/chip (512px, batch 8, 20 DDIM steps, CFG)"
         if on_tpu else "tiny-unet CPU smoke images/sec",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",

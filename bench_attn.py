@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Attention-core microbench at SD1.5 shapes (batch-8 CFG -> B=16).
+
+Per (S, H, D): current dispatch (pallas flash when eligible), raw XLA
+softmax, jax.nn.dot_product_attention, and flash with alternative block
+sizes.  Cross-attention (kv=77) separately.
+"""
+
+import json
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from qdm_tpu.ops import attention as attn_lib
+from qdm_tpu.utils.timing import timed_value
+import time
+
+
+def time_fn(fn, *args, reps=5):
+    out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.time()
+    for _ in range(reps):
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
+    return (time.time() - t0) / reps
+
+
+def flash_with_block(q, k, v, scale, b):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+                    block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+                    block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
+                    block_q_dq=b)
+    return flash_attention(qt, kt, vt, sm_scale=scale,
+                           block_sizes=bs).transpose(0, 2, 1, 3)
+
+
+def main():
+    B = 16
+    shapes = [  # (S_q, S_kv, H, D) — SD1.5 levels at batch 8 CFG
+        (4096, 4096, 8, 40),
+        (1024, 1024, 8, 80),
+        (256, 256, 8, 160),
+        (64, 64, 8, 160),
+        (4096, 77, 8, 40),
+        (1024, 77, 8, 80),
+    ]
+    for sq, skv, h, d in shapes:
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (B, sq, h, d), jnp.bfloat16)
+        k = jax.random.normal(key, (B, skv, h, d), jnp.bfloat16)
+        v = jax.random.normal(key, (B, skv, h, d), jnp.bfloat16)
+        scale = 1.0 / (d ** 0.5)
+        row = {"sq": sq, "skv": skv, "h": h, "d": d}
+
+        cur = jax.jit(lambda q, k, v: attn_lib.dot_product_attention(q, k, v))
+        row["current_ms"] = round(1e3 * time_fn(cur, q, k, v), 2)
+
+        xla = jax.jit(lambda q, k, v: attn_lib._xla_attention(q, k, v, scale))
+        row["xla_ms"] = round(1e3 * time_fn(xla, q, k, v), 2)
+
+        try:
+            nn_attn = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(
+                q, k, v, scale=scale))
+            row["jaxnn_ms"] = round(1e3 * time_fn(nn_attn, q, k, v), 2)
+        except Exception as e:
+            row["jaxnn_ms"] = f"err:{type(e).__name__}"
+
+        if sq == skv and sq >= 256:
+            for b in (128, 256, 512, 1024):
+                if b <= sq:
+                    try:
+                        f = jax.jit(lambda q, k, v, b=b: flash_with_block(
+                            q, k, v, scale, b))
+                        row[f"flash{b}_ms"] = round(1e3 * time_fn(f, q, k, v), 2)
+                    except Exception as e:
+                        row[f"flash{b}_ms"] = f"err:{type(e).__name__}"
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Time decomposition of the bf16 SD1.5 UNet step by component ablation.
+
+Monkeypatches one component class at a time to an identity (flax ignores
+the then-unvisited params in the tree) and re-times the full 20-step
+loop; the delta vs the full model is that component's cost including the
+HBM traffic it would have caused.  Usage: bench_profile.py [batch]
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from bench import build, make_loop, random_params, time_loop
+from qdm_tpu.models import unet as unet_lib
+from qdm_tpu.models.unet import SD15_UNET
+from qdm_tpu.quant.plan import QuantPlan
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    steps, reps, latent = 20, 2, 64
+    latents = jax.random.normal(jax.random.PRNGKey(0),
+                                (batch, latent, latent, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, 768), jnp.bfloat16)
+    uctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, 768), jnp.bfloat16)
+    t = jnp.zeros((2 * batch,), jnp.int32)
+    lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
+
+    model = build(QuantPlan(), SD15_UNET)
+    params = random_params(model, lat2, t, jnp.concatenate([ctx, uctx]))
+
+    def run():
+        return time_loop(make_loop(build(QuantPlan(), SD15_UNET), steps),
+                         params, latents, ctx, uctx, reps)
+
+    dt_full = run()
+    print(json.dumps({"variant": "full_bf16",
+                      "ms_per_img": round(1e3 * dt_full / batch, 1),
+                      "img_s": round(batch / dt_full, 3)}), flush=True)
+
+    real_attn = unet_lib.CrossAttention.__call__
+    real_ff = unet_lib.FeedForward.__call__
+    real_t2d = unet_lib.Transformer2D.__call__
+    real_rb = unet_lib.ResnetBlock2D.__call__
+
+    def no_attn(self, x, context=None, residual=None, ln=None):
+        return (x if residual is None else residual).astype(self.dtype)
+
+    def no_ff(self, x, residual=None):
+        return (x if residual is None else residual).astype(self.dtype)
+
+    def no_t2d(self, x, context):
+        return x
+
+    def no_rb(self, x, temb):
+        if x.shape[-1] == self.out_channels:
+            return x
+        return real_rb(self, x, temb)
+
+    ablations = {
+        "attention": (unet_lib.CrossAttention, no_attn),
+        "feedforward": (unet_lib.FeedForward, no_ff),
+        "transformer2d": (unet_lib.Transformer2D, no_t2d),
+        "resnet_blocks": (unet_lib.ResnetBlock2D, no_rb),
+    }
+    originals = {
+        "attention": real_attn, "feedforward": real_ff,
+        "transformer2d": real_t2d, "resnet_blocks": real_rb,
+    }
+
+    for name, (cls, fn) in ablations.items():
+        cls.__call__ = fn
+        try:
+            dt = run()
+        finally:
+            cls.__call__ = originals[name]
+        saved = dt_full - dt
+        print(json.dumps({"variant": f"no_{name}",
+                          "ms_per_img": round(1e3 * dt / batch, 1),
+                          "component_ms_per_img": round(1e3 * saved / batch, 1),
+                          "pct_of_full": round(100 * saved / dt_full, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Relative quality-parity table at real SD1.5 scale.
+
+The reference's headline quality evidence is its LPIPS table
+(README.md:24-42): quantized pipelines scored against fp16 generations
+on identical prompts/seeds, ordered W8 (best) ... W4-RTN (worst).  Real
+SD1.5 checkpoints are not available in this environment (zero egress),
+so this reproduces the *relative* table on a real-architecture
+(860M-param UNet) pipeline with shared deterministic random weights:
+identical prompts, latents, and weights between the bf16 reference and
+every quant mode — the ordering and the error gaps are the verifiable
+quantities.  Metrics: MSE / PSNR / SSIM (+LPIPS when converted AlexNet
+weights are present at tools/lpips_weights.npz; see tools/convert_lpips.py).
+
+Writes tools/quality_table.json and QUALITY.md.
+
+Run (TPU, ~30-60 min first time): python tools/quality_table.py
+Quick CPU smoke:                  python tools/quality_table.py --tiny
+"""
+
+import argparse
+import gc
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# decide the backend BEFORE jax initializes: --tiny is the CPU smoke mode
+if "--tiny" in sys.argv:
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+if "--tiny" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+PROMPTS = [
+    "a photo of an astronaut riding a horse on mars",
+    "a watercolor painting of a fox in a forest",
+    "a city skyline at night, neon lights",
+    "a bowl of fruit on a wooden table",
+]
+
+CALIB_PROMPTS = [
+    "a dog playing in the park", "a red sports car", "a mountain landscape",
+    "portrait of an old man", "a sailboat on the ocean", "a cup of coffee",
+    "a bird on a branch", "city street in the rain",
+]
+
+
+def build_pipe(tiny, dtype, seed=0):
+    from qdm_tpu.api.pipeline import StableDiffusion1_x
+
+    return StableDiffusion1_x.from_config(tiny=tiny, dtype=dtype, seed=seed)
+
+
+def gen(pipe, steps, px):
+    return np.asarray(pipe.generate(
+        PROMPTS, num_inference_steps=steps, seed=123,
+        height=px, width=px, output_type="np"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--px", type=int, default=512)
+    args = ap.parse_args()
+
+    from qdm_tpu.config import QuantConfig
+    from qdm_tpu.evaluation.lpips import (load_lpips_weights, lpips_distance,
+                                          mse, psnr, ssim)
+
+    tiny = args.tiny or jax.default_backend() != "tpu"
+    steps = 2 if tiny else args.steps
+    px = 64 if tiny else args.px
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+
+    def calib(cfg):
+        cfg.calib.n_samples = 4
+        cfg.calib.batch_size = 2
+        cfg.calib.n_steps = 2 if tiny else 4
+        return cfg
+
+    # order follows the reference LPIPS table (README.md:24-42)
+    modes = {
+        "W8A16 (weight-only int8)": ("rtn", calib(QuantConfig(
+            w_bit=8, a_bit=16, version="real", quantize_act=False,
+            weight_quant_type="per_channel", q_group_size=0))),
+        "W8A8-static SmoothQuant (real XLA int8)": ("sq", calib(QuantConfig(
+            w_bit=8, a_bit=8, version="real", quantize_act=True,
+            act_quant_type="static", act_quant_conv_type="static",
+            weight_quant_type="per_channel", q_group_size=0))),
+        "W4A16 Smooth (group-128 int4)": ("sq", calib(QuantConfig(
+            w_bit=4, a_bit=16, version="fake", zero_point=True,
+            q_group_size=128))),
+        "W4 RTN (no smoothing)": ("rtn", calib(QuantConfig(
+            w_bit=4, a_bit=16, version="fake", zero_point=True,
+            q_group_size=128))),
+    }
+
+    print(f"[quality] reference bf16 run: tiny={tiny} steps={steps} px={px}",
+          file=sys.stderr, flush=True)
+    ref_pipe = build_pipe(tiny, dtype)
+    ref = gen(ref_pipe, steps, px)
+    del ref_pipe
+    gc.collect()
+
+    lpips_w = load_lpips_weights()
+    rows = []
+    for name, (method, cfg) in modes.items():
+        print(f"[quality] {name}", file=sys.stderr, flush=True)
+        pipe = build_pipe(tiny, dtype)   # same seed => identical weights
+        pipe.quantize(cfg, quantType=method, calib_prompts=CALIB_PROMPTS)
+        img = gen(pipe, steps, px)
+        row = {
+            "config": name,
+            "mse": float(np.mean(np.asarray(mse(ref, img)))),
+            "psnr": float(np.mean(np.asarray(psnr(ref, img)))),
+            "ssim": float(np.mean(np.asarray(ssim(ref, img)))),
+        }
+        if lpips_w is not None:
+            row["lpips"] = float(np.mean(np.asarray(
+                lpips_distance(ref, img, lpips_w))))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del pipe
+        gc.collect()
+
+    artifact = {
+        "setup": {"tiny": tiny, "steps": steps, "px": px,
+                  "prompts": PROMPTS, "seed": 123,
+                  "weights": "deterministic random (no real checkpoints in env)",
+                  "lpips": lpips_w is not None},
+        "rows": rows,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "quality_table.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+
+    if not tiny:
+        lines = [
+            "# QUALITY — relative quality-parity table (SD1.5 architecture)",
+            "",
+            "Reference evidence: LPIPS tables in the reference README"
+            " (README.md:24-42), fp16 vs quantized on identical prompts/seeds.",
+            "Real checkpoints are unavailable in this environment (zero egress),",
+            "so this table reproduces the *relative* ordering on the real",
+            f"SD1.5 architecture ({px}px, {steps} DDIM steps, CFG 7.5) with",
+            "shared deterministic random weights and latents — identical",
+            "between the bf16 reference row and every quant mode.",
+            "Reproduce: `python tools/quality_table.py` (artifact:",
+            "tools/quality_table.json).",
+            "",
+            "| Config | MSE ↓ | PSNR ↑ | SSIM ↑ |" +
+            (" LPIPS ↓ |" if lpips_w is not None else ""),
+            "|---|---|---|---|" + ("---|" if lpips_w is not None else ""),
+        ]
+        for r in rows:
+            line = (f"| {r['config']} | {r['mse']:.5f} | {r['psnr']:.2f} | "
+                    f"{r['ssim']:.4f} |")
+            if "lpips" in r:
+                line += f" {r['lpips']:.4f} |"
+            lines.append(line)
+        lines += [
+            "",
+            "Expected ordering (reference README): W8 modes degrade least;",
+            "W4A16-Smooth recovers much of the W4 error; W4-RTN is worst.",
+        ]
+        with open(os.path.join(os.path.dirname(here), "QUALITY.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    print(json.dumps({"done": True, "rows": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()
