@@ -237,3 +237,117 @@ class LlavaModel:
         out, _ = self.lm.model.apply({"params": self.lm.params},
                                      input_embeds=embeds)
         return out
+
+
+class Qwen2VLModel:
+    """Qwen2-VL-style VLM: smart-resized images (utils/vl_preprocess ==
+    reference utils/qwen_vl_utils.py) -> ViT patch grid -> 2x2 patch
+    merger -> Qwen2 LM.  This is the in-tree consumer of the VL
+    preprocessing utilities the reference ships for Qwen2-VL
+    calibration (qwen_vl_utils.py:321-338)."""
+
+    def __init__(self):
+        self.vision_config = None
+        self.lm = None
+        self.vision_params = None
+        self.merger_params = None
+        self.vision_plan = QuantPlan()
+        self.dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, vision_config=None, lm_config=None,
+                    dtype=jnp.float32, seed: int = 0):
+        from qdm_tpu.api.causal_lm import CausalLM
+        from qdm_tpu.models.registry import LLM_CONFIG_PRESETS
+
+        self = cls()
+        self.dtype = dtype
+        self.vision_config = vision_config or vit_lib.tiny_vit_config()
+        self.lm = CausalLM.from_config(
+            lm_config or dataclasses.replace(LLM_CONFIG_PRESETS["tiny"],
+                                             attention_bias=True),
+            dtype=dtype, seed=seed)
+        px = jnp.zeros((1, self.vision_config.image_size,
+                        self.vision_config.image_size, 3))
+        self.vision_params = _random_init_params(self.vision_tower, (px,),
+                                                 seed + 1)
+        g = self.vision_config.image_size // self.vision_config.patch_size
+        grid = jnp.zeros((1, g, g, self.vision_config.hidden_size))
+        self.merger_params = _random_init_params(self.merger, (grid,), seed + 2)
+        return self
+
+    @property
+    def vision_tower(self):
+        return vit_lib.CLIPVisionModel(config=self.vision_config,
+                                       dtype=self.dtype, plan=self.vision_plan)
+
+    @property
+    def merger(self):
+        return vit_lib.Qwen2VLPatchMerger(
+            text_hidden=self.lm.config.hidden_size, dtype=self.dtype)
+
+    def preprocess(self, messages):
+        """Chat-format messages -> normalized image batch via the
+        reference's vision-info pipeline (process_vision_info)."""
+        from qdm_tpu.utils.vl_preprocess import process_vision_info
+
+        images, _videos = process_vision_info(messages)
+        if not images:
+            return None
+        s = self.vision_config.image_size
+        out = []
+        for im in images:
+            arr = np.asarray(im, np.float32)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, -1)
+            # smart_resize aligned the dims; adapt to the tower's fixed
+            # square input with a center crop / pad
+            h, w = arr.shape[:2]
+            if h < s or w < s:
+                arr = np.pad(arr, ((0, max(0, s - h)), (0, max(0, s - w)),
+                                   (0, 0)))
+                h, w = arr.shape[:2]
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            out.append(arr[y0:y0 + s, x0:x0 + s])
+        return np.stack(out)
+
+    def encode_image(self, pixel_values):
+        _, penult, _ = self.vision_tower.apply({"params": self.vision_params},
+                                               jnp.asarray(pixel_values))
+        feats = penult[:, 1:]                       # drop CLS
+        b, n, h = feats.shape
+        g = int(np.sqrt(n))
+        grid = feats.reshape(b, g, g, h)
+        return self.merger.apply({"params": self.merger_params}, grid)
+
+    def quantize(self, quant_config=None, quantType: str = "awq",
+                 quantVision: bool = False, quantText: bool = True,
+                 calib_data=None):
+        cfg = quant_config if isinstance(quant_config, QuantConfig) \
+            else QuantConfig.from_dict(quant_config)
+        if quantText:
+            self.lm.quantize(quant_config=cfg, quantType=quantType,
+                             calib_data=calib_data)
+        if quantVision:
+            plan = QuantPlan(default=spec_from_config(cfg))
+            self.vision_params = (
+                qapply.fake_quantize_params(self.vision_params, plan)
+                if cfg.version != "real"
+                else qapply.pack_params(self.vision_params, plan))
+            self.vision_plan = plan
+        return self
+
+    def logits(self, input_ids, messages=None, pixel_values=None):
+        """Joint forward: merged image tokens prefix the text tokens."""
+        ids = jnp.asarray(input_ids)
+        if pixel_values is None and messages is not None:
+            pixel_values = self.preprocess(messages)
+        if pixel_values is None:
+            return self.lm.logits(ids)
+        img_emb = self.encode_image(pixel_values)
+        tok_emb = self.lm.params["embed_tokens"]["embedding"][ids]
+        embeds = jnp.concatenate([img_emb, tok_emb.astype(img_emb.dtype)],
+                                 axis=1)
+        out, _ = self.lm.model.apply({"params": self.lm.params},
+                                     input_embeds=embeds)
+        return out

@@ -134,3 +134,29 @@ class LlavaMultiModalProjector(nn.Module):
         h = nn.gelu(h, approximate=False)
         return QDense(self.text_hidden, dtype=self.dtype, plan=self.plan,
                       name="linear_2")(h)
+
+
+class Qwen2VLPatchMerger(nn.Module):
+    """Qwen2-VL patch merger: LN, 2x2 spatial patch grouping, then a
+    2-layer GELU MLP into the LM embedding space.  The consumer side of
+    the smart-resize contract (utils/vl_preprocess.py == reference
+    utils/qwen_vl_utils.py: images are resized to multiples of
+    patch*merge so the grid always groups evenly)."""
+
+    text_hidden: int
+    dtype: Dtype = jnp.bfloat16
+    plan: QuantPlan = NO_PLAN
+
+    @nn.compact
+    def __call__(self, patch_grid):
+        """patch_grid: (B, Gh, Gw, H) patch features on the 2D grid."""
+        b, gh, gw, h = patch_grid.shape
+        assert gh % 2 == 0 and gw % 2 == 0, (gh, gw)
+        x = LayerNorm(dtype=self.dtype, name="ln_q")(patch_grid)
+        x = x.reshape(b, gh // 2, 2, gw // 2, 2, h)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (gh // 2) * (gw // 2),
+                                                  4 * h)
+        x = QDense(4 * h, dtype=self.dtype, plan=self.plan, name="mlp_0")(x)
+        x = nn.gelu(x, approximate=False)
+        return QDense(self.text_hidden, dtype=self.dtype, plan=self.plan,
+                      name="mlp_2")(x)

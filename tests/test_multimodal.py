@@ -66,3 +66,35 @@ def test_llava_joint_forward_and_quant():
                quantType="rtn", quantVision=True, quantText=True)
     q = np.asarray(m.logits(ids, px))
     assert np.isfinite(q).all()
+
+
+def test_qwen2vl_consumes_vl_preprocess():
+    """Qwen2-VL model consumes process_vision_info output end-to-end
+    (the reference ships qwen_vl_utils.py for exactly this calibration
+    path)."""
+    import numpy as np
+    from PIL import Image
+
+    from qdm_tpu.api.multimodal import Qwen2VLModel
+
+    m = Qwen2VLModel.from_config(dtype=jnp.float32)
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((40, 52, 3)) * 255).astype(np.uint8))
+    messages = [{"role": "user",
+                 "content": [{"type": "image", "image": img},
+                             {"type": "text", "text": "describe"}]}]
+    px = m.preprocess(messages)
+    s = m.vision_config.image_size
+    assert px.shape[1:] == (s, s, 3)
+    ids = np.zeros((1, 6), np.int32)
+    out = m.logits(ids, messages=messages)
+    n_img_tokens = ((s // m.vision_config.patch_size) // 2) ** 2
+    assert out.shape == (1, n_img_tokens + 6, m.lm.config.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # quantized text side still works jointly
+    m.quantize({"w_bit": 8, "a_bit": 16, "q_group_size": 0,
+                "weight_quant_type": "per_channel", "version": "fake"},
+               quantType="rtn")
+    out2 = m.logits(ids, messages=messages)
+    assert np.isfinite(np.asarray(out2)).all()
