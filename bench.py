@@ -95,7 +95,7 @@ def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
                          quantize_act=True, act_quant="static")
     conv = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                           act_quant="static")
-    plan = QuantPlan(default=w8x, fuse_qkv=True,
+    plan = QuantPlan(default=w8x, fuse_qkv=True, int8_bmm=True,
                      rules=(("conv", conv), ("time_emb", noq),
                             ("time_embedding", noq)))
     params = fuse_qkv_params(params)

@@ -15,17 +15,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from qdm_tpu.ops import attention as attn_lib
-from qdm_tpu.utils.timing import timed_value
-import time
+from qdm_tpu.utils.timing import marginal_time
 
 
-def time_fn(fn, *args, reps=5):
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)))
-    t0 = time.time()
-    for _ in range(reps):
-        float(jnp.sum(fn(*args).astype(jnp.float32)))
-    return (time.time() - t0) / reps
+def time_fn(fn, q, k, v, reps=None):
+    """Marginal time per call: chain the output back into q inside a
+    traced fori_loop (out has q's shape), so tunnel dispatch overhead
+    and fixed fetch cost cancel (see utils/timing.py)."""
+    return marginal_time(lambda qc: fn(qc, k, v), q, lo=4, hi=16)
 
 
 def flash_with_block(q, k, v, scale, b):
@@ -42,7 +39,8 @@ def flash_with_block(q, k, v, scale, b):
 
 
 def main():
-    B = 16
+    import sys
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     shapes = [  # (S_q, S_kv, H, D) — SD1.5 levels at batch 8 CFG
         (4096, 4096, 8, 40),
         (1024, 1024, 8, 80),
@@ -71,6 +69,34 @@ def main():
             row["jaxnn_ms"] = round(1e3 * time_fn(nn_attn, q, k, v), 2)
         except Exception as e:
             row["jaxnn_ms"] = f"err:{type(e).__name__}"
+
+        def xla_int8qk(q, k, v):
+            # static-scale int8 QK^T (post-LN q/k ranges are calibratable)
+            qs, ks = 4.0 / 127, 4.0 / 127
+            qi = jnp.clip(jnp.round(q.astype(jnp.float32) / qs), -127, 127).astype(jnp.int8)
+            ki = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qi, ki,
+                                preferred_element_type=jnp.int32)
+            logits = logits.astype(jnp.float32) * (qs * ks * scale)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+
+        def xla_int8full(q, k, v):
+            qs, ks, vs = 4.0 / 127, 4.0 / 127, 4.0 / 127
+            qi = jnp.clip(jnp.round(q.astype(jnp.float32) / qs), -127, 127).astype(jnp.int8)
+            ki = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
+            vi = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -127, 127).astype(jnp.int8)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qi, ki,
+                                preferred_element_type=jnp.int32)
+            logits = logits.astype(jnp.float32) * (qs * ks * scale)
+            probs = jax.nn.softmax(logits, axis=-1)
+            pi = jnp.round(probs * 127).astype(jnp.int8)   # probs in [0,1]
+            acc = jnp.einsum("bhqk,bkhd->bqhd", pi, vi,
+                             preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * (vs / 127)).astype(q.dtype)
+
+        row["int8qk_ms"] = round(1e3 * time_fn(jax.jit(xla_int8qk), q, k, v), 2)
+        row["int8full_ms"] = round(1e3 * time_fn(jax.jit(xla_int8full), q, k, v), 2)
 
         if sq == skv and sq >= 256:
             for b in (128, 256, 512, 1024):

@@ -80,10 +80,21 @@ def main():
     out = {"metric": "LLM 1B decode tok/s (batch 1)",
            "bf16_tok_s": round(n_new / dt_bf, 1)}
 
-    for mode in ("w4a16", "w4a8"):
-        plan = QuantPlan(default=LayerQuantSpec(mode=mode, w_bits=4,
-                                                group_size=128, zero_point=True))
-        plan = plan.with_rule("lm_head", None)
+    specs = {
+        "w4a16": LayerQuantSpec(mode="w4a16", w_bits=4, group_size=128,
+                                zero_point=True),
+        "w4a8": LayerQuantSpec(mode="w4a8", w_bits=4, group_size=128,
+                               zero_point=True),
+        # weight-only int8 with the dequant fused by XLA into the matmul
+        # operand stream: halves the weight bytes (decode is
+        # weight-bandwidth-bound) with no Pallas per-call overhead
+        "w8a16": LayerQuantSpec(mode="w8a16", w_bits=8),
+        # int8 x int8 in plain XLA, dynamic per-token act scale
+        "w8a8_xla": LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                                   quantize_act=True, act_quant="per_token"),
+    }
+    for mode, spec in specs.items():
+        plan = QuantPlan(default=spec).with_rule("lm_head", None)
         qparams = pack_params(lm.params, plan)
         lm.plan = plan
         dt_q = timed(lm.model, qparams)

@@ -17,6 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from bench import build, make_loop, random_params, time_loop
+from qdm_tpu.models import layers as layers_lib
 from qdm_tpu.models import unet as unet_lib
 from qdm_tpu.models.unet import SD15_UNET
 from qdm_tpu.quant.plan import QuantPlan
@@ -48,6 +49,10 @@ def main():
     real_ff = unet_lib.FeedForward.__call__
     real_t2d = unet_lib.Transformer2D.__call__
     real_rb = unet_lib.ResnetBlock2D.__call__
+    real_gn = layers_lib.GroupNorm.__call__
+
+    from qdm_tpu.ops import attention as attn_ops
+    real_core = attn_ops.dot_product_attention
 
     def no_attn(self, x, context=None, residual=None, ln=None):
         return (x if residual is None else residual).astype(self.dtype)
@@ -63,23 +68,58 @@ def main():
             return x
         return real_rb(self, x, temb)
 
+    def no_gn(self, x):
+        return x.astype(self.dtype)
+
+    def no_core(q, k, v, scale=None):
+        return q  # same shape as the attention output
+
+    def self_core_only(q, k, v, scale=None):
+        if q.shape[1] != k.shape[1]:
+            return q  # skip cross-attention cores
+        return real_core(q, k, v, scale)
+
+    def cross_core_only(q, k, v, scale=None):
+        if q.shape[1] == k.shape[1]:
+            return q  # skip self-attention cores
+        return real_core(q, k, v, scale)
+
+    class _FnPatch:
+        """Patch a module-level function (unet imports the symbol)."""
+
+        def __init__(self, fn):
+            self.fn = fn
+
     ablations = {
         "attention": (unet_lib.CrossAttention, no_attn),
+        "attn_core": (_FnPatch(no_core), None),
+        "self_attn_core": (_FnPatch(cross_core_only), None),
+        "cross_attn_core": (_FnPatch(self_core_only), None),
         "feedforward": (unet_lib.FeedForward, no_ff),
         "transformer2d": (unet_lib.Transformer2D, no_t2d),
         "resnet_blocks": (unet_lib.ResnetBlock2D, no_rb),
+        "groupnorm": (layers_lib.GroupNorm, no_gn),
     }
     originals = {
         "attention": real_attn, "feedforward": real_ff,
         "transformer2d": real_t2d, "resnet_blocks": real_rb,
+        "groupnorm": real_gn,
     }
 
     for name, (cls, fn) in ablations.items():
-        cls.__call__ = fn
+        if isinstance(cls, _FnPatch):
+            # unet.py does `from qdm_tpu.ops.attention import
+            # dot_product_attention` — patch the unet module's binding
+            unet_lib.dot_product_attention = cls.fn
+        else:
+            cls.__call__ = fn
         try:
             dt = run()
         finally:
-            cls.__call__ = originals[name]
+            if isinstance(cls, _FnPatch):
+                unet_lib.dot_product_attention = real_core
+            else:
+                cls.__call__ = originals[name]
         saved = dt_full - dt
         print(json.dumps({"variant": f"no_{name}",
                           "ms_per_img": round(1e3 * dt / batch, 1),

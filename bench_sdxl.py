@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""SDXL UNet throughput: bf16 vs W4A16 (BASELINE target #2) vs
+W8A8-static-XLA, images/sec/chip at 1024px.
+
+Usage: bench_sdxl.py [batch ...]   (default: 1 4)
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from bench import build, make_loop, random_params, time_loop
+from qdm_tpu.calib.stats import flatten_calib
+from qdm_tpu.models.unet import SDXL_UNET
+from qdm_tpu.quant.apply import (fill_static_act_scales, fuse_qkv_params,
+                                 pack_params)
+from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+NOQ = LayerQuantSpec(mode="none")
+W4 = LayerQuantSpec(mode="w4a16", w_bits=4, group_size=128, zero_point=True)
+W8X = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8, quantize_act=True,
+                     act_quant="static")
+CONV_ST = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
+                         act_quant="static")
+NOEMB = (("time_emb", NOQ), ("time_embedding", NOQ), ("add_embedding", NOQ))
+
+
+def make_sdxl_loop(model, steps, guidance=7.5):
+    """SDXL loop: text_time added conds threaded through."""
+    import functools
+
+    from qdm_tpu.models.schedulers import SDXL_SCHED, ddim_step, make_ddim
+
+    tables = make_ddim(SDXL_SCHED, steps)
+
+    @jax.jit
+    def loop(params, latents, ctx, uctx, added):
+        def body(s, lat):
+            t = tables.timesteps[s]
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(model.dtype)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            eps = model.apply({"params": params}, lat_in, tt, ctx_in, added)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return ddim_step(tables, eps_u + guidance * (eps_c - eps_u),
+                             lat, s, steps)
+
+        return jax.lax.fori_loop(0, steps, body, latents)
+
+    return loop
+
+
+def time_sdxl(loop, params, latents, ctx, uctx, added, reps):
+    import time as _t
+
+    float(jnp.sum(loop(params, latents, ctx, uctx, added)))
+    t0 = _t.time()
+    for _ in range(reps):
+        float(jnp.sum(loop(params, latents, ctx, uctx, added)))
+    return (_t.time() - t0) / reps
+
+
+def main():
+    batches = [int(b) for b in sys.argv[1:]] or [1, 4]
+    steps, reps, latent = 20, 2, 128   # 1024px
+    cfg = SDXL_UNET
+    ctx_dim = cfg.cross_attention_dim  # 2048
+    pooled = 1280
+
+    plans = {
+        "w4a16": QuantPlan(default=W4, fuse_qkv=True,
+                           rules=(("conv", NOQ),) + NOEMB),
+        "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True, int8_bmm=True,
+                                 rules=(("conv", CONV_ST),) + NOEMB),
+    }
+
+    params = None
+    for batch in batches:
+        latents = jax.random.normal(jax.random.PRNGKey(0),
+                                    (batch, latent, latent, 4), jnp.float32)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, ctx_dim),
+                                jnp.bfloat16)
+        uctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim),
+                                 jnp.bfloat16)
+        added = {"text_embeds": jax.random.normal(
+                     jax.random.PRNGKey(3), (2 * batch, pooled), jnp.bfloat16),
+                 "time_ids": jnp.tile(
+                     jnp.array([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
+                     (2 * batch, 1))}
+        if params is None:
+            t = jnp.zeros((2 * batch,), jnp.int32)
+            lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
+            ctx2 = jnp.concatenate([ctx, uctx])
+
+            base_model = build(QuantPlan(fuse_qkv=True), cfg)
+            shapes = jax.eval_shape(lambda: build(QuantPlan(), cfg).init(
+                jax.random.PRNGKey(0), lat2, t, ctx2, added))["params"]
+            import numpy as np
+
+            # bf16 param storage (2.6B params won't fit f32 + activations)
+            def init_leaf(path, s):
+                name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+                if name in ("kernel",):
+                    fan_in = int(np.prod(s.shape[:-1])) or 1
+                    k = jax.random.fold_in(jax.random.PRNGKey(0), hash(str(path)) % (2**31))
+                    return (jax.random.normal(k, s.shape, jnp.bfloat16) /
+                            np.sqrt(fan_in))
+                if name == "scale":
+                    return jnp.ones(s.shape, jnp.bfloat16)
+                return jnp.zeros(s.shape, jnp.bfloat16)
+
+            params = jax.tree_util.tree_map_with_path(init_leaf, shapes)
+            params = fuse_qkv_params(params)
+
+            cap = build(QuantPlan(fuse_qkv=True).with_capture(True), cfg)
+
+            @jax.jit
+            def capture(params, lat2, t, ctx2, added):
+                _, mut = cap.apply({"params": params}, lat2, t, ctx2, added,
+                                   mutable=["calib"])
+                return mut
+
+            stats = flatten_calib(jax.device_get(
+                capture(params, lat2, t, ctx2, added))["calib"])
+            packed = {name: fill_static_act_scales(pack_params(params, plan), stats)
+                      for name, plan in plans.items()}
+
+        row = {"batch": batch, "px": latent * 8}
+        dt = time_sdxl(make_sdxl_loop(base_model, steps), params, latents,
+                       ctx, uctx, added, reps)
+        row["bf16"] = round(batch / dt, 3)
+        for name, plan in plans.items():
+            dt_q = time_sdxl(make_sdxl_loop(build(plan, cfg), steps),
+                             packed[name], latents, ctx, uctx, added, reps)
+            row[name] = round(batch / dt_q, 3)
+            row[name + "_x"] = round(row[name] / row["bf16"], 3)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,9 @@ def main():
                                 rules=(("conv", NOQ),) + NOEMB),
         "xla_static_conv": QuantPlan(default=W8X_ST, fuse_qkv=True,
                                      rules=(("conv", CONV_ST),) + NOEMB),
+        "xla_static_conv_bmm": QuantPlan(default=W8X_ST, fuse_qkv=True,
+                                         int8_bmm=True,
+                                         rules=(("conv", CONV_ST),) + NOEMB),
     }
 
     base_model = build(QuantPlan(fuse_qkv=True), cfg)
@@ -72,21 +75,27 @@ def main():
             lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
             ctx2 = jnp.concatenate([ctx, uctx])
             params = random_params(build(QuantPlan(), cfg), lat2, t, ctx2)
+            # bf16 storage: 6 variants' packed copies + executables must
+            # coexist with activations in 16GB HBM
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
             params = fuse_qkv_params(params)
             stats = capture_stats(cfg, params, lat2, t, ctx2)
-            packed = {}
-            for name, plan in plans.items():
-                qp = pack_params(params, plan)
-                packed[name] = fill_static_act_scales(qp, stats)
 
         row = {"batch": batch}
         dt = time_loop(make_loop(base_model, steps), params, latents, ctx, uctx, reps)
         row["bf16"] = round(batch / dt, 3)
         for name, plan in plans.items():
-            dt_q = time_loop(make_loop(build(plan, cfg), steps), packed[name],
+            # pack per-variant and free before the next (HBM headroom)
+            qp = fill_static_act_scales(pack_params(params, plan), stats)
+            dt_q = time_loop(make_loop(build(plan, cfg), steps), qp,
                              latents, ctx, uctx, reps)
+            del qp
             row[name] = round(batch / dt_q, 3)
             row[name + "_x"] = round(row[name] / row["bf16"], 3)
+            print(json.dumps({k: row[k] for k in ("batch", "bf16", name, name + "_x")}),
+                  flush=True)
         print(json.dumps(row), flush=True)
 
 

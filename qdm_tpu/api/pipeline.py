@@ -313,7 +313,12 @@ class BaseDiffusionPipeline:
             qkv_spec = dataclasses.replace(dense_spec, quantize_output=True)
             for pat in ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj"):
                 rules.append((pat, qkv_spec))
-        plan = QuantPlan(default=dense_spec, rules=tuple(rules))
+        # real int8 execution also runs the self-attention BMMs on the
+        # int8 MXU (the real-kernel counterpart of quantize_bmm_input)
+        int8_bmm = (cfg.version == "real" and cfg.quantize_act
+                    and cfg.a_bit <= 8)
+        plan = QuantPlan(default=dense_spec, rules=tuple(rules),
+                         int8_bmm=int8_bmm)
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)
         return plan

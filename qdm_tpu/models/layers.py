@@ -112,8 +112,11 @@ class QDense(nn.Module):
             # effective group size: same resolution as pack_params
             # (reference shrink-by-32 quirk, fake_quant.py:33-40)
             gs = spec.group_size if spec.group_size > 0 else in_features
-            gs = rtn.resolve_group_size(in_features, gs) or in_features
-            kp = qmm._round_up(in_features, max(qmm.PACK_BLOCK_K, gs))
+            gs = qmm.align_group_size(
+                in_features, rtn.resolve_group_size(in_features, gs)
+                or in_features)
+            import math as _math
+            kp = qmm._round_up(in_features, _math.lcm(qmm.PACK_BLOCK_K, gs))
             qweight = self.param(
                 "qweight", nn.initializers.zeros_init(),
                 (kp // 8, qmm._round_up(self.features, qmm.LANE)), jnp.int32)

@@ -156,7 +156,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, -1, self.heads, self.dim_head)
         v = v.reshape(b, -1, self.heads, self.dim_head)
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, quantized=self.plan.int8_bmm)
         out = out.reshape(b, sq, inner)
         return QDense(self.query_dim, dtype=self.dtype, plan=self.plan,
                       name="to_out_0")(out, residual=residual)

@@ -1,11 +1,24 @@
 """Attention for the diffusion/text models.
 
-TPU path uses the Pallas TPU flash-attention kernel (blockwise softmax,
-no materialized S x S matrix) — the TPU-native equivalent of the
-reference's flash-attn pip dependency and fused attention modules
-(reference: requirements.txt:4, awq/modules/fused/attn.py upstream).
-Falls back to an XLA softmax attention for short or ragged sequence
-lengths (e.g. 77-token cross-attention context) and on CPU.
+TPU dispatch, selected by measurement (bench_attn.py, v5e, batch-8 CFG):
+
+* 256 <= S <= 1024 uniform self-attention: the Pallas TPU
+  flash-attention kernel with the WHOLE sequence as one block — the
+  attention stays VMEM-resident with no online-softmax bookkeeping
+  (2x over multi-block flash at S=1024).
+* longer sequences (SD 64x64 latents = 4096 tokens, head_dim 40): plain
+  XLA softmax attention wins over the flash kernel (7.1ms vs 9.8ms per
+  CFG-batch-16 call) — the small head_dim tiles poorly onto the
+  128-lane MXU and XLA's fusion of the softmax chain beats the Pallas
+  pipeline overhead.
+* int8 BMM attention (`quantized=True`): both attention matmuls on the
+  int8 MXU — per-token scales for q/k, fixed 1/127 scale for the
+  softmax probs, per-(head,dim) scales for v (the factorizations that
+  commute with the contractions).  2.3x over bf16 at the 4096-token
+  level (4.3ms vs 10.0ms).  This is the real-kernel version of the
+  reference's `quantize_bmm_input` activation quantization
+  (quantizer_SQ.py:463,487; fake_quant.py:222-225).
+* ragged (cross-attention, 77-token context) and CPU: XLA softmax.
 
 Layout: (batch, seq, heads, head_dim) in/out.
 """
@@ -26,32 +39,82 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _flash_ok(q_len: int, kv_len: int) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and q_len == kv_len
-        and q_len >= 256
-        and q_len % 128 == 0
+def _int8_attention(q, k, v, scale):
+    """Both BMMs on the int8 MXU with commuting scale factorizations:
+    q/k per-token, probs fixed 1/127 (range [0,1]), v per-(h,d)."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-5, None) / 127
+    ks = jnp.clip(jnp.max(jnp.abs(kf), axis=-1, keepdims=True), 1e-5, None) / 127
+    vs = jnp.clip(jnp.max(jnp.abs(vf), axis=(0, 1), keepdims=True), 1e-5, None) / 127
+    qi = jnp.round(qf / qs).astype(jnp.int8)
+    ki = jnp.round(kf / ks).astype(jnp.int8)
+    vi = jnp.round(vf / vs).astype(jnp.int8)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qi, ki,
+                        preferred_element_type=jnp.int32)
+    # (B,Sq,H) x (B,Skv,H) -> (B,H,Sq,Skv) outer scale
+    logits = logits.astype(jnp.float32) * (
+        qs[..., 0].transpose(0, 2, 1)[:, :, :, None] *
+        ks[..., 0].transpose(0, 2, 1)[:, :, None, :] * scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # per-row absmax prob scales (quantize_activation_per_token_absmax
+    # semantics, fake_quant.py:108-118): exact for flat rows, full int8
+    # resolution for peaked ones
+    ps = jnp.max(probs, axis=-1, keepdims=True) / 127  # probs >= 0
+    pi = jnp.round(probs / ps).astype(jnp.int8)
+    acc = jnp.einsum("bhqk,bkhd->bqhd", pi, vi,
+                     preferred_element_type=jnp.int32)
+    # ps (B,H,Sq,1) -> (B,Sq,H,1): per-(query,head) scaling of the out
+    return (acc.astype(jnp.float32) * ps.transpose(0, 2, 1, 3)
+            * vs).astype(q.dtype)
+
+
+def _flash(q, k, v, scale, block: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    b = block
+    block_sizes = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
     )
+    out = flash_attention(qt, kt, vt, sm_scale=scale, block_sizes=block_sizes)
+    return out.transpose(0, 2, 1, 3)
+
+
+# batch x seq threshold where the long-seq regime flips from flash-512
+# to XLA/int8 (measured at B=2 vs B=16, bench_attn.py)
+_LONG_SEQ_ROWS_XLA = 32768
 
 
 @functools.partial(jax.named_call, name="attention")
-def dot_product_attention(q, k, v, scale: float | None = None):
-    """Multi-head attention; q (B, Sq, H, D), k/v (B, Skv, H, D)."""
+def dot_product_attention(q, k, v, scale: float | None = None,
+                          quantized: bool = False):
+    """Multi-head attention; q (B, Sq, H, D), k/v (B, Skv, H, D).
+
+    quantized=True runs both BMMs on the int8 MXU (self-attention at
+    large batch x seq on TPU only; the 77-token cross-attention stays
+    bf16 — it is cheap and its v ranges are context-dependent)."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    if _flash_ok(q.shape[1], k.shape[1]):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, flash_attention)
-
-        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-        s = q.shape[1]
-        b = min(512, s)
-        block_sizes = BlockSizes(
-            block_q=b, block_k_major=b, block_k=b, block_b=1,
-            block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
-            block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
-        )
-        out = flash_attention(qt, kt, vt, sm_scale=scale, block_sizes=block_sizes)
-        return out.transpose(0, 2, 1, 3)
+    b_sz, s = q.shape[0], q.shape[1]
+    uniform = (jax.default_backend() == "tpu" and s == k.shape[1]
+               and s % 128 == 0)
+    if uniform and 256 <= s <= 1024:
+        # whole sequence in one VMEM-resident block: 2x over multi-block
+        # flash and XLA at batch-8 CFG (bench_attn.py)
+        return _flash(q, k, v, scale, block=s)
+    if uniform and s >= 2048:
+        if b_sz * s >= _LONG_SEQ_ROWS_XLA:
+            # big-batch long-seq: int8 BMMs 2.3x over bf16; bf16 XLA
+            # softmax beats multi-block flash (7.4 vs 9.9 ms)
+            if quantized:
+                return _int8_attention(q, k, v, scale)
+            return _xla_attention(q, k, v, scale)
+        # small-batch long-seq: multi-block flash wins (1.22 ms vs
+        # 2.95 XLA / 1.54 int8 at B=2, S=4096)
+        return _flash(q, k, v, scale, block=512)
     return _xla_attention(q, k, v, scale)

@@ -29,6 +29,7 @@ call.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,18 @@ def _round_up(x: int, m: int) -> int:
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def align_group_size(k: int, gs: int, block_k: int = PACK_BLOCK_K) -> int:
+    """Shrink gs (by the reference's 32-step) until group boundaries
+    align with the kernel's K-blocks (block % gs == 0 or gs % block == 0)
+    while still dividing k — e.g. gs=96 with 128-row blocks would put a
+    group boundary mid-block and pick up the wrong scale row."""
+    g = gs
+    while g > 0 and not ((block_k % g == 0 or g % block_k == 0)
+                         and k % g == 0):
+        g -= 32
+    return g if g > 0 else k
 
 
 def _pick_block(n: int, pref: int, mult: int = LANE) -> int:
@@ -106,7 +119,10 @@ def pack_linear_int4(icodes_kn, scales_gn, zeros_gn, group_size: int,
     Returns (qweight (K'/8, N') int32, scales (K'/G, N') f32,
     zeros (K'/G, N') f32 | None)."""
     k, n = icodes_kn.shape
-    kp, np_ = _round_up(k, max(k_mult, group_size)), _round_up(n, n_mult)
+    # K padding must be a multiple of BOTH the kernel block and the
+    # group size (e.g. k=320, g=320 -> kp=640, not 320)
+    kp = _round_up(k, math.lcm(k_mult, group_size))
+    np_ = _round_up(n, n_mult)
     gp = kp // group_size
     g_rows = scales_gn.shape[0]
     if zeros_gn is None:

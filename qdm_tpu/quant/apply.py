@@ -113,7 +113,7 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
     new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
     if spec.mode in ("w4a16", "w4a8"):
         gs = spec.group_size if spec.group_size > 0 else k
-        gs = rtn.resolve_group_size(k, gs) or k
+        gs = qmm.align_group_size(k, rtn.resolve_group_size(k, gs) or k)
         q = pseudo.quantize_tensor(kernel.T, n_bits=4, group_size=gs,
                                    zero_point=spec.zero_point)
         codes_kn = q.iweight.T

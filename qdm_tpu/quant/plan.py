@@ -74,6 +74,9 @@ class QuantPlan:
     capture_rows: int = 64
     fuse_qkv: bool = False         # fused q/k/v projections (fused_utils.py:45-142)
     fuse_ln: bool = False          # fold LayerNorms into the following packed matmul
+    # run self-attention BMMs on the int8 MXU (real-kernel version of
+    # the reference's quantize_bmm_input, quantizer_SQ.py:463,487)
+    int8_bmm: bool = False
 
     def spec_for(self, path: str) -> LayerQuantSpec:
         spec = self.default
@@ -99,12 +102,17 @@ def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> Lay
     field semantics)."""
     if mode is None:
         if cfg.version == "real":
-            if cfg.quantize_act and cfg.a_bit <= 8 and cfg.w_bit == 8:
+            w_bits = cfg.wv_bit if conv else cfg.w_bit
+            if cfg.quantize_act and cfg.a_bit <= 8 and w_bits == 8:
                 backend = getattr(cfg, "kernel_backend", "auto")
                 act_type = cfg.act_quant_conv_type if conv else cfg.act_quant_type
                 use_xla = (backend == "xla" or
                            (backend == "auto" and act_type == "static"))
                 mode = "w8a8_xla" if (use_xla and not conv) else "w8a8"
+            elif w_bits == 8:
+                mode = "w8a16"   # weight-only int8, XLA-fused dequant
+            elif cfg.quantize_act and cfg.a_bit <= 8:
+                mode = "w4a8"
             else:
                 mode = "w4a16"
         elif cfg.version == "fake_act":

@@ -67,3 +67,33 @@ def test_pipeline_data_parallel_generate():
     p.with_mesh(make_mesh(8, 1))
     img_sharded = p.generate(prompts, num_inference_steps=2, seed=0)
     np.testing.assert_allclose(img_sharded, img_single, rtol=5e-4, atol=5e-4)
+
+
+def test_tp_sharded_w8a8_xla_layer_matches_single():
+    """The packed int8 (w8a8_xla) dense layer under a tensor-parallel
+    column split must reproduce the single-device result: qweight
+    col-sharded, scales col-sharded, act_scale replicated."""
+    from qdm_tpu.models.layers import QDense
+    from qdm_tpu.quant.apply import pack_dense_layer
+    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+    spec = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                          quantize_act=True, act_quant="static")
+    plan = QuantPlan(default=spec)
+    rng = np.random.default_rng(0)
+    kern = jnp.asarray(rng.standard_normal((64, 128), np.float32))
+    layer = pack_dense_layer({"kernel": kern}, spec)
+    layer["act_scale"] = jnp.asarray([0.03], jnp.float32)
+    # wrap in a to_q-named tree so the col-split rule matches
+    params = {"to_q": layer}
+    model = QDense(128, use_bias=False, dtype=jnp.float32, plan=plan)
+    x = jnp.asarray(rng.standard_normal((16, 64), np.float32))
+    want = model.apply({"params": layer}, x)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh, tp=True)["to_q"]
+    assert sp["qweight"].sharding.spec == P(None, "model")
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x))(sp, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
