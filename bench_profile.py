@@ -71,18 +71,18 @@ def main():
     def no_gn(self, x):
         return x.astype(self.dtype)
 
-    def no_core(q, k, v, scale=None):
+    def no_core(q, k, v, scale=None, **kw):
         return q  # same shape as the attention output
 
-    def self_core_only(q, k, v, scale=None):
+    def self_core_only(q, k, v, scale=None, **kw):
         if q.shape[1] != k.shape[1]:
             return q  # skip cross-attention cores
-        return real_core(q, k, v, scale)
+        return real_core(q, k, v, scale, **kw)
 
-    def cross_core_only(q, k, v, scale=None):
+    def cross_core_only(q, k, v, scale=None, **kw):
         if q.shape[1] == k.shape[1]:
             return q  # skip self-attention cores
-        return real_core(q, k, v, scale)
+        return real_core(q, k, v, scale, **kw)
 
     class _FnPatch:
         """Patch a module-level function (unet imports the symbol)."""
