@@ -95,7 +95,11 @@ def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
                          quantize_act=True, act_quant="static")
     conv = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                           act_quant="static")
-    plan = QuantPlan(default=w8x, fuse_qkv=True, int8_bmm=True,
+    # int8_bmm stays OFF: the int8 attention BMMs win in isolation
+    # (2.3x, bench_attn.py) but XLA lowers them badly inside the full
+    # graph (0.48x end-to-end, bench_sweep.py) — needs a fused Pallas
+    # int8-attention kernel to realize
+    plan = QuantPlan(default=w8x, fuse_qkv=True,
                      rules=(("conv", conv), ("time_emb", noq),
                             ("time_embedding", noq)))
     params = fuse_qkv_params(params)

@@ -99,6 +99,19 @@ def main():
         row["int8full_ms"] = round(1e3 * time_fn(jax.jit(xla_int8full), q, k, v), 2)
 
         if sq == skv and sq >= 256:
+            from qdm_tpu.ops.flash_int8 import flash_int8_attention
+
+            for bq in (256, 512):
+                if bq <= sq:
+                    f8 = jax.jit(lambda q, k, v, bq=bq: flash_int8_attention(
+                        q, k, v, scale, block_q=bq, block_k=bq))
+                    try:
+                        row[f"int8flash{bq}_ms"] = round(
+                            1e3 * time_fn(f8, q, k, v), 2)
+                    except Exception as e:
+                        row[f"int8flash{bq}_ms"] = f"err:{type(e).__name__}"
+
+        if sq == skv and sq >= 256:
             for b in (128, 256, 512, 1024):
                 if b <= sq:
                     try:

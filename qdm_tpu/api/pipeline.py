@@ -313,12 +313,12 @@ class BaseDiffusionPipeline:
             qkv_spec = dataclasses.replace(dense_spec, quantize_output=True)
             for pat in ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj"):
                 rules.append((pat, qkv_spec))
-        # real int8 execution also runs the self-attention BMMs on the
-        # int8 MXU (the real-kernel counterpart of quantize_bmm_input)
-        int8_bmm = (cfg.version == "real" and cfg.quantize_act
-                    and cfg.a_bit <= 8)
-        plan = QuantPlan(default=dense_spec, rules=tuple(rules),
-                         int8_bmm=int8_bmm)
+        # int8 self-attention BMMs (the real-kernel counterpart of
+        # quantize_bmm_input) exist behind QuantPlan.int8_bmm but stay
+        # OFF by default: they win 2.3x in isolation yet regress 2x
+        # inside the full graph under XLA (bench_sweep.py round 2);
+        # flipping them on needs a fused Pallas int8-attention kernel
+        plan = QuantPlan(default=dense_spec, rules=tuple(rules))
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)
         return plan

@@ -71,7 +71,11 @@ def main():
     qw, sc, ze = qmm.pack_linear_int4(q.iweight.T, q.scales.T, q.zeros.T,
                                       qmm.PACK_BLOCK_K)
     out = qmm.w4a8_matmul_pallas(x, qw, sc, ze, group_size=qmm.PACK_BLOCK_K)
-    ref = qmm.w4a8_matmul_ref(x, qw, sc, ze, group_size=qmm.PACK_BLOCK_K)
+    # the jnp reference's f32 matmul must run at full precision or ITS
+    # accumulation error (TPU default matmul precision is reduced)
+    # shows up as a fake kernel mismatch
+    with jax.default_matmul_precision("highest"):
+        ref = qmm.w4a8_matmul_ref(x, qw, sc, ze, group_size=qmm.PACK_BLOCK_K)
     results["w4a8"] = {"max_abs_diff": _maxdiff(out, ref),
                        "tol": 1e-2, "pass": _maxdiff(out, ref) <= 1e-2}
 
