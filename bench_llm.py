@@ -92,6 +92,9 @@ def main():
         # int8 x int8 in plain XLA, dynamic per-token act scale
         "w8a8_xla": LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
                                    quantize_act=True, act_quant="per_token"),
+        # weight-only int4 nibble-packed in plain XLA (1/4 weight bytes)
+        "w4a16_xla": LayerQuantSpec(mode="w4a16_xla", w_bits=4,
+                                    group_size=128),
     }
     for mode, spec in specs.items():
         plan = QuantPlan(default=spec).with_rule("lm_head", None)

@@ -72,10 +72,13 @@ def main():
     ctx_dim = cfg.cross_attention_dim  # 2048
     pooled = 1280
 
+    W4XLA = LayerQuantSpec(mode="w4a16_xla", w_bits=4, group_size=128)
     plans = {
         "w4a16": QuantPlan(default=W4, fuse_qkv=True,
                            rules=(("conv", NOQ),) + NOEMB),
-        "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True, int8_bmm=True,
+        "w4a16_xla": QuantPlan(default=W4XLA, fuse_qkv=True,
+                               rules=(("conv", NOQ),) + NOEMB),
+        "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True,
                                  rules=(("conv", CONV_ST),) + NOEMB),
     }
 
@@ -127,18 +130,23 @@ def main():
 
             stats = flatten_calib(jax.device_get(
                 capture(params, lat2, t, ctx2, added))["calib"])
-            packed = {name: fill_static_act_scales(pack_params(params, plan), stats)
-                      for name, plan in plans.items()}
 
         row = {"batch": batch, "px": latent * 8}
         dt = time_sdxl(make_sdxl_loop(base_model, steps), params, latents,
                        ctx, uctx, added, reps)
         row["bf16"] = round(batch / dt, 3)
         for name, plan in plans.items():
+            # pack one variant at a time: 2.6B params x (bf16 base +
+            # two packed copies) + activations exceed 16GB HBM
+            qp = fill_static_act_scales(pack_params(params, plan), stats)
             dt_q = time_sdxl(make_sdxl_loop(build(plan, cfg), steps),
-                             packed[name], latents, ctx, uctx, added, reps)
+                             qp, latents, ctx, uctx, added, reps)
+            del qp
             row[name] = round(batch / dt_q, 3)
             row[name + "_x"] = round(row[name] / row["bf16"], 3)
+            print(json.dumps({k: row[k] for k in
+                              ("batch", "px", "bf16", name, name + "_x")}),
+                  flush=True)
         print(json.dumps(row), flush=True)
 
 

@@ -21,7 +21,10 @@ def main():
     ap.add_argument("--w-bit", type=int, default=8)
     ap.add_argument("--a-bit", type=int, default=8)
     ap.add_argument("--real", action="store_true",
-                    help="packed Pallas kernels instead of fake quant")
+                    help="packed int8/int4 kernels instead of fake quant")
+    ap.add_argument("--static", action="store_true",
+                    help="calibrated static activation scales (fastest "
+                         "serving path on v5e: pure-XLA int8 incl. convs)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--prompt", default="a photograph of an astronaut riding a horse")
     args = ap.parse_args()
@@ -31,9 +34,13 @@ def main():
 
     cfg = QuantConfig(
         w_bit=args.w_bit, a_bit=args.a_bit,
-        version="real" if args.real else "fake_act",
+        version="real" if (args.real or args.static) else "fake_act",
         quantize_act=args.a_bit < 16, alpha=0.80,
     )
+    if args.static:
+        cfg.act_quant_type = "static"
+        cfg.act_quant_conv_type = "static"
+
     cfg.calib.n_samples = 96      # reference: 96 MSCOCO prompts
     cfg.calib.batch_size = 8
     cfg.calib.n_steps = 50

@@ -163,6 +163,26 @@ class QDense(nn.Module):
             acc = jax.lax.dot_general(xi, w_i8, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * (xs * w_scale)
+        elif spec.mode == "w4a16_xla":
+            # weight-only int4, plain XLA: codes row-packed two-per-int8
+            # (row i of qweight holds nibbles for rows 2i, 2i+1), unpack
+            # via shift/mask, per-group dequant, bf16 matmul.  XLA
+            # streams the int8 buffer from HBM (1/4 the bf16 bytes) and
+            # fuses the dequant into the matmul operand like w8a16.
+            kp = in_features + (in_features % 2)
+            gs = spec.group_size if spec.group_size > 0 else kp
+            gs = rtn.resolve_group_size(kp, gs) or kp
+            qw = self.param("qweight", nn.initializers.zeros_init(),
+                            (kp // 2, self.features), jnp.int8)
+            scales = self.param("scales", nn.initializers.ones_init(),
+                                (kp // gs, self.features), jnp.float32)
+            u = qw.astype(jnp.int32)
+            lo = (u & 0xF) - 8
+            hi = ((u >> 4) & 0xF) - 8
+            codes = jnp.stack([lo, hi], axis=1).reshape(kp, self.features)
+            w = (codes.astype(jnp.float32)
+                 * jnp.repeat(scales, gs, axis=0)).astype(self.dtype)
+            y = jnp.dot(x2.astype(self.dtype), w[:in_features])
         elif spec.mode == "w8a16":
             # weight-only int8: XLA fuses the dequant into the matmul
             # operand stream (no pallas call, no act quant)

@@ -128,6 +128,21 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
         new["scales"] = scales
         if zeros is not None:
             new["zeros"] = zeros
+    elif spec.mode == "w4a16_xla":
+        # symmetric int4 codes row-packed two-per-int8 (see QDense)
+        kp = k + (k % 2)
+        gs = spec.group_size if spec.group_size > 0 else kp
+        gs = rtn.resolve_group_size(kp, gs) or kp
+        kern = kernel.astype(jnp.float32)
+        if kp != k:
+            kern = jnp.pad(kern, ((0, kp - k), (0, 0)))
+        groups = kern.reshape(kp // gs, gs, n)
+        s = jnp.clip(jnp.max(jnp.abs(groups), axis=1), 1e-10, None) / 7.0
+        codes = jnp.clip(jnp.round(groups / s[:, None, :]), -8, 7
+                         ).reshape(kp, n).astype(jnp.int32) + 8
+        packed = (codes[0::2] | (codes[1::2] << 4)).astype(jnp.int8)
+        new["qweight"] = packed
+        new["scales"] = s.astype(jnp.float32)
     elif spec.mode in ("w8a8", "w8a8_xla", "w8a16"):
         w_abs = jnp.clip(jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-5, None)
         scale_n = w_abs / 127.0

@@ -55,7 +55,8 @@ class LayerQuantSpec:
 
     @property
     def is_real(self) -> bool:
-        return self.mode in ("w4a16", "w4a8", "w8a8", "w8a8_xla", "w8a16")
+        return self.mode in ("w4a16", "w4a16_xla", "w4a8", "w8a8",
+                             "w8a8_xla", "w8a16")
 
 
 NO_QUANT = LayerQuantSpec()
@@ -102,7 +103,10 @@ def spec_from_config(cfg, conv: bool = False, mode: Optional[str] = None) -> Lay
     field semantics)."""
     if mode is None:
         if cfg.version == "real":
-            w_bits = cfg.wv_bit if conv else cfg.w_bit
+            # w_bit governs the int8 path for BOTH dense and conv
+            # (wv_bit is the reference's *vision-section* width,
+            # quantizer.py:343-349 — not a conv override)
+            w_bits = cfg.w_bit
             if cfg.quantize_act and cfg.a_bit <= 8 and w_bits == 8:
                 backend = getattr(cfg, "kernel_backend", "auto")
                 act_type = cfg.act_quant_conv_type if conv else cfg.act_quant_type

@@ -169,3 +169,37 @@ def test_w8a8_fused_epi_residual():
     want = np.asarray(w8a8_matmul_ref(xi, w_i8, xs, ws, out_dtype=jnp.float32)) \
         + np.asarray(bias) + np.asarray(res)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_w4a16_xla_dense_layer_matches_math():
+    """w4a16_xla: nibble-packed int4 weight-only layer equals explicit
+    unpack-dequant math, incl. odd K (padded row)."""
+    from qdm_tpu.models.layers import QDense
+    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+    from qdm_tpu.quant.apply import pack_dense_layer
+
+    for k in (32, 33):
+        n, m, g = 16, 6, 16
+        kern = jax.random.normal(jax.random.PRNGKey(k), (k, n), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.float32)
+        spec = LayerQuantSpec(mode="w4a16_xla", w_bits=4, group_size=g)
+        layer = pack_dense_layer({"kernel": kern}, spec)
+        assert layer["qweight"].dtype == jnp.int8
+        assert layer["qweight"].shape[0] == (k + k % 2) // 2
+        model = QDense(n, use_bias=False, dtype=jnp.float32,
+                       plan=QuantPlan(default=spec))
+        y = model.apply({"params": layer}, x)
+
+        qw = np.asarray(layer["qweight"]).astype(np.int32)
+        lo = (qw & 0xF) - 8
+        hi = ((qw >> 4) & 0xF) - 8
+        codes = np.stack([lo, hi], 1).reshape(-1, n)
+        kp = codes.shape[0]
+        w = codes * np.repeat(np.asarray(layer["scales"]),
+                              kp // layer["scales"].shape[0], axis=0)
+        want = np.asarray(x) @ w[:k]
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
+        # quantization is faithful: dequant error bounded by scale/2
+        err = np.abs(w[:k] - np.asarray(kern))
+        smax = np.abs(np.asarray(layer["scales"])).max()
+        assert err.max() <= smax / 2 + 1e-6
