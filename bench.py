@@ -95,10 +95,11 @@ def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
                          quantize_act=True, act_quant="static")
     conv = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                           act_quant="static")
-    # int8_bmm stays OFF: the int8 attention BMMs win in isolation
-    # (2.3x, bench_attn.py) but XLA lowers them badly inside the full
-    # graph (0.48x end-to-end, bench_sweep.py) — needs a fused Pallas
-    # int8-attention kernel to realize
+    # int8_bmm stays OFF: even the fused Pallas int8 flash kernel loses
+    # to bf16 attention at batch-8 CFG (9.9 vs 7.0 ms at S=4096 —
+    # bench_attn_int8.py; D=40/80 pads the 128-lane MXU so bf16 is
+    # already at the padding roofline), and bf16 attention is also the
+    # more accurate choice
     plan = QuantPlan(default=w8x, fuse_qkv=True,
                      rules=(("conv", conv), ("time_emb", noq),
                             ("time_embedding", noq)))

@@ -4,7 +4,11 @@
 Monkeypatches one component class at a time to an identity (flax ignores
 the then-unvisited params in the tree) and re-times the full 20-step
 loop; the delta vs the full model is that component's cost including the
-HBM traffic it would have caused.  Usage: bench_profile.py [batch]
+HBM traffic it would have caused.  Usage: bench_profile.py [batch] [--quant]
+
+--quant profiles the headline quantized config (w8a8_xla static + int8
+convs, bench.quantized_plan_and_params) instead of bf16 — the deltas
+show which components the int8 placement actually accelerated.
 """
 
 import json
@@ -24,7 +28,9 @@ from qdm_tpu.quant.plan import QuantPlan
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    quant = "--quant" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 8
     steps, reps, latent = 20, 2, 64
     latents = jax.random.normal(jax.random.PRNGKey(0),
                                 (batch, latent, latent, 4), jnp.float32)
@@ -33,15 +39,23 @@ def main():
     t = jnp.zeros((2 * batch,), jnp.int32)
     lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
 
+    ctx2 = jnp.concatenate([ctx, uctx])
     model = build(QuantPlan(), SD15_UNET)
-    params = random_params(model, lat2, t, jnp.concatenate([ctx, uctx]))
+    params = random_params(model, lat2, t, ctx2)
+    if quant:
+        from bench import quantized_plan_and_params
+
+        run_plan, _, run_params = quantized_plan_and_params(
+            SD15_UNET, params, lat2, t, ctx2)
+    else:
+        run_plan, run_params = QuantPlan(), params
 
     def run():
-        return time_loop(make_loop(build(QuantPlan(), SD15_UNET), steps),
-                         params, latents, ctx, uctx, reps)
+        return time_loop(make_loop(build(run_plan, SD15_UNET), steps),
+                         run_params, latents, ctx, uctx, reps)
 
     dt_full = run()
-    print(json.dumps({"variant": "full_bf16",
+    print(json.dumps({"variant": "full_quant" if quant else "full_bf16",
                       "ms_per_img": round(1e3 * dt_full / batch, 1),
                       "img_s": round(batch / dt_full, 3)}), flush=True)
 

@@ -314,10 +314,12 @@ class BaseDiffusionPipeline:
             for pat in ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj"):
                 rules.append((pat, qkv_spec))
         # int8 self-attention BMMs (the real-kernel counterpart of
-        # quantize_bmm_input) exist behind QuantPlan.int8_bmm but stay
-        # OFF by default: they win 2.3x in isolation yet regress 2x
-        # inside the full graph under XLA (bench_sweep.py round 2);
-        # flipping them on needs a fused Pallas int8-attention kernel
+        # quantize_bmm_input) run via the fused Pallas int8 flash
+        # kernel behind QuantPlan.int8_bmm, but stay OFF by default:
+        # bf16 attention is faster at batch-8 CFG (the D=40/80 heads
+        # pad the 128-lane MXU, so bf16 already sits at the padding
+        # roofline — bench_attn_int8.py) and skipping the attention-
+        # input quantization is also more accurate
         plan = QuantPlan(default=dense_spec, rules=tuple(rules))
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)

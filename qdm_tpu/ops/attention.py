@@ -11,13 +11,20 @@ TPU dispatch, selected by measurement (bench_attn.py, v5e, batch-8 CFG):
   CFG-batch-16 call) — the small head_dim tiles poorly onto the
   128-lane MXU and XLA's fusion of the softmax chain beats the Pallas
   pipeline overhead.
-* int8 BMM attention (`quantized=True`): both attention matmuls on the
-  int8 MXU — per-token scales for q/k, fixed 1/127 scale for the
-  softmax probs, per-(head,dim) scales for v (the factorizations that
-  commute with the contractions).  2.3x over bf16 at the 4096-token
-  level (4.3ms vs 10.0ms).  This is the real-kernel version of the
-  reference's `quantize_bmm_input` activation quantization
-  (quantizer_SQ.py:463,487; fake_quant.py:222-225).
+* int8 BMM attention (`quantized=True`): the fused Pallas int8 flash
+  kernel (ops/flash_int8.py) — per-token scales for q/k, per-row
+  scales for the softmax probs, per-(head,dim) scales for v.  This is
+  the real-kernel version of the reference's `quantize_bmm_input`
+  activation quantization (quantizer_SQ.py:463,487;
+  fake_quant.py:222-225).  Measured (bench_attn_int8.py): it beats the
+  unfused XLA int8 BMMs 4.3x (9.9 vs 43 ms at B=16 S=4096) and ties or
+  beats bf16 flash at small batch (0.65-1.3 vs 1.39 ms at B=2 S=4096),
+  but at batch-8 CFG bf16 XLA/flash still wins (7.0 vs 9.9 ms at
+  S=4096; 0.51 vs 0.72 at S=1024): D=40/80 heads pad the 128-lane MXU
+  so bf16 already sits at the padding roofline and int8's 2x cannot
+  pay for its quantize VPU work.  Hence `int8_bmm` is an accuracy-
+  semantics option (attention-input quantization), not the throughput
+  default.
 * ragged (cross-attention, 77-token context) and CPU: XLA softmax.
 
 Layout: (batch, seq, heads, head_dim) in/out.
@@ -103,16 +110,22 @@ def dot_product_attention(q, k, v, scale: float | None = None,
     b_sz, s = q.shape[0], q.shape[1]
     uniform = (jax.default_backend() == "tpu" and s == k.shape[1]
                and s % 128 == 0)
+    if uniform and s >= 256 and quantized:
+        # attention-input quantization requested (reference's
+        # quantize_bmm_input): the fused int8 flash kernel is the
+        # fastest int8 implementation at every shape (bench_attn_int8)
+        from qdm_tpu.ops.flash_int8 import flash_int8_attention
+
+        return flash_int8_attention(q, k, v, scale, block_q=512,
+                                    block_k=min(s, 1024))
     if uniform and 256 <= s <= 1024:
         # whole sequence in one VMEM-resident block: 2x over multi-block
         # flash and XLA at batch-8 CFG (bench_attn.py)
         return _flash(q, k, v, scale, block=s)
     if uniform and s >= 2048:
         if b_sz * s >= _LONG_SEQ_ROWS_XLA:
-            # big-batch long-seq: int8 BMMs 2.3x over bf16; bf16 XLA
-            # softmax beats multi-block flash (7.4 vs 9.9 ms)
-            if quantized:
-                return _int8_attention(q, k, v, scale)
+            # big-batch long-seq: bf16 XLA softmax beats multi-block
+            # flash (7.0 vs 9.9 ms at B=16 S=4096)
             return _xla_attention(q, k, v, scale)
         # small-batch long-seq: multi-block flash wins (1.22 ms vs
         # 2.95 XLA / 1.54 int8 at B=2, S=4096)

@@ -76,8 +76,14 @@ def main():
     # shows up as a fake kernel mismatch
     with jax.default_matmul_precision("highest"):
         ref = qmm.w4a8_matmul_ref(x, qw, sc, ze, group_size=qmm.PACK_BLOCK_K)
+    # both kernel and ref emit bf16; outputs at this shape reach |y|~16
+    # where one bf16 ulp is 0.0625, and the two sides round *different
+    # but individually correct* f32 values (per-group scale-accumulate
+    # vs full-precision dequant matmul).  Tolerance = 1 bf16 ulp at the
+    # observed output magnitude.
+    tol_w4a8 = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))), 1.0) * 2.0 ** -7
     results["w4a8"] = {"max_abs_diff": _maxdiff(out, ref),
-                       "tol": 1e-2, "pass": _maxdiff(out, ref) <= 1e-2}
+                       "tol": tol_w4a8, "pass": _maxdiff(out, ref) <= tol_w4a8}
 
     # ---- w8a8 (pre-quantized ints: must be bit-identical in int32 accum)
     xi, xs = qmm.quantize_act_per_token_int(x, 8)
