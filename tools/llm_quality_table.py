@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""LLM quality-parity table: KL divergence, top-k agreement, and
+perplexity delta between the bf16 reference model and each quant mode,
+on the in-repo LLaMA-style model (random weights, fixed seeds).
+
+Counterpart of the reference's KL harness (evaluation/kl_divergence.py)
+and perplexity eval (evaluation/eval_utils.py:22-58), which publish no
+numbers; like tools/quality_table.py this reproduces the *relative*
+ordering (W8A8 near-lossless, W4 orders of magnitude worse, smoothing
+helps) on shared weights and inputs.
+
+Run: python tools/llm_quality_table.py  (CPU, ~2 min; writes
+tools/llm_quality_table.json)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.api.causal_lm import CausalLM
+from qdm_tpu.config import QuantConfig
+from qdm_tpu.evaluation.kl_divergence import (eval_kl_divergence,
+                                              evaluate_perplexity)
+from qdm_tpu.models import llama as llama_lib
+
+CFG = llama_lib.LlamaConfig(
+    vocab_size=2048, hidden_size=256, intermediate_size=704,
+    num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+    max_position_embeddings=256)
+
+RNG = np.random.default_rng(0)
+SEQ = 128
+EVAL_CHUNKS = [RNG.integers(0, CFG.vocab_size, size=(2, SEQ)).astype(np.int32)
+               for _ in range(4)]
+PPL_STREAM = RNG.integers(0, CFG.vocab_size, size=(4 * SEQ,)).astype(np.int32)
+CALIB = RNG.integers(0, CFG.vocab_size, size=(8, SEQ)).astype(np.int32)
+
+
+def fresh():
+    return CausalLM.from_config(CFG, dtype=jnp.float32)
+
+
+def mode_table():
+    w8a8 = QuantConfig(w_bit=8, a_bit=8, q_group_size=0,
+                       weight_quant_type="per_channel", version="fake_act",
+                       quantize_act=True, zero_point=False)
+    w8 = QuantConfig(w_bit=8, q_group_size=32, version="fake", zero_point=True)
+    w4 = QuantConfig(w_bit=4, q_group_size=32, version="fake", zero_point=True)
+    for c in (w8a8, w8, w4):
+        c.calib.n_samples = 8
+        c.calib.batch_size = 4
+        c.calib.max_seq_len = SEQ
+    return [
+        ("w8a8_sq (SmoothQuant int8 act)", w8a8, "sq"),
+        ("w8_rtn (weight-only group-32)", w8, "rtn"),
+        ("w4_awq (grid scale+clip)", w4, "awq"),
+        ("w4_sq (smoothed)", w4, "sq"),
+        ("w4_rtn (no smoothing)", w4, "rtn"),
+    ]
+
+
+def main():
+    ref = fresh()
+    ref_logits = ref.logits
+    ppl_ref = evaluate_perplexity(ref_logits, PPL_STREAM, seqlen=SEQ)
+    rows = []
+    for name, cfg, qtype in mode_table():
+        m = fresh()
+        kwargs = {"calib_data": CALIB} if qtype in ("sq", "awq") else {}
+        m.quantize(quant_config=cfg, quantType=qtype, **kwargs)
+        r = eval_kl_divergence(ref_logits, m.logits, EVAL_CHUNKS)
+        ppl = evaluate_perplexity(m.logits, PPL_STREAM, seqlen=SEQ)
+        row = {"config": name, "kl_mean": round(r["kl_mean"], 6),
+               "kl_ci95": round(r["kl_ci95"], 6),
+               "top1": round(r["top1_agreement"], 4),
+               "top5": round(r["top5_agreement"], 4),
+               "ppl_delta_pct": round(100 * (ppl - ppl_ref) / ppl_ref, 3)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    out = {"model": "llama-style 4L/256h random weights (f32)",
+           "ppl_ref": round(ppl_ref, 4), "n_eval_tokens": 4 * 2 * SEQ,
+           "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "llm_quality_table.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
