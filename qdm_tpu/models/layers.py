@@ -340,13 +340,26 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
-        orig_shape = x.shape
-        xf = x.astype(jnp.float32).reshape(x.shape[0], -1, self.num_groups, c // self.num_groups)
-        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.var(xf, axis=(1, 3), keepdims=True)
-        xf = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        xf = xf.reshape(orig_shape)
-        return (xf * scale + bias).astype(self.dtype)
+        # Lane-friendly formulation: reduce per-channel first (keeps the
+        # channel dim on the 128 lanes, no whole-tensor relayout), then
+        # group-sum the tiny (B, C) stats.  The textbook
+        # reshape-to-(B,S,G,C/G) splits the lane dim (e.g. 320 -> 32x10)
+        # and forces a relayout of the full activation (bench_gn.py).
+        b = x.shape[0]
+        cpg = c // self.num_groups
+        xf = x.astype(jnp.float32).reshape(b, -1, c)
+        n = xf.shape[1] * cpg
+        s = jnp.sum(xf, axis=1)                   # (B, C)
+        sq = jnp.sum(xf * xf, axis=1)             # (B, C) — same read pass
+        gs = jnp.sum(s.reshape(b, self.num_groups, cpg), axis=-1)
+        gsq = jnp.sum(sq.reshape(b, self.num_groups, cpg), axis=-1)
+        mean = gs / n
+        var = gsq / n - mean * mean
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mu_c = jnp.repeat(mean, cpg, axis=-1)[:, None, :]
+        inv_c = jnp.repeat(inv, cpg, axis=-1)[:, None, :]
+        out = (xf - mu_c) * inv_c * scale + bias
+        return out.reshape(x.shape).astype(self.dtype)
 
 
 class LayerNorm(nn.Module):
