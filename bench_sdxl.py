@@ -66,21 +66,25 @@ def time_sdxl(loop, params, latents, ctx, uctx, added, reps):
 
 
 def main():
-    batches = [int(b) for b in sys.argv[1:]] or [1, 4]
+    batches = [int(b) for b in sys.argv[1:] if not b.startswith("--")] or [1, 4]
     steps, reps, latent = 20, 2, 128   # 1024px
     cfg = SDXL_UNET
     ctx_dim = cfg.cross_attention_dim  # 2048
     pooled = 1280
 
-    W4XLA = LayerQuantSpec(mode="w4a16_xla", w_bits=4, group_size=128)
     plans = {
         "w4a16": QuantPlan(default=W4, fuse_qkv=True,
                            rules=(("conv", NOQ),) + NOEMB),
-        "w4a16_xla": QuantPlan(default=W4XLA, fuse_qkv=True,
-                               rules=(("conv", NOQ),) + NOEMB),
         "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True,
                                  rules=(("conv", CONV_ST),) + NOEMB),
     }
+    # w4a16_xla is omitted: XLA does not fuse the nibble unpack into the
+    # matmul operand (measured 0.15x on LLM decode, BENCH_NOTES.md), so
+    # it would materialize 2.6B unpacked bf16 weights per step here
+    if "--all-plans" in sys.argv:
+        W4XLA = LayerQuantSpec(mode="w4a16_xla", w_bits=4, group_size=128)
+        plans["w4a16_xla"] = QuantPlan(default=W4XLA, fuse_qkv=True,
+                                       rules=(("conv", NOQ),) + NOEMB)
 
     params = None
     for batch in batches:
