@@ -104,6 +104,21 @@ def main():
         def __init__(self, fn):
             self.fn = fn
 
+    real_down = unet_lib.Downsample2D.__call__
+    real_up = unet_lib.Upsample2D.__call__
+
+    def no_down(self, x):
+        b, h, w, c = x.shape
+        return x[:, ::2, ::2, :].astype(self.dtype) if self.channels == c \
+            else real_down(self, x)
+
+    def no_up(self, x):
+        b, h, w, c = x.shape
+        if self.channels != c:
+            return real_up(self, x)
+        return jax.image.resize(x, (b, h * 2, w * 2, c),
+                                method="nearest").astype(self.dtype)
+
     ablations = {
         "attention": (unet_lib.CrossAttention, no_attn),
         "attn_core": (_FnPatch(no_core), None),
@@ -113,11 +128,14 @@ def main():
         "transformer2d": (unet_lib.Transformer2D, no_t2d),
         "resnet_blocks": (unet_lib.ResnetBlock2D, no_rb),
         "groupnorm": (layers_lib.GroupNorm, no_gn),
+        "downsamplers": (unet_lib.Downsample2D, no_down),
+        "upsamplers": (unet_lib.Upsample2D, no_up),
     }
     originals = {
         "attention": real_attn, "feedforward": real_ff,
         "transformer2d": real_t2d, "resnet_blocks": real_rb,
-        "groupnorm": real_gn,
+        "groupnorm": real_gn, "downsamplers": real_down,
+        "upsamplers": real_up,
     }
 
     for name, (cls, fn) in ablations.items():
