@@ -95,14 +95,18 @@ def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
                          quantize_act=True, act_quant="static")
     conv = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                           act_quant="static")
+    # the fused Pallas GEGLU kernel as a point fusion inside the
+    # otherwise-XLA plan: it kills the (M, 2*inner) bf16 HBM round trip
+    # the XLA path materializes (bench_hybrid.py: 3.39 -> 3.60 img/s)
+    geglu = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
     # int8_bmm stays OFF: even the fused Pallas int8 flash kernel loses
     # to bf16 attention at batch-8 CFG (9.9 vs 7.0 ms at S=4096 —
     # bench_attn_int8.py; D=40/80 pads the 128-lane MXU so bf16 is
     # already at the padding roofline), and bf16 attention is also the
     # more accurate choice
     plan = QuantPlan(default=w8x, fuse_qkv=True,
-                     rules=(("conv", conv), ("time_emb", noq),
-                            ("time_embedding", noq)))
+                     rules=(("net_0/proj", geglu), ("conv", conv),
+                            ("time_emb", noq), ("time_embedding", noq)))
     params = fuse_qkv_params(params)
     cap = build(QuantPlan(fuse_qkv=True).with_capture(True), cfg)
 

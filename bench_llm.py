@@ -31,8 +31,9 @@ BENCH_1B = llama_lib.LlamaConfig(
     max_position_embeddings=2048)
 
 
-def decode_loop(model, params, prompt_ids, n_tokens: int, max_len: int):
-    caches = model.init_cache(prompt_ids.shape[0], max_len)
+def decode_loop(model, params, prompt_ids, n_tokens: int, max_len: int,
+                cache_dtype=None):
+    caches = model.init_cache(prompt_ids.shape[0], max_len, cache_dtype)
 
     @jax.jit
     def run(params, ids):
@@ -53,7 +54,49 @@ def decode_loop(model, params, prompt_ids, n_tokens: int, max_len: int):
     return run
 
 
+def serve_main():
+    """--serve: batched long-context decode (batch 32, ctx 1024) where
+    the KV cache read traffic (~1.5 GB/step bf16 at this config)
+    rivals the weight traffic (2.2 GB bf16 / 1.1 GB int8) — the regime
+    the int8 KV cache targets."""
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    batch, prefill, n_new = (32, 1024, 32) if on_tpu else (2, 8, 4)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (batch, prefill)), jnp.int32)
+    max_len = prefill + n_new + 1
+
+    def timed(model, params, cache_dtype):
+        run = decode_loop(model, params, ids, n_new, max_len, cache_dtype)
+        float(jnp.sum(run(params, ids)))
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(jnp.sum(run(params, ids)))
+        return (time.time() - t0) / reps
+
+    w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                        quantize_act=True, act_quant="per_token")
+    plan8 = QuantPlan(default=w8).with_rule("lm_head", None)
+    out = {"metric": f"LLM 1B serve decode tok/s (batch {batch}, ctx {prefill})"}
+    for wname, plan in (("bf16", None), ("w8a8", plan8)):
+        lm.plan = plan or QuantPlan()
+        params = pack_params(lm.params, plan) if plan else lm.params
+        for cname, cdt in (("kv_bf16", None), ("kv_int8", jnp.int8)):
+            dt = timed(lm.model, params, cdt)
+            out[f"{wname}_{cname}_tok_s"] = round(batch * n_new / dt, 1)
+            print(json.dumps(out), flush=True)
+        if plan:
+            del params
+
+
 def main():
+    if "--serve" in sys.argv:
+        serve_main()
+        return
     on_tpu = jax.default_backend() == "tpu"
     cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
     n_new, prefill = (64, 128) if on_tpu else (4, 8)

@@ -66,7 +66,8 @@ def time_sdxl(loop, params, latents, ctx, uctx, added, reps):
 
 
 def main():
-    batches = [int(b) for b in sys.argv[1:] if not b.startswith("--")] or [1, 4]
+    batches = [int(b) for b in sys.argv[1:]
+               if not b.startswith("--") and b.isdigit()] or [1, 4]
     steps, reps, latent = 20, 2, 128   # 1024px
     cfg = SDXL_UNET
     ctx_dim = cfg.cross_attention_dim  # 2048
@@ -85,6 +86,14 @@ def main():
         W4XLA = LayerQuantSpec(mode="w4a16_xla", w_bits=4, group_size=128)
         plans["w4a16_xla"] = QuantPlan(default=W4XLA, fuse_qkv=True,
                                        rules=(("conv", NOQ),) + NOEMB)
+    # --plan NAME: run ONLY that quantized plan and release the bf16
+    # master params before timing — the hbm-capacity mode (bf16 OOMs at
+    # 1024px batch 4; the packed plans only fit once the 5.2 GB bf16
+    # copy is gone).  No bf16 row in this mode.
+    only_plan = None
+    if "--plan" in sys.argv:
+        only_plan = sys.argv[sys.argv.index("--plan") + 1]
+        plans = {only_plan: plans[only_plan]}
 
     params = None
     for batch in batches:
@@ -100,13 +109,19 @@ def main():
                      jnp.array([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
                      (2 * batch, 1))}
         if params is None:
-            t = jnp.zeros((2 * batch,), jnp.int32)
-            lat2 = jnp.concatenate([latents, latents]).astype(jnp.bfloat16)
-            ctx2 = jnp.concatenate([ctx, uctx])
+            # calibration capture always runs at batch-1 shapes: the
+            # static per-tensor scales don't need the bench batch, and a
+            # bf16 forward at 1024px batch>=4 is exactly the OOM the
+            # --plan capacity mode exists to avoid
+            t = jnp.zeros((2,), jnp.int32)
+            lat2 = jnp.concatenate([latents[:1], latents[:1]]).astype(jnp.bfloat16)
+            ctx2 = jnp.concatenate([ctx[:1], uctx[:1]])
+            added1 = {"text_embeds": added["text_embeds"][:2],
+                      "time_ids": added["time_ids"][:2]}
 
             base_model = build(QuantPlan(fuse_qkv=True), cfg)
             shapes = jax.eval_shape(lambda: build(QuantPlan(), cfg).init(
-                jax.random.PRNGKey(0), lat2, t, ctx2, added))["params"]
+                jax.random.PRNGKey(0), lat2, t, ctx2, added1))["params"]
             import numpy as np
 
             # bf16 param storage (2.6B params won't fit f32 + activations)
@@ -133,28 +148,35 @@ def main():
                 return mut
 
             stats = flatten_calib(jax.device_get(
-                capture(params, lat2, t, ctx2, added))["calib"])
+                capture(params, lat2, t, ctx2, added1))["calib"])
 
         row = {"batch": batch, "px": latent * 8}
-        try:
-            dt = time_sdxl(make_sdxl_loop(base_model, steps), params, latents,
-                           ctx, uctx, added, reps)
-            row["bf16"] = round(batch / dt, 3)
-        except Exception as e:
-            # bf16 params (5.2 GB) + 1024px batch-4 activations exceed
-            # 16 GB hbm — quantized weights are what makes the batch fit
-            row["bf16"] = f"OOM:{type(e).__name__}"
-        print(json.dumps({k: row[k] for k in ("batch", "px", "bf16")}),
-              flush=True)
+        if only_plan is None:
+            try:
+                dt = time_sdxl(make_sdxl_loop(base_model, steps), params,
+                               latents, ctx, uctx, added, reps)
+                row["bf16"] = round(batch / dt, 3)
+            except Exception as e:
+                # bf16 params (5.2 GB) + 1024px batch-4 activations
+                # exceed 16 GB hbm — quantized weights make the batch fit
+                row["bf16"] = f"OOM:{type(e).__name__}"
+            print(json.dumps({k: row[k] for k in ("batch", "px", "bf16")}),
+                  flush=True)
         for name, plan in plans.items():
             # pack one variant at a time: 2.6B params x (bf16 base +
             # two packed copies) + activations exceed 16GB HBM
             qp = fill_static_act_scales(pack_params(params, plan), stats)
+            if only_plan is not None:
+                # capacity mode: release the bf16 master copy
+                jax.block_until_ready(qp)
+                params = base_model = None
+                import gc
+                gc.collect()
             try:
                 dt_q = time_sdxl(make_sdxl_loop(build(plan, cfg), steps),
                                  qp, latents, ctx, uctx, added, reps)
                 row[name] = round(batch / dt_q, 3)
-                if isinstance(row["bf16"], float):
+                if isinstance(row.get("bf16"), float):
                     row[name + "_x"] = round(row[name] / row["bf16"], 3)
             except Exception as e:
                 row[name] = f"OOM:{type(e).__name__}"

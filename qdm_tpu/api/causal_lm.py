@@ -318,13 +318,18 @@ class CausalLM:
                                   jnp.asarray(input_ids))
         return out
 
-    def generate(self, input_ids, max_new_tokens: int = 32) -> np.ndarray:
-        """Greedy decode with a static KV cache inside jit."""
+    def generate(self, input_ids, max_new_tokens: int = 32,
+                 kv_cache_dtype=None) -> np.ndarray:
+        """Greedy decode with a static KV cache inside jit.
+
+        kv_cache_dtype=jnp.int8 stores the cache quantized (per-token
+        per-head scales) — half the cache HBM traffic at large
+        batch/long context."""
         model = self.model
         ids = jnp.asarray(input_ids)
         b, s = ids.shape
         max_len = s + max_new_tokens
-        caches = model.init_cache(b, max_len)
+        caches = model.init_cache(b, max_len, kv_cache_dtype)
 
         @jax.jit
         def prefill(params, ids, caches):
@@ -344,6 +349,87 @@ class CausalLM:
             tok, caches = step(self.params, tok, caches, s + i)
             out.append(np.asarray(tok))
         return np.concatenate([np.asarray(ids), np.stack(out, 1)], axis=1)
+
+    def generate_speculative(self, input_ids, max_new_tokens: int,
+                             draft: "CausalLM", gamma: int = 4,
+                             kv_cache_dtype=None) -> np.ndarray:
+        """Greedy speculative decoding: ``draft`` proposes ``gamma``
+        tokens autoregressively, the target verifies them in ONE
+        forward, and the longest matching prefix (+1 corrected/bonus
+        token) is accepted.  Greedy accept/reject makes the output
+        token-identical to plain ``generate`` — only the number of
+        target forwards changes.
+
+        Serving extension beyond the reference (its decode path is
+        plain autoregressive, models/base.py:828-850).  Static shapes
+        throughout: draft steps are (1,1) forwards, verification is one
+        (1, gamma+1) forward; rewind after rejection is free because
+        the causal mask keys off cache_index, so stale cache entries
+        past the accepted position are never read and are overwritten
+        on the next round.  Batch 1 (the canonical latency regime)."""
+        model, dmodel = self.model, draft.model
+        ids = jnp.asarray(input_ids)
+        b, s = ids.shape
+        if b != 1:
+            raise ValueError("speculative decoding is batch-1 only")
+        max_len = s + max_new_tokens + gamma + 1
+        t_cache = model.init_cache(b, max_len, kv_cache_dtype)
+        d_cache = dmodel.init_cache(b, max_len, kv_cache_dtype)
+
+        @jax.jit
+        def t_prefill(params, ids, caches):
+            lg, caches = model.apply({"params": params}, ids,
+                                     kv_caches=caches, cache_index=0)
+            return jnp.argmax(lg[:, -1], axis=-1), caches
+
+        @jax.jit
+        def d_prefill(params, ids, caches):
+            _, caches = dmodel.apply({"params": params}, ids,
+                                     kv_caches=caches, cache_index=0)
+            return caches
+
+        @jax.jit
+        def d_step(params, tok, caches, idx):
+            lg, caches = dmodel.apply({"params": params}, tok[:, None],
+                                      kv_caches=caches, cache_index=idx)
+            return jnp.argmax(lg[:, -1], axis=-1), caches
+
+        @jax.jit
+        def t_verify(params, toks, caches, idx):
+            # toks (1, gamma+1) = [cur, d_1..d_gamma]; returns the
+            # target's greedy predictions t_1..t_{gamma+1}
+            lg, caches = model.apply({"params": params}, toks,
+                                     kv_caches=caches, cache_index=idx)
+            return jnp.argmax(lg, axis=-1), caches
+
+        cur, t_cache = t_prefill(self.params, ids, t_cache)
+        d_cache = d_prefill(draft.params, ids, d_cache)
+        out: List[int] = [int(cur[0])]
+        n = s  # next cache write index for both models
+        while len(out) < max_new_tokens:
+            proposals = []
+            dtok, idx = cur, n
+            for _ in range(gamma):
+                dtok, d_cache = d_step(draft.params, dtok, d_cache,
+                                       jnp.int32(idx))
+                proposals.append(dtok)
+                idx += 1
+            d_vec = jnp.concatenate(proposals)                 # (gamma,)
+            toks = jnp.concatenate([cur, d_vec])[None]         # (1, gamma+1)
+            preds, t_cache = t_verify(self.params, toks, t_cache,
+                                      jnp.int32(n))
+            t_vec = np.asarray(preds[0])                       # t_1..t_{g+1}
+            d_np = np.asarray(d_vec)
+            a = 0
+            while a < gamma and d_np[a] == t_vec[a]:
+                a += 1
+            emitted = t_vec[: a + 1]                           # incl. bonus/fix
+            out.extend(int(t) for t in emitted)
+            n += a + 1
+            cur = jnp.asarray(emitted[-1:])
+        out = out[:max_new_tokens]
+        return np.concatenate([np.asarray(ids),
+                               np.asarray(out, np.int64)[None]], axis=1)
 
     # -------------------------------------------------------------- save/load
 

@@ -95,7 +95,29 @@ class LlamaAttention(nn.Module):
         k = rope(k, positions, cfg.rope_theta)
 
         new_cache = None
-        if kv_cache is not None:
+        if kv_cache is not None and len(kv_cache) == 4:
+            # int8 KV cache: per-token per-head absmax scales.  Halves
+            # the cache HBM traffic that dominates large-batch /
+            # long-context decode (TPU-native extension of the
+            # reference's rolling fp16 cache, fused_utils.py:14-27).
+            ck, cks, cv, cvs = kv_cache             # (B,T,hkv,d) i8 + (B,T,hkv) f32
+            kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+            ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+            vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+            kq = jnp.round(kf / ks[..., None]).astype(jnp.int8)
+            vq = jnp.round(vf / vs[..., None]).astype(jnp.int8)
+            at = (0, cache_index, 0, 0)
+            ck = jax.lax.dynamic_update_slice(ck, kq, at)
+            cv = jax.lax.dynamic_update_slice(cv, vq, at)
+            cks = jax.lax.dynamic_update_slice(cks, ks, at[:3])
+            cvs = jax.lax.dynamic_update_slice(cvs, vs, at[:3])
+            new_cache = (ck, cks, cv, cvs)
+            k = (ck.astype(jnp.float32) * cks[..., None]).astype(self.dtype)
+            v = (cv.astype(jnp.float32) * cvs[..., None]).astype(self.dtype)
+            kv_len = ck.shape[1]
+            k_pos = jnp.arange(kv_len)[None, :]
+            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+        elif kv_cache is not None:
             ck, cv = kv_cache                       # (B, T, hkv, d)
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -209,10 +231,17 @@ class LlamaForCausalLM(nn.Module):
         logits = logits.astype(jnp.float32) * cfg.logit_scale
         return logits, (new_caches if kv_caches is not None else None)
 
-    def init_cache(self, batch: int, max_len: int):
+    def init_cache(self, batch: int, max_len: int, cache_dtype=None):
+        """cache_dtype=jnp.int8 selects the quantized KV cache
+        (per-token per-head scales stored alongside)."""
         cfg = self.config
-        return [(jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim),
-                           self.dtype),
-                 jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim),
-                           self.dtype))
+        kv_shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        if cache_dtype == jnp.int8:
+            return [(jnp.zeros(kv_shape, jnp.int8),
+                     jnp.zeros(kv_shape[:3], jnp.float32),
+                     jnp.zeros(kv_shape, jnp.int8),
+                     jnp.zeros(kv_shape[:3], jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
+        return [(jnp.zeros(kv_shape, cache_dtype or self.dtype),
+                 jnp.zeros(kv_shape, cache_dtype or self.dtype))
                 for _ in range(cfg.num_hidden_layers)]
