@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""fp8 feasibility probe on the current TPU (roadmap item: fp8
+activations as an int8 alternative for the diffusion path).
+
+v5e's MXU natively supports bf16 and int8; fp8 (e4m3/e5m2) matmuls are
+emulated by XLA via upcast on this generation (native fp8 arrives with
+Trillium/v6e).  This probe measures it rather than asserting it: times
+a large matmul in bf16 vs int8 vs fp8-e4m3 inputs and writes a JSON
+artifact next to this script.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+
+def time_mm(x, w, reps=20):
+    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
+    float(jnp.sum(f(x, w)))
+    t0 = time.time()
+    for _ in range(reps):
+        s = float(jnp.sum(f(x, w)))
+    return (time.time() - t0) / reps
+
+
+def main():
+    m = k = n = 4096
+    key = jax.random.PRNGKey(0)
+    xf = jax.random.normal(key, (m, k), jnp.float32)
+    wf = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    out = {"device": str(jax.devices()[0]), "shape": [m, k, n]}
+    cases = {
+        "bf16": (xf.astype(jnp.bfloat16), wf.astype(jnp.bfloat16)),
+        "int8": ((xf * 10).astype(jnp.int8), (wf * 10).astype(jnp.int8)),
+        "fp8_e4m3": (xf.astype(jnp.float8_e4m3fn), wf.astype(jnp.float8_e4m3fn)),
+    }
+    for name, (x, w) in cases.items():
+        try:
+            dt = time_mm(x, w)
+            out[name + "_ms"] = round(1e3 * dt, 3)
+            out[name + "_tflops"] = round(2 * m * k * n / dt / 1e12, 1)
+        except Exception as e:  # dtype unsupported through this backend
+            out[name + "_ms"] = f"ERROR:{type(e).__name__}"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fp8_probe.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
