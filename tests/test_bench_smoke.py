@@ -27,3 +27,13 @@ def test_graft_entry_traces():
     fn, args = ge.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None
+
+
+def test_bench_sd35_cpu_smoke():
+    import bench_sd35
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_sd35.main()
+    rows = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert rows[-1]["bf16"] > 0 and rows[-1]["w8a8_static"] > 0
