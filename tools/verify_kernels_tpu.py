@@ -131,6 +131,24 @@ def main():
     results["w8a8_geglu_fused"] = {"max_abs_diff": d, "tol": 1e-2,
                                    "pass": d <= 1e-2}
 
+    # ---- fused int8 flash attention
+    from qdm_tpu.ops import flash_int8 as fi8
+
+    bq, sq, hh, dd = 2, 512, 4, 40
+    qa = jax.random.normal(jax.random.PRNGKey(10), (bq, sq, hh, dd), jnp.float32)
+    ka = jax.random.normal(jax.random.PRNGKey(11), (bq, sq, hh, dd), jnp.float32)
+    va = jax.random.normal(jax.random.PRNGKey(12), (bq, sq, hh, dd), jnp.float32)
+    sc_attn = dd ** -0.5
+    out = fi8.flash_int8_attention(qa, ka, va, sc_attn, block_q=256,
+                                   block_k=256)
+    with jax.default_matmul_precision("highest"):
+        ref = fi8.flash_int8_attention_ref(qa, ka, va, sc_attn)
+    d = _maxdiff(out, ref)
+    # online-softmax accumulation vs one-shot softmax: small f32
+    # reassociation differences on top of identical int8 quantization
+    results["flash_int8"] = {"max_abs_diff": d, "tol": 2e-2,
+                             "pass": d <= 2e-2}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
