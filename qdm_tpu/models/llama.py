@@ -131,12 +131,23 @@ class LlamaAttention(nn.Module):
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
         if hkv < h:
-            k = jnp.repeat(k, h // hkv, axis=2)
-            v = jnp.repeat(v, h // hkv, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (d ** -0.5)
-        logits = jnp.where(mask, logits, -1e9)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * d)
+            # GQA via grouped einsum — never materializes the repeated
+            # K/V (a jnp.repeat here costs ~6 GB/step of HBM writes at
+            # batch-32 ctx-1024 serving)
+            g = h // hkv
+            qg = q.reshape(b, s, hkv, g, d)
+            logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(
+                jnp.float32) * (d ** -0.5)
+            logits = jnp.where(mask[:, :, None], logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(
+                b, s, h * d)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(
+                jnp.float32) * (d ** -0.5)
+            logits = jnp.where(mask, logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * d)
         out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                      plan=self.plan, name="o_proj")(out)
         return out, new_cache
