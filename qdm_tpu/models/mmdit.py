@@ -206,6 +206,21 @@ class MMDiT(nn.Module):
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (b,))
 
+        # Pad the text context so the JOINT sequence (ctx + image
+        # tokens) is a multiple of 128: XLA's fused (flash-style)
+        # attention schedule and the Pallas flash kernel both need
+        # 128-aligned sequences — an unaligned joint length (e.g.
+        # 333+4096) materializes the (B,H,S,S) f32 logits instead
+        # (3.8 GB at 1024px, an instant OOM).  Zero-padding the raw
+        # embeds and attending to them matches diffusers SD3 semantics
+        # (prompt embeds are zero-padded to max_sequence_length and the
+        # transformer runs with no attention mask).
+        n_img = (hh // p) * (ww // p)
+        pad = (-(n_img + encoder_hidden_states.shape[1])) % 128
+        if pad:
+            encoder_hidden_states = jnp.pad(
+                encoder_hidden_states, ((0, 0), (0, pad), (0, 0)))
+
         # --- patch embed + cropped learned pos embed
         x = latents.reshape(b, hh // p, p, ww // p, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (hh // p) * (ww // p), p * p * c)

@@ -123,11 +123,18 @@ def dot_product_attention(q, k, v, scale: float | None = None,
         # flash and XLA at batch-8 CFG (bench_attn.py)
         return _flash(q, k, v, scale, block=s)
     if uniform and s >= 2048:
-        if b_sz * s >= _LONG_SEQ_ROWS_XLA:
+        if b_sz * s >= _LONG_SEQ_ROWS_XLA and s % 512 == 0:
             # big-batch long-seq: bf16 XLA softmax beats multi-block
-            # flash (7.0 vs 9.9 ms at B=16 S=4096)
+            # flash (7.0 vs 9.9 ms at B=16 S=4096).  Only when s is
+            # 512-aligned — on unaligned seqs XLA's fused attention
+            # schedule can bail and materialize the f32 logits.
             return _xla_attention(q, k, v, scale)
-        # small-batch long-seq: multi-block flash wins (1.22 ms vs
-        # 2.95 XLA / 1.54 int8 at B=2, S=4096)
-        return _flash(q, k, v, scale, block=512)
+        # multi-block flash (wins at small batch: 1.22 ms vs 2.95 XLA
+        # at B=2 S=4096); the kernel needs block | seq.  512 is the
+        # measured sweet spot (bench_attn.py); for seqs it doesn't
+        # divide (e.g. the padded MMDiT joint seq 4480) fall through
+        # to the largest dividing 128-multiple (640 there).
+        block = next(bb for bb in (512, 1024, 896, 768, 640, 384, 256, 128)
+                     if bb <= s and s % bb == 0)
+        return _flash(q, k, v, scale, block=block)
     return _xla_attention(q, k, v, scale)
