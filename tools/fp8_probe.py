@@ -20,13 +20,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def time_mm(x, w, reps=20):
-    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
-    float(jnp.sum(f(x, w)))
-    t0 = time.time()
-    for _ in range(reps):
-        s = float(jnp.sum(f(x, w)))
-    return (time.time() - t0) / reps
+def time_mm(x, w):
+    """Marginal per-matmul time via a chained in-jit loop (single
+    dispatches hit the tunnel's ~30 ms floor and XLA folds repeated
+    identical calls — see qdm_tpu/utils/timing.py)."""
+    from qdm_tpu.utils.timing import marginal_time
+
+    def step(xc):
+        return jnp.dot(xc, w, preferred_element_type=jnp.float32)
+
+    # x stays in the probe dtype; marginal_time's loop casts the f32
+    # product back to it each iteration (a realistic output-quant pass)
+    return marginal_time(step, x, lo=8, hi=40)
 
 
 def main():
