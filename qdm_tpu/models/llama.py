@@ -94,36 +94,41 @@ class LlamaAttention(nn.Module):
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
+        # cache-native layout (B, hkv, S, d): K/V live head-major so
+        # cached decode contracts them with zero per-step relayout
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+
         new_cache = None
         if kv_cache is not None and len(kv_cache) == 4:
             # int8 KV cache: per-token per-head absmax scales.  Halves
             # the cache HBM traffic that dominates large-batch /
             # long-context decode (TPU-native extension of the
             # reference's rolling fp16 cache, fused_utils.py:14-27).
-            ck, cks, cv, cvs = kv_cache             # (B,T,hkv,d) i8 + (B,T,hkv) f32
-            kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+            ck, cks, cv, cvs = kv_cache       # (B,hkv,T,d) i8 + (B,hkv,T) f32
+            kf, vf = kt.astype(jnp.float32), vt.astype(jnp.float32)
             ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
             vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
             kq = jnp.round(kf / ks[..., None]).astype(jnp.int8)
             vq = jnp.round(vf / vs[..., None]).astype(jnp.int8)
-            at = (0, cache_index, 0, 0)
+            at = (0, 0, cache_index, 0)
             ck = jax.lax.dynamic_update_slice(ck, kq, at)
             cv = jax.lax.dynamic_update_slice(cv, vq, at)
             cks = jax.lax.dynamic_update_slice(cks, ks, at[:3])
             cvs = jax.lax.dynamic_update_slice(cvs, vs, at[:3])
             new_cache = (ck, cks, cv, cvs)
-            k = (ck.astype(jnp.float32) * cks[..., None]).astype(self.dtype)
-            v = (cv.astype(jnp.float32) * cvs[..., None]).astype(self.dtype)
-            kv_len = ck.shape[1]
+            kt = (ck.astype(jnp.float32) * cks[..., None]).astype(self.dtype)
+            vt = (cv.astype(jnp.float32) * cvs[..., None]).astype(self.dtype)
+            kv_len = ck.shape[2]
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
         elif kv_cache is not None:
-            ck, cv = kv_cache                       # (B, T, hkv, d)
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            ck, cv = kv_cache                       # (B, hkv, T, d)
+            ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_index, 0))
             new_cache = (ck, cv)
-            k, v = ck, cv
-            kv_len = ck.shape[1]
+            kt, vt = ck, cv
+            kv_len = ck.shape[2]
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
         else:
@@ -131,23 +136,24 @@ class LlamaAttention(nn.Module):
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
         if hkv < h:
-            # GQA via grouped einsum — never materializes the repeated
-            # K/V (a jnp.repeat here costs ~6 GB/step of HBM writes at
-            # batch-32 ctx-1024 serving)
+            # GQA: group the query heads; K/V are contracted in their
+            # (B, hkv, T, d) layout directly — no materialized repeat
+            # (a jnp.repeat costs ~6 GB/step of HBM writes at batch-32
+            # ctx-1024 serving) and no per-step cache transpose
             g = h // hkv
             qg = q.reshape(b, s, hkv, g, d)
-            logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(
+            logits = jnp.einsum("bqhgd,bhkd->bhgqk", qg, kt).astype(
                 jnp.float32) * (d ** -0.5)
             logits = jnp.where(mask[:, :, None], logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(
+            out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, vt).reshape(
                 b, s, h * d)
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(
+            logits = jnp.einsum("bqhd,bhkd->bhqk", q, kt).astype(
                 jnp.float32) * (d ** -0.5)
             logits = jnp.where(mask, logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * d)
+            out = jnp.einsum("bhqk,bhkd->bqhd", probs, vt).reshape(b, s, h * d)
         out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                      plan=self.plan, name="o_proj")(out)
         return out, new_cache
@@ -246,7 +252,9 @@ class LlamaForCausalLM(nn.Module):
         """cache_dtype=jnp.int8 selects the quantized KV cache
         (per-token per-head scales stored alongside)."""
         cfg = self.config
-        kv_shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        # head-major cache layout (B, hkv, T, d): decode contracts the
+        # cache without any per-step relayout
+        kv_shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         if cache_dtype == jnp.int8:
             return [(jnp.zeros(kv_shape, jnp.int8),
                      jnp.zeros(kv_shape[:3], jnp.float32),
