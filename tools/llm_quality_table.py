@@ -85,6 +85,23 @@ def main():
                "ppl_delta_pct": round(100 * (ppl - ppl_ref) / ppl_ref, 3)}
         rows.append(row)
         print(json.dumps(row), flush=True)
+    # int8 KV cache (serving extension): full-precision weights, K/V
+    # read back through the quantized cache — isolates the cache error
+    def kv8_logits(ids):
+        model = ref.model
+        caches = model.init_cache(ids.shape[0], ids.shape[1], jnp.int8)
+        lg, _ = model.apply({"params": ref.params}, jnp.asarray(ids),
+                            kv_caches=caches, cache_index=0)
+        return lg
+
+    r = eval_kl_divergence(ref_logits, kv8_logits, EVAL_CHUNKS)
+    row = {"config": "bf16 weights + int8 KV cache", "kl_mean": round(r["kl_mean"], 6),
+           "kl_ci95": round(r["kl_ci95"], 6),
+           "top1": round(r["top1_agreement"], 4),
+           "top5": round(r["top5_agreement"], 4), "ppl_delta_pct": None}
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
     out = {"model": "llama-style 4L/256h random weights (f32)",
            "ppl_ref": round(ppl_ref, 4), "n_eval_tokens": 4 * 2 * SEQ,
            "rows": rows}
