@@ -11,7 +11,9 @@ artifact next to this script.
 
 import json
 import os
-import time
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
