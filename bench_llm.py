@@ -78,6 +78,40 @@ def serve_main():
             float(jnp.sum(run(params, ids)))
         return (time.time() - t0) / reps
 
+    if "--ablate" in sys.argv:
+        # component ablation of the bf16 serve step: where do the
+        # ~25 ms/step go?  (roofline: weights 2.2 GB + cache 0.76 GB
+        # ~= 3.7 ms)
+        from qdm_tpu.models import llama as _ll
+
+        out = {"metric": f"serve ablation ms/step (batch {batch}, ctx {prefill})"}
+        dt_full = timed(lm.model, lm.params, None)
+        out["full"] = round(1e3 * dt_full / n_new, 2)
+        real_attn = _ll.LlamaAttention.__call__
+        real_mlp = _ll.LlamaMLP.__call__
+
+        def no_attn_core(self, x, positions, kv_cache=None, cache_index=None):
+            cfg = self.config
+            h, d = cfg.num_attention_heads, cfg.head_dim
+            q = x @ jnp.zeros((x.shape[-1], h * d), x.dtype)
+            return q, kv_cache
+
+        def no_mlp(self, x):
+            return x
+
+        for name, cls, fn, orig in (
+                ("attention", _ll.LlamaAttention, no_attn_core, real_attn),
+                ("mlp", _ll.LlamaMLP, no_mlp, real_mlp)):
+            cls.__call__ = fn
+            try:
+                dt = timed(lm.model, lm.params, None)
+            finally:
+                cls.__call__ = orig
+            out[f"no_{name}"] = round(1e3 * dt / n_new, 2)
+            out[f"{name}_ms"] = round(1e3 * (dt_full - dt) / n_new, 2)
+            print(json.dumps(out), flush=True)
+        return
+
     w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
                         quantize_act=True, act_quant="per_token")
     plan8 = QuantPlan(default=w8).with_rule("lm_head", None)

@@ -27,6 +27,9 @@ W8X = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8, quantize_act=True,
                      act_quant="static")
 CONV_ST = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                          act_quant="static")
+# fused GEGLU Pallas kernel as a point fusion (bench_hybrid.py on
+# SD1.5: +6% — kills the (M, 2*inner) bf16 HBM round trip)
+GEGLU = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
 NOEMB = (("time_emb", NOQ), ("time_embedding", NOQ), ("add_embedding", NOQ))
 
 
@@ -77,7 +80,8 @@ def main():
         "w4a16": QuantPlan(default=W4, fuse_qkv=True,
                            rules=(("conv", NOQ),) + NOEMB),
         "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True,
-                                 rules=(("conv", CONV_ST),) + NOEMB),
+                                 rules=(("net_0/proj", GEGLU),
+                                        ("conv", CONV_ST)) + NOEMB),
     }
     # w4a16_xla is omitted: XLA does not fuse the nibble unpack into the
     # matmul operand (measured 0.15x on LLM decode, BENCH_NOTES.md), so

@@ -65,6 +65,21 @@ def test_speculative_matches_greedy(lm):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_speculative_with_int8_cache_matches_int8_greedy(lm):
+    """Both paths read K/V through the same quantized cache, so spec
+    decode stays token-identical to plain greedy even with int8 KV."""
+    draft = CausalLM.from_config(
+        llama_lib.LlamaConfig(vocab_size=256, hidden_size=32,
+                              intermediate_size=64, num_hidden_layers=1,
+                              num_attention_heads=2, num_key_value_heads=2),
+        dtype=jnp.float32, seed=7)
+    ids = np.random.default_rng(5).integers(0, 256, (1, 6))
+    ref = lm.generate(ids, max_new_tokens=10, kv_cache_dtype=jnp.int8)
+    out = lm.generate_speculative(ids, 10, draft, gamma=3,
+                                  kv_cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_speculative_self_draft_accepts_everything(lm):
     """draft == target: every proposal verifies, output still exact."""
     ids = np.random.default_rng(3).integers(0, 256, (1, 5))
