@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""End-to-end PIPELINE throughput: prompts -> images through the real
+user API (`StableDiffusion1_x.generate`) — text encoder + 20-step CFG
+denoise + VAE decode, bf16 vs the quantized serving config.
+
+The UNet-loop benches (bench.py) isolate the denoiser; this one proves
+the *user-facing path* (SURVEY §3.4 `generate`) carries the speedup —
+the quantize() lifecycle (SQ calibration -> static scales -> packed
+int8) is exactly what a user runs, not a hand-assembled plan.
+
+Usage: bench_pipeline.py [batch]   (default 8)
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from qdm_tpu.api import StableDiffusion1_x
+
+PROMPTS = ["a cat on a table", "a mountain at sunset", "a red bicycle",
+           "an astronaut on a horse", "a bowl of ramen", "a lighthouse",
+           "a forest in fog", "a city street at night"]
+
+
+def timed_generate(pipe, prompts, steps, reps):
+    imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0)
+    float(jnp.sum(jnp.asarray(imgs)))
+    t0 = time.time()
+    for _ in range(reps):
+        imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0)
+        float(jnp.sum(jnp.asarray(imgs)))
+    return (time.time() - t0) / reps
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if on_tpu else 2)
+    steps, reps = (20, 2) if on_tpu else (2, 1)
+    prompts = (PROMPTS * ((batch + 7) // 8))[:batch]
+
+    pipe = StableDiffusion1_x.from_config(tiny=not on_tpu)
+    dt_bf = timed_generate(pipe, prompts, steps, reps)
+    out = {"metric": f"SD1.5 pipeline imgs/s end-to-end (batch {batch}, "
+                     f"{steps} steps, text-enc + VAE incl.)",
+           "bf16_img_s": round(batch / dt_bf, 3)}
+    print(json.dumps(out), flush=True)
+
+    qc = {"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True,
+          "act_quant_type": "static", "act_quant_conv_type": "static"}
+    pipe.quantize(qc, quantType="sq", quantUnet=True,
+                  calib_prompts=prompts[:4] if on_tpu else prompts[:2])
+    dt_q = timed_generate(pipe, prompts, steps, reps)
+    out["quant_img_s"] = round(batch / dt_q, 3)
+    out["vs_bf16"] = round(dt_bf / dt_q, 3)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
