@@ -99,8 +99,61 @@ def serve_main():
         def no_mlp(self, x):
             return x
 
+        def no_kv_read(self, x, positions, kv_cache=None, cache_index=None):
+            """Full qkv/rope/update, but attend only over the current
+            token — isolates the cache READ (incl. any relayout)."""
+            cfg = self.config
+            bq, sq, _ = x.shape
+            h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim)
+            q = _ll.QDense(h * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                           plan=self.plan, name="q_proj")(x).reshape(bq, sq, h, d)
+            k = _ll.QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                           plan=self.plan, name="k_proj")(x).reshape(bq, sq, hkv, d)
+            v = _ll.QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                           plan=self.plan, name="v_proj")(x).reshape(bq, sq, hkv, d)
+            q = _ll.rope(q, positions, cfg.rope_theta)
+            k = _ll.rope(k, positions, cfg.rope_theta)
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            new_cache = kv_cache
+            if kv_cache is not None and len(kv_cache) == 2:
+                ck, cv = kv_cache
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kt.astype(ck.dtype), (0, 0, cache_index, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vt.astype(cv.dtype), (0, 0, cache_index, 0))
+                new_cache = (ck, cv)
+            g = h // hkv
+            qg = q.reshape(bq, sq, hkv, g, d)
+            logits = jnp.einsum("bqhgd,bhkd->bhgqk", qg, kt).astype(
+                jnp.float32) * (d ** -0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, vt).reshape(
+                bq, sq, h * d)
+            out = _ll.QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                             plan=self.plan, name="o_proj")(out)
+            return out, new_cache
+
+        def no_cache_update(self, x, positions, kv_cache=None, cache_index=None):
+            """Read the (stale) cache but never write it — isolates the
+            dynamic_update_slice cost."""
+            out, _ = real_attn(self, x, positions, kv_cache, cache_index)
+            return out, kv_cache
+
+        # a raw function assigned to a linen Module __call__ skips the
+        # compact/scope wrapping the metaclass applied at class
+        # definition — submodules created inside would mis-scope.
+        # Re-apply the wrappers by hand for patches that build QDenses.
+        from flax.linen.module import wrap_method_once
+        from flax.linen import compact as _compact
+
+        no_kv_read = wrap_method_once(_compact(no_kv_read))
+
         for name, cls, fn, orig in (
                 ("attention", _ll.LlamaAttention, no_attn_core, real_attn),
+                ("kv_read", _ll.LlamaAttention, no_kv_read, real_attn),
+                ("cache_update", _ll.LlamaAttention, no_cache_update, real_attn),
                 ("mlp", _ll.LlamaMLP, no_mlp, real_mlp)):
             cls.__call__ = fn
             try:
