@@ -27,9 +27,12 @@ W8X = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8, quantize_act=True,
                      act_quant="static")
 CONV_ST = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True,
                          act_quant="static")
-# fused GEGLU Pallas kernel as a point fusion (bench_hybrid.py on
-# SD1.5: +6% — kills the (M, 2*inner) bf16 HBM round trip)
-GEGLU = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
+# NOTE: the SD1.5 GEGLU Pallas point fusion was tried here and LOSES
+# on SDXL (batch 1: 0.299 vs 0.469 img/s, batch 2: 0.397 vs 0.482 —
+# measured 2026-08-17): SDXL's wider FF shapes (2560/5120 inner at
+# S<=4096) keep the XLA int8 matmul MXU-bound, so the kernel's
+# per-call overhead + dynamic act quant outweigh the saved HBM round
+# trip that wins on SD1.5's narrower 1280-inner levels.
 NOEMB = (("time_emb", NOQ), ("time_embedding", NOQ), ("add_embedding", NOQ))
 
 
@@ -80,8 +83,7 @@ def main():
         "w4a16": QuantPlan(default=W4, fuse_qkv=True,
                            rules=(("conv", NOQ),) + NOEMB),
         "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True,
-                                 rules=(("net_0/proj", GEGLU),
-                                        ("conv", CONV_ST)) + NOEMB),
+                                 rules=(("conv", CONV_ST),) + NOEMB),
     }
     # w4a16_xla is omitted: XLA does not fuse the nibble unpack into the
     # matmul operand (measured 0.15x on LLM decode, BENCH_NOTES.md), so
