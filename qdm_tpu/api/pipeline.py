@@ -519,34 +519,70 @@ class BaseDiffusionPipeline:
                 step_range: Optional[Tuple[int, int]] = None):
         """Run DDIM steps [lo, hi) of a `steps`-step schedule (the full
         schedule by default; a sub-range for base->refiner handoff)."""
-        tables = schedulers.make_ddim(self.scheduler_config, steps)
         unet = self.components["unet"]
         params = self.params["unet"]
         latents, ctx, uctx = self._shard_batch(latents, ctx, uctx)
         lo, hi = step_range if step_range is not None else (0, steps)
 
-        @functools.partial(jax.jit, static_argnames=("steps",))
-        def loop(params, latents, ctx, uctx, added, steps):
-            def body(s, lat):
-                t = tables.timesteps[s]
-                lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
-                ctx_in = jnp.concatenate([uctx, ctx], axis=0)
-                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
-                eps = unet.apply({"params": params}, *args)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance * (eps_c - eps_u)
-                return schedulers.ddim_step(tables, eps, lat, s, steps)
+        def build():
+            tables = schedulers.make_ddim(self.scheduler_config, steps)
 
-            return jax.lax.fori_loop(lo, hi, body, latents)
+            def loop(params, latents, ctx, uctx, added):
+                def body(s, lat):
+                    t = tables.timesteps[s]
+                    lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+                    ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+                    tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
+                    eps = unet.apply({"params": params}, *args)
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance * (eps_c - eps_u)
+                    return schedulers.ddim_step(tables, eps, lat, s, steps)
 
-        return loop(params, latents, ctx, uctx, added, steps)
+                return jax.lax.fori_loop(lo, hi, body, latents)
+
+            return jax.jit(loop)
+
+        loop = self._cached_jit(
+            ("denoise", steps, float(guidance), lo, hi, id(unet)), build)
+        return loop(params, latents, ctx, uctx, added)
+
+    def _cached_jit(self, key, build):
+        """Per-pipeline cache of jitted closures.  Rebuilding a jitted
+        closure per call (a fresh function object) defeats jax's jit
+        cache and re-traces every generate(); unjitted component
+        applies are even worse on the remote-TPU path (op-by-op
+        dispatch at ~2-3 ms RTT each)."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
+    def _jitted_apply(self, name: str, method: Optional[str] = None):
+        """Memoized jitted `component.apply` for the named component."""
+        comp = self.components[name]
+
+        def build():
+            if method is None:
+                return jax.jit(
+                    lambda params, *a: comp.apply({"params": params}, *a))
+            m = getattr(type(comp), method)
+            return jax.jit(
+                lambda params, *a: comp.apply({"params": params}, *a, method=m))
+
+        return self._cached_jit(("apply", name, id(comp), method), build)
 
     def decode_latents(self, latents):
         vae = self.components["vae"]
-        img = vae.apply({"params": self.params["vae"]}, latents.astype(self.dtype),
-                        method=vae.decode)
-        return np.asarray(((img.astype(jnp.float32) + 1) / 2).clip(0, 1))
+
+        def build():
+            return jax.jit(lambda params, lat: (
+                (vae.apply({"params": params}, lat.astype(self.dtype),
+                           method=vae.decode).astype(jnp.float32) + 1)
+                / 2).clip(0, 1))
+
+        fn = self._cached_jit(("vae_decode", id(vae)), build)
+        return np.asarray(fn(self.params["vae"], latents))
 
     # ------------------------------------------------------------ save/load
 
@@ -663,13 +699,14 @@ class StableDiffusion1_x(BaseDiffusionPipeline):
         }
 
     def _encode_prompts(self, prompts, negatives):
-        te = self.components["text_encoder"]
+        te = self._jitted_apply("text_encoder")
+        te_params = self.params["text_encoder"]
         ids = self.tokenizer(prompts)
-        last, _, _ = te.apply({"params": self.params["text_encoder"]}, ids)
+        last, _, _ = te(te_params, ids)
         ctx = last
         neg = negatives if negatives is not None else [""] * len(prompts)
         uids = self.tokenizer(neg)
-        ulast, _, _ = te.apply({"params": self.params["text_encoder"]}, uids)
+        ulast, _, _ = te(te_params, uids)
         return ctx, ulast, None
 
 
@@ -795,15 +832,17 @@ class StableDiffusionXL(BaseDiffusionPipeline):
 
     def _encode_prompts(self, prompts, negatives):
         ids = self.tokenizer(prompts)
-        te2 = self.components["text_encoder_2"]
-        _, pen2, pooled = te2.apply({"params": self.params["text_encoder_2"]}, ids)
+        te2 = self._jitted_apply("text_encoder_2")
+        te2_params = self.params["text_encoder_2"]
+        _, pen2, pooled = te2(te2_params, ids)
         neg = negatives if negatives is not None else [""] * len(prompts)
         uids = self.tokenizer(neg)
-        _, upen2, upooled = te2.apply({"params": self.params["text_encoder_2"]}, uids)
+        _, upen2, upooled = te2(te2_params, uids)
         if "text_encoder" in self.components:
-            te1 = self.components["text_encoder"]
-            _, pen1, _ = te1.apply({"params": self.params["text_encoder"]}, ids)
-            _, upen1, _ = te1.apply({"params": self.params["text_encoder"]}, uids)
+            te1 = self._jitted_apply("text_encoder")
+            te1_params = self.params["text_encoder"]
+            _, pen1, _ = te1(te1_params, ids)
+            _, upen1, _ = te1(te1_params, uids)
             ctx = jnp.concatenate([pen1, pen2], axis=-1)
             uctx = jnp.concatenate([upen1, upen2], axis=-1)
         else:  # refiner: te2 only
@@ -965,30 +1004,31 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
     def _encode_prompts(self, prompts, negatives):
         cfg = self.configs["transformer"]
         ids = self.tokenizer(prompts)
-        te1, te2 = self.components["text_encoder"], self.components["text_encoder_2"]
-        _, pen1, pooled1 = te1.apply({"params": self.params["text_encoder"]}, ids)
-        _, pen2, pooled2 = te2.apply({"params": self.params["text_encoder_2"]}, ids)
+        te1 = self._jitted_apply("text_encoder")
+        te2 = self._jitted_apply("text_encoder_2")
+        p1, p2 = self.params["text_encoder"], self.params["text_encoder_2"]
+        _, pen1, pooled1 = te1(p1, ids)
+        _, pen2, pooled2 = te2(p2, ids)
         clip_ctx = jnp.concatenate([pen1, pen2], axis=-1)
         pad = cfg.joint_attention_dim - clip_ctx.shape[-1]
         ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
-        if "text_encoder_3" in self.components and \
-                self.components["text_encoder_3"] is not None:
+        has_t5 = ("text_encoder_3" in self.components and
+                  self.components["text_encoder_3"] is not None)
+        if has_t5:
             # append T5 sequence to the joint context (SD3 protocol)
-            t5 = self.components["text_encoder_3"]
-            t5_out = t5.apply({"params": self.params["text_encoder_3"]}, ids)
+            t5 = self._jitted_apply("text_encoder_3")
+            t5_out = t5(self.params["text_encoder_3"], ids)
             ctx = jnp.concatenate([ctx, t5_out.astype(ctx.dtype)], axis=1)
         pooled = jnp.concatenate([pooled1, pooled2], axis=-1)
 
         neg = negatives if negatives is not None else [""] * len(prompts)
         uids = self.tokenizer(neg)
-        _, upen1, upooled1 = te1.apply({"params": self.params["text_encoder"]}, uids)
-        _, upen2, upooled2 = te2.apply({"params": self.params["text_encoder_2"]}, uids)
+        _, upen1, upooled1 = te1(p1, uids)
+        _, upen2, upooled2 = te2(p2, uids)
         uctx = jnp.pad(jnp.concatenate([upen1, upen2], axis=-1),
                        ((0, 0), (0, 0), (0, pad)))
-        if "text_encoder_3" in self.components and \
-                self.components["text_encoder_3"] is not None:
-            t5 = self.components["text_encoder_3"]
-            ut5 = t5.apply({"params": self.params["text_encoder_3"]}, uids)
+        if has_t5:
+            ut5 = t5(self.params["text_encoder_3"], uids)
             uctx = jnp.concatenate([uctx, ut5.astype(uctx.dtype)], axis=1)
         upooled = jnp.concatenate([upooled1, upooled2], axis=-1)
         added = {"pooled": jnp.concatenate([upooled, pooled], axis=0)}
@@ -996,26 +1036,31 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
 
     def denoise(self, latents, ctx, uctx, added, steps: int, guidance: float):
         """Rectified-flow Euler loop (FlowMatchEulerDiscrete parity)."""
-        tables = schedulers.make_flow_match(steps)
         model = self.components["transformer"]
         params = self.params["transformer"]
         pooled = added["pooled"]
 
-        @functools.partial(jax.jit, static_argnames=("steps",))
-        def loop(params, latents, ctx, uctx, pooled, steps):
-            def body(s, lat):
-                t = tables.timesteps[s]
-                lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
-                ctx_in = jnp.concatenate([uctx, ctx], axis=0)
-                tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                v = model.apply({"params": params}, lat_in, tt, ctx_in, pooled)
-                v_u, v_c = jnp.split(v, 2, axis=0)
-                v = v_u + guidance * (v_c - v_u)
-                return schedulers.flow_match_step(tables, v, lat, s)
+        def build():
+            tables = schedulers.make_flow_match(steps)
 
-            return jax.lax.fori_loop(0, steps, body, latents)
+            def loop(params, latents, ctx, uctx, pooled):
+                def body(s, lat):
+                    t = tables.timesteps[s]
+                    lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+                    ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+                    tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    v = model.apply({"params": params}, lat_in, tt, ctx_in, pooled)
+                    v_u, v_c = jnp.split(v, 2, axis=0)
+                    v = v_u + guidance * (v_c - v_u)
+                    return schedulers.flow_match_step(tables, v, lat, s)
 
-        return loop(params, latents, ctx, uctx, pooled, steps)
+                return jax.lax.fori_loop(0, steps, body, latents)
+
+            return jax.jit(loop)
+
+        loop = self._cached_jit(
+            ("denoise", steps, float(guidance), id(model)), build)
+        return loop(params, latents, ctx, uctx, pooled)
 
     def _smoothquant_component(self, name: str, cfg: QuantConfig,
                                calib_cache: Optional[str] = None,
