@@ -270,6 +270,11 @@ class BaseDiffusionPipeline:
             elif method == "awq":
                 self._awq_component(name, cfg, calib_prompts=calib_prompts)
             if cfg.version == "real":
+                if plan.fuse_qkv:
+                    # after scale migration (its groups address unfused
+                    # paths), before packing — fuse_qkv_params contract
+                    self.params[name] = qapply.fuse_qkv_params(
+                        self.params[name])
                 self.params[name] = qapply.pack_params(self.params[name], plan)
                 if act_stats:
                     # calibrated static act scales for int8 convs
@@ -320,10 +325,29 @@ class BaseDiffusionPipeline:
         # pad the 128-lane MXU, so bf16 already sits at the padding
         # roofline — bench_attn_int8.py) and skipping the attention-
         # input quantization is also more accurate
-        plan = QuantPlan(default=dense_spec, rules=tuple(rules))
+        fuse = False
+        if component == "unet" and cfg.version == "real":
+            # Serving-path plan shape, selected by measurement
+            # (/tmp/plan_bisect on v5e, BENCH_NOTES.md):
+            # * fused QKV is worth 2.2x on the int8 path — three
+            #   narrow (N=320-1280) int8 matmuls each pay their own
+            #   act-quant prologue + dequant epilogue, one 3x-wide
+            #   matmul amortizes them (bf16 barely cares)
+            # * time embeddings stay fp (negligible FLOPs, feeds every
+            #   AdaGN/resnet)
+            fuse = True
+            noq = LayerQuantSpec(mode="none")
+            rules += [("time_emb", noq), ("time_embedding", noq),
+                      ("add_embedding", noq)]
+            rules += list(self._arch_plan_rules(cfg))
+        plan = QuantPlan(default=dense_spec, rules=tuple(rules), fuse_qkv=fuse)
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)
         return plan
+
+    def _arch_plan_rules(self, cfg: QuantConfig):
+        """Architecture-specific measured plan extras (none by default)."""
+        return ()
 
     # --- calibration (diffusion): run the denoising loop with stats capture
 
@@ -697,6 +721,17 @@ class StableDiffusion1_x(BaseDiffusionPipeline):
             "vae": vae_lib.VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
                                         for k, v in cfgs["vae"].items()}),
         }
+
+    def _arch_plan_rules(self, cfg: QuantConfig):
+        # the fused int8 GEGLU Pallas kernel wins on SD1.5's narrow FF
+        # (inner 1280: kills a (M, 2*inner) bf16 HBM round trip,
+        # bench_hybrid.py +6%) but LOSES on SDXL's wide FF (bench_sdxl
+        # 2026-08-17) — so it is an SD1.x-only rule
+        if cfg.quantize_act and cfg.a_bit <= 8 and cfg.w_bit == 8:
+            return (("net_0/proj",
+                     LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8,
+                                    quantize_act=True)),)
+        return ()
 
     def _encode_prompts(self, prompts, negatives):
         te = self._jitted_apply("text_encoder")

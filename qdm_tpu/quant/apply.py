@@ -256,6 +256,14 @@ def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
         if isinstance(tree, dict):
             if "act_scale" in tree and not isinstance(tree["act_scale"], dict):
                 key = "/".join(prefix)
+                if key not in act_stats:
+                    # fused projections share their input with the
+                    # unfused modules the stats were captured on
+                    for fused, unfused in (("to_qkv", "to_q"),
+                                           ("to_kv", "to_k")):
+                        if prefix[-1] == fused:
+                            key = "/".join(prefix[:-1] + (unfused,))
+                            break
                 if key in act_stats:
                     s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
                     out = _set_at(out, prefix + ("act_scale",),
