@@ -75,6 +75,11 @@ def main():
         batches = [2]
 
     plans = {"w8a8_static": QuantPlan(default=W8X, rules=NOEMB)}
+    if "--fused" in sys.argv:
+        # fused joint-attention projections (one 3x-wide matmul per
+        # side; see the fused-QKV int8 bisect in BENCH_NOTES.md)
+        plans = {"w8a8_fused": QuantPlan(default=W8X, rules=NOEMB,
+                                         fuse_qkv=True)}
 
     params = None
     for batch in batches:
@@ -133,7 +138,12 @@ def main():
         row["bf16"] = round(batch / dt, 3)
         print(json.dumps(row), flush=True)
         for name, plan in plans.items():
-            qp = fill_static_act_scales(pack_params(params, plan), stats)
+            p = params
+            if plan.fuse_qkv:
+                from qdm_tpu.quant.apply import fuse_qkv_params
+                p = fuse_qkv_params(params)
+            qp = fill_static_act_scales(pack_params(p, plan), stats)
+            del p
             q_model = MMDiT(config=cfg, dtype=jnp.bfloat16, plan=plan)
             dt_q = time_sd35(make_sd35_loop(q_model, steps), qp, args, reps)
             row[name] = round(batch / dt_q, 3)

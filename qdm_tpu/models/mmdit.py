@@ -98,9 +98,18 @@ class JointAttention(nn.Module):
         def qkv(inp, prefix):
             names = {"": ("to_q", "to_k", "to_v"),
                      "add": ("add_q_proj", "add_k_proj", "add_v_proj")}[prefix]
-            q = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[0])(inp)
-            k = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[1])(inp)
-            v = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[2])(inp)
+            if self.plan.fuse_qkv:
+                # one 3x-wide projection per side: unfused narrow int8
+                # matmuls each pay their own act-quant/dequant passes
+                # (the 2.2x UNet bisect, BENCH_NOTES.md)
+                fname = "to_qkv" if prefix == "" else "add_qkv_proj"
+                fused = QDense(inner * 3, dtype=self.dtype, plan=self.plan,
+                               name=fname)(inp)
+                q, k, v = jnp.split(fused, 3, axis=-1)
+            else:
+                q = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[0])(inp)
+                k = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[1])(inp)
+                v = QDense(inner, dtype=self.dtype, plan=self.plan, name=names[2])(inp)
             q = q.reshape(b, -1, h, d)
             k = k.reshape(b, -1, h, d)
             v = v.reshape(b, -1, h, d)

@@ -201,22 +201,34 @@ def fuse_qkv_params(params: dict) -> dict:
     migration / AWQ (their groups address unfused paths) and before
     packing; use a plan with fuse_qkv=True for the matching modules."""
 
+    def merge(out, names, newname):
+        mods = [out[k] for k in names]
+        new = {"kernel": jnp.concatenate([m["kernel"] for m in mods], axis=1)}
+        if all("bias" in m for m in mods):
+            new["bias"] = jnp.concatenate([m["bias"] for m in mods])
+        out[newname] = new
+        for k in names:
+            del out[k]
+
     def rec(tree, name=""):
         if not isinstance(tree, dict):
             return tree
         out = {k: rec(v, k) for k, v in tree.items()}
         if all(k in out for k in ("to_q", "to_k", "to_v")) and \
                 isinstance(out["to_q"], dict) and "kernel" in out["to_q"]:
-            kq, kk, kv = (out[k]["kernel"] for k in ("to_q", "to_k", "to_v"))
             # self-attention modules are named attn1 in the UNet; cross
-            # attention (attn2) only fuses k/v (they share the context)
-            if name == "attn1":
-                out["to_qkv"] = {"kernel": jnp.concatenate([kq, kk, kv], axis=1)}
-                for k in ("to_q", "to_k", "to_v"):
-                    del out[k]
+            # attention (attn2) only fuses k/v (they share the context);
+            # MMDiT joint attention ('attn', recognized by its
+            # add_q_proj side) fuses each side's three projections
+            if name == "attn1" or "add_q_proj" in out:
+                merge(out, ("to_q", "to_k", "to_v"), "to_qkv")
             elif name == "attn2":
-                out["to_kv"] = {"kernel": jnp.concatenate([kk, kv], axis=1)}
-                del out["to_k"], out["to_v"]
+                merge(out, ("to_k", "to_v"), "to_kv")
+        if all(k in out for k in ("add_q_proj", "add_k_proj", "add_v_proj")) \
+                and isinstance(out["add_q_proj"], dict) \
+                and "kernel" in out["add_q_proj"]:
+            merge(out, ("add_q_proj", "add_k_proj", "add_v_proj"),
+                  "add_qkv_proj")
         return out
 
     return rec(params)
@@ -225,19 +237,30 @@ def fuse_qkv_params(params: dict) -> dict:
 def unfuse_qkv_params(params: dict) -> dict:
     """Inverse of fuse_qkv_params (for saving in the canonical layout)."""
 
+    def split(out, fused_name, names):
+        mod = out.pop(fused_name)
+        kernels = jnp.split(mod["kernel"], len(names), axis=1)
+        biases = jnp.split(mod["bias"], len(names)) if "bias" in mod \
+            else [None] * len(names)
+        for k, kern, b in zip(names, kernels, biases):
+            out[k] = {"kernel": kern}
+            if b is not None:
+                out[k]["bias"] = b
+
     def rec(tree):
         if not isinstance(tree, dict):
             return tree
         out = {k: rec(v) for k, v in tree.items()}
         if "to_qkv" in out and isinstance(out["to_qkv"], dict) \
                 and "kernel" in out["to_qkv"]:
-            kq, kk, kv = jnp.split(out.pop("to_qkv")["kernel"], 3, axis=1)
-            out["to_q"], out["to_k"], out["to_v"] = \
-                {"kernel": kq}, {"kernel": kk}, {"kernel": kv}
+            split(out, "to_qkv", ("to_q", "to_k", "to_v"))
         if "to_kv" in out and isinstance(out["to_kv"], dict) \
                 and "kernel" in out["to_kv"]:
-            kk, kv = jnp.split(out.pop("to_kv")["kernel"], 2, axis=1)
-            out["to_k"], out["to_v"] = {"kernel": kk}, {"kernel": kv}
+            split(out, "to_kv", ("to_k", "to_v"))
+        if "add_qkv_proj" in out and isinstance(out["add_qkv_proj"], dict) \
+                and "kernel" in out["add_qkv_proj"]:
+            split(out, "add_qkv_proj",
+                  ("add_q_proj", "add_k_proj", "add_v_proj"))
         return out
 
     return rec(params)

@@ -168,6 +168,34 @@ def test_mmdit_forward_and_quant():
     assert 0 < rel < 0.1, rel
 
 
+def test_mmdit_fused_qkv_equivalence():
+    """fuse_qkv_params + plan.fuse_qkv reproduces the unfused MMDiT
+    joint attention exactly (incl. the projection biases)."""
+    from qdm_tpu.models.mmdit import MMDiT, tiny_mmdit_config
+    from qdm_tpu.quant.apply import fuse_qkv_params, unfuse_qkv_params
+
+    cfg = tiny_mmdit_config()
+    m = MMDiT(config=cfg, dtype=jnp.float32)
+    lat = jax.random.normal(KEY, (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 80))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    t = jnp.array([500.0, 100.0])
+    params = m.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)["params"]
+    out = m.apply({"params": params}, lat, t, ctx, pooled)
+
+    fused = fuse_qkv_params(params)
+    mf = MMDiT(config=cfg, dtype=jnp.float32, plan=QuantPlan(fuse_qkv=True))
+    out_f = mf.apply({"params": fused}, lat, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
+    # round trip back to the canonical save layout
+    back = unfuse_qkv_params(fused)
+    out_b = m.apply({"params": back}, lat, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_mmdit_adaln_smooth_invariance():
     from qdm_tpu.models.mmdit import MMDiT, tiny_mmdit_config
     from qdm_tpu.models.shims import sd3_scaling_groups
