@@ -420,8 +420,13 @@ class BaseDiffusionPipeline:
             alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
         else:
             return None  # text encoder/vae smoothing: not in reference either
-        self.params[name] = smooth_lib.smooth_params(
-            self.params[name], groups, stats, alpha=alpha)
+        self.params[name], mig = smooth_lib.smooth_params(
+            self.params[name], groups, stats, alpha=alpha,
+            return_scales=True)
+        # post-smooth activations entering a migrated layer are act/s:
+        # adjust the stats so the static int8 scales reflect the
+        # smoothed (outlier-free) range, not the raw one
+        stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
         return stats
 
     def _awq_component(self, name: str, cfg: QuantConfig,
@@ -1106,8 +1111,12 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
 
         stats = self._calibrate_transformer(cfg, calib_prompts=calib_prompts)
         groups = sd3_scaling_groups(self.params["transformer"])
-        self.params["transformer"] = smooth_lib.smooth_params(
-            self.params["transformer"], groups, stats, alpha=cfg.alpha)
+        self.params["transformer"], mig = smooth_lib.smooth_params(
+            self.params["transformer"], groups, stats, alpha=cfg.alpha,
+            return_scales=True)
+        # see the UNet variant: static int8 scales must reflect the
+        # post-migration (act/s) range
+        stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
         return stats
 
     def _calibrate_transformer(self, cfg: QuantConfig,

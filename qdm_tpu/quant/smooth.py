@@ -118,15 +118,23 @@ def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> di
 
 
 def smooth_params(params: dict, groups: Sequence[ScalingGroup],
-                  act_stats: Dict[str, jnp.ndarray], alpha: float = 0.80) -> dict:
+                  act_stats: Dict[str, jnp.ndarray], alpha: float = 0.80,
+                  return_scales: bool = False):
     """Apply SmoothQuant migration for every group.
 
     act_stats maps '/'-joined layer paths to per-channel absmax.  For a
     group the stats of its first layer are representative (all layers in
     a group share the same input, e.g. to_q/to_k/to_v; the reference
     passes per-layer hook means but smooth_ln_fcs only consumes one
-    act_scales vector per group)."""
+    act_scales vector per group).
+
+    return_scales=True also returns {layer_path: s} for every migrated
+    layer — consumers that calibrate static activation scales must
+    divide pre-smooth stats by s (post-smooth activations are act/s;
+    using the raw stats overestimates the int8 range by exactly the
+    outlier factor the migration removed)."""
     out = params
+    scales: Dict[str, jnp.ndarray] = {}
     for g in groups:
         key = "/".join(g.layer_paths[0])
         stats = [act_stats[("/".join(lp))] for lp in g.layer_paths
@@ -136,4 +144,8 @@ def smooth_params(params: dict, groups: Sequence[ScalingGroup],
         act = jnp.max(jnp.stack(stats), axis=0)
         s = compute_smooth_scales(out, g, act, alpha)
         out = apply_smooth_scales(out, g, s)
+        for lp in g.layer_paths:
+            scales["/".join(lp)] = s
+    if return_scales:
+        return out, scales
     return out

@@ -102,6 +102,30 @@ def test_smooth_reduces_act_weight_mismatch():
     assert err_smooth < err_plain * 1.5, (err_smooth, err_plain)
 
 
+def test_smooth_returns_migration_scales():
+    """return_scales=True exposes s per migrated layer, and the
+    post-smooth activation absmax really is stats/s (so static int8
+    act scales must be calibrated on the adjusted stats)."""
+    m, params, args = _setup()
+    x, t, ctx = args
+    stats = _calib_stats(m, params, args)
+    groups = sd_unet_scaling_groups(params)
+    smoothed, mig = smooth_params(params, groups, stats, alpha=0.80,
+                                  return_scales=True)
+    assert mig, "no migration scales returned"
+    for g in groups:
+        for lp in g.layer_paths:
+            assert "/".join(lp) in mig
+
+    # recapture stats on the smoothed params: for migrated layers the
+    # new absmax ~ old/s
+    stats2 = _calib_stats(m, smoothed, args)
+    key = next(iter(mig))
+    adj = np.asarray(stats[key] / mig[key])
+    fresh = np.asarray(stats2[key])
+    np.testing.assert_allclose(fresh, adj, rtol=5e-2, atol=1e-4)
+
+
 def test_compute_scales_formula():
     params = {"norm": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
               "fc": {"kernel": jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3)),
