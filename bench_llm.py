@@ -165,18 +165,29 @@ def serve_main():
             print(json.dumps(out), flush=True)
         return
 
+    import dataclasses as _dc
+
+    from qdm_tpu.quant.apply import fuse_qkv_params
+
     w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
                         quantize_act=True, act_quant="per_token")
     plan8 = QuantPlan(default=w8).with_rule("lm_head", None)
+    plan8f = _dc.replace(plan8, fuse_qkv=True)
+    bf16f = QuantPlan(fuse_qkv=True)
     out = {"metric": f"LLM 1B serve decode tok/s (batch {batch}, ctx {prefill})"}
-    for wname, plan in (("bf16", None), ("w8a8", plan8)):
+    for wname, plan in (("bf16", None), ("bf16_fused", bf16f),
+                        ("w8a8", plan8), ("w8a8_fused", plan8f)):
         lm.plan = plan or QuantPlan()
-        params = pack_params(lm.params, plan) if plan else lm.params
+        params = lm.params
+        if plan is not None and plan.fuse_qkv:
+            params = fuse_qkv_params(params)
+        if plan is not None and plan.default.mode != "none":
+            params = pack_params(params, plan)
         for cname, cdt in (("kv_bf16", None), ("kv_int8", jnp.int8)):
             dt = timed(lm.model, params, cdt)
             out[f"{wname}_{cname}_tok_s"] = round(batch * n_new / dt, 1)
             print(json.dumps(out), flush=True)
-        if plan:
+        if params is not lm.params:
             del params
 
 
@@ -226,14 +237,21 @@ def main():
         "w4a16_xla": LayerQuantSpec(mode="w4a16_xla", w_bits=4,
                                     group_size=128),
     }
-    for mode, spec in specs.items():
-        plan = QuantPlan(default=spec).with_rule("lm_head", None)
-        qparams = pack_params(lm.params, plan)
+    plans = {mode: QuantPlan(default=spec).with_rule("lm_head", None)
+             for mode, spec in specs.items()}
+    # fused qkv + gate_up on the best int8 config (see the fused-QKV
+    # int8 bisect, BENCH_NOTES.md)
+    import dataclasses as _dc
+    plans["w8a8_xla_fused"] = _dc.replace(plans["w8a8_xla"], fuse_qkv=True)
+    from qdm_tpu.quant.apply import fuse_qkv_params
+    for mode, plan in plans.items():
+        base = fuse_qkv_params(lm.params) if plan.fuse_qkv else lm.params
+        qparams = pack_params(base, plan)
         lm.plan = plan
         dt_q = timed(lm.model, qparams)
         out[f"{mode}_tok_s"] = round(n_new / dt_q, 1)
         out[f"{mode}_speedup"] = round(dt_bf / dt_q, 3)
-    print(json.dumps(out), flush=True)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -140,7 +140,8 @@ class CausalLM:
     # --------------------------------------------------------------- quantize
 
     def _make_plan(self, cfg: QuantConfig) -> QuantPlan:
-        plan = QuantPlan(default=spec_from_config(cfg, conv=False))
+        plan = QuantPlan(default=spec_from_config(cfg, conv=False),
+                         fuse_qkv=getattr(cfg, "fuse_projections", False))
         # lm_head / embeddings are never converted (reference
         # modules_to_not_convert + kernel-path exclusions)
         plan = plan.with_rule("lm_head", None)
@@ -251,6 +252,8 @@ class CausalLM:
                     max_seq_len=cfg.calib.max_seq_len)
             self._awq_sequential(cfg, np.asarray(calib_data))
             # non-layer params (embeddings/norms) stay fp; lm_head excluded
+            if plan.fuse_qkv:
+                self.params = qapply.fuse_qkv_params(self.params)
             self.plan = plan
             self.is_quantized = True
             return self
@@ -303,6 +306,10 @@ class CausalLM:
                 report, os.path.join(debug_attention_path,
                                      "AttentionDelta_AWQ.png"))
 
+        if plan.fuse_qkv:
+            # after scale migration (groups address unfused paths),
+            # before packing — fuse_qkv_params contract
+            self.params = qapply.fuse_qkv_params(self.params)
         if cfg.version == "real":
             self.params = qapply.pack_params(self.params, plan)
         else:

@@ -61,6 +61,11 @@ class QuantConfig:
     # "pallas"/"xla" force one.  The reference's analogue is the
     # GEMM/GEMV/marlin/exllama `version` switch (models/base.py:1623-1638).
     kernel_backend: str = "auto"
+    # fuse q/k/v (and gate/up) into single wide projections before
+    # packing (serving-plan extension; see the fused-QKV int8 bisect in
+    # BENCH_NOTES.md — narrow unfused int8 matmuls pay per-matmul
+    # act-quant passes).  Params are stored fused when True.
+    fuse_projections: bool = False
     modules_to_not_convert: Optional[List[str]] = None
     # SmoothQuant migration strength: reference uses 0.5 for LLMs
     # (quantizer_SQ.py:287) and 0.80 for diffusion (quantizer_SQ.py:349).

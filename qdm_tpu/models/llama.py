@@ -85,12 +85,25 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        q = QDense(h * d, use_bias=cfg.attention_bias, dtype=self.dtype,
-                   plan=self.plan, name="q_proj")(x).reshape(b, s, h, d)
-        k = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
-                   plan=self.plan, name="k_proj")(x).reshape(b, s, hkv, d)
-        v = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
-                   plan=self.plan, name="v_proj")(x).reshape(b, s, hkv, d)
+        if self.plan.fuse_qkv:
+            # one (h+2*hkv)*d-wide projection: on the int8 path the
+            # narrow unfused k/v matmuls (e.g. 2048->512) each pay
+            # their own act-quant/dequant passes (the 2.2x UNet
+            # bisect, BENCH_NOTES.md); decode also sheds 2 of 3
+            # per-layer matmul dispatches
+            qkv = QDense((h + 2 * hkv) * d, use_bias=cfg.attention_bias,
+                         dtype=self.dtype, plan=self.plan,
+                         name="qkv_proj")(x)
+            q = qkv[..., : h * d].reshape(b, s, h, d)
+            k = qkv[..., h * d: (h + hkv) * d].reshape(b, s, hkv, d)
+            v = qkv[..., (h + hkv) * d:].reshape(b, s, hkv, d)
+        else:
+            q = QDense(h * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                       plan=self.plan, name="q_proj")(x).reshape(b, s, h, d)
+            k = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                       plan=self.plan, name="k_proj")(x).reshape(b, s, hkv, d)
+            v = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
+                       plan=self.plan, name="v_proj")(x).reshape(b, s, hkv, d)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -167,10 +180,17 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        gate = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                      plan=self.plan, name="gate_proj")(x)
-        up = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                    plan=self.plan, name="up_proj")(x)
+        if self.plan.fuse_qkv:
+            # gate/up share their input: one 2x-wide matmul
+            gu = QDense(2 * cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, plan=self.plan,
+                        name="gate_up_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                          plan=self.plan, name="gate_proj")(x)
+            up = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                        plan=self.plan, name="up_proj")(x)
         act = nn.silu(gate) if cfg.mlp_act == "silu" else nn.gelu(gate)
         return QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                       plan=self.plan, name="down_proj")(act * up)

@@ -229,6 +229,15 @@ def fuse_qkv_params(params: dict) -> dict:
                 and "kernel" in out["add_q_proj"]:
             merge(out, ("add_q_proj", "add_k_proj", "add_v_proj"),
                   "add_qkv_proj")
+        # LLaMA-family naming: q/k/v always share the layer input (RoPE
+        # applies after the projection), and the SwiGLU gate/up pair
+        # shares its input too
+        if all(k in out for k in ("q_proj", "k_proj", "v_proj")) and \
+                isinstance(out["q_proj"], dict) and "kernel" in out["q_proj"]:
+            merge(out, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        if all(k in out for k in ("gate_proj", "up_proj")) and \
+                isinstance(out["gate_proj"], dict) and "kernel" in out["gate_proj"]:
+            merge(out, ("gate_proj", "up_proj"), "gate_up_proj")
         return out
 
     return rec(params)
