@@ -56,6 +56,37 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_tp_sharded_quantized_unet_matches_single():
+    """Full packed-int8 UNet (the serving plan, dynamic act scales)
+    under dp x tp sharding == single-device output."""
+    from qdm_tpu.models.unet import UNet2DCondition, tiny_unet_config
+    from qdm_tpu.quant.apply import pack_params
+    from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+    w8x = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                         quantize_act=True, act_quant="per_token")
+    conv8 = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8, quantize_act=True)
+    plan = QuantPlan(default=w8x, rules=(
+        ("conv", conv8), ("time_emb", LayerQuantSpec(mode="none"))))
+    cfg = tiny_unet_config()
+    model = UNet2DCondition(config=cfg, dtype=jnp.float32, plan=plan)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 8, 8, 4)), jnp.float32)
+    t = jnp.zeros((4,), jnp.int32)
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (4, 7, cfg.cross_attention_dim)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    qp = pack_params(params, plan)
+    want = np.asarray(model.apply({"params": qp}, x, t, ctx))
+
+    mesh = make_mesh(4, 2)
+    sp = shard_params(qp, mesh, tp=True)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(lambda p, x, t, c: model.apply({"params": p}, x, t, c))(
+        sp, xs, t, jax.device_put(ctx, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
 def test_pipeline_data_parallel_generate():
     """Mesh-sharded generation must match single-device output."""
     import jax.numpy as jnp
