@@ -279,7 +279,8 @@ class BaseDiffusionPipeline:
                 if act_stats:
                     # calibrated static act scales for int8 convs
                     self.params[name] = qapply.fill_static_act_scales(
-                        self.params[name], act_stats)
+                        self.params[name], act_stats,
+                        margin=getattr(cfg, "static_act_margin", 1.0))
             else:
                 self.params[name] = qapply.fake_quantize_params(self.params[name], plan)
             self.plans[comp_key] = plan

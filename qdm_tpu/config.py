@@ -66,6 +66,11 @@ class QuantConfig:
     # BENCH_NOTES.md — narrow unfused int8 matmuls pay per-matmul
     # act-quant passes).  Params are stored fused when True.
     fuse_projections: bool = False
+    # headroom multiplier on calibrated static activation scales:
+    # calibration absmax is exact for the calib set, so unseen
+    # activations clip hard at margin 1.0; >1 trades a little rounding
+    # noise for clipping robustness
+    static_act_margin: float = 1.0
     modules_to_not_convert: Optional[List[str]] = None
     # SmoothQuant migration strength: reference uses 0.5 for LLMs
     # (quantizer_SQ.py:287) and 0.80 for diffusion (quantizer_SQ.py:349).
