@@ -85,6 +85,29 @@ def test_fused_projections_quantize_lifecycle():
     assert (out == ref).mean() > 0.6
 
 
+def test_fused_projections_save_load_roundtrip(tmp_path):
+    """fuse_projections survives save_quantized/from_quantized (the
+    flag rides quant_config.json and _make_plan rebuilds the fused
+    plan for the fused stored params)."""
+    from qdm_tpu.config import QuantConfig
+    from qdm_tpu.models.llama import tiny_llama_config
+
+    lm = CausalLM.from_config(tiny_llama_config(), dtype=jnp.float32, seed=4)
+    lm.quantize(quant_config=QuantConfig(
+        w_bit=8, a_bit=8, version="real", quantize_act=True,
+        act_quant_type="per_token", quant_method="rtn",
+        fuse_projections=True), quantType="rtn",
+        calib_data=np.zeros((1, 8), np.int64))
+    ids = np.random.default_rng(11).integers(0, 256, (1, 6))
+    ref = lm.generate(ids, max_new_tokens=5)
+    d = str(tmp_path / "ckpt")
+    lm.save_quantized(d)
+    lm2 = CausalLM.from_quantized(d, dtype=jnp.float32)
+    assert lm2.plan.fuse_qkv
+    out = lm2.generate(ids, max_new_tokens=5)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_speculative_matches_greedy(lm):
     """Greedy accept/reject makes spec decode token-identical to plain
     greedy decode, for any draft."""
