@@ -40,7 +40,8 @@ def timed_generate(pipe, prompts, steps, reps):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if on_tpu else 2)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(pos[0]) if pos else (8 if on_tpu else 2)
     steps, reps = (20, 2) if on_tpu else (2, 1)
     prompts = (PROMPTS * ((batch + 7) // 8))[:batch]
 
@@ -53,10 +54,12 @@ def main():
 
     qc = {"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True,
           "act_quant_type": "static", "act_quant_conv_type": "static"}
-    pipe.quantize(qc, quantType="sq", quantUnet=True,
+    quant_vae = "--quant-vae" in sys.argv
+    pipe.quantize(qc, quantType="sq", quantUnet=True, quantVAE=quant_vae,
                   calib_prompts=prompts[:4] if on_tpu else prompts[:2])
     dt_q = timed_generate(pipe, prompts, steps, reps)
-    out["quant_img_s"] = round(batch / dt_q, 3)
+    key = "quant_vae_img_s" if quant_vae else "quant_img_s"
+    out[key] = round(batch / dt_q, 3)
     out["vs_bf16"] = round(dt_bf / dt_q, 3)
     print(json.dumps(out), flush=True)
 
