@@ -419,8 +419,15 @@ class BaseDiffusionPipeline:
                     save_stats(stats, calib_cache)
             groups = sd_unet_scaling_groups(self.params[name])
             alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
+        elif name == "vae":
+            # no smoothing groups (not in the reference either), but
+            # int8-conv VAE decode still needs calibrated static act
+            # scales — without them every act_scale is the 1.0
+            # placeholder and the decoder saturates (measured: PSNR
+            # 30.6 -> 17.5)
+            return self._calibrate_vae(cfg)
         else:
-            return None  # text encoder/vae smoothing: not in reference either
+            return None  # text encoder smoothing: not in reference either
         self.params[name], mig = smooth_lib.smooth_params(
             self.params[name], groups, stats, alpha=alpha,
             return_scales=True)
@@ -429,6 +436,25 @@ class BaseDiffusionPipeline:
         # smoothed (outlier-free) range, not the raw one
         stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
         return stats
+
+    def _calibrate_vae(self, cfg: QuantConfig):
+        """Per-channel input absmax for every VAE-decoder conv: decode
+        a small batch of synthetic latents with 'calib' capture."""
+        vae = self.components["vae"]
+        plan = self.plans.get("vae", QuantPlan()).with_capture(True)
+        cap = dataclasses.replace(vae, plan=plan)
+        h = w = self.default_sample_size()
+        lat = jax.random.normal(jax.random.PRNGKey(cfg.calib.seed),
+                                (2, h, w, self.latent_channels()), jnp.float32)
+
+        @jax.jit
+        def capture(params, lat):
+            _, mut = cap.apply({"params": params}, lat.astype(self.dtype),
+                               method=cap.decode, mutable=["calib"])
+            return mut
+
+        return flatten_calib(jax.device_get(
+            capture(self.params["vae"], lat))["calib"])
 
     def _awq_component(self, name: str, cfg: QuantConfig,
                        calib_prompts: Optional[Sequence[str]] = None):
