@@ -11,8 +11,10 @@ throughput mode: batch 8 (CFG batch 16 through the UNet), 512x512,
 20 DDIM steps, the full loop compiled as one lax.fori_loop.  The
 quantized path is the round-2 winner: W8A8 with calibrated static
 per-tensor activation scales expressed in plain XLA (w8a8_xla dense +
-XLA int8 convs) — no Pallas fusion boundaries; see BENCH_NOTES.md for
-the sweep that selected it.
+XLA int8 convs), fused QKV, plus ONE Pallas island — the fused GEGLU
+kernel (it replaces a real HBM round trip; every other Pallas
+placement lost to XLA's fusion).  See BENCH_NOTES.md for the sweeps
+that selected it.
 """
 
 import json
