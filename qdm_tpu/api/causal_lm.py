@@ -412,6 +412,7 @@ class CausalLM:
         cur, t_cache = t_prefill(self.params, ids, t_cache)
         d_cache = d_prefill(draft.params, ids, d_cache)
         out: List[int] = [int(cur[0])]
+        accepted_per_round: List[int] = []
         n = s  # next cache write index for both models
         while len(out) < max_new_tokens:
             proposals = []
@@ -432,9 +433,27 @@ class CausalLM:
                 a += 1
             emitted = t_vec[: a + 1]                           # incl. bonus/fix
             out.extend(int(t) for t in emitted)
+            accepted_per_round.append(a)
+            if a == gamma:
+                # full accept: the draft never wrote d_gamma's KV
+                # (its last step consumed d_{gamma-1} at n+gamma-1).
+                # Without this, position n+gamma stays a zero row the
+                # draft attends to forever — output stays correct (the
+                # target verifies) but acceptance silently degrades.
+                _, d_cache = d_step(draft.params, d_vec[-1:], d_cache,
+                                    jnp.int32(n + gamma))
             n += a + 1
             cur = jnp.asarray(emitted[-1:])
         out = out[:max_new_tokens]
+        # diagnostics for benchmarking/tests: per-round accepted draft
+        # tokens (each round emits accepted+1 incl. the bonus token)
+        self.last_spec_stats = {
+            "rounds": len(accepted_per_round),
+            "accepted_per_round": accepted_per_round,
+            "acceptance_rate": (sum(accepted_per_round)
+                                / (gamma * len(accepted_per_round))
+                                if accepted_per_round else 0.0),
+        }
         return np.concatenate([np.asarray(ids),
                                np.asarray(out, np.int64)[None]], axis=1)
 

@@ -38,6 +38,13 @@ Dtype = Any
 
 NO_PLAN = QuantPlan()
 
+_W4A16_XLA_WARNED = False
+
+
+def _mark_w4a16_xla_warned():
+    global _W4A16_XLA_WARNED
+    _W4A16_XLA_WARNED = True
+
 
 def _path_str(module: nn.Module) -> str:
     return "/".join(str(p) for p in module.path)
@@ -169,6 +176,19 @@ class QDense(nn.Module):
             # via shift/mask, per-group dequant, bf16 matmul.  XLA
             # streams the int8 buffer from HBM (1/4 the bf16 bytes) and
             # fuses the dequant into the matmul operand like w8a16.
+            # FOOTGUN (measured, BENCH_NOTES round 2): on decode-shaped
+            # workloads (few tokens per call) this mode runs at 0.15x
+            # bf16 — the per-weight unpack work dominates; use w8a8 or
+            # w4a8 for decode.  Warn once at trace time.
+            if x2.shape[0] <= 16 and not _W4A16_XLA_WARNED:
+                import warnings
+
+                warnings.warn(
+                    "w4a16_xla on a decode-shaped workload "
+                    f"({x2.shape[0]} tokens): measured 0.15x bf16 decode "
+                    "throughput — use mode 'w8a8_xla' or 'w4a8' instead "
+                    "(BENCH_NOTES.md, LLM round 2)")
+                _mark_w4a16_xla_warned()
             kp = in_features + (in_features % 2)
             gs = spec.group_size if spec.group_size > 0 else kp
             gs = rtn.resolve_group_size(kp, gs) or kp
@@ -354,7 +374,10 @@ class GroupNorm(nn.Module):
         gs = jnp.sum(s.reshape(b, self.num_groups, cpg), axis=-1)
         gsq = jnp.sum(sq.reshape(b, self.num_groups, cpg), axis=-1)
         mean = gs / n
-        var = gsq / n - mean * mean
+        # one-pass E[x^2]-mean^2 can go slightly negative on
+        # near-constant large-magnitude inputs (catastrophic
+        # cancellation); clamp before rsqrt
+        var = jnp.maximum(gsq / n - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         mu_c = jnp.repeat(mean, cpg, axis=-1)[:, None, :]
         inv_c = jnp.repeat(inv, cpg, axis=-1)[:, None, :]

@@ -243,14 +243,29 @@ def fuse_qkv_params(params: dict) -> dict:
     return rec(params)
 
 
-def unfuse_qkv_params(params: dict) -> dict:
-    """Inverse of fuse_qkv_params (for saving in the canonical layout)."""
+def unfuse_qkv_params(params: dict, llama_config=None) -> dict:
+    """Inverse of fuse_qkv_params (for saving in the canonical layout).
 
-    def split(out, fused_name, names):
+    Diffusion fusions (to_qkv / to_kv / add_qkv_proj) split evenly.
+    LLaMA-family qkv_proj needs ``llama_config`` (an object with
+    num_attention_heads / num_key_value_heads / head_dim) because the
+    q and k/v widths differ under GQA; gate_up_proj splits in half."""
+
+    def split(out, fused_name, names, sizes=None):
         mod = out.pop(fused_name)
-        kernels = jnp.split(mod["kernel"], len(names), axis=1)
-        biases = jnp.split(mod["bias"], len(names)) if "bias" in mod \
-            else [None] * len(names)
+        if sizes is None:
+            kernels = jnp.split(mod["kernel"], len(names), axis=1)
+            biases = jnp.split(mod["bias"], len(names)) if "bias" in mod \
+                else [None] * len(names)
+        else:
+            offs = [0]
+            for w in sizes:
+                offs.append(offs[-1] + w)
+            kernels = [mod["kernel"][:, offs[i]:offs[i + 1]]
+                       for i in range(len(names))]
+            biases = [mod["bias"][offs[i]:offs[i + 1]]
+                      for i in range(len(names))] if "bias" in mod \
+                else [None] * len(names)
         for k, kern, b in zip(names, kernels, biases):
             out[k] = {"kernel": kern}
             if b is not None:
@@ -260,27 +275,52 @@ def unfuse_qkv_params(params: dict) -> dict:
         if not isinstance(tree, dict):
             return tree
         out = {k: rec(v) for k, v in tree.items()}
-        if "to_qkv" in out and isinstance(out["to_qkv"], dict) \
-                and "kernel" in out["to_qkv"]:
+
+        def is_mod(name):
+            return name in out and isinstance(out[name], dict) \
+                and "kernel" in out[name]
+
+        if is_mod("to_qkv"):
             split(out, "to_qkv", ("to_q", "to_k", "to_v"))
-        if "to_kv" in out and isinstance(out["to_kv"], dict) \
-                and "kernel" in out["to_kv"]:
+        if is_mod("to_kv"):
             split(out, "to_kv", ("to_k", "to_v"))
-        if "add_qkv_proj" in out and isinstance(out["add_qkv_proj"], dict) \
-                and "kernel" in out["add_qkv_proj"]:
+        if is_mod("add_qkv_proj"):
             split(out, "add_qkv_proj",
                   ("add_q_proj", "add_k_proj", "add_v_proj"))
+        if is_mod("qkv_proj"):
+            if llama_config is None:
+                raise ValueError(
+                    "unfuse_qkv_params: splitting qkv_proj requires "
+                    "llama_config (q and k/v widths differ under GQA)")
+            h = llama_config.num_attention_heads
+            hkv = llama_config.num_key_value_heads
+            d = llama_config.head_dim
+            split(out, "qkv_proj", ("q_proj", "k_proj", "v_proj"),
+                  sizes=(h * d, hkv * d, hkv * d))
+        if is_mod("gate_up_proj"):
+            split(out, "gate_up_proj", ("gate_proj", "up_proj"))
         return out
 
     return rec(params)
 
 
+# fused projection -> an unfused module sharing its input (the stats
+# were captured on the unfused layout; fuse_qkv_params merges after)
+_FUSED_STAT_FALLBACK = (("to_qkv", "to_q"), ("to_kv", "to_k"),
+                        ("add_qkv_proj", "add_q_proj"),
+                        ("qkv_proj", "q_proj"),
+                        ("gate_up_proj", "gate_proj"))
+
+
 def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
-                           margin: float = 1.0) -> dict:
+                           margin: float = 1.0,
+                           strict: bool = False) -> dict:
     """Set calibrated static activation scales on packed int8 layers.
 
     act_stats: per-layer per-channel input absmax (calibration mean);
-    the static per-tensor scale is max-over-channels / 127 * margin."""
+    the static per-tensor scale is max-over-channels / 127 * margin.
+    An act_scale whose stats key is missing keeps its 1.0 placeholder —
+    a silent int8 quality break — so it warns (raises if strict)."""
     out = params
 
     def rec(tree, prefix):
@@ -289,10 +329,7 @@ def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
             if "act_scale" in tree and not isinstance(tree["act_scale"], dict):
                 key = "/".join(prefix)
                 if key not in act_stats:
-                    # fused projections share their input with the
-                    # unfused modules the stats were captured on
-                    for fused, unfused in (("to_qkv", "to_q"),
-                                           ("to_kv", "to_k")):
+                    for fused, unfused in _FUSED_STAT_FALLBACK:
                         if prefix[-1] == fused:
                             key = "/".join(prefix[:-1] + (unfused,))
                             break
@@ -300,6 +337,16 @@ def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
                     s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
                     out = _set_at(out, prefix + ("act_scale",),
                                   jnp.asarray([s * margin], jnp.float32))
+                else:
+                    msg = ("fill_static_act_scales: no calibration stats for "
+                           f"'{'/'.join(prefix)}' — act_scale stays at the "
+                           "1.0 placeholder (int8 activation quant broken "
+                           "for this layer)")
+                    if strict:
+                        raise KeyError(msg)
+                    import warnings
+
+                    warnings.warn(msg)
                 return
             for k, v in tree.items():
                 rec(v, prefix + (str(k),))

@@ -17,6 +17,9 @@ MIN_PIXELS = 4 * 28 * 28
 MAX_PIXELS = 16384 * 28 * 28
 MAX_RATIO = 200
 
+VIDEO_MIN_PIXELS = 128 * 28 * 28
+VIDEO_MAX_PIXELS = 768 * 28 * 28
+VIDEO_TOTAL_PIXELS = 24576 * 28 * 28
 FPS = 2.0
 FRAME_FACTOR = 2
 FPS_MIN_FRAMES = 4
@@ -97,11 +100,103 @@ def smart_nframes(total_frames: int, video_fps: float, fps: float = FPS,
     return int(nframes)
 
 
+def fetch_video(ele: dict, image_factor: int = IMAGE_FACTOR) -> np.ndarray:
+    """Video-input parity with the reference's fetch_video
+    (qwen_vl_utils.py:257-301) WITHOUT requiring codecs:
+
+    * list/tuple of frames (paths / PIL images / arrays) — fetched
+      individually and padded to a FRAME_FACTOR multiple by repeating
+      the last frame (the reference's list branch, :287-301);
+    * directory path — sorted frame-image listing, treated as a list;
+    * pre-decoded (T, H, W, C) array — temporally subsampled with
+      smart_nframes (``video_fps`` key, default FPS) then
+      smart-resized under the per-frame video pixel budget (the
+      reference's decoded-tensor branch, :262-286);
+    * encoded video file path — raises (decord/torchvision codecs are
+      not in this environment).
+
+    Returns a (T, H, W, C) float array in [0, 1]."""
+    video = ele["video"]
+    if isinstance(video, str):
+        path = video[len("file://"):] if video.startswith("file://") else video
+        if os.path.isdir(path):
+            exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".npy")
+            video = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                     if f.lower().endswith(exts)]
+            if not video:
+                raise ValueError(f"no frame images in directory {path}")
+        else:
+            raise NotImplementedError(
+                "decoding encoded video files needs torchvision/decord "
+                "(not in this environment); pass a frame list, a frame "
+                "directory, or a pre-decoded (T,H,W,C) array instead")
+
+    if isinstance(video, np.ndarray):
+        # pre-decoded frames: temporal subsample + budgeted resize
+        if video.ndim != 4:
+            raise ValueError(f"expected (T,H,W,C) frames, got {video.shape}")
+        total, h, w = video.shape[0], video.shape[1], video.shape[2]
+        nframes = smart_nframes(total, float(ele.get("video_fps", FPS)),
+                                fps=float(ele.get("fps", FPS)),
+                                min_frames=ele.get("min_frames", FPS_MIN_FRAMES),
+                                max_frames=ele.get("max_frames", FPS_MAX_FRAMES))
+        idx = np.round(np.linspace(0, total - 1, nframes)).astype(int)
+        frames = video[idx]
+        min_pixels = ele.get("min_pixels", VIDEO_MIN_PIXELS)
+        total_pixels = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
+        max_pixels = max(min(VIDEO_MAX_PIXELS,
+                             total_pixels / nframes * FRAME_FACTOR),
+                         int(min_pixels * 1.05))
+        max_pixels = ele.get("max_pixels", max_pixels)
+        if "resized_height" in ele and "resized_width" in ele:
+            rh, rw = smart_resize(ele["resized_height"], ele["resized_width"],
+                                  factor=image_factor)
+        else:
+            rh, rw = smart_resize(h, w, factor=image_factor,
+                                  min_pixels=min_pixels, max_pixels=max_pixels)
+        from PIL import Image
+
+        out = np.stack([
+            np.asarray(Image.fromarray(
+                (f * 255).astype(np.uint8) if f.dtype != np.uint8 else f
+            ).convert("RGB").resize((rw, rh), Image.BICUBIC), np.float32) / 255.0
+            for f in frames])
+        return out
+
+    if isinstance(video, (list, tuple)):
+        info = {k: v for k, v in ele.items() if k not in ("type", "video")}
+        frames = []
+        for el in video:
+            if isinstance(el, str) and el.endswith(".npy"):
+                el = np.load(el)
+            frames.append(fetch_image(
+                el, size_factor=image_factor,
+                min_pixels=info.get("min_pixels", MIN_PIXELS),
+                max_pixels=info.get("max_pixels", MAX_PIXELS)))
+        nframes = ceil_by_factor(len(frames), FRAME_FACTOR)
+        frames.extend([frames[-1]] * (nframes - len(frames)))
+        shapes = {f.shape for f in frames}
+        if len(shapes) > 1:
+            # mixed source sizes: resize everything to the first frame
+            from PIL import Image
+
+            h0, w0 = frames[0].shape[:2]
+            frames = [f if f.shape[:2] == (h0, w0) else
+                      np.asarray(Image.fromarray(
+                          (f * 255).astype(np.uint8)).resize((w0, h0),
+                                                             Image.BICUBIC),
+                                 np.float32) / 255.0
+                      for f in frames]
+        return np.stack(frames)
+    raise TypeError(type(video))
+
+
 def process_vision_info(conversations: List[dict]):
-    """Collect image inputs from chat-format messages
-    (qwen_vl_utils.py:321-338); video decoding requires torchvision/
-    decord and is gated off here."""
-    images, videos = [], None
+    """Collect image and video inputs from chat-format messages
+    (qwen_vl_utils.py:304-338).  Videos are handled codec-free via
+    :func:`fetch_video` (frame lists / directories / pre-decoded
+    arrays)."""
+    images, videos = [], []
     msgs = conversations if isinstance(conversations[0], dict) else \
         [m for conv in conversations for m in conv]
     for msg in msgs:
@@ -112,6 +207,5 @@ def process_vision_info(conversations: List[dict]):
             if ele.get("type") == "image" or "image" in ele:
                 images.append(fetch_image(ele.get("image")))
             elif ele.get("type") == "video" or "video" in ele:
-                raise NotImplementedError(
-                    "video decoding needs torchvision/decord (not in env)")
-    return images or None, videos
+                videos.append(fetch_video(ele))
+    return images or None, videos or None

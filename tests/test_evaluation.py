@@ -1,6 +1,7 @@
 """Evaluation harness tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -140,3 +141,42 @@ def test_pipeline_eval_harness():
     assert out["n_images"] == 2
     assert out["mse"] < 0.05          # W8 barely changes images
     assert out["ssim"] > 0.8
+
+
+def test_fetch_video_frame_list_and_array(tmp_path):
+    """Codec-free fetch_video parity (qwen_vl_utils.py:257-301):
+    frame lists pad to FRAME_FACTOR and pre-decoded arrays subsample
+    via smart_nframes + budgeted smart_resize."""
+    from qdm_tpu.utils.vl_preprocess import fetch_video, process_vision_info
+
+    frames = [RNG.uniform(0, 1, (56, 84, 3)).astype(np.float32)
+              for _ in range(3)]
+    out = fetch_video({"video": frames})
+    assert out.shape[0] == 4                   # padded to FRAME_FACTOR
+    np.testing.assert_array_equal(out[2], out[3])  # last frame repeated
+    assert out.shape[1] % 28 == 0 and out.shape[2] % 28 == 0
+
+    clip = RNG.uniform(0, 1, (50, 56, 84, 3)).astype(np.float32)
+    out2 = fetch_video({"video": clip, "video_fps": 25.0})
+    assert out2.shape[0] == 4                  # 50/25*2 fps -> 4 frames
+    assert out2.shape[3] == 3 and out2.max() <= 1.0
+
+    # directory of frames
+    from PIL import Image
+    d = tmp_path / "vid"
+    d.mkdir()
+    for i in range(4):
+        Image.fromarray((frames[0] * 255).astype(np.uint8)).save(
+            d / f"f{i:03d}.png")
+    out3 = fetch_video({"video": str(d)})
+    assert out3.shape[0] == 4
+
+    # conversation plumbing
+    conv = [{"role": "user", "content": [
+        {"type": "video", "video": frames},
+        {"type": "image", "image": frames[0]}]}]
+    images, videos = process_vision_info(conv)
+    assert len(images) == 1 and len(videos) == 1
+
+    with pytest.raises(NotImplementedError):
+        fetch_video({"video": "clip.mp4"})

@@ -145,3 +145,83 @@ def test_speculative_self_draft_accepts_everything(lm):
     ref = lm.generate(ids, max_new_tokens=9)
     out = lm.generate_speculative(ids, 9, lm, gamma=4)
     np.testing.assert_array_equal(out, ref)
+
+def test_speculative_self_draft_full_acceptance_every_round(lm):
+    """Regression (round-3 advisor fix): after a fully-accepted round
+    the draft cache used to keep a zero row at position n+gamma (the
+    gamma-th proposal's KV was never written), so a self-draft —
+    which must agree with the target forever — started mis-proposing
+    in later rounds.  With the hole patched, every round accepts all
+    gamma proposals."""
+    ids = np.random.default_rng(4).integers(0, 256, (1, 5))
+    lm.generate_speculative(ids, 16, lm, gamma=3)
+    stats = lm.last_spec_stats
+    assert stats["rounds"] >= 2
+    assert all(a == 3 for a in stats["accepted_per_round"]), stats
+
+
+def test_unfuse_llama_roundtrip(lm):
+    """unfuse_qkv_params restores the canonical GQA layout (advisor
+    round-2 low: qkv_proj/gate_up_proj split rules were missing)."""
+    from qdm_tpu.quant.apply import fuse_qkv_params, unfuse_qkv_params
+
+    fused = fuse_qkv_params(lm.params)
+    l0 = fused["layers_0"]
+    assert "qkv_proj" in l0["self_attn"] and "gate_up_proj" in l0["mlp"]
+    back = unfuse_qkv_params(fused, llama_config=lm.config)
+    for path in (("self_attn", "q_proj"), ("self_attn", "k_proj"),
+                 ("self_attn", "v_proj"), ("mlp", "gate_proj"),
+                 ("mlp", "up_proj")):
+        a = back["layers_0"][path[0]][path[1]]["kernel"]
+        b = lm.params["layers_0"][path[0]][path[1]]["kernel"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        unfuse_qkv_params(fused)  # GQA widths need the config
+
+
+def test_fill_static_act_scales_fused_fallbacks():
+    """Fused projections (incl. qkv_proj / gate_up_proj / add_qkv_proj
+    — advisor round-2 medium) inherit the unfused modules' stats; a
+    layer with no stats warns and keeps the placeholder."""
+    import warnings
+    from qdm_tpu.quant.apply import fill_static_act_scales
+
+    params = {
+        "attn": {"qkv_proj": {"qweight": jnp.zeros((4, 4), jnp.int8),
+                              "act_scale": jnp.ones((1,), jnp.float32)},
+                 "add_qkv_proj": {"qweight": jnp.zeros((4, 4), jnp.int8),
+                                  "act_scale": jnp.ones((1,), jnp.float32)}},
+        "mlp": {"gate_up_proj": {"qweight": jnp.zeros((4, 4), jnp.int8),
+                                 "act_scale": jnp.ones((1,), jnp.float32)}},
+        "orphan": {"qweight": jnp.zeros((4, 4), jnp.int8),
+                   "act_scale": jnp.ones((1,), jnp.float32)},
+    }
+    stats = {"attn/q_proj": jnp.asarray([127.0 * 2]),
+             "attn/add_q_proj": jnp.asarray([127.0 * 3]),
+             "mlp/gate_proj": jnp.asarray([127.0 * 4])}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = fill_static_act_scales(params, stats)
+    assert float(out["attn"]["qkv_proj"]["act_scale"][0]) == pytest.approx(2.0)
+    assert float(out["attn"]["add_qkv_proj"]["act_scale"][0]) == pytest.approx(3.0)
+    assert float(out["mlp"]["gate_up_proj"]["act_scale"][0]) == pytest.approx(4.0)
+    assert float(out["orphan"]["act_scale"][0]) == 1.0
+    assert any("orphan" in str(x.message) for x in w)
+    with pytest.raises(KeyError):
+        fill_static_act_scales(params, stats, strict=True)
+
+
+def test_w4a16_xla_decode_guard():
+    """Decode-shaped w4a16_xla warns (measured 0.15x footgun)."""
+    import warnings
+    from qdm_tpu.models import layers as layers_lib
+    from qdm_tpu.quant.plan import QuantPlan, LayerQuantSpec
+
+    plan = QuantPlan(default=LayerQuantSpec(mode="w4a16_xla", w_bits=4,
+                                            group_size=32))
+    m = layers_lib.QDense(64, use_bias=False, dtype=jnp.float32, plan=plan)
+    layers_lib._W4A16_XLA_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m.init(jax.random.PRNGKey(0), jnp.zeros((2, 64), jnp.float32))
+    assert any("w4a16_xla" in str(x.message) for x in w)

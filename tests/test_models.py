@@ -288,3 +288,16 @@ def test_w8a8_ln_fused_kernel():
     xi, xs = quantize_act_per_token_int(jnp.asarray(xn, jnp.float32), 8)
     want = np.asarray(w8a8_matmul_ref(xi, w_i8, xs, ws, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_groupnorm_near_constant_no_nan():
+    """One-pass E[x^2]-mean^2 cancellation clamp (round-3 advisor
+    low): near-constant large-magnitude inputs must not NaN."""
+    from qdm_tpu.models.layers import GroupNorm
+
+    gn = GroupNorm(num_groups=4, dtype=jnp.float32)
+    x = jnp.full((2, 8, 8, 32), 1e4, jnp.float32)
+    x = x + jax.random.normal(jax.random.PRNGKey(0), x.shape) * 1e-3
+    v = gn.init(jax.random.PRNGKey(1), x)
+    out = gn.apply(v, x)
+    assert bool(jnp.all(jnp.isfinite(out)))
