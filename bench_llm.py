@@ -169,31 +169,97 @@ def serve_main():
 
     from qdm_tpu.quant.apply import fuse_qkv_params
 
-    w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
-                        quantize_act=True, act_quant="per_token")
-    plan8 = QuantPlan(default=w8).with_rule("lm_head", None)
-    plan8f = _dc.replace(plan8, fuse_qkv=True)
-    bf16f = QuantPlan(fuse_qkv=True)
     out = {"metric": f"LLM 1B serve decode tok/s (batch {batch}, ctx {prefill})"}
-    for wname, plan in (("bf16", None), ("bf16_fused", bf16f),
-                        ("w8a8", plan8), ("w8a8_fused", plan8f)):
-        lm.plan = plan or QuantPlan()
-        params = lm.params
-        if plan is not None and plan.fuse_qkv:
-            params = fuse_qkv_params(params)
-        if plan is not None and plan.default.mode != "none":
-            params = pack_params(params, plan)
-        for cname, cdt in (("kv_bf16", None), ("kv_int8", jnp.int8)):
-            dt = timed(lm.model, params, cdt)
-            out[f"{wname}_{cname}_tok_s"] = round(batch * n_new / dt, 1)
+
+    if "--engine-only" not in sys.argv:
+        w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                            quantize_act=True, act_quant="per_token")
+        plan8 = QuantPlan(default=w8).with_rule("lm_head", None)
+        plan8f = _dc.replace(plan8, fuse_qkv=True)
+        bf16f = QuantPlan(fuse_qkv=True)
+        for wname, plan in (("bf16", None), ("bf16_fused", bf16f),
+                            ("w8a8", plan8), ("w8a8_fused", plan8f)):
+            lm.plan = plan or QuantPlan()
+            params = lm.params
+            if plan is not None and plan.fuse_qkv:
+                params = fuse_qkv_params(params)
+            if plan is not None and plan.default.mode != "none":
+                params = pack_params(params, plan)
+            for cname, cdt in (("kv_bf16", None), ("kv_int8", jnp.int8)):
+                dt = timed(lm.model, params, cdt)
+                out[f"{wname}_{cname}_tok_s"] = round(batch * n_new / dt, 1)
+                print(json.dumps(out), flush=True)
+            if params is not lm.params:
+                del params
+        lm.plan = QuantPlan()
+
+    # --- megakernel engine rows (3 pallas calls per layer; round-3
+    # answer to the measured small-op-overhead bound)
+    from qdm_tpu.api.serve import DecodeEngine
+
+    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:4])
+    for ename, kw in (("engine_bf16", {"mode": "bf16"}),
+                      ("engine_w8a8", {"mode": "w8a8_static",
+                                       "act_stats": stats})):
+        eng = DecodeEngine(lm, **kw)
+        # same accounting as the module rows: prefill + n_new decode
+        # steps, completion forced by a scalar fetch
+        float(np.sum(eng.generate(np.asarray(ids), n_new)))
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(np.sum(eng.generate(np.asarray(ids), n_new)))
+        dt = (time.time() - t0) / reps
+        out[f"{ename}_tok_s"] = round(batch * n_new / dt, 1)
+        print(json.dumps(out), flush=True)
+        del eng
+
+
+def speculative_main():
+    """--speculative: batch-1 tok/s + acceptance-rate table with a
+    truncated-layer self-draft (first k layers share the target's
+    params — correlated logits, nonzero acceptance even with random
+    weights).  Greedy accept/reject keeps the output token-identical
+    to plain generate (verified by tests/test_llm_extras.py)."""
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    n_new, prefill = (64, 128) if on_tpu else (12, 8)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, prefill))
+
+    def timed(fn):
+        fn()
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            fn()
+        return (time.time() - t0) / reps
+
+    dt_plain = timed(lambda: lm.generate(ids, max_new_tokens=n_new))
+    out = {"metric": "LLM 1B speculative decode tok/s (batch 1, "
+                     "truncated-layer self-draft)",
+           "plain_tok_s": round(n_new / dt_plain, 1)}
+    print(json.dumps(out), flush=True)
+    for k in ((4, 8) if on_tpu else (1,)):
+        draft = lm.truncated_draft(k)
+        for gamma in (2, 4):
+            dt = timed(lambda: lm.generate_speculative(
+                ids, n_new, draft, gamma=gamma))
+            st = lm.last_spec_stats
+            key = f"draft{k}L_gamma{gamma}"
+            out[key + "_tok_s"] = round(n_new / dt, 1)
+            out[key + "_accept"] = round(st["acceptance_rate"], 3)
+            out[key + "_rounds"] = st["rounds"]
             print(json.dumps(out), flush=True)
-        if params is not lm.params:
-            del params
 
 
 def main():
     if "--serve" in sys.argv:
         serve_main()
+        return
+    if "--speculative" in sys.argv:
+        speculative_main()
         return
     on_tpu = jax.default_backend() == "tpu"
     cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
@@ -252,6 +318,26 @@ def main():
         out[f"{mode}_tok_s"] = round(n_new / dt_q, 1)
         out[f"{mode}_speedup"] = round(dt_bf / dt_q, 3)
         print(json.dumps(out), flush=True)
+    lm.plan = QuantPlan()
+
+    # --- megakernel engine rows (batch-1 latency regime)
+    from qdm_tpu.api.serve import DecodeEngine
+
+    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids))
+    for ename, kw in (("engine_bf16", {"mode": "bf16"}),
+                      ("engine_w8a8", {"mode": "w8a8_static",
+                                       "act_stats": stats})):
+        eng = DecodeEngine(lm, **kw)
+        float(np.sum(eng.generate(np.asarray(ids), n_new)))
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(np.sum(eng.generate(np.asarray(ids), n_new)))
+        dt = (time.time() - t0) / reps
+        out[f"{ename}_tok_s"] = round(n_new / dt, 1)
+        out[f"{ename}_speedup"] = round(dt_bf / dt, 3)
+        print(json.dumps(out), flush=True)
+        del eng
 
 
 if __name__ == "__main__":

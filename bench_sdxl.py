@@ -84,6 +84,15 @@ def main():
                            rules=(("conv", NOQ),) + NOEMB),
         "w8a8_static": QuantPlan(default=W8X, fuse_qkv=True,
                                  rules=(("conv", CONV_ST),) + NOEMB),
+        # int4 done right (round-3): int4 STORAGE (4x weight-traffic
+        # saving vs bf16) with int8 MXU COMPUTE — no per-weight float
+        # dequant on the VPU (the W4A16 0.46x failure mode).  Convs
+        # ride the same int8 static path as the w8a8 plan.
+        "w4a8": QuantPlan(
+            default=LayerQuantSpec(mode="w4a8", w_bits=4, a_bits=8,
+                                   group_size=128, zero_point=True,
+                                   quantize_act=True),
+            fuse_qkv=True, rules=(("conv", CONV_ST),) + NOEMB),
     }
     # w4a16_xla is omitted: XLA does not fuse the nibble unpack into the
     # matmul operand (measured 0.15x on LLM decode, BENCH_NOTES.md), so

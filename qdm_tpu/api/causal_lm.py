@@ -457,6 +457,27 @@ class CausalLM:
         return np.concatenate([np.asarray(ids),
                                np.asarray(out, np.int64)[None]], axis=1)
 
+    def truncated_draft(self, n_layers: int) -> "CausalLM":
+        """Self-draft for speculative decoding: the first ``n_layers``
+        decoder layers of THIS model plus its embeddings/norm/lm_head,
+        sharing parameter buffers (no copy).  The truncated model's
+        logits correlate with the full model's (they share the early
+        features), giving a usable acceptance rate with zero extra
+        training — the standard self-speculative construction (the
+        reference has no speculative path; serving extension)."""
+        if not (0 < n_layers < self.config.num_hidden_layers):
+            raise ValueError(n_layers)
+        draft = CausalLM()
+        draft.dtype = self.dtype
+        draft.plan = self.plan
+        draft.quant_config = self.quant_config
+        draft.config = dataclasses.replace(self.config,
+                                           num_hidden_layers=n_layers)
+        draft.params = {k: v for k, v in self.params.items()
+                        if not k.startswith("layers_")
+                        or int(k.split("_")[1]) < n_layers}
+        return draft
+
     # -------------------------------------------------------------- save/load
 
     def save_quantized(self, save_dir: str):

@@ -275,7 +275,9 @@ class BaseDiffusionPipeline:
                     # paths), before packing — fuse_qkv_params contract
                     self.params[name] = qapply.fuse_qkv_params(
                         self.params[name])
-                self.params[name] = qapply.pack_params(self.params[name], plan)
+                self.params[name] = qapply.pack_params(
+                    self.params[name], plan, act_stats=act_stats,
+                    act_margin=getattr(cfg, "static_act_margin", 1.0))
                 if act_stats:
                     # calibrated static act scales for int8 convs
                     self.params[name] = qapply.fill_static_act_scales(
@@ -309,6 +311,16 @@ class BaseDiffusionPipeline:
     def _make_plan(self, cfg: QuantConfig, component: str) -> QuantPlan:
         dense_spec = spec_from_config(cfg, conv=False)
         conv_spec = spec_from_config(cfg, conv=True)
+        if component == "vae" and conv_spec.mode == "w8a8" \
+                and conv_spec.act_quant == "static" \
+                and getattr(cfg, "vae_per_channel_acts", True):
+            # the VAE decoder's per-channel dynamic range breaks
+            # per-tensor int8 acts (PSNR 30.6 -> 15.1, BENCH_NOTES
+            # round 2); use the per-input-channel static scheme (scales
+            # folded into the weights at pack time — same runtime cost,
+            # reference per-channel conv act quant fake_quant.py:123-131)
+            conv_spec = dataclasses.replace(conv_spec,
+                                            act_quant="static_channel")
         rules = [("conv", conv_spec), ("kernel4d", conv_spec)]
         # conv layers are distinguished by module name ('conv' substring
         # covers conv_in/conv1/conv2/conv_shortcut/conv_out/downsamplers/

@@ -1,0 +1,273 @@
+"""Megakernel decode engine for LLM serving.
+
+``DecodeEngine`` runs greedy decode with THREE pallas calls per decoder
+layer (qdm_tpu/ops/decode_kernels.py) instead of the ~15 small XLA ops
+the module-based path emits — the fix for the measured
+small-op-overhead bound at batch-32 serving (BENCH_NOTES.md round 2:
+25.5 ms/step vs a 3.7 ms HBM roofline).  TPU-native counterpart of the
+reference's fused-for-inference module stack
+(models/base.py:1494-1515 fuse_layers, utils/fused_utils.py:45-142).
+
+Modes
+-----
+* ``bf16``        — full-precision weights, fused kernels only.
+* ``w8a8_static`` — int8 per-out-channel weights + calibrated static
+  per-tensor activation scales (the measured-fastest int8 act scheme
+  on v5e).  Prefill runs through the regular bf16 model (prefill is
+  MXU-bound, not weight-bound; running it unquantized is strictly
+  higher quality), decode through the int8 megakernels.
+
+The engine extracts weights once from a :class:`CausalLM`'s canonical
+(unfused) params; the KV cache uses the kernel-native layouts
+K (B, hkv, d, T) / V (B, hkv, T, d) (see decode_kernels module doc).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.ops import decode_kernels as dk
+from qdm_tpu.ops.quant_matmul import _round_up
+
+
+def _quant_w(w, dtype=jnp.int8):
+    """Per-out-channel symmetric int8: w (K, N) -> (codes, scales (1,N))."""
+    wf = w.astype(jnp.float32)
+    s = jnp.clip(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-8, None) / 127.0
+    return jnp.clip(jnp.round(wf / s), -127, 127).astype(dtype), s
+
+
+class DecodeEngine:
+    """Extracted-weight greedy-decode engine over megakernels."""
+
+    def __init__(self, lm, mode: str = "bf16",
+                 act_stats: Optional[Dict[str, jnp.ndarray]] = None,
+                 act_margin: float = 1.0):
+        if mode not in ("bf16", "w8a8_static"):
+            raise ValueError(mode)
+        if mode == "w8a8_static" and act_stats is None:
+            raise ValueError("w8a8_static needs act_stats "
+                             "(see DecodeEngine.calibrate_scales)")
+        cfg = lm.config
+        if cfg.attention_bias or cfg.norm_type != "rmsnorm" \
+                or cfg.parallel_residual:
+            raise NotImplementedError(
+                "DecodeEngine covers the LLaMA-family canonical arch "
+                "(no attn bias / rmsnorm / sequential residual); other "
+                "registry presets use the module path")
+        self.lm = lm
+        self.cfg = cfg
+        self.mode = mode
+        self.dtype = lm.dtype
+        p = lm.params
+
+        def scale_of(key):
+            s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
+            return (s * act_margin).astype(jnp.float32)
+
+        layers = []
+        for l in range(cfg.num_hidden_layers):
+            lp = p[f"layers_{l}"]
+            at, mp_ = lp["self_attn"], lp["mlp"]
+            w_qkv = jnp.concatenate(
+                [at["q_proj"]["kernel"], at["k_proj"]["kernel"],
+                 at["v_proj"]["kernel"]], axis=1).astype(self.dtype)
+            w_o = at["o_proj"]["kernel"].astype(self.dtype)
+            wg = mp_["gate_proj"]["kernel"].astype(self.dtype)
+            wu = mp_["up_proj"]["kernel"].astype(self.dtype)
+            wd = mp_["down_proj"]["kernel"].astype(self.dtype)
+            entry = {
+                "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
+                "ln2": lp["post_attention_layernorm"]["scale"].astype(
+                    jnp.float32),
+            }
+            if mode == "bf16":
+                entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
+            else:
+                pre = f"layers_{l}"
+                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
+                entry["w_o"], entry["s_o"] = _quant_w(w_o)
+                entry["wg"], entry["sg"] = _quant_w(wg)
+                entry["wu"], entry["su"] = _quant_w(wu)
+                entry["wd"], entry["sd"] = _quant_w(wd)
+                entry["a_qkv"] = scale_of(
+                    f"{pre}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
+                entry["a_mlp"] = jnp.stack(
+                    [scale_of(f"{pre}/mlp/gate_proj"),
+                     scale_of(f"{pre}/mlp/down_proj")])
+            layers.append(entry)
+        self.layers = layers
+        self.embed = p["embed_tokens"]["embedding"].astype(self.dtype)
+        self.final_norm = p["norm"]["scale"].astype(jnp.float32)
+        if cfg.tie_word_embeddings:
+            self.w_head = self.embed.T
+        else:
+            self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        # memoized jitted closures (fresh @jax.jit per call re-traces
+        # every time — the measured 4.3x pipeline bug, CLAUDE.md)
+        self._run_cache: Dict[int, callable] = {}
+        self._prefill_fn = None
+
+    # ------------------------------------------------------------- calibration
+
+    @staticmethod
+    def calibrate_scales(lm, calib_ids) -> Dict[str, jnp.ndarray]:
+        """Per-layer input-absmax stats from one sown capture forward
+        (the engine's static act scales; same machinery as the
+        module-path calibration, models/layers.py 'calib' collection)."""
+        from qdm_tpu.calib.stats import flatten_calib
+        from qdm_tpu.models import llama as llama_lib
+
+        plan = lm.plan.with_capture(True)
+        model = llama_lib.LlamaForCausalLM(config=lm.config, dtype=lm.dtype,
+                                           plan=plan)
+
+        @jax.jit
+        def fwd(params, ids):
+            _, mut = model.apply({"params": params}, ids, mutable=["calib"])
+            return flatten_calib(mut["calib"])
+
+        return fwd(lm.params, jnp.asarray(calib_ids))
+
+    # ------------------------------------------------------------------ layers
+
+    def _layer(self, x, kc, vc, w, pos, cos, sin):
+        cfg = self.cfg
+        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        g = h // hkv
+        bp = x.shape[0]
+        b = kc.shape[0]
+        eps = cfg.rms_norm_eps
+
+        if self.mode == "bf16":
+            qkv = dk.fused_dense_decode(x, w["w_qkv"], norm_scale=w["ln1"],
+                                        eps=eps)
+        else:
+            qkv = dk.fused_dense_decode_i8(x, w["w_qkv"], w["s_qkv"],
+                                           w["a_qkv"], norm_scale=w["ln1"],
+                                           eps=eps)
+        qkv = _rope_qkv(qkv, cos, sin, h, hkv, d)
+        q = qkv[:, : h * d].reshape(bp, hkv, g, d)
+        k_new = qkv[:b, h * d: (h + hkv) * d].reshape(b, hkv, d)
+        v_new = qkv[:b, (h + hkv) * d:].reshape(b, hkv, d)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_new[:, :, :, None].astype(kc.dtype), (0, 0, 0, pos))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_new[:, :, None, :].astype(vc.dtype), (0, 0, pos, 0))
+        attn = dk.decode_attention(q, kc, vc, pos)      # (bp, hkv, g, d)
+        attn = attn.reshape(bp, h * d)
+        if self.mode == "bf16":
+            x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
+            x = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"], w["ln2"],
+                                    eps=eps, act=cfg.mlp_act)
+        else:
+            x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"], w["a_o"],
+                                         residual=x)
+            x = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
+                                       (w["sg"], w["su"], w["sd"]),
+                                       w["a_mlp"], w["ln2"], eps=eps,
+                                       act=cfg.mlp_act)
+        return x, kc, vc
+
+    # ------------------------------------------------------------------ decode
+
+    def _make_run(self, n_tokens: int):
+        if n_tokens in self._run_cache:
+            return self._run_cache[n_tokens]
+        cfg = self.cfg
+        d = cfg.head_dim
+        freqs = 1.0 / (cfg.rope_theta
+                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+
+        @jax.jit
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos):
+            b = tok0.shape[0]
+            bp = max(_round_up(b, 8), 8)
+
+            def body(carry, i):
+                tok, caches = carry
+                pos = start_pos + i
+                angles = pos.astype(jnp.float32) * freqs
+                cos = jnp.cos(angles)[None, None, :]
+                sin = jnp.sin(angles)[None, None, :]
+                x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
+                x = embed[x]
+                new_caches = []
+                for l, w in enumerate(layers):
+                    kc, vc = caches[l]
+                    x, kc, vc = self._layer(x, kc, vc, w, pos, cos, sin)
+                    new_caches.append((kc, vc))
+                logits = dk.fused_dense_decode(
+                    x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
+                    out_dtype=jnp.float32)
+                nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                return (nxt, new_caches), nxt
+
+            (_, _), toks = jax.lax.scan(body, (tok0, caches),
+                                        jnp.arange(n_tokens))
+            return toks.T  # (B, n_tokens)
+
+        self._run_cache[n_tokens] = run
+        return run
+
+    def init_cache(self, batch: int, max_len: int):
+        cfg = self.cfg
+        tp = _round_up(max_len, 128)
+        shape_k = (batch, cfg.num_key_value_heads, cfg.head_dim, tp)
+        shape_v = (batch, cfg.num_key_value_heads, tp, cfg.head_dim)
+        return [(jnp.zeros(shape_k, self.dtype), jnp.zeros(shape_v, self.dtype))
+                for _ in range(cfg.num_hidden_layers)]
+
+    def prefill(self, ids, max_len: int):
+        """bf16 module-path prefill, caches converted to the kernel
+        layouts.  Returns (first generated token, engine caches)."""
+        b, s = ids.shape
+        tp = _round_up(max_len, 128)
+        model = self.lm.model
+        caches = model.init_cache(b, tp)
+
+        if self._prefill_fn is None:
+            @jax.jit
+            def fwd(params, ids, caches):
+                logits, caches = model.apply({"params": params}, ids,
+                                             kv_caches=caches, cache_index=0)
+                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                eng = [(ck.astype(self.dtype).transpose(0, 1, 3, 2),
+                        cv.astype(self.dtype)) for ck, cv in caches]
+                return tok, eng
+
+            self._prefill_fn = fwd
+        return self._prefill_fn(self.lm.params, jnp.asarray(ids), caches)
+
+    def generate(self, input_ids, max_new_tokens: int = 32) -> np.ndarray:
+        ids = np.asarray(input_ids)
+        b, s = ids.shape
+        max_len = s + max_new_tokens
+        tok0, caches = self.prefill(ids, max_len)
+        run = self._make_run(max_new_tokens - 1)
+        weights = self.layers
+        toks = run(weights, self.embed, self.final_norm, self.w_head,
+                   tok0, caches, jnp.int32(s))
+        out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
+                             axis=1)[:, :max_new_tokens]
+        return np.concatenate([ids, out], axis=1)
+
+
+def _rope_qkv(qkv, cos, sin, h: int, hkv: int, d: int):
+    """Rotary embedding applied to the q and k slices of a fused qkv
+    row (B, (h+2*hkv)*d); v passes through.  Same split-half math as
+    models/llama.py::rope."""
+    b = qkv.shape[0]
+    w_rope = (h + hkv) * d
+    qk = qkv[:, :w_rope].reshape(b, h + hkv, d).astype(jnp.float32)
+    x1, x2 = jnp.split(qk, 2, axis=-1)
+    qk = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return jnp.concatenate([qk.reshape(b, w_rope).astype(qkv.dtype),
+                            qkv[:, w_rope:]], axis=1)

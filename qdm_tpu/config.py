@@ -71,6 +71,12 @@ class QuantConfig:
     # activations clip hard at margin 1.0; >1 trades a little rounding
     # noise for clipping robustness
     static_act_margin: float = 1.0
+    # VAE-decoder convs upgrade 'static' conv act quant to the
+    # per-input-channel folded scheme (the per-tensor scheme loses
+    # ~15 dB PSNR on the decoder's channel dynamic range — BENCH_NOTES
+    # round 2; reference per-channel conv acts: fake_quant.py:123-131).
+    # False keeps the per-tensor scheme (ablation/bench baseline).
+    vae_per_channel_acts: bool = True
     modules_to_not_convert: Optional[List[str]] = None
     # SmoothQuant migration strength: reference uses 0.5 for LLMs
     # (quantizer_SQ.py:287) and 0.80 for diffusion (quantizer_SQ.py:349).

@@ -304,14 +304,28 @@ class QConv(nn.Module):
             # MXU (measured 1.7-5.9x faster than bf16 conv on v5e).
             # act scale: 'static' uses a calibrated per-tensor scale (no
             # runtime reduction — the dynamic scalar max serializes the
-            # pipeline, BENCH_NOTES.md); otherwise dynamic per-tensor.
+            # pipeline, BENCH_NOTES.md); 'static_channel' uses
+            # calibrated PER-INPUT-CHANNEL scales folded into the
+            # weights at pack time (the reference's per-channel conv act
+            # quant, fake_quant.py:123-131, made static) — the runtime
+            # cost is one per-channel multiply that XLA fuses into the
+            # preceding GN/silu elementwise chain, and it spans the
+            # channel dynamic range that breaks per-tensor int8 on the
+            # VAE decoder (PSNR 15.1, BENCH_NOTES round 2); otherwise
+            # dynamic per-tensor.
             ki = self.param("qweight", nn.initializers.zeros_init(),
                             (*self.kernel_size, in_features, self.features),
                             jnp.int8)
             w_scale = self.param("scales", nn.initializers.ones_init(),
                                  (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
-            if spec.act_quant == "static":
+            if spec.act_quant == "static_channel":
+                xs_c = self.param("act_scale", nn.initializers.ones_init(),
+                                  (in_features,), jnp.float32)
+                xi = jnp.clip(jnp.round(xf * (1.0 / xs_c)),
+                              -127, 127).astype(jnp.int8)
+                xs = 1.0   # per-channel scales live in the folded weights
+            elif spec.act_quant == "static":
                 xs = self.param("act_scale", nn.initializers.ones_init(),
                                 (1,), jnp.float32)[0]
                 xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)

@@ -1,0 +1,525 @@
+"""Decode-step megakernels (Pallas/TPU) + pure-jnp references.
+
+The serve ablation (BENCH_NOTES.md round 2, bench_llm.py --serve
+--ablate) showed batched LLM decode is small-op-overhead-bound: of the
+25.5 ms/step at batch 32 / ctx 1024, only ~3.7 ms is the HBM roofline
+(weights + KV cache); the other ~20 ms is fixed per-op cost across
+~15 tiny XLA ops x 22 layers.  These kernels collapse a decoder layer
+to THREE pallas calls with activations VMEM-resident and weights /
+cache streamed through the pallas grid pipeline (auto double-buffered):
+
+* :func:`fused_dense_decode`    — RMSNorm (optional) + matmul
+  (+ residual), grid over output blocks, x resident in VMEM.  Covers
+  the qkv projection (norm folded in) and o_proj (+residual).
+* :func:`decode_attention`      — GQA attention over the KV cache for
+  ONE new token per sequence, grid over (batch, kv_head); each program
+  streams that sequence-head's K (d, T) and V (T, d) planes and runs
+  qk^T -> masked softmax -> pv entirely in VMEM.
+* :func:`fused_mlp_decode`      — RMSNorm + gate/up + silu*mul + down
+  + residual in one call, grid over inner-dim blocks with a resident
+  f32 accumulator (the two-matmul MLP never materializes the (B, I)
+  hidden in HBM).
+
+Each has an int8 variant (``*_i8``) taking int8 weights, per-channel
+weight scales, and CALIBRATED static activation scales (the
+measured-fastest activation scheme on v5e — dynamic per-token scales
+serialize on the row-max reduction, bench_xla_int8.py).
+
+This is the TPU-native counterpart of the reference's fused-module
+stack (reference: awq/modules/fused via models/base.py:1494-1515 and
+utils/fused_utils.py:45-142 — fused QKV/MLP CUDA modules with a
+rolling fp16 cache); here fusion is per-layer pallas megakernels over
+a static head-major cache.
+
+Cache layouts (kernel-native):
+  K: (B, hkv, d, T)  — decode logits are q (g, d) @ K (d, T), so K is
+     stored depth-major: T rides the 128 lanes, no per-step transpose.
+  V: (B, hkv, T, d)  — attn out is probs (g, T) @ V (T, d).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qdm_tpu.ops.quant_matmul import LANE, _cdiv, _pick_block, _round_up, on_tpu
+
+
+# ---------------------------------------------------------------------------
+# fused norm + dense (+ residual)
+# ---------------------------------------------------------------------------
+
+
+def _rmsnorm_f32(xf, scale, eps):
+    return xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps) * scale
+
+
+def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, o_ref, xn_ref, *,
+                        has_norm: bool, has_residual: bool, eps: float):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if has_norm:
+            xf = _rmsnorm_f32(xf, ns_ref[:], eps)
+        xn_ref[:] = xf.astype(xn_ref.dtype)
+
+    y = jnp.dot(xn_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
+                           o_ref, xi_ref, *, has_norm: bool,
+                           has_residual: bool, eps: float):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if has_norm:
+            xf = _rmsnorm_f32(xf, ns_ref[:], eps)
+        inv = 1.0 / as_ref[0]
+        xi_ref[:] = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xi_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (as_ref[0] * ws_ref[:])
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "block_n", "out_dtype", "interpret"))
+def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
+                              eps: float = 1e-6, block_n: int = 512,
+                              out_dtype=None, interpret: bool = False):
+    """x (B, K) -> rmsnorm?(x) @ w (K, N) (+ residual) in one call.
+
+    B is padded to the sublane granule; weights stream block_n columns
+    per grid step (auto double-buffered), x stays VMEM-resident."""
+    b, k = x.shape
+    kw, n = w.shape
+    assert kw == k, (kw, k)
+    out_dtype = out_dtype or x.dtype
+    bn = _pick_block(n, block_n)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    has_norm = norm_scale is not None
+    has_res = residual is not None
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
+    rp = residual if has_res else jnp.zeros((1, n), out_dtype)
+    if has_res and bp != b:
+        rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_fused_dense_kernel, has_norm=has_norm,
+                          has_residual=has_res, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
+             else pl.BlockSpec((1, n), lambda j: (0, 0))),
+        ],
+        out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, w, ns, rp)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "block_n", "out_dtype", "interpret"))
+def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
+                                 norm_scale=None, residual=None,
+                                 eps: float = 1e-6, block_n: int = 512,
+                                 out_dtype=None, interpret: bool = False):
+    """int8 fused_dense: static act scale (scalar array (1,)), int8
+    weights (K, N) with per-out-channel scales (1, N)."""
+    b, k = x.shape
+    kw, n = w_i8.shape
+    assert kw == k
+    out_dtype = out_dtype or x.dtype
+    bn = _pick_block(n, block_n)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    has_norm = norm_scale is not None
+    has_res = residual is not None
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
+    rp = residual if has_res else jnp.zeros((1, n), out_dtype)
+    if has_res and bp != b:
+        rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_fused_dense_i8_kernel, has_norm=has_norm,
+                          has_residual=has_res, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
+             else pl.BlockSpec((1, n), lambda j: (0, 0))),
+        ],
+        out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, w_i8, w_scale, act_scale.astype(jnp.float32), ns, rp)
+    return out[:b]
+
+
+def fused_dense_decode_ref(x, w, norm_scale=None, residual=None,
+                           eps: float = 1e-6, out_dtype=None):
+    xf = x.astype(jnp.float32)
+    if norm_scale is not None:
+        xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    y = jnp.dot(xf.astype(x.dtype).astype(jnp.float32),
+                w.astype(jnp.float32))
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+def fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale, norm_scale=None,
+                              residual=None, eps: float = 1e-6,
+                              out_dtype=None):
+    xf = x.astype(jnp.float32)
+    if norm_scale is not None:
+        xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    s = act_scale.astype(jnp.float32)[0]
+    xi = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int32), w_i8.astype(jnp.int32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s * w_scale.astype(jnp.float32))
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+def fused_dense_decode(x, w, norm_scale=None, residual=None,
+                       eps: float = 1e-6, **kw):
+    if on_tpu():
+        return fused_dense_decode_pallas(x, w, norm_scale, residual,
+                                         eps=eps, **kw)
+    return fused_dense_decode_ref(x, w, norm_scale, residual, eps=eps)
+
+
+def fused_dense_decode_i8(x, w_i8, w_scale, act_scale, norm_scale=None,
+                          residual=None, eps: float = 1e-6, **kw):
+    if on_tpu():
+        return fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
+                                            norm_scale, residual, eps=eps,
+                                            **kw)
+    return fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale,
+                                     norm_scale, residual, eps=eps)
+
+
+# ---------------------------------------------------------------------------
+# decode attention (one new token over the cache, GQA)
+# ---------------------------------------------------------------------------
+
+
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    pos = pos_ref[0]
+    q = q_ref[0, 0].astype(jnp.float32) * scale                 # (g, d)
+    k = k_ref[0, 0].astype(jnp.float32)                         # (d, T)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (g, T)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(t_ids <= pos, logits, -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)                  # (g, T)
+    v = v_ref[0, 0].astype(jnp.float32)                         # (T, d)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (g, d)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_pallas(q, k_cache, v_cache, pos, interpret: bool = False):
+    """q (Bp, hkv, g, d) against K (B, hkv, d, T) / V (B, hkv, T, d);
+    attends keys 0..pos inclusive.  Grid (B, hkv): each program streams
+    one sequence-head's cache planes (pipelined by the grid machinery)
+    and computes that head group's attention fully in VMEM.
+
+    Bp may exceed the cache batch B (sublane-padded decode rows); only
+    the first B output rows are written, the rest is uninitialized —
+    all downstream ops are row-wise, so the padding rows never
+    contaminate real rows."""
+    bp, hkv, g, d = q.shape
+    b, t = k_cache.shape[0], k_cache.shape[-1]
+    assert k_cache.shape == (b, hkv, d, t)
+    assert v_cache.shape == (b, hkv, t, d)
+    assert bp >= b
+    assert t % LANE == 0, t
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kernel, scale=scale),
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, d, t), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda i, h: (i, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, h: (i, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pos_arr, q, k_cache, v_cache)
+
+
+def decode_attention_ref(q, k_cache, v_cache, pos):
+    bp, hkv, g, d = q.shape
+    b, t = k_cache.shape[0], k_cache.shape[-1]
+    qf = q[:b].astype(jnp.float32) * (d ** -0.5)
+    logits = jnp.einsum("bhgd,bhdt->bhgt", qf, k_cache.astype(jnp.float32))
+    mask = jnp.arange(t)[None, None, None, :] <= pos
+    logits = jnp.where(mask, logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhgt,bhtd->bhgd", p, v_cache.astype(jnp.float32))
+    o = o.astype(q.dtype)
+    if bp > b:
+        o = jnp.pad(o, ((0, bp - b), (0, 0), (0, 0), (0, 0)))
+    return o
+
+
+def decode_attention(q, k_cache, v_cache, pos, **kw):
+    if on_tpu():
+        return decode_attention_pallas(q, k_cache, v_cache, pos, **kw)
+    return decode_attention_ref(q, k_cache, v_cache, pos)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP (norm + gate/up + act + down + residual)
+# ---------------------------------------------------------------------------
+
+
+def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, o_ref,
+                      xn_ref, acc_ref, *, n_j: int, eps: float, act: str):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        xn_ref[:] = _rmsnorm_f32(xf, ns_ref[:], eps).astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gate = jnp.dot(xn_ref[:], wg_ref[:], preferred_element_type=jnp.float32)
+    up = jnp.dot(xn_ref[:], wu_ref[:], preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    acc_ref[:] += jnp.dot(a.astype(x_ref.dtype), wd_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:]
+                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _fused_mlp_i8_kernel(x_ref, wg_ref, wu_ref, wd_ref, wsg_ref, wsu_ref,
+                         wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
+                         n_j: int, eps: float, act: str):
+    j = pl.program_id(0)
+    s_in, s_mid = scl_ref[0], scl_ref[1]
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        xn = _rmsnorm_f32(xf, ns_ref[:], eps)
+        xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
+                             -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def i8dot(w_ref, ws_ref):
+        acc = jax.lax.dot_general(
+            xi_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (s_in * ws_ref[:])
+
+    gate = i8dot(wg_ref, wsg_ref)
+    up = i8dot(wu_ref, wsu_ref)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
+    pd = jax.lax.dot_general(
+        ai, wd_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[:] += pd.astype(jnp.float32) * (s_mid * wsd_ref[:])
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:]
+                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_j", "out_dtype", "interpret"))
+def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
+                            eps: float = 1e-6, act: str = "silu",
+                            block_j: int = 256, out_dtype=None,
+                            interpret: bool = False):
+    """x (B, K) -> x + down(act(gate(n)) * up(n)), n = rmsnorm(x).
+
+    Grid streams inner-dim blocks of all three weights; the (B, I)
+    hidden never leaves VMEM.  w_gate/w_up (K, I), w_down (I, K)."""
+    b, k = x.shape
+    inner = w_gate.shape[1]
+    assert w_up.shape == (k, inner) and w_down.shape == (inner, k)
+    out_dtype = out_dtype or x.dtype
+    bj = _pick_block(inner, block_j)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    n_j = inner // bj
+    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, n_j=n_j, eps=eps, act=act),
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bj), lambda j: (0, j)),
+            pl.BlockSpec((k, bj), lambda j: (0, j)),
+            pl.BlockSpec((bj, k), lambda j: (j, 0)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bp, k), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), x.dtype),
+                        pltpu.VMEM((bp, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, w_gate, w_up, w_down, ns)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_j", "out_dtype", "interpret"))
+def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
+                               act_scales, norm_scale, eps: float = 1e-6,
+                               act: str = "silu", block_j: int = 512,
+                               out_dtype=None, interpret: bool = False):
+    """int8 fused MLP.  w_* int8; w_scales = (sg (1,I), su (1,I),
+    sd (1,K)); act_scales (2,) = [input scale, mid (down-input) scale],
+    both static (calibrated)."""
+    b, k = x.shape
+    inner = w_gate.shape[1]
+    out_dtype = out_dtype or x.dtype
+    bj = _pick_block(inner, block_j)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    n_j = inner // bj
+    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+    sg, su, sd = w_scales
+
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_i8_kernel, n_j=n_j, eps=eps, act=act),
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bj), lambda j: (0, j)),
+            pl.BlockSpec((k, bj), lambda j: (0, j)),
+            pl.BlockSpec((bj, k), lambda j: (j, 0)),
+            pl.BlockSpec((1, bj), lambda j: (0, j)),
+            pl.BlockSpec((1, bj), lambda j: (0, j)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bp, k), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), jnp.int8),
+                        pltpu.VMEM((bp, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, w_gate, w_up, w_down, sg, su, sd,
+      act_scales.astype(jnp.float32), ns)
+    return out[:b]
+
+
+def fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
+                         eps: float = 1e-6, act: str = "silu",
+                         out_dtype=None):
+    xf = x.astype(jnp.float32)
+    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps).astype(
+        x.dtype).astype(jnp.float32)
+    gate = xn @ w_gate.astype(jnp.float32)
+    up = xn @ w_up.astype(jnp.float32)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    y = a.astype(x.dtype).astype(jnp.float32) @ w_down.astype(jnp.float32)
+    return (y + xf).astype(out_dtype or x.dtype)
+
+
+def fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales, act_scales,
+                            norm_scale, eps: float = 1e-6, act: str = "silu",
+                            out_dtype=None):
+    xf = x.astype(jnp.float32)
+    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    s_in = act_scales.astype(jnp.float32)[0]
+    s_mid = act_scales.astype(jnp.float32)[1]
+    sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
+    xi = jnp.clip(jnp.round(xn / s_in), -127, 127).astype(jnp.int32)
+    gate = (xi @ w_gate.astype(jnp.int32)).astype(jnp.float32) * (s_in * sg)
+    up = (xi @ w_up.astype(jnp.int32)).astype(jnp.float32) * (s_in * su)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai = jnp.clip(jnp.round(a / s_mid), -127, 127).astype(jnp.int32)
+    y = (ai @ w_down.astype(jnp.int32)).astype(jnp.float32) * (s_mid * sd)
+    return (y + xf).astype(out_dtype or x.dtype)
+
+
+def fused_mlp_decode(x, w_gate, w_up, w_down, norm_scale, eps: float = 1e-6,
+                     act: str = "silu", **kw):
+    if on_tpu():
+        return fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
+                                       eps=eps, act=act, **kw)
+    return fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
+                                eps=eps, act=act)
+
+
+def fused_mlp_decode_i8(x, w_gate, w_up, w_down, w_scales, act_scales,
+                        norm_scale, eps: float = 1e-6, act: str = "silu",
+                        **kw):
+    if on_tpu():
+        return fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
+                                          act_scales, norm_scale, eps=eps,
+                                          act=act, **kw)
+    return fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales,
+                                   act_scales, norm_scale, eps=eps, act=act)

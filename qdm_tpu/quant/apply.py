@@ -161,11 +161,28 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
     return new
 
 
-def pack_params(params: dict, plan: QuantPlan) -> dict:
+def pack_params(params: dict, plan: QuantPlan,
+                act_stats: Optional[Dict[str, "jnp.ndarray"]] = None,
+                act_margin: float = 1.0,
+                conv_smooth_alpha: float = 0.5) -> dict:
     """Produce the packed-params pytree matching a plan with real modes.
 
     Dense layers planned w4a16/w8a8 get packed buffers; convs planned
-    real fall back to fake quant (kernel zoo parity: linear-only)."""
+    real fall back to fake quant (kernel zoo parity: linear-only).
+
+    act_stats (per-layer per-channel input absmax) is required at pack
+    time only by the 'static_channel' conv scheme: a SmoothQuant-style
+    per-input-channel migration vector
+    ``m_c = act_c^alpha / wmax_c^(1-alpha)`` is folded into the weight
+    (W'_c = W_c * m_c) while activations divide by m_c at runtime, and
+    the post-smoothing per-tensor static act scale is absorbed into the
+    per-out-channel weight scales — so the runtime stays one fused
+    per-channel multiply + int8 conv + per-out-channel dequant.  Full
+    folding (alpha=1) merely moves the range problem into the weights
+    (measured: -5 dB on a uniform-range VAE); alpha balances both
+    sides.  Reference per-channel conv act quant:
+    quantize/fake_quant.py:123-131; smoothing math: smooth.py /
+    quantizer_SQ.py:272-295."""
     out = params
     for path, layer in iter_layers(params):
         spec = plan.spec_for(path_str(path))
@@ -178,11 +195,36 @@ def pack_params(params: dict, plan: QuantPlan) -> dict:
             if spec.mode == "w8a8":
                 # real int8 conv: per-out-channel symmetric codes
                 kf = kernel.astype(jnp.float32)
+                new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
+                s_extra = 1.0
+                if spec.act_quant == "static_channel":
+                    key = path_str(path)
+                    cin = kf.shape[2]
+                    if act_stats is not None and key in act_stats:
+                        a_c = jnp.clip(act_stats[key].astype(jnp.float32),
+                                       1e-5, None)
+                        w_c = jnp.clip(jnp.max(jnp.abs(kf), axis=(0, 1, 3)),
+                                       1e-5, None)
+                        al = conv_smooth_alpha
+                        m_c = jnp.clip(a_c ** al / w_c ** (1.0 - al),
+                                       1e-5, None)
+                        kf = kf * m_c[None, None, :, None]
+                        # static per-tensor scale of the SMOOTHED acts,
+                        # absorbed into the weight scales below
+                        s_extra = (jnp.max(a_c / m_c) / 127.0) * act_margin
+                        new["act_scale"] = m_c * s_extra
+                    else:
+                        import warnings
+
+                        warnings.warn(
+                            f"pack_params: no act stats for conv '{key}' — "
+                            "static_channel scales stay at the 1.0 "
+                            "placeholder (int8 act quant broken here)")
+                        new["act_scale"] = jnp.ones((cin,), jnp.float32)
                 s = jnp.clip(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-5, None) / 127.0
                 codes = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
-                new = {k2: v for k2, v in layer.items() if k2 != "kernel"}
                 new["qweight"] = codes
-                new["scales"] = s
+                new["scales"] = s * s_extra
                 if spec.act_quant == "static":
                     new["act_scale"] = jnp.ones((1,), jnp.float32)
                 out = _set_at(out, path, new)
@@ -327,6 +369,12 @@ def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
         nonlocal out
         if isinstance(tree, dict):
             if "act_scale" in tree and not isinstance(tree["act_scale"], dict):
+                if tree["act_scale"].size != 1:
+                    # per-channel conv scales ('static_channel') were
+                    # already filled and FOLDED into the weights by
+                    # pack_params — overwriting them here would break
+                    # the fold
+                    return
                 key = "/".join(prefix)
                 if key not in act_stats:
                     for fused, unfused in _FUSED_STAT_FALLBACK:

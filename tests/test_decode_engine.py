@@ -1,0 +1,155 @@
+"""Decode megakernel tests: interpret-mode kernels vs jnp references,
+and the DecodeEngine vs the module-path greedy decode (the serving
+counterpart of the reference's fused-module stack,
+models/base.py:1494-1515 / utils/fused_utils.py:45-142)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qdm_tpu.api.causal_lm import CausalLM
+from qdm_tpu.api.serve import DecodeEngine
+from qdm_tpu.models import llama as llama_lib
+from qdm_tpu.ops import decode_kernels as dk
+
+RNG = np.random.default_rng(0)
+
+
+def _arr(*shape, scale=1.0, dtype=jnp.float32):
+    return jnp.asarray(RNG.standard_normal(shape) * scale, dtype)
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def test_fused_dense_interpret_matches_ref():
+    x = _arr(8, 256, scale=0.5)
+    w = _arr(256, 512, scale=0.05)
+    ns = jnp.abs(_arr(256)) + 0.5
+    res = _arr(8, 512)
+    for norm, r in ((None, None), (ns, None), (None, res), (ns, res)):
+        out = dk.fused_dense_decode_pallas(x, w, norm_scale=norm, residual=r,
+                                           interpret=True, block_n=128)
+        ref = dk.fused_dense_decode_ref(x, w, norm_scale=norm, residual=r)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dense_i8_interpret_matches_ref():
+    x = _arr(8, 256, scale=0.5)
+    wf = _arr(256, 512, scale=0.05)
+    from qdm_tpu.api.serve import _quant_w
+
+    w_i8, ws = _quant_w(wf)
+    a = jnp.asarray([0.01], jnp.float32)
+    ns = jnp.abs(_arr(256)) + 0.5
+    res = _arr(8, 512)
+    for norm, r in ((None, None), (ns, res)):
+        out = dk.fused_dense_decode_i8_pallas(
+            x, w_i8, ws, a, norm_scale=norm, residual=r,
+            interpret=True, block_n=128)
+        ref = dk.fused_dense_decode_i8_ref(x, w_i8, ws, a, norm_scale=norm,
+                                           residual=r)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_interpret_matches_ref():
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kc = _arr(b, hkv, d, t, scale=0.5)
+    vc = _arr(b, hkv, t, d, scale=0.5)
+    for pos in (0, 7, t - 1):
+        out = dk.decode_attention_pallas(q, kc, vc, pos, interpret=True)
+        ref = dk.decode_attention_ref(q, kc, vc, pos)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_padded_batch_rows():
+    """Bp > cache batch: only the first B rows are defined and must
+    match; padded rows are never read downstream."""
+    b, bp, hkv, g, d, t = 2, 8, 2, 4, 64, 128
+    q = _arr(bp, hkv, g, d, scale=0.5)
+    kc = _arr(b, hkv, d, t, scale=0.5)
+    vc = _arr(b, hkv, t, d, scale=0.5)
+    out = dk.decode_attention_pallas(q, kc, vc, 63, interpret=True)
+    ref = dk.decode_attention_ref(q, kc, vc, 63)
+    np.testing.assert_allclose(np.asarray(out[:b]), np.asarray(ref[:b]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_interpret_matches_ref():
+    x = _arr(8, 256, scale=0.5)
+    wg = _arr(256, 512, scale=0.05)
+    wu = _arr(256, 512, scale=0.05)
+    wd = _arr(512, 256, scale=0.05)
+    ns = jnp.abs(_arr(256)) + 0.5
+    out = dk.fused_mlp_decode_pallas(x, wg, wu, wd, ns, interpret=True,
+                                     block_j=128)
+    ref = dk.fused_mlp_decode_ref(x, wg, wu, wd, ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_i8_interpret_matches_ref():
+    from qdm_tpu.api.serve import _quant_w
+
+    x = _arr(8, 256, scale=0.5)
+    wgf, wuf = _arr(256, 512, scale=0.05), _arr(256, 512, scale=0.05)
+    wdf = _arr(512, 256, scale=0.05)
+    wg, sg = _quant_w(wgf)
+    wu, su = _quant_w(wuf)
+    wd, sd = _quant_w(wdf)
+    ns = jnp.abs(_arr(256)) + 0.5
+    scl = jnp.asarray([0.01, 0.005], jnp.float32)
+    out = dk.fused_mlp_decode_i8_pallas(x, wg, wu, wd, (sg, su, sd), scl, ns,
+                                        interpret=True, block_j=128)
+    ref = dk.fused_mlp_decode_i8_ref(x, wg, wu, wd, (sg, su, sd), scl, ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+# -------------------------------------------------------------------- engine
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return CausalLM.from_config(llama_lib.tiny_llama_config(),
+                                dtype=jnp.float32, seed=0)
+
+
+def test_engine_bf16_matches_module_greedy(lm):
+    """The megakernel engine is a pure re-fusion of the module math:
+    greedy tokens must match the module path exactly (f32 CPU)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    ref = lm.generate(ids, max_new_tokens=12)
+    eng = DecodeEngine(lm, mode="bf16")
+    out = eng.generate(ids, max_new_tokens=12)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_engine_batch1(lm):
+    """Batch 1 exercises the sublane-padded (Bp=8) decode rows."""
+    ids = RNG.integers(0, 256, (1, 5))
+    ref = lm.generate(ids, max_new_tokens=8)
+    eng = DecodeEngine(lm, mode="bf16")
+    out = eng.generate(ids, max_new_tokens=8)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_engine_w8a8_static(lm):
+    """int8 static engine: calibrated scales, runs end to end, and the
+    greedy tokens mostly survive int8 on a tiny random model."""
+    ids = RNG.integers(0, 256, (2, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    assert "layers_0/self_attn/q_proj" in stats
+    eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
+    out = eng.generate(ids, max_new_tokens=10)
+    ref = lm.generate(ids, max_new_tokens=10)
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.6
+
+    with pytest.raises(ValueError):
+        DecodeEngine(lm, mode="w8a8_static")

@@ -225,3 +225,18 @@ def test_w4a16_xla_decode_guard():
         warnings.simplefilter("always")
         m.init(jax.random.PRNGKey(0), jnp.zeros((2, 64), jnp.float32))
     assert any("w4a16_xla" in str(x.message) for x in w)
+
+
+def test_truncated_self_draft(lm):
+    """Truncated-layer self-draft: correlated logits -> nonzero
+    acceptance, shared buffers (no copy), exact output."""
+    draft = lm.truncated_draft(1)
+    assert draft.config.num_hidden_layers == 1
+    assert draft.params["layers_0"] is lm.params["layers_0"]
+    assert "layers_1" not in draft.params
+    ids = np.random.default_rng(8).integers(0, 256, (1, 6))
+    ref = lm.generate(ids, max_new_tokens=10)
+    out = lm.generate_speculative(ids, 10, draft, gamma=3)
+    np.testing.assert_array_equal(out, ref)
+    with pytest.raises(ValueError):
+        lm.truncated_draft(0)

@@ -301,3 +301,59 @@ def test_groupnorm_near_constant_no_nan():
     v = gn.init(jax.random.PRNGKey(1), x)
     out = gn.apply(v, x)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_w8a8_conv_static_channel_beats_per_tensor():
+    """Per-input-channel static conv act quant (scales folded into the
+    weights at pack time — reference fake_quant.py:123-131 made
+    static): on activations with a wide per-channel dynamic range (the
+    VAE-decoder regime, BENCH_NOTES round 2) it must stay accurate
+    where the per-tensor scheme collapses."""
+    from qdm_tpu.models.layers import QConv
+
+    cin, cout = 16, 24
+    x = jax.random.normal(KEY, (2, 8, 8, cin), jnp.float32)
+    # channel c spans ~4 orders of magnitude, and the weights
+    # counteract it (the trained-network regime: every channel
+    # contributes comparably to the output, so per-tensor act quant
+    # zeroing the small channels destroys real signal)
+    chan_scale = jnp.logspace(-2, 2, cin)
+    x = x * chan_scale[None, None, None, :]
+    conv = QConv(cout, (3, 3), 1, 1, dtype=jnp.float32, plan=QuantPlan())
+    params = conv.init(jax.random.PRNGKey(1), x)["params"]
+    params = dict(params, kernel=params["kernel"]
+                  / chan_scale[None, None, :, None])
+    fp = np.asarray(conv.apply({"params": params}, x))
+    stats = {"c": jnp.max(jnp.abs(x.reshape(-1, cin)), axis=0)}
+
+    def run(act_quant):
+        spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8,
+                              quantize_act=True, act_quant=act_quant)
+        plan = QuantPlan(default=spec)
+        packed = pack_params({"c": params}, plan, act_stats=stats)["c"]
+        if act_quant == "static":
+            from qdm_tpu.quant.apply import fill_static_act_scales
+            packed = fill_static_act_scales({"c": packed}, stats)["c"]
+        qconv = QConv(cout, (3, 3), 1, 1, dtype=jnp.float32, plan=plan)
+        q = np.asarray(qconv.apply({"params": packed}, x))
+        return np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
+
+    rel_pt = run("static")           # per-tensor static
+    rel_pc = run("static_channel")   # per-channel static (folded)
+    assert rel_pc < 0.05, rel_pc
+    assert rel_pc < rel_pt / 5, (rel_pc, rel_pt)
+
+
+def test_w8a8_conv_static_channel_missing_stats_warns():
+    import warnings
+    from qdm_tpu.models.layers import QConv
+
+    spec = LayerQuantSpec(mode="w8a8", w_bits=8, a_bits=8,
+                          quantize_act=True, act_quant="static_channel")
+    x = jax.random.normal(KEY, (1, 4, 4, 8), jnp.float32)
+    conv = QConv(8, (3, 3), 1, 1, dtype=jnp.float32, plan=QuantPlan())
+    params = conv.init(jax.random.PRNGKey(0), x)["params"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pack_params({"c": params}, QuantPlan(default=spec))
+    assert any("static_channel" in str(x.message) for x in w)

@@ -128,3 +128,21 @@ def test_tp_sharded_w8a8_xla_layer_matches_single():
     got = jax.jit(lambda p, x: model.apply({"params": p}, x))(sp, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_multihost_dryrun():
+    """2-process x 4-device jax.distributed dryrun (DCN-style: dp
+    across processes, tp within) — SURVEY §5 multi-host design under
+    real process isolation.  Subprocesses force their own CPU backend,
+    so this is safe inside the single-process test session."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multihost(2, 2)"],
+        capture_output=True, text=True, timeout=240,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multihost OK" in r.stdout

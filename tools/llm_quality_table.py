@@ -44,8 +44,19 @@ PPL_STREAM = RNG.integers(0, CFG.vocab_size, size=(4 * SEQ,)).astype(np.int32)
 CALIB = RNG.integers(0, CFG.vocab_size, size=(8, SEQ)).astype(np.int32)
 
 
+OUTLIERS = "--outliers" in sys.argv
+
+
 def fresh():
-    return CausalLM.from_config(CFG, dtype=jnp.float32)
+    lm = CausalLM.from_config(CFG, dtype=jnp.float32)
+    if OUTLIERS:
+        # trained-network regime: persistent per-channel activation
+        # outliers from heavy-tailed norm gains (the case smoothing /
+        # AWQ exist for; see qdm_tpu/utils/outliers.py)
+        from qdm_tpu.utils.outliers import inject_norm_outliers
+
+        lm.params = inject_norm_outliers(lm.params, seed=11)
+    return lm
 
 
 def mode_table():
@@ -102,11 +113,13 @@ def main():
     rows.append(row)
     print(json.dumps(row), flush=True)
 
-    out = {"model": "llama-style 4L/256h random weights (f32)",
+    out = {"model": "llama-style 4L/256h random weights (f32)"
+                    + (" + norm-gain outliers" if OUTLIERS else ""),
            "ppl_ref": round(ppl_ref, 4), "n_eval_tokens": 4 * 2 * SEQ,
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "llm_quality_table.json")
+                        "llm_quality_table_outliers.json" if OUTLIERS
+                        else "llm_quality_table.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

@@ -54,10 +54,23 @@ CALIB_PROMPTS = [
 ]
 
 
+OUTLIERS = "--outliers" in sys.argv
+
+
 def build_pipe(tiny, dtype, seed=0):
     from qdm_tpu.api.pipeline import StableDiffusion1_x
 
-    return StableDiffusion1_x.from_config(tiny=tiny, dtype=dtype, seed=seed)
+    pipe = StableDiffusion1_x.from_config(tiny=tiny, dtype=dtype, seed=seed)
+    if OUTLIERS:
+        # trained-network regime: persistent per-channel activation
+        # outliers from heavy-tailed norm gains (identical injection in
+        # the reference pipe and every quant pipe — same seed); see
+        # qdm_tpu/utils/outliers.py
+        from qdm_tpu.utils.outliers import inject_norm_outliers
+
+        pipe.params["unet"] = inject_norm_outliers(pipe.params["unet"],
+                                                   seed=11)
+    return pipe
 
 
 def gen(pipe, steps, px):
@@ -69,6 +82,7 @@ def gen(pipe, steps, px):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--outliers", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--px", type=int, default=512)
     args = ap.parse_args()
@@ -109,6 +123,24 @@ def main():
           file=sys.stderr, flush=True)
     ref_pipe = build_pipe(tiny, dtype)
     ref = gen(ref_pipe, steps, px)
+
+    # single-step eps-prediction error: full-generation metrics saturate
+    # once every low-bit mode has drifted (errors compound over steps
+    # and CFG), hiding the smooth-vs-rtn gap; the one-step UNet output
+    # error is the compounding-free discriminator
+    def eps_fn(pipe):
+        unet = pipe.components["unet"]
+        lat = jax.random.normal(jax.random.PRNGKey(5),
+                                (2, px // 8, px // 8, 4), jnp.float32)
+        t = jnp.full((2,), 401, jnp.int32)
+        ctx = jax.random.normal(jax.random.PRNGKey(6),
+                                (2, 77, pipe.configs["unet"].cross_attention_dim),
+                                jnp.float32).astype(pipe.dtype)
+        return np.asarray(jax.jit(lambda p: unet.apply(
+            {"params": p}, lat.astype(pipe.dtype), t, ctx))(
+            pipe.params["unet"]).astype(jnp.float32))
+
+    ref_eps = eps_fn(ref_pipe)
     del ref_pipe
     gc.collect()
 
@@ -119,11 +151,14 @@ def main():
         pipe = build_pipe(tiny, dtype)   # same seed => identical weights
         pipe.quantize(cfg, quantType=method, calib_prompts=CALIB_PROMPTS)
         img = gen(pipe, steps, px)
+        q_eps = eps_fn(pipe)
         row = {
             "config": name,
             "mse": float(np.mean(np.asarray(mse(ref, img)))),
             "psnr": float(np.mean(np.asarray(psnr(ref, img)))),
             "ssim": float(np.mean(np.asarray(ssim(ref, img)))),
+            "eps_rel_l2": float(np.linalg.norm(q_eps - ref_eps)
+                                / (np.linalg.norm(ref_eps) + 1e-9)),
         }
         if lpips_w is not None:
             row["lpips"] = float(np.mean(np.asarray(
@@ -136,12 +171,14 @@ def main():
     artifact = {
         "setup": {"tiny": tiny, "steps": steps, "px": px,
                   "prompts": PROMPTS, "seed": 123,
-                  "weights": "deterministic random (no real checkpoints in env)",
+                  "weights": "deterministic random"
+                             + (" + norm-gain outliers" if OUTLIERS else " (no real checkpoints in env)"),
                   "lpips": lpips_w is not None},
         "rows": rows,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "quality_table.json"), "w") as f:
+    artifact_name = "quality_table_outliers.json" if OUTLIERS else "quality_table.json"
+    with open(os.path.join(here, artifact_name), "w") as f:
         json.dump(artifact, f, indent=2)
 
     if not tiny:
@@ -158,13 +195,13 @@ def main():
             "Reproduce: `python tools/quality_table.py` (artifact:",
             "tools/quality_table.json).",
             "",
-            "| Config | MSE ↓ | PSNR ↑ | SSIM ↑ |" +
+            "| Config | MSE ↓ | PSNR ↑ | SSIM ↑ | eps rel-L2 ↓ |" +
             (" LPIPS ↓ |" if lpips_w is not None else ""),
-            "|---|---|---|---|" + ("---|" if lpips_w is not None else ""),
+            "|---|---|---|---|---|" + ("---|" if lpips_w is not None else ""),
         ]
         for r in rows:
             line = (f"| {r['config']} | {r['mse']:.5f} | {r['psnr']:.2f} | "
-                    f"{r['ssim']:.4f} |")
+                    f"{r['ssim']:.4f} | {r['eps_rel_l2']:.4f} |")
             if "lpips" in r:
                 line += f" {r['lpips']:.4f} |"
             lines.append(line)
@@ -173,7 +210,8 @@ def main():
             "Expected ordering (reference README): W8 modes degrade least;",
             "W4A16-Smooth recovers much of the W4 error; W4-RTN is worst.",
         ]
-        with open(os.path.join(os.path.dirname(here), "QUALITY.md"), "w") as f:
+        qmd = "QUALITY_OUTLIERS.md" if OUTLIERS else "QUALITY.md"
+        with open(os.path.join(os.path.dirname(here), qmd), "w") as f:
             f.write("\n".join(lines) + "\n")
     print(json.dumps({"done": True, "rows": len(rows)}))
 
