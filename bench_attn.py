@@ -38,8 +38,64 @@ def flash_with_block(q, k, v, scale, b):
                            block_sizes=bs).transpose(0, 2, 1, 3)
 
 
+def mmdit_main():
+    """--mmdit: the SD3.5-medium joint-attention shape (S=4480 padded,
+    H=24, D=64) — flash block sweep + int8 flash, round-3 roadmap #5.
+    4480 = 35 x 128, so the 128-multiple blocks dividing it are 128,
+    640, 896 (and the whole seq is too big for VMEM logits)."""
+    import sys
+
+    from qdm_tpu.ops.flash_int8 import flash_int8_attention
+
+    s, h, d = 4480, 24, 64
+    for B in (2, 8):   # CFG batch 1 / 4
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (B, s, h, d), jnp.bfloat16)
+        k = jax.random.normal(key, (B, s, h, d), jnp.bfloat16)
+        v = jax.random.normal(key, (B, s, h, d), jnp.bfloat16)
+        scale = 1.0 / (d ** 0.5)
+        row = {"B": B, "s": s, "h": h, "d": d}
+
+        cur = jax.jit(lambda q, k, v: attn_lib.dot_product_attention(q, k, v))
+        row["current_ms"] = round(1e3 * time_fn(cur, q, k, v), 2)
+        print(json.dumps(row), flush=True)
+        xla = jax.jit(lambda q, k, v: attn_lib._xla_attention(q, k, v, scale))
+        try:
+            row["xla_ms"] = round(1e3 * time_fn(xla, q, k, v), 2)
+        except Exception as e:
+            row["xla_ms"] = f"err:{type(e).__name__}"
+        try:
+            nn_attn = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(
+                q, k, v, scale=scale))
+            row["jaxnn_ms"] = round(1e3 * time_fn(nn_attn, q, k, v), 2)
+        except Exception as e:
+            row["jaxnn_ms"] = f"err:{type(e).__name__}"
+        print(json.dumps(row), flush=True)
+        for b in (128, 640, 896):
+            try:
+                f = jax.jit(lambda q, k, v, b=b: flash_with_block(
+                    q, k, v, scale, b))
+                row[f"flash{b}_ms"] = round(1e3 * time_fn(f, q, k, v), 2)
+            except Exception as e:
+                row[f"flash{b}_ms"] = f"err:{type(e).__name__}"
+            print(json.dumps(row), flush=True)
+        for bq, bk in ((640, 640), (896, 896)):
+            try:
+                f8 = jax.jit(lambda q, k, v, bq=bq, bk=bk:
+                             flash_int8_attention(q, k, v, scale,
+                                                  block_q=bq, block_k=bk))
+                row[f"int8flash{bq}_ms"] = round(
+                    1e3 * time_fn(f8, q, k, v), 2)
+            except Exception as e:
+                row[f"int8flash{bq}_ms"] = f"err:{type(e).__name__}"
+            print(json.dumps(row), flush=True)
+
+
 def main():
     import sys
+    if "--mmdit" in sys.argv:
+        mmdit_main()
+        return
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     shapes = [  # (S_q, S_kv, H, D) — SD1.5 levels at batch 8 CFG
         (4096, 4096, 8, 40),

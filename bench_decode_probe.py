@@ -4,16 +4,19 @@
 The --serve metric amortizes a compute-bound (32,1024) prefill into
 every row, hiding decode behavior.  This probe separates:
 
-  1. prefill wall time;
-  2. module-path decode-only ms/step (bf16 / w8a8_xla);
-  3. engine decode-only ms/step (bf16 / w8a8_static);
-  4. per-kernel marginal times at the serve shapes vs their HBM
-     rooflines (819 GB/s v5e).
+  1. per-kernel marginal times at the serve shapes vs HBM rooflines;
+  2. cache-update (dynamic_update_slice) cost: lane-column (depth-major
+     layout) vs sublane-row (token-major) writes;
+  3. engine decode ms/step with a LAYER-COUNT SWEEP — the slope is the
+     true per-layer cost, the intercept the per-step fixed cost
+     (lm_head + scan/argmax/embed glue);
+  4. module-path decode-only ms/step for comparison.
 
 Run on the TPU (one job at a time):
   nohup python -u bench_decode_probe.py > /tmp/probe.log 2>&1 &
 """
 
+import gc
 import json
 import time
 
@@ -30,138 +33,155 @@ from qdm_tpu.api.serve import DecodeEngine
 from qdm_tpu.models import llama as llama_lib
 from qdm_tpu.quant.apply import pack_params
 from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
-from qdm_tpu.utils.timing import marginal_time
+from qdm_tpu.utils.timing import marginal_time as _marginal_time
+
+
+def marginal_time(fn, x0, lo=64, hi=320):
+    # decode kernels are 10-150us: long loops so the marginal dwarfs
+    # tunnel dispatch noise
+    return _marginal_time(fn, x0, lo=lo, hi=hi)
+
 
 BATCH, PREFILL, NNEW = 32, 1024, 32
 
 
-def main():
-    on_tpu = jax.default_backend() == "tpu"
-    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
-    batch, prefill, n_new = (BATCH, PREFILL, NNEW) if on_tpu else (2, 8, 4)
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    lm = CausalLM.from_config(cfg, dtype=dtype)
-    ids = np.random.default_rng(0).integers(0, cfg.vocab_size,
-                                            (batch, prefill))
-    out = {"metric": "decode-only probe (batch 32, ctx 1024)"}
+def kernel_rows(out, cfg, batch, dtype):
+    from qdm_tpu.ops import decode_kernels as dk
+    from qdm_tpu.api.serve import _quant_w
 
-    # ---- per-kernel microbenches at serve shapes
-    if on_tpu:
-        from qdm_tpu.ops import decode_kernels as dk
+    h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    tp = 1152
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, H), dtype) * 0.1
+    ns = jnp.abs(jax.random.normal(key, (H,))) + 0.5
+    n_qkv = (h + 2 * hkv) * d
+    cosv = jnp.ones((n_qkv,), jnp.float32)
+    sinv = jnp.zeros((n_qkv,), jnp.float32)
 
-        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                     cfg.head_dim)
-        H, I = cfg.hidden_size, cfg.intermediate_size
-        tp = 1152
-        key = jax.random.PRNGKey(0)
-        x = jax.random.normal(key, (batch, H), dtype) * 0.1
-        ns = jnp.abs(jax.random.normal(key, (H,))) + 0.5
+    wqkv = jax.random.normal(key, (H, n_qkv), dtype) * 0.02
+    dt = marginal_time(
+        lambda xc: dk.fused_dense_decode(xc, wqkv, norm_scale=ns)[:, :H], x)
+    out["k_qkv_us"] = round(1e6 * dt, 1)
+    dt = marginal_time(
+        lambda xc: dk.fused_dense_decode(xc, wqkv, norm_scale=ns,
+                                         rope_cos=cosv, rope_sin=sinv,
+                                         head_dim=d)[:, :H], x)
+    out["k_qkv_rope_us"] = round(1e6 * dt, 1)
+    out["k_qkv_roofline_us"] = round(wqkv.size * 2 / 819e3, 1)
+    print(json.dumps(out), flush=True)
 
-        wqkv = jax.random.normal(key, (H, (h + 2 * hkv) * d), dtype) * 0.02
-        dt = marginal_time(
-            lambda xc: dk.fused_dense_decode(xc, wqkv, norm_scale=ns)[:, :H],
-            x)
-        out["k_qkv_us"] = round(1e6 * dt, 1)
-        out["k_qkv_roofline_us"] = round(wqkv.size * 2 / 819e3, 1)
-        print(json.dumps(out), flush=True)
+    # cache-update cost: lane-column (dm) vs sublane-row (token-major)
+    kc_dm = jnp.zeros((batch, hkv, d, tp), dtype)
+    new_col = jnp.ones((batch, hkv, d, 1), dtype)
+    dt = marginal_time(lambda c: jax.lax.dynamic_update_slice(
+        c, new_col, (0, 0, 0, 512)), kc_dm, lo=16, hi=80)
+    out["dus_lane_col_us"] = round(1e6 * dt, 1)
+    kc_row = jnp.zeros((batch, hkv, tp, d), dtype)
+    new_row = jnp.ones((batch, hkv, 1, d), dtype)
+    dt = marginal_time(lambda c: jax.lax.dynamic_update_slice(
+        c, new_row, (0, 0, 512, 0)), kc_row, lo=16, hi=80)
+    out["dus_sublane_row_us"] = round(1e6 * dt, 1)
+    print(json.dumps(out), flush=True)
 
-        wo = jax.random.normal(key, (H, H), dtype) * 0.02
-        dt = marginal_time(
-            lambda xc: dk.fused_dense_decode(xc, wo, residual=xc), x)
-        out["k_oproj_us"] = round(1e6 * dt, 1)
-        out["k_oproj_roofline_us"] = round(wo.size * 2 / 819e3, 1)
-        print(json.dumps(out), flush=True)
+    q = jax.random.normal(key, (batch, hkv, h // hkv, d), dtype)
+    kc = jax.random.normal(key, (batch, hkv, d, tp), dtype)
+    vdm = jax.random.normal(key, (batch, hkv, d, tp), dtype)
+    vrow = jax.random.normal(key, (batch, hkv, tp, d), dtype)
 
-        wg = jax.random.normal(key, (H, I), dtype) * 0.02
-        wu = jax.random.normal(key, (H, I), dtype) * 0.02
-        wd = jax.random.normal(key, (I, H), dtype) * 0.02
-        dt = marginal_time(
-            lambda xc: dk.fused_mlp_decode(xc, wg, wu, wd, ns), x)
-        out["k_mlp_us"] = round(1e6 * dt, 1)
-        out["k_mlp_roofline_us"] = round((wg.size + wu.size + wd.size) * 2 / 819e3, 1)
-        print(json.dumps(out), flush=True)
+    def t_attn(fn):
+        return round(1e6 * marginal_time(
+            lambda qc: fn(qc) + qc * 1e-6, q), 1)
 
-        q = jax.random.normal(key, (batch, hkv, h // hkv, d), dtype)
-        kc = jax.random.normal(key, (batch, hkv, d, tp), dtype)
-        vc = jax.random.normal(key, (batch, hkv, tp, d), dtype)
+    out["k_attn_dm_us"] = t_attn(
+        lambda qc: dk.decode_attention_dm_pallas(qc, kc, vdm, tp - 2))
+    out["k_attn_rows_us"] = t_attn(
+        lambda qc: dk.decode_attention_rows_pallas(qc, kc, vrow, tp - 2))
+    out["k_attn_roofline_us"] = round((kc.size + vdm.size) * 2 / 819e3, 1)
+    ks_ = jnp.abs(jax.random.normal(key, (batch, hkv, 1, tp),
+                                    jnp.float32)) * 0.01 + 0.01
+    ki_ = jax.random.randint(key, (batch, hkv, d, tp), -127, 128, jnp.int8)
+    out["k_attn_dm_i8_us"] = t_attn(
+        lambda qc: dk.decode_attention_dm_i8_pallas(qc, ki_, ks_, ki_, ks_,
+                                                    tp - 2))
+    out["k_attn_i8_roofline_us"] = round(2 * kc.size / 819e3, 1)
+    print(json.dumps(out), flush=True)
 
-        def attn_step(qc):
-            o = dk.decode_attention(qc, kc, vc, tp - 2)
-            return o + qc * 1e-6
-        dt = marginal_time(attn_step, q)
-        out["k_attn_us"] = round(1e6 * dt, 1)
-        out["k_attn_roofline_us"] = round((kc.size + vc.size) * 2 / 819e3, 1)
-        print(json.dumps(out), flush=True)
+    wo = jax.random.normal(key, (H, H), dtype) * 0.02
+    dt = marginal_time(
+        lambda xc: dk.fused_dense_decode(xc, wo, residual=xc), x)
+    out["k_oproj_us"] = round(1e6 * dt, 1)
+    wg = jax.random.normal(key, (H, I), dtype) * 0.02
+    wu = jax.random.normal(key, (H, I), dtype) * 0.02
+    wd = jax.random.normal(key, (I, H), dtype) * 0.02
+    dt = marginal_time(
+        lambda xc: dk.fused_mlp_decode(xc, wg, wu, wd, ns), x)
+    out["k_mlp_us"] = round(1e6 * dt, 1)
+    out["k_mlp_roofline_us"] = round((wg.size + wu.size + wd.size) * 2 / 819e3, 1)
 
-        # int8 variants
-        from qdm_tpu.api.serve import _quant_w
-        wq_i8, wq_s = _quant_w(wqkv)
-        a = jnp.asarray([0.01], jnp.float32)
-        dt = marginal_time(
-            lambda xc: dk.fused_dense_decode_i8(
-                xc, wq_i8, wq_s, a, norm_scale=ns)[:, :H], x)
-        out["k_qkv_i8_us"] = round(1e6 * dt, 1)
-        wg8, sg = _quant_w(wg)
-        wu8, su = _quant_w(wu)
-        wd8, sd = _quant_w(wd)
-        scl = jnp.asarray([0.01, 0.01], jnp.float32)
-        dt = marginal_time(
-            lambda xc: dk.fused_mlp_decode_i8(xc, wg8, wu8, wd8,
-                                              (sg, su, sd), scl, ns), x)
-        out["k_mlp_i8_us"] = round(1e6 * dt, 1)
-        out["k_mlp_i8_roofline_us"] = round((wg.size + wu.size + wd.size) / 819e3, 1)
-        print(json.dumps(out), flush=True)
+    wq_i8, wq_s = _quant_w(wqkv)
+    a = jnp.asarray([0.01], jnp.float32)
+    dt = marginal_time(
+        lambda xc: dk.fused_dense_decode_i8(
+            xc, wq_i8, wq_s, a, norm_scale=ns)[:, :H], x)
+    out["k_qkv_i8_us"] = round(1e6 * dt, 1)
+    wg8, sg = _quant_w(wg)
+    wu8, su = _quant_w(wu)
+    wd8, sd = _quant_w(wd)
+    scl = jnp.asarray([0.01, 0.01], jnp.float32)
+    dt = marginal_time(
+        lambda xc: dk.fused_mlp_decode_i8(xc, wg8, wu8, wd8,
+                                          (sg, su, sd), scl, ns), x)
+    out["k_mlp_i8_us"] = round(1e6 * dt, 1)
+    print(json.dumps(out), flush=True)
 
-    # ---- prefill alone
-    eng = DecodeEngine(lm, mode="bf16")
+
+def engine_rows(out, cfg, batch, prefill, n_new, dtype, lm, ids):
     max_len = prefill + n_new + 1
-    tok0, caches = eng.prefill(ids, max_len)
-    jax.block_until_ready(caches[0][0])
-    t0 = time.time()
-    tok0, caches = eng.prefill(ids, max_len)
-    float(jnp.sum(tok0))
-    jax.block_until_ready(caches[0][0])
-    out["prefill_ms"] = round(1e3 * (time.time() - t0), 1)
-    print(json.dumps(out), flush=True)
+    stats = DecodeEngine.calibrate_scales(
+        lm, np.asarray(ids)[:2, :min(prefill, 256)])
 
-    # ---- engine decode-only
-    run = eng._make_run(n_new)
-    args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+    def decode_time(eng):
+        tok0, caches = eng.prefill(ids, max_len)
+        jax.block_until_ready(caches[0][0])
+        run = eng._make_run(n_new)
+        args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
 
-    def engine_decode():
-        toks = run(*args, tok0, caches, jnp.int32(prefill))
-        float(jnp.sum(toks))
+        def once():
+            toks = run(*args, tok0, caches, jnp.int32(prefill))
+            float(jnp.sum(toks))
 
-    engine_decode()
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        engine_decode()
-    dt = (time.time() - t0) / reps
-    out["engine_bf16_ms_per_step"] = round(1e3 * dt / n_new, 2)
-    out["engine_bf16_decode_tok_s"] = round(batch * n_new / dt, 1)
-    print(json.dumps(out), flush=True)
+        once()
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            once()
+        return (time.time() - t0) / reps / n_new
 
-    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2, :256]
-                                          if on_tpu else np.asarray(ids))
-    eng8 = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
-    run8 = eng8._make_run(n_new)
-    args8 = (eng8.layers, eng8.embed, eng8.final_norm, eng8.w_head)
+    # layer-count sweep: slope = per-layer cost, intercept = fixed
+    for mode, kv, tag in (("bf16", None, "engine_bf16"),
+                          ("w8a8_static", None, "engine_w8a8"),
+                          ("w8a8_static", jnp.int8, "engine_w8a8_kv8")):
+        kw = {"act_stats": stats} if mode == "w8a8_static" else {}
+        times = {}
+        for L in (6, cfg.num_hidden_layers):
+            sub = lm.truncated_draft(L) if L < cfg.num_hidden_layers else lm
+            eng = DecodeEngine(sub, mode=mode, kv_dtype=kv, **kw)
+            times[L] = decode_time(eng)
+            del eng
+            gc.collect()
+        L1, L2 = sorted(times)
+        slope = (times[L2] - times[L1]) / (L2 - L1)
+        out[f"{tag}_ms_per_step"] = round(1e3 * times[L2], 2)
+        out[f"{tag}_decode_tok_s"] = round(batch / times[L2], 1)
+        out[f"{tag}_per_layer_us"] = round(1e6 * slope, 1)
+        out[f"{tag}_fixed_us"] = round(1e6 * (times[L2] - slope * L2), 1)
+        print(json.dumps(out), flush=True)
 
-    def engine8_decode():
-        toks = run8(*args8, tok0, caches, jnp.int32(prefill))
-        float(jnp.sum(toks))
 
-    engine8_decode()
-    t0 = time.time()
-    for _ in range(reps):
-        engine8_decode()
-    dt = (time.time() - t0) / reps
-    out["engine_w8a8_ms_per_step"] = round(1e3 * dt / n_new, 2)
-    out["engine_w8a8_decode_tok_s"] = round(batch * n_new / dt, 1)
-    print(json.dumps(out), flush=True)
-
-    # ---- module-path decode-only (prefill outside the timed jit)
+def module_rows(out, cfg, batch, prefill, n_new, lm, ids):
+    max_len = prefill + n_new + 1
     for wname, plan in (("bf16", None),
                         ("w8a8", QuantPlan(
                             default=LayerQuantSpec(
@@ -194,6 +214,7 @@ def main():
         mtok0, mcaches = mprefill(params, ids, mcaches)
         float(jnp.sum(mdecode(params, mtok0, mcaches)))
         t0 = time.time()
+        reps = 3
         for _ in range(reps):
             float(jnp.sum(mdecode(params, mtok0, mcaches)))
         dt = (time.time() - t0) / reps
@@ -201,7 +222,23 @@ def main():
         out[f"module_{wname}_decode_tok_s"] = round(batch * n_new / dt, 1)
         print(json.dumps(out), flush=True)
         del params, mcaches
+        gc.collect()
     lm.plan = QuantPlan()
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    batch, prefill, n_new = (BATCH, PREFILL, NNEW) if on_tpu else (2, 8, 4)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size,
+                                            (batch, prefill))
+    out = {"metric": "decode-only probe (batch 32, ctx 1024)"}
+    if on_tpu:
+        kernel_rows(out, cfg, batch, dtype)
+    engine_rows(out, cfg, batch, prefill, n_new, dtype, lm, ids)
+    module_rows(out, cfg, batch, prefill, n_new, lm, ids)
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ class DecodeEngine:
 
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
-                 act_margin: float = 1.0):
+                 act_margin: float = 1.0, kv_dtype=None):
         if mode not in ("bf16", "w8a8_static"):
             raise ValueError(mode)
         if mode == "w8a8_static" and act_stats is None:
@@ -64,6 +64,10 @@ class DecodeEngine:
         self.cfg = cfg
         self.mode = mode
         self.dtype = lm.dtype
+        # int8 KV cache: halves the cache HBM traffic that dominates
+        # decode attention; per-token per-head scales factor out of the
+        # in-kernel contractions (decode_attention_i8)
+        self.kv_dtype = kv_dtype
         p = lm.params
 
         def scale_of(key):
@@ -137,31 +141,56 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------ layers
 
-    def _layer(self, x, kc, vc, w, pos, cos, sin):
+    def _layer(self, x, cache, w, pos, cosv, sinv):
         cfg = self.cfg
         h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                      cfg.head_dim)
         g = h // hkv
         bp = x.shape[0]
-        b = kc.shape[0]
+        b = cache[0].shape[0]
         eps = cfg.rms_norm_eps
 
+        # rope applied IN the qkv kernel epilogue (lane-roll partner
+        # trick, decode_kernels._rope_epilogue) — the XLA-side rotation
+        # was ~5 small dispatches/layer at ~10us fixed cost each
         if self.mode == "bf16":
             qkv = dk.fused_dense_decode(x, w["w_qkv"], norm_scale=w["ln1"],
-                                        eps=eps)
+                                        rope_cos=cosv, rope_sin=sinv,
+                                        head_dim=d, eps=eps)
         else:
             qkv = dk.fused_dense_decode_i8(x, w["w_qkv"], w["s_qkv"],
                                            w["a_qkv"], norm_scale=w["ln1"],
-                                           eps=eps)
-        qkv = _rope_qkv(qkv, cos, sin, h, hkv, d)
+                                           rope_cos=cosv, rope_sin=sinv,
+                                           head_dim=d, eps=eps)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
         k_new = qkv[:b, h * d: (h + hkv) * d].reshape(b, hkv, d)
         v_new = qkv[:b, (h + hkv) * d:].reshape(b, hkv, d)
-        kc = jax.lax.dynamic_update_slice(
-            kc, k_new[:, :, :, None].astype(kc.dtype), (0, 0, 0, pos))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v_new[:, :, None, :].astype(vc.dtype), (0, 0, pos, 0))
-        attn = dk.decode_attention(q, kc, vc, pos)      # (bp, hkv, g, d)
+        if self.kv_dtype == jnp.int8:
+            ki, ks, vi, vs = cache
+            kf = k_new.astype(jnp.float32)
+            vf = v_new.astype(jnp.float32)
+            ksn = jnp.clip(jnp.max(jnp.abs(kf), axis=-1), 1e-8, None) / 127.0
+            vsn = jnp.clip(jnp.max(jnp.abs(vf), axis=-1), 1e-8, None) / 127.0
+            ki = jax.lax.dynamic_update_slice(
+                ki, jnp.round(kf / ksn[..., None]).astype(
+                    jnp.int8)[:, :, :, None], (0, 0, 0, pos))
+            vi = jax.lax.dynamic_update_slice(
+                vi, jnp.round(vf / vsn[..., None]).astype(
+                    jnp.int8)[:, :, :, None], (0, 0, 0, pos))
+            ks = jax.lax.dynamic_update_slice(
+                ks, ksn[:, :, None, None], (0, 0, 0, pos))
+            vs = jax.lax.dynamic_update_slice(
+                vs, vsn[:, :, None, None], (0, 0, 0, pos))
+            attn = dk.decode_attention_dm_i8(q, ki, ks, vi, vs, pos)
+            cache = (ki, ks, vi, vs)
+        else:
+            kc, vc = cache
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[:, :, :, None].astype(kc.dtype), (0, 0, 0, pos))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[:, :, :, None].astype(vc.dtype), (0, 0, 0, pos))
+            attn = dk.decode_attention_dm(q, kc, vc, pos)  # (bp, hkv, g, d)
+            cache = (kc, vc)
         attn = attn.reshape(bp, h * d)
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
@@ -174,7 +203,7 @@ class DecodeEngine:
                                        (w["sg"], w["su"], w["sd"]),
                                        w["a_mlp"], w["ln2"], eps=eps,
                                        act=cfg.mlp_act)
-        return x, kc, vc
+        return x, cache
 
     # ------------------------------------------------------------------ decode
 
@@ -182,9 +211,18 @@ class DecodeEngine:
         if n_tokens in self._run_cache:
             return self._run_cache[n_tokens]
         cfg = self.cfg
-        d = cfg.head_dim
+        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        half = d // 2
         freqs = 1.0 / (cfg.rope_theta
                        ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        n_qkv = (h + 2 * hkv) * d
+        w_rope = (h + hkv) * d
+        col = jnp.arange(n_qkv)
+        col_j = col % d
+        is_rope = col < w_rope
+        sign = jnp.where(col_j < half, -1.0, 1.0)
+        base_idx = col_j % half
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos):
@@ -194,16 +232,16 @@ class DecodeEngine:
             def body(carry, i):
                 tok, caches = carry
                 pos = start_pos + i
-                angles = pos.astype(jnp.float32) * freqs
-                cos = jnp.cos(angles)[None, None, :]
-                sin = jnp.sin(angles)[None, None, :]
+                angles = pos.astype(jnp.float32) * freqs     # (d/2,)
+                cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
+                sinv = jnp.where(is_rope,
+                                 sign * jnp.sin(angles)[base_idx], 0.0)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
-                    kc, vc = caches[l]
-                    x, kc, vc = self._layer(x, kc, vc, w, pos, cos, sin)
-                    new_caches.append((kc, vc))
+                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
+                    new_caches.append(cache)
                 logits = dk.fused_dense_decode(
                     x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
                     out_dtype=jnp.float32)
@@ -221,26 +259,51 @@ class DecodeEngine:
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         shape_k = (batch, cfg.num_key_value_heads, cfg.head_dim, tp)
-        shape_v = (batch, cfg.num_key_value_heads, tp, cfg.head_dim)
+        shape_v = shape_k
+        if self.kv_dtype == jnp.int8:
+            sshape = (batch, cfg.num_key_value_heads, 1, tp)
+            return [(jnp.zeros(shape_k, jnp.int8),
+                     jnp.zeros(sshape, jnp.float32),
+                     jnp.zeros(shape_v, jnp.int8),
+                     jnp.zeros(sshape, jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
         return [(jnp.zeros(shape_k, self.dtype), jnp.zeros(shape_v, self.dtype))
                 for _ in range(cfg.num_hidden_layers)]
 
     def prefill(self, ids, max_len: int):
         """bf16 module-path prefill, caches converted to the kernel
-        layouts.  Returns (first generated token, engine caches)."""
+        layouts (quantized per-token when kv_dtype=int8).  Returns
+        (first generated token, engine caches)."""
         b, s = ids.shape
         tp = _round_up(max_len, 128)
         model = self.lm.model
         caches = model.init_cache(b, tp)
 
         if self._prefill_fn is None:
+            kv_int8 = self.kv_dtype == jnp.int8
+
             @jax.jit
             def fwd(params, ids, caches):
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0)
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                eng = [(ck.astype(self.dtype).transpose(0, 1, 3, 2),
-                        cv.astype(self.dtype)) for ck, cv in caches]
+                eng = []
+                for ck, cv in caches:
+                    kdm = ck.astype(jnp.float32).transpose(0, 1, 3, 2)
+                    vdm = cv.astype(jnp.float32).transpose(0, 1, 3, 2)
+                    if kv_int8:
+                        ks = jnp.clip(jnp.max(jnp.abs(kdm), axis=2,
+                                              keepdims=True),
+                                      1e-8, None) / 127.0    # (B,hkv,1,T)
+                        vs = jnp.clip(jnp.max(jnp.abs(vdm), axis=2,
+                                              keepdims=True),
+                                      1e-8, None) / 127.0
+                        eng.append((
+                            jnp.round(kdm / ks).astype(jnp.int8), ks,
+                            jnp.round(vdm / vs).astype(jnp.int8), vs))
+                    else:
+                        eng.append((kdm.astype(self.dtype),
+                                    vdm.astype(self.dtype)))
                 return tok, eng
 
             self._prefill_fn = fwd
@@ -258,16 +321,3 @@ class DecodeEngine:
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
         return np.concatenate([ids, out], axis=1)
-
-
-def _rope_qkv(qkv, cos, sin, h: int, hkv: int, d: int):
-    """Rotary embedding applied to the q and k slices of a fused qkv
-    row (B, (h+2*hkv)*d); v passes through.  Same split-half math as
-    models/llama.py::rope."""
-    b = qkv.shape[0]
-    w_rope = (h + hkv) * d
-    qk = qkv[:, :w_rope].reshape(b, h + hkv, d).astype(jnp.float32)
-    x1, x2 = jnp.split(qk, 2, axis=-1)
-    qk = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return jnp.concatenate([qk.reshape(b, w_rope).astype(qkv.dtype),
-                            qkv[:, w_rope:]], axis=1)

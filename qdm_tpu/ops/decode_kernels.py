@@ -59,8 +59,26 @@ def _rmsnorm_f32(xf, scale, eps):
         jnp.mean(xf * xf, axis=-1, keepdims=True) + eps) * scale
 
 
-def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, o_ref, xn_ref, *,
-                        has_norm: bool, has_residual: bool, eps: float):
+def _rope_epilogue(y, cos_ref, sin_ref, head_dim: int):
+    """Split-half rotary rotation on a (bp, bn) block WITHOUT reshapes:
+    the partner element (c +/- d/2 within each head) is materialized by
+    two lane rolls + a select.  Requires bn % head_dim == 0, so rolls
+    never mix heads at the selected positions.  cos/sin carry the sign
+    and identity (cos=1, sin=0) for non-rotated (v) columns."""
+    half = head_dim // 2
+    col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    first = (col % head_dim) < half
+    fwd = pltpu.roll(y, half, axis=1)    # output[c] = y[c - half]
+    # pltpu.roll requires a non-negative shift: -half == bn - half (mod bn)
+    bwd = pltpu.roll(y, y.shape[1] - half, axis=1)   # output[c] = y[c + half]
+    partner = jnp.where(first, bwd, fwd)
+    return y * cos_ref[:] + partner * sin_ref[:]
+
+
+def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, cos_ref, sin_ref,
+                        o_ref, xn_ref, *, has_norm: bool,
+                        has_residual: bool, has_rope: bool, head_dim: int,
+                        eps: float):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -71,14 +89,17 @@ def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, o_ref, xn_ref, *,
         xn_ref[:] = xf.astype(xn_ref.dtype)
 
     y = jnp.dot(xn_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_rope:
+        y = _rope_epilogue(y, cos_ref, sin_ref, head_dim)
     if has_residual:
         y = y + r_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
-                           o_ref, xi_ref, *, has_norm: bool,
-                           has_residual: bool, eps: float):
+                           cos_ref, sin_ref, o_ref, xi_ref, *,
+                           has_norm: bool, has_residual: bool,
+                           has_rope: bool, head_dim: int, eps: float):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -93,6 +114,8 @@ def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
         xi_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (as_ref[0] * ws_ref[:])
+    if has_rope:
+        y = _rope_epilogue(y, cos_ref, sin_ref, head_dim)
     if has_residual:
         y = y + r_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
@@ -100,14 +123,19 @@ def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "block_n", "out_dtype", "interpret"))
+    static_argnames=("eps", "block_n", "out_dtype", "head_dim", "interpret"))
 def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
-                              eps: float = 1e-6, block_n: int = 512,
-                              out_dtype=None, interpret: bool = False):
-    """x (B, K) -> rmsnorm?(x) @ w (K, N) (+ residual) in one call.
+                              rope_cos=None, rope_sin=None,
+                              head_dim: int = 0, eps: float = 1e-6,
+                              block_n: int = 512, out_dtype=None,
+                              interpret: bool = False):
+    """x (B, K) -> rmsnorm?(x) @ w (K, N) (+rope epilogue) (+ residual)
+    in one call.
 
     B is padded to the sublane granule; weights stream block_n columns
-    per grid step (auto double-buffered), x stays VMEM-resident."""
+    per grid step (auto double-buffered), x stays VMEM-resident.
+    rope_cos/rope_sin (1, N) apply the in-kernel rotary epilogue (sign
+    and v-column identity pre-baked; see _rope_epilogue)."""
     b, k = x.shape
     kw, n = w.shape
     assert kw == k, (kw, k)
@@ -117,15 +145,25 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     has_norm = norm_scale is not None
     has_res = residual is not None
+    has_rope = rope_cos is not None
+    if has_rope:
+        assert head_dim > 0 and bn % head_dim == 0, (bn, head_dim)
     ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
           else jnp.ones((1, k), jnp.float32))
     rp = residual if has_res else jnp.zeros((1, n), out_dtype)
     if has_res and bp != b:
         rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+    cosv = (rope_cos.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.ones((1, 1), jnp.float32))
+    sinv = (rope_sin.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.zeros((1, 1), jnp.float32))
+    trig_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_rope
+                 else pl.BlockSpec((1, 1), lambda j: (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_fused_dense_kernel, has_norm=has_norm,
-                          has_residual=has_res, eps=eps),
+                          has_residual=has_res, has_rope=has_rope,
+                          head_dim=head_dim, eps=eps),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -133,6 +171,8 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
             pl.BlockSpec((1, k), lambda j: (0, 0)),
             (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
              else pl.BlockSpec((1, n), lambda j: (0, 0))),
+            trig_spec,
+            trig_spec,
         ],
         out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
@@ -140,19 +180,22 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xp, w, ns, rp)
+    )(xp, w, ns, rp, cosv, sinv)
     return out[:b]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "block_n", "out_dtype", "interpret"))
+    static_argnames=("eps", "block_n", "out_dtype", "head_dim", "interpret"))
 def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
                                  norm_scale=None, residual=None,
-                                 eps: float = 1e-6, block_n: int = 512,
-                                 out_dtype=None, interpret: bool = False):
+                                 rope_cos=None, rope_sin=None,
+                                 head_dim: int = 0, eps: float = 1e-6,
+                                 block_n: int = 512, out_dtype=None,
+                                 interpret: bool = False):
     """int8 fused_dense: static act scale (scalar array (1,)), int8
-    weights (K, N) with per-out-channel scales (1, N)."""
+    weights (K, N) with per-out-channel scales (1, N); optional rope
+    epilogue as in fused_dense_decode_pallas."""
     b, k = x.shape
     kw, n = w_i8.shape
     assert kw == k
@@ -162,15 +205,25 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     has_norm = norm_scale is not None
     has_res = residual is not None
+    has_rope = rope_cos is not None
+    if has_rope:
+        assert head_dim > 0 and bn % head_dim == 0, (bn, head_dim)
     ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
           else jnp.ones((1, k), jnp.float32))
     rp = residual if has_res else jnp.zeros((1, n), out_dtype)
     if has_res and bp != b:
         rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+    cosv = (rope_cos.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.ones((1, 1), jnp.float32))
+    sinv = (rope_sin.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.zeros((1, 1), jnp.float32))
+    trig_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_rope
+                 else pl.BlockSpec((1, 1), lambda j: (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_fused_dense_i8_kernel, has_norm=has_norm,
-                          has_residual=has_res, eps=eps),
+                          has_residual=has_res, has_rope=has_rope,
+                          head_dim=head_dim, eps=eps),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -180,6 +233,8 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
             pl.BlockSpec((1, k), lambda j: (0, 0)),
             (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
              else pl.BlockSpec((1, n), lambda j: (0, 0))),
+            trig_spec,
+            trig_spec,
         ],
         out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
@@ -187,24 +242,40 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xp, w_i8, w_scale, act_scale.astype(jnp.float32), ns, rp)
+    )(xp, w_i8, w_scale, act_scale.astype(jnp.float32), ns, rp, cosv, sinv)
     return out[:b]
 
 
+def _rope_ref(y, rope_cos, rope_sin, head_dim):
+    half = head_dim // 2
+    n = y.shape[1]
+    col = jnp.arange(n) % head_dim
+    first = (col < half)[None, :]
+    fwd = jnp.roll(y, half, axis=1)
+    bwd = jnp.roll(y, -half, axis=1)
+    partner = jnp.where(first, bwd, fwd)
+    return (y * rope_cos.reshape(1, n).astype(jnp.float32)
+            + partner * rope_sin.reshape(1, n).astype(jnp.float32))
+
+
 def fused_dense_decode_ref(x, w, norm_scale=None, residual=None,
+                           rope_cos=None, rope_sin=None, head_dim: int = 0,
                            eps: float = 1e-6, out_dtype=None):
     xf = x.astype(jnp.float32)
     if norm_scale is not None:
         xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
     y = jnp.dot(xf.astype(x.dtype).astype(jnp.float32),
                 w.astype(jnp.float32))
+    if rope_cos is not None:
+        y = _rope_ref(y, rope_cos, rope_sin, head_dim)
     if residual is not None:
         y = y + residual.astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
 
 
 def fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale, norm_scale=None,
-                              residual=None, eps: float = 1e-6,
+                              residual=None, rope_cos=None, rope_sin=None,
+                              head_dim: int = 0, eps: float = 1e-6,
                               out_dtype=None):
     xf = x.astype(jnp.float32)
     if norm_scale is not None:
@@ -216,27 +287,35 @@ def fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale, norm_scale=None,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (s * w_scale.astype(jnp.float32))
+    if rope_cos is not None:
+        y = _rope_ref(y, rope_cos, rope_sin, head_dim)
     if residual is not None:
         y = y + residual.astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
 
 
 def fused_dense_decode(x, w, norm_scale=None, residual=None,
+                       rope_cos=None, rope_sin=None, head_dim: int = 0,
                        eps: float = 1e-6, **kw):
     if on_tpu():
         return fused_dense_decode_pallas(x, w, norm_scale, residual,
-                                         eps=eps, **kw)
-    return fused_dense_decode_ref(x, w, norm_scale, residual, eps=eps)
+                                         rope_cos, rope_sin,
+                                         head_dim=head_dim, eps=eps, **kw)
+    return fused_dense_decode_ref(x, w, norm_scale, residual, rope_cos,
+                                  rope_sin, head_dim=head_dim, eps=eps)
 
 
 def fused_dense_decode_i8(x, w_i8, w_scale, act_scale, norm_scale=None,
-                          residual=None, eps: float = 1e-6, **kw):
+                          residual=None, rope_cos=None, rope_sin=None,
+                          head_dim: int = 0, eps: float = 1e-6, **kw):
     if on_tpu():
         return fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
-                                            norm_scale, residual, eps=eps,
-                                            **kw)
+                                            norm_scale, residual, rope_cos,
+                                            rope_sin, head_dim=head_dim,
+                                            eps=eps, **kw)
     return fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale,
-                                     norm_scale, residual, eps=eps)
+                                     norm_scale, residual, rope_cos,
+                                     rope_sin, head_dim=head_dim, eps=eps)
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +398,297 @@ def decode_attention(q, k_cache, v_cache, pos, **kw):
     if on_tpu():
         return decode_attention_pallas(q, k_cache, v_cache, pos, **kw)
     return decode_attention_ref(q, k_cache, v_cache, pos)
+
+
+def _decode_attn_rows_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *,
+                             scale: float, hkv: int):
+    """One program per batch row; kv heads looped in-kernel (fewer,
+    larger cache DMAs than the (B, hkv) grid)."""
+    pos = pos_ref[0]
+    for h in range(hkv):
+        q = q_ref[0, h].astype(jnp.float32) * scale             # (g, d)
+        k = k_ref[0, h].astype(jnp.float32)                     # (d, T)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(t_ids <= pos, logits, -1e9)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, h].astype(jnp.float32)                     # (T, d)
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_rows_pallas(q, k_cache, v_cache, pos,
+                                 interpret: bool = False):
+    """decode_attention with grid (B,) and the hkv loop in-kernel."""
+    bp, hkv, g, d = q.shape
+    b, t = k_cache.shape[0], k_cache.shape[-1]
+    assert t % LANE == 0, t
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_rows_kernel, scale=scale, hkv=hkv),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, t, d), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, k_cache, v_cache)
+
+
+def _decode_attn_dm_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *,
+                           scale: float, hkv: int):
+    """Both cache planes depth-major (B, hkv, d, T): fully dense
+    (d-sublane, T-lane) tiles for K AND V; PV contracts T as an NT dot.
+    One program per batch row, kv heads looped in-kernel."""
+    pos = pos_ref[0]
+    for h in range(hkv):
+        q = q_ref[0, h].astype(jnp.float32) * scale             # (g, d)
+        k = k_ref[0, h].astype(jnp.float32)                     # (d, T)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (g, T)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(t_ids <= pos, logits, -1e9)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)              # (g, T)
+        v = v_ref[0, h].astype(jnp.float32)                     # (d, T)
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (g, d)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_dm_pallas(q, k_cache, v_cache, pos,
+                               interpret: bool = False):
+    """decode_attention with BOTH caches in (B, hkv, d, T) layout."""
+    bp, hkv, g, d = q.shape
+    b, t = k_cache.shape[0], k_cache.shape[-1]
+    assert k_cache.shape == (b, hkv, d, t)
+    assert v_cache.shape == (b, hkv, d, t)
+    assert t % LANE == 0, t
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_dm_kernel, scale=scale, hkv=hkv),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, d, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, k_cache, v_cache)
+
+
+def _decode_attn_dm_i8_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                              o_ref, *, scale: float, hkv: int):
+    """int8 depth-major variant: int8 MXU for both contractions, cache
+    scales applied to the tiny logits/outputs."""
+    pos = pos_ref[0]
+    for h in range(hkv):
+        qf = q_ref[0, h].astype(jnp.float32) * scale            # (g, d)
+        qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                      1e-8, None) / 127.0
+        qi = jnp.round(qf / qs).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qi, k_ref[0, h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                   # (g, T)
+        logits = acc.astype(jnp.float32) * qs * ks_ref[0, h]
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(t_ids <= pos, logits, -1e9)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs_ref[0, h]
+        ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True), 1e-8, None) / 127.0
+        pi = jnp.round(p / ps).astype(jnp.int8)
+        o = jax.lax.dot_general(
+            pi, v_ref[0, h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)                   # (g, d)
+        o_ref[0, h] = (o.astype(jnp.float32) * ps).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_dm_i8_pallas(q, k_i8, k_scale, v_i8, v_scale, pos,
+                                  interpret: bool = False):
+    """int8-KV depth-major attention: k_i8 AND v_i8 (B, hkv, d, T) int8,
+    per-token scales (B, hkv, 1, T) f32 each."""
+    bp, hkv, g, d = q.shape
+    b, t = k_i8.shape[0], k_i8.shape[-1]
+    assert k_i8.shape == (b, hkv, d, t) and v_i8.shape == (b, hkv, d, t)
+    assert k_scale.shape == (b, hkv, 1, t) and v_scale.shape == (b, hkv, 1, t)
+    assert t % LANE == 0, t
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_dm_i8_kernel, scale=scale, hkv=hkv),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, 1, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, 1, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, k_i8, k_scale, v_i8, v_scale)
+
+
+def decode_attention_dm_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos):
+    bp, hkv, g, d = q.shape
+    b, t = k_i8.shape[0], k_i8.shape[-1]
+    qf = q[:b].astype(jnp.float32) * (d ** -0.5)
+    qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                  1e-8, None) / 127.0
+    qi = jnp.round(qf / qs)
+    logits = jnp.einsum("bhgd,bhdt->bhgt", qi, k_i8.astype(jnp.float32))
+    logits = logits * qs * k_scale
+    mask = jnp.arange(t)[None, None, None, :] <= pos
+    logits = jnp.where(mask, logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1) * v_scale
+    ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True), 1e-8, None) / 127.0
+    pi = jnp.round(p / ps)
+    o = jnp.einsum("bhgt,bhdt->bhgd", pi, v_i8.astype(jnp.float32)) * ps
+    o = o.astype(q.dtype)
+    if bp > b:
+        o = jnp.pad(o, ((0, bp - b), (0, 0), (0, 0), (0, 0)))
+    return o
+
+
+def decode_attention_dm(q, k_cache, v_cache, pos, **kw):
+    """Depth-major attention dispatcher (both caches (B, hkv, d, T))."""
+    if on_tpu():
+        return decode_attention_dm_pallas(q, k_cache, v_cache, pos, **kw)
+    return decode_attention_ref(q, k_cache,
+                                v_cache.transpose(0, 1, 3, 2), pos)
+
+
+def decode_attention_dm_i8(q, k_i8, k_scale, v_i8, v_scale, pos, **kw):
+    if on_tpu():
+        return decode_attention_dm_i8_pallas(q, k_i8, k_scale, v_i8,
+                                             v_scale, pos, **kw)
+    return decode_attention_dm_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos)
+
+
+def _decode_attn_i8_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                           o_ref, *, scale: float):
+    """Fully-int8 cache attention: QK^T and PV run on the int8 MXU;
+    the per-token cache scales factor OUT of the contractions and are
+    applied to the tiny (g, T) logits / (g, d) outputs instead of
+    dequantizing the (d, T)/(T, d) planes element-wise."""
+    pos = pos_ref[0]
+    qf = q_ref[0, 0].astype(jnp.float32) * scale                # (g, d)
+    qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                  1e-8, None) / 127.0
+    qi = jnp.round(qf / qs).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qi, k_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                       # (g, T)
+    logits = acc.astype(jnp.float32) * qs * ks_ref[0, 0]        # * (1, T)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(t_ids <= pos, logits, -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)                  # (g, T)
+    p = p * vs_ref[0, 0]                                        # fold v scales
+    ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True), 1e-8, None) / 127.0
+    pi = jnp.round(p / ps).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        pi, v_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                       # (g, d)
+    o_ref[0, 0] = (o.astype(jnp.float32) * ps).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_i8_pallas(q, k_i8, k_scale, v_i8, v_scale, pos,
+                               interpret: bool = False):
+    """int8-KV decode attention.  k_i8 (B, hkv, d, T) int8 with
+    per-token scales k_scale (B, hkv, 1, T) f32; v_i8 (B, hkv, T, d)
+    int8 with v_scale (B, hkv, 1, T) f32.  Halves the cache HBM
+    traffic that dominates decode attention."""
+    bp, hkv, g, d = q.shape
+    b, t = k_i8.shape[0], k_i8.shape[-1]
+    assert k_i8.shape == (b, hkv, d, t)
+    assert v_i8.shape == (b, hkv, t, d)
+    assert k_scale.shape == (b, hkv, 1, t) and v_scale.shape == (b, hkv, 1, t)
+    assert t % LANE == 0, t
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_i8_kernel, scale=scale),
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, d, t), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, t), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, t), lambda i, h: (i, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, h: (i, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pos_arr, q, k_i8, k_scale, v_i8, v_scale)
+
+
+def decode_attention_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos):
+    bp, hkv, g, d = q.shape
+    b, t = k_i8.shape[0], k_i8.shape[-1]
+    qf = q[:b].astype(jnp.float32) * (d ** -0.5)
+    qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                  1e-8, None) / 127.0
+    qi = jnp.round(qf / qs)
+    logits = jnp.einsum("bhgd,bhdt->bhgt", qi, k_i8.astype(jnp.float32))
+    logits = logits * qs * k_scale
+    mask = jnp.arange(t)[None, None, None, :] <= pos
+    logits = jnp.where(mask, logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1) * v_scale
+    ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True), 1e-8, None) / 127.0
+    pi = jnp.round(p / ps)
+    o = jnp.einsum("bhgt,bhtd->bhgd", pi, v_i8.astype(jnp.float32)) * ps
+    o = o.astype(q.dtype)
+    if bp > b:
+        o = jnp.pad(o, ((0, bp - b), (0, 0), (0, 0), (0, 0)))
+    return o
+
+
+def decode_attention_i8(q, k_i8, k_scale, v_i8, v_scale, pos, **kw):
+    if on_tpu():
+        return decode_attention_i8_pallas(q, k_i8, k_scale, v_i8, v_scale,
+                                          pos, **kw)
+    return decode_attention_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos)
 
 
 # ---------------------------------------------------------------------------

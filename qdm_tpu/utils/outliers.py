@@ -39,9 +39,14 @@ def inject_norm_outliers(params: dict, seed: int = 0, frac: float = 0.04,
             if isinstance(v, dict):
                 out[k] = rec(v, prefix + (k,))
             elif k == "scale" and hasattr(v, "ndim") and v.ndim == 1:
+                import zlib
+
                 path = "/".join(prefix + (k,))
+                # zlib.crc32, NOT hash(): Python string hashing is
+                # salted per process, which would make the injection
+                # non-reproducible across runs
                 key = jax.random.fold_in(jax.random.PRNGKey(seed),
-                                         hash(path) % (2 ** 31))
+                                         zlib.crc32(path.encode()) % (2 ** 31))
                 k1, k2 = jax.random.split(key)
                 c = v.shape[0]
                 hot = jax.random.uniform(k1, (c,)) < frac

@@ -153,3 +153,115 @@ def test_engine_w8a8_static(lm):
 
     with pytest.raises(ValueError):
         DecodeEngine(lm, mode="w8a8_static")
+
+
+def test_decode_attention_rows_interpret_matches_ref():
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kc = _arr(b, hkv, d, t, scale=0.5)
+    vc = _arr(b, hkv, t, d, scale=0.5)
+    out = dk.decode_attention_rows_pallas(q, kc, vc, 100, interpret=True)
+    ref = dk.decode_attention_ref(q, kc, vc, 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_i8_interpret_matches_ref():
+    b, hkv, g, d, t = 2, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kf = _arr(b, hkv, d, t, scale=0.5)
+    vf = _arr(b, hkv, t, d, scale=0.5)
+    ks = jnp.max(jnp.abs(kf), axis=2, keepdims=True) / 127.0
+    vs = jnp.max(jnp.abs(vf), axis=3)[:, :, None, :] / 127.0
+    ki = jnp.round(kf / ks).astype(jnp.int8)
+    vi = jnp.round(vf / vs.transpose(0, 1, 3, 2)).astype(jnp.int8)
+    out = dk.decode_attention_i8_pallas(q, ki, ks, vi, vs, 200,
+                                        interpret=True)
+    ref = dk.decode_attention_i8_ref(q, ki, ks, vi, vs, 200)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # and the int8 path is close to exact attention
+    exact = dk.decode_attention_ref(q, kf, vf, 200)
+    rel = float(jnp.max(jnp.abs(out - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 0.05, rel
+
+
+def test_engine_int8_kv_cache(lm):
+    """int8-KV engine: tokens track the bf16-cache engine closely on a
+    tiny model (per-token per-head scales, ~0.4% quant error)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    eng = DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8)
+    out = eng.generate(ids, max_new_tokens=10)
+    ref = lm.generate(ids, max_new_tokens=10)
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.7, (out, ref)
+
+
+def test_fused_dense_rope_interpret_matches_ref():
+    """In-kernel rope epilogue (pltpu.roll partner trick) vs the jnp
+    reference AND vs the canonical models/llama.py rope math."""
+    from qdm_tpu.models.llama import rope as llama_rope
+
+    b, k, h, hkv, d = 8, 128, 2, 1, 64
+    n = (h + 2 * hkv) * d
+    x = _arr(b, k, scale=0.5)
+    w = _arr(k, n, scale=0.05)
+    pos = 13
+    half = d // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, d, 2) / d))
+    ang = pos * freqs
+    col = jnp.arange(n)
+    cj = col % d
+    w_rope = (h + hkv) * d
+    cosv = jnp.where(col < w_rope, jnp.cos(ang)[cj % half], 1.0)
+    sinv = jnp.where(col < w_rope,
+                     jnp.where(cj < half, -1.0, 1.0) * jnp.sin(ang)[cj % half],
+                     0.0)
+    out = dk.fused_dense_decode_pallas(x, w, rope_cos=cosv, rope_sin=sinv,
+                                       head_dim=d, interpret=True,
+                                       block_n=128)
+    ref = dk.fused_dense_decode_ref(x, w, rope_cos=cosv, rope_sin=sinv,
+                                    head_dim=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # ground truth: canonical rope on the q slice
+    y = x @ w
+    qh = y[:, : h * d].reshape(b, 1, h, d)
+    positions = jnp.full((b, 1), pos)
+    gt = llama_rope(qh, positions, 10000.0).reshape(b, h * d)
+    np.testing.assert_allclose(np.asarray(out[:, : h * d]), np.asarray(gt),
+                               rtol=2e-4, atol=2e-4)
+    # v slice passes through untouched
+    np.testing.assert_allclose(np.asarray(out[:, (h + hkv) * d:]),
+                               np.asarray(y[:, (h + hkv) * d:]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_dm_interpret_matches_ref():
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kc = _arr(b, hkv, d, t, scale=0.5)
+    vc = _arr(b, hkv, d, t, scale=0.5)
+    out = dk.decode_attention_dm_pallas(q, kc, vc, 100, interpret=True)
+    ref = dk.decode_attention_ref(q, kc, vc.transpose(0, 1, 3, 2), 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_dm_i8_interpret_matches_ref():
+    b, hkv, g, d, t = 2, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kf = _arr(b, hkv, d, t, scale=0.5)
+    vf = _arr(b, hkv, d, t, scale=0.5)
+    ks = jnp.max(jnp.abs(kf), axis=2, keepdims=True) / 127.0
+    vs = jnp.max(jnp.abs(vf), axis=2, keepdims=True) / 127.0
+    ki = jnp.round(kf / ks).astype(jnp.int8)
+    vi = jnp.round(vf / vs).astype(jnp.int8)
+    out = dk.decode_attention_dm_i8_pallas(q, ki, ks, vi, vs, 200,
+                                           interpret=True)
+    ref = dk.decode_attention_dm_i8_ref(q, ki, ks, vi, vs, 200)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    exact = dk.decode_attention_ref(q, kf, vf.transpose(0, 1, 3, 2), 200)
+    rel = float(jnp.max(jnp.abs(out - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 0.05, rel
