@@ -106,6 +106,33 @@ def kernel_rows(out, cfg, batch, dtype):
         lambda qc: dk.decode_attention_dm_i8_pallas(qc, ki_, ks_, ki_, ks_,
                                                     tp - 2))
     out["k_attn_i8_roofline_us"] = round(2 * kc.size / 819e3, 1)
+    # combined [K|V] cache + block_b sweep
+    kv = jax.random.normal(key, (batch, 2 * hkv, d, tp), dtype)
+    for bb in (1, 2, 4):
+        out[f"k_attn_kv_bb{bb}_us"] = t_attn(
+            lambda qc, bb=bb: dk.decode_attention_kv_pallas(
+                qc, kv, tp - 2, block_b=bb))
+    kvs_ = jnp.abs(jax.random.normal(key, (batch, 2 * hkv, 1, tp),
+                                     jnp.float32)) * 0.01 + 0.01
+    kvi_ = jax.random.randint(key, (batch, 2 * hkv, d, tp), -127, 128,
+                              jnp.int8)
+    for bb in (1, 4):
+        out[f"k_attn_kv_i8_bb{bb}_us"] = t_attn(
+            lambda qc, bb=bb: dk.decode_attention_kv_i8_pallas(
+                qc, kvi_, kvs_, tp - 2, block_b=bb))
+    print(json.dumps(out), flush=True)
+    # lm_head block sweep (the fixed-cost suspect: 125 grid steps at
+    # bn=256)
+    V = 32000
+    wh = jax.random.normal(key, (H, V), dtype) * 0.02
+    for bn in (256, 640, 1280):
+        dt = marginal_time(
+            lambda xc, bn=bn: dk.fused_dense_decode(
+                xc, wh, norm_scale=ns, out_dtype=jnp.float32,
+                block_n=bn)[:, :H].astype(dtype),
+            x, lo=16, hi=80)
+        out[f"k_head_bn{bn}_us"] = round(1e6 * dt, 1)
+    out["k_head_roofline_us"] = round(wh.size * 2 / 819e3, 1)
     print(json.dumps(out), flush=True)
 
     wo = jax.random.normal(key, (H, H), dtype) * 0.02

@@ -68,6 +68,8 @@ class DecodeEngine:
         # decode attention; per-token per-head scales factor out of the
         # in-kernel contractions (decode_attention_i8)
         self.kv_dtype = kv_dtype
+        # attention kernel batch rows per program (measured sweep knob)
+        self.block_b = 1
         p = lm.params
 
         def scale_of(key):
@@ -166,31 +168,25 @@ class DecodeEngine:
         k_new = qkv[:b, h * d: (h + hkv) * d].reshape(b, hkv, d)
         v_new = qkv[:b, (h + hkv) * d:].reshape(b, hkv, d)
         if self.kv_dtype == jnp.int8:
-            ki, ks, vi, vs = cache
-            kf = k_new.astype(jnp.float32)
-            vf = v_new.astype(jnp.float32)
-            ksn = jnp.clip(jnp.max(jnp.abs(kf), axis=-1), 1e-8, None) / 127.0
-            vsn = jnp.clip(jnp.max(jnp.abs(vf), axis=-1), 1e-8, None) / 127.0
-            ki = jax.lax.dynamic_update_slice(
-                ki, jnp.round(kf / ksn[..., None]).astype(
+            kv, kvs = cache
+            newf = jnp.concatenate([k_new, v_new], axis=1).astype(
+                jnp.float32)                                  # (B, 2hkv, d)
+            sn = jnp.clip(jnp.max(jnp.abs(newf), axis=-1), 1e-8, None) / 127.0
+            kv = jax.lax.dynamic_update_slice(
+                kv, jnp.round(newf / sn[..., None]).astype(
                     jnp.int8)[:, :, :, None], (0, 0, 0, pos))
-            vi = jax.lax.dynamic_update_slice(
-                vi, jnp.round(vf / vsn[..., None]).astype(
-                    jnp.int8)[:, :, :, None], (0, 0, 0, pos))
-            ks = jax.lax.dynamic_update_slice(
-                ks, ksn[:, :, None, None], (0, 0, 0, pos))
-            vs = jax.lax.dynamic_update_slice(
-                vs, vsn[:, :, None, None], (0, 0, 0, pos))
-            attn = dk.decode_attention_dm_i8(q, ki, ks, vi, vs, pos)
-            cache = (ki, ks, vi, vs)
+            kvs = jax.lax.dynamic_update_slice(
+                kvs, sn[:, :, None, None], (0, 0, 0, pos))
+            attn = dk.decode_attention_kv_i8(q, kv, kvs, pos,
+                                             block_b=self.block_b)
+            cache = (kv, kvs)
         else:
-            kc, vc = cache
-            kc = jax.lax.dynamic_update_slice(
-                kc, k_new[:, :, :, None].astype(kc.dtype), (0, 0, 0, pos))
-            vc = jax.lax.dynamic_update_slice(
-                vc, v_new[:, :, :, None].astype(vc.dtype), (0, 0, 0, pos))
-            attn = dk.decode_attention_dm(q, kc, vc, pos)  # (bp, hkv, g, d)
-            cache = (kc, vc)
+            (kv,) = cache
+            newc = jnp.concatenate([k_new, v_new], axis=1).astype(
+                kv.dtype)[:, :, :, None]
+            kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
+            attn = dk.decode_attention_kv(q, kv, pos, block_b=self.block_b)
+            cache = (kv,)
         attn = attn.reshape(bp, h * d)
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
@@ -244,7 +240,7 @@ class DecodeEngine:
                     new_caches.append(cache)
                 logits = dk.fused_dense_decode(
                     x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
-                    out_dtype=jnp.float32)
+                    out_dtype=jnp.float32, block_n=1280)
                 nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 return (nxt, new_caches), nxt
 
@@ -256,18 +252,17 @@ class DecodeEngine:
         return run
 
     def init_cache(self, batch: int, max_len: int):
+        """Combined [K | V] cache (B, 2*hkv, d, T): one array per layer
+        so the per-step write is a single dynamic_update_slice."""
         cfg = self.cfg
         tp = _round_up(max_len, 128)
-        shape_k = (batch, cfg.num_key_value_heads, cfg.head_dim, tp)
-        shape_v = shape_k
+        shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
         if self.kv_dtype == jnp.int8:
-            sshape = (batch, cfg.num_key_value_heads, 1, tp)
-            return [(jnp.zeros(shape_k, jnp.int8),
-                     jnp.zeros(sshape, jnp.float32),
-                     jnp.zeros(shape_v, jnp.int8),
-                     jnp.zeros(sshape, jnp.float32))
+            return [(jnp.zeros(shape, jnp.int8),
+                     jnp.zeros((batch, 2 * cfg.num_key_value_heads, 1, tp),
+                               jnp.float32))
                     for _ in range(cfg.num_hidden_layers)]
-        return [(jnp.zeros(shape_k, self.dtype), jnp.zeros(shape_v, self.dtype))
+        return [(jnp.zeros(shape, self.dtype),)
                 for _ in range(cfg.num_hidden_layers)]
 
     def prefill(self, ids, max_len: int):
@@ -289,21 +284,18 @@ class DecodeEngine:
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 eng = []
                 for ck, cv in caches:
-                    kdm = ck.astype(jnp.float32).transpose(0, 1, 3, 2)
-                    vdm = cv.astype(jnp.float32).transpose(0, 1, 3, 2)
+                    kvdm = jnp.concatenate(
+                        [ck.astype(jnp.float32).transpose(0, 1, 3, 2),
+                         cv.astype(jnp.float32).transpose(0, 1, 3, 2)],
+                        axis=1)                              # (B, 2hkv, d, T)
                     if kv_int8:
-                        ks = jnp.clip(jnp.max(jnp.abs(kdm), axis=2,
+                        ss = jnp.clip(jnp.max(jnp.abs(kvdm), axis=2,
                                               keepdims=True),
-                                      1e-8, None) / 127.0    # (B,hkv,1,T)
-                        vs = jnp.clip(jnp.max(jnp.abs(vdm), axis=2,
-                                              keepdims=True),
-                                      1e-8, None) / 127.0
-                        eng.append((
-                            jnp.round(kdm / ks).astype(jnp.int8), ks,
-                            jnp.round(vdm / vs).astype(jnp.int8), vs))
+                                      1e-8, None) / 127.0    # (B,2hkv,1,T)
+                        eng.append((jnp.round(kvdm / ss).astype(jnp.int8),
+                                    ss))
                     else:
-                        eng.append((kdm.astype(self.dtype),
-                                    vdm.astype(self.dtype)))
+                        eng.append((kvdm.astype(self.dtype),))
                 return tok, eng
 
             self._prefill_fn = fwd

@@ -584,6 +584,142 @@ def decode_attention_dm_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos):
     return o
 
 
+def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
+                           hkv: int, bb: int):
+    """Combined-cache variant: kv (bb, 2*hkv, d, T) holds K rows then V
+    rows — ONE cache array, so the per-step cache update is a single
+    dynamic_update_slice and the kernel streams one block per program."""
+    pos = pos_ref[0]
+    for bi in range(bb):
+        for h in range(hkv):
+            q = q_ref[bi, h].astype(jnp.float32) * scale        # (g, d)
+            k = kv_ref[bi, h].astype(jnp.float32)               # (d, T)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v = kv_ref[bi, hkv + h].astype(jnp.float32)         # (d, T)
+            o = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[bi, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def decode_attention_kv_pallas(q, kv_cache, pos, block_b: int = 1,
+                               interpret: bool = False):
+    """Combined depth-major cache attention: kv_cache (B, 2*hkv, d, T)
+    = [K | V] along axis 1."""
+    bp, hkv, g, d = q.shape
+    b, t = kv_cache.shape[0], kv_cache.shape[-1]
+    assert kv_cache.shape == (b, 2 * hkv, d, t)
+    assert t % LANE == 0 and b % block_b == 0, (t, b, block_b)
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    bb = block_b
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kv_kernel, scale=scale, hkv=hkv,
+                          bb=bb),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, d, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, kv_cache)
+
+
+def _decode_attn_kv_i8_kernel(pos_ref, q_ref, kv_ref, kvs_ref, o_ref, *,
+                              scale: float, hkv: int, bb: int):
+    pos = pos_ref[0]
+    for bi in range(bb):
+        for h in range(hkv):
+            qf = q_ref[bi, h].astype(jnp.float32) * scale
+            qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            qi = jnp.round(qf / qs).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qi, kv_ref[bi, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) * qs * kvs_ref[bi, h]
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = p * kvs_ref[bi, hkv + h]
+            ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            pi = jnp.round(p / ps).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                pi, kv_ref[bi, hkv + h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[bi, h] = (o.astype(jnp.float32) * ps).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, block_b: int = 1,
+                                  interpret: bool = False):
+    """Combined int8 cache: kv_i8 (B, 2*hkv, d, T) int8 with per-token
+    scales kv_scale (B, 2*hkv, 1, T) f32."""
+    bp, hkv, g, d = q.shape
+    b, t = kv_i8.shape[0], kv_i8.shape[-1]
+    assert kv_i8.shape == (b, 2 * hkv, d, t)
+    assert kv_scale.shape == (b, 2 * hkv, 1, t)
+    assert t % LANE == 0 and b % block_b == 0
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    bb = block_b
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kv_i8_kernel, scale=scale, hkv=hkv,
+                          bb=bb),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, 1, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, kv_i8, kv_scale)
+
+
+def decode_attention_kv(q, kv_cache, pos, **kw):
+    """Combined-cache dispatcher (kv (B, 2hkv, d, T) = [K | V])."""
+    if on_tpu():
+        return decode_attention_kv_pallas(q, kv_cache, pos, **kw)
+    hkv = q.shape[1]
+    return decode_attention_ref(
+        q, kv_cache[:, :hkv],
+        kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos)
+
+
+def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):
+    if on_tpu():
+        return decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, **kw)
+    hkv = q.shape[1]
+    return decode_attention_dm_i8_ref(
+        q, kv_i8[:, :hkv], kv_scale[:, :hkv],
+        kv_i8[:, hkv:], kv_scale[:, hkv:], pos)
+
+
 def decode_attention_dm(q, k_cache, v_cache, pos, **kw):
     """Depth-major attention dispatcher (both caches (B, hkv, d, T))."""
     if on_tpu():

@@ -265,3 +265,32 @@ def test_decode_attention_dm_i8_interpret_matches_ref():
     exact = dk.decode_attention_ref(q, kf, vf.transpose(0, 1, 3, 2), 200)
     rel = float(jnp.max(jnp.abs(out - exact)) / jnp.max(jnp.abs(exact)))
     assert rel < 0.05, rel
+
+
+def test_decode_attention_kv_interpret_matches_ref():
+    """Combined [K|V] cache kernel, block_b 1 and 2."""
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kv = _arr(b, 2 * hkv, d, t, scale=0.5)
+    ref = dk.decode_attention_ref(q, kv[:, :hkv],
+                                  kv[:, hkv:].transpose(0, 1, 3, 2), 100)
+    for bb in (1, 2):
+        out = dk.decode_attention_kv_pallas(q, kv, 100, block_b=bb,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_kv_i8_interpret_matches_ref():
+    b, hkv, g, d, t = 2, 2, 4, 64, 256
+    q = _arr(b, hkv, g, d, scale=0.5)
+    kvf = _arr(b, 2 * hkv, d, t, scale=0.5)
+    ss = jnp.max(jnp.abs(kvf), axis=2, keepdims=True) / 127.0
+    kvi = jnp.round(kvf / ss).astype(jnp.int8)
+    ref = dk.decode_attention_dm_i8_ref(q, kvi[:, :hkv], ss[:, :hkv],
+                                        kvi[:, hkv:], ss[:, hkv:], 200)
+    for bb in (1, 2):
+        out = dk.decode_attention_kv_i8_pallas(q, kvi, ss, 200, block_b=bb,
+                                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
