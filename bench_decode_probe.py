@@ -169,6 +169,51 @@ def engine_rows(out, cfg, batch, prefill, n_new, dtype, lm, ids):
     stats = DecodeEngine.calibrate_scales(
         lm, np.asarray(ids)[:2, :min(prefill, 256)])
 
+    # decomposition: marginal time of one _layer chain and of the
+    # per-step fixed chain (embed -> lm_head -> argmax), isolating the
+    # layer-sweep slope/intercept constituents
+    if jax.default_backend() == "tpu":
+        from qdm_tpu.ops import decode_kernels as dk
+
+        d_ = cfg.head_dim
+        for mode, tag in (("bf16", "layer_chain_bf16_us"),
+                          ("w8a8_static", "layer_chain_w8a8_us")):
+            kw = {"act_stats": stats} if mode == "w8a8_static" else {}
+            eng = DecodeEngine(lm.truncated_draft(1), mode=mode, **kw)
+            cache0 = eng.init_cache(batch, max_len)[0]
+            w0 = eng.layers[0]
+            n_qkv = eng.layers[0]["w_qkv"].shape[1]
+            cosv = jnp.ones((n_qkv,), jnp.float32)
+            sinv = jnp.zeros((n_qkv,), jnp.float32)
+
+            def layer_step(xc, eng=eng, cache0=cache0, w0=w0, cosv=cosv,
+                           sinv=sinv):
+                y, _ = eng._layer(xc, cache0, w0, 512, cosv, sinv)
+                return y.astype(xc.dtype)
+
+            x0 = jax.random.normal(jax.random.PRNGKey(0),
+                                   (batch, cfg.hidden_size), dtype) * 0.1
+            out[tag] = round(1e6 * marginal_time(layer_step, x0), 1)
+            print(json.dumps(out), flush=True)
+            del eng, cache0
+            gc.collect()
+
+        ebf = DecodeEngine(lm.truncated_draft(1), mode="bf16")
+
+        def fixed_step(tok, ebf=ebf):
+            x = ebf.embed[tok]
+            logits = dk.fused_dense_decode(
+                x, ebf.w_head, norm_scale=ebf.final_norm,
+                eps=cfg.rms_norm_eps, out_dtype=jnp.float32, block_n=1280)
+            return jnp.argmax(logits, axis=-1).astype(tok.dtype)
+
+        tok0 = jnp.zeros((batch,), jnp.int32)
+        out["fixed_chain_us"] = round(1e6 * marginal_time(fixed_step, tok0),
+                                      1)
+        print(json.dumps(out), flush=True)
+        del ebf
+        gc.collect()
+
     def decode_time(eng):
         tok0, caches = eng.prefill(ids, max_len)
         jax.block_until_ready(caches[0][0])

@@ -68,8 +68,9 @@ class DecodeEngine:
         # decode attention; per-token per-head scales factor out of the
         # in-kernel contractions (decode_attention_i8)
         self.kv_dtype = kv_dtype
-        # attention kernel batch rows per program (measured sweep knob)
-        self.block_b = 1
+        # attention kernel batch rows per program (measured sweep:
+        # bb=2 is fastest at the serve shapes — bench_decode_probe)
+        self.block_b = 2
         p = lm.params
 
         def scale_of(key):
@@ -165,27 +166,27 @@ class DecodeEngine:
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
-        k_new = qkv[:b, h * d: (h + hkv) * d].reshape(b, hkv, d)
-        v_new = qkv[:b, (h + hkv) * d:].reshape(b, hkv, d)
+        kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
         if self.kv_dtype == jnp.int8:
             kv, kvs = cache
-            newf = jnp.concatenate([k_new, v_new], axis=1).astype(
-                jnp.float32)                                  # (B, 2hkv, d)
+            # k and v are ADJACENT columns of the fused qkv output, so
+            # the combined [K|V] rows come from one slice — no concat
+            newf = kv_new.astype(jnp.float32)                 # (B, 2hkv, d)
             sn = jnp.clip(jnp.max(jnp.abs(newf), axis=-1), 1e-8, None) / 127.0
             kv = jax.lax.dynamic_update_slice(
                 kv, jnp.round(newf / sn[..., None]).astype(
                     jnp.int8)[:, :, :, None], (0, 0, 0, pos))
             kvs = jax.lax.dynamic_update_slice(
                 kvs, sn[:, :, None, None], (0, 0, 0, pos))
-            attn = dk.decode_attention_kv_i8(q, kv, kvs, pos,
-                                             block_b=self.block_b)
+            bb = self.block_b if b % self.block_b == 0 else 1
+            attn = dk.decode_attention_kv_i8(q, kv, kvs, pos, block_b=bb)
             cache = (kv, kvs)
         else:
             (kv,) = cache
-            newc = jnp.concatenate([k_new, v_new], axis=1).astype(
-                kv.dtype)[:, :, :, None]
+            newc = kv_new.astype(kv.dtype)[:, :, :, None]
             kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
-            attn = dk.decode_attention_kv(q, kv, pos, block_b=self.block_b)
+            bb = self.block_b if b % self.block_b == 0 else 1
+            attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
             cache = (kv,)
         attn = attn.reshape(bp, h * d)
         if self.mode == "bf16":
