@@ -202,8 +202,10 @@ def serve_main():
                       ("engine_w8a8", {"mode": "w8a8_static",
                                        "act_stats": stats})):
         eng = DecodeEngine(lm, **kw)
-        # same accounting as the module rows: prefill + n_new decode
-        # steps, completion forced by a scalar fetch
+        # legacy accounting (prefill + n_new steps, like the module
+        # rows) AND decode-only steady state (marginal over token
+        # count, min-of-reps) — the legacy number is dominated by the
+        # ~0.8 s compute-bound prefill (BENCH_NOTES round 3)
         float(np.sum(eng.generate(np.asarray(ids), n_new)))
         t0 = time.time()
         reps = 3
@@ -211,8 +213,25 @@ def serve_main():
             float(np.sum(eng.generate(np.asarray(ids), n_new)))
         dt = (time.time() - t0) / reps
         out[f"{ename}_tok_s"] = round(batch * n_new / dt, 1)
+
+        tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)
+        jax.block_until_ready(caches[0][0])
+        args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+        def t(n):
+            run = eng._make_run(n)
+            best = 1e9
+            run(*args, tok0, caches, jnp.int32(prefill))
+            for _ in range(5):
+                t0 = time.time()
+                float(jnp.sum(run(*args, tok0, caches, jnp.int32(prefill))))
+                best = min(best, time.time() - t0)
+            return best
+
+        dt = (t(40) - t(8)) / 32
+        out[f"{ename}_decode_tok_s"] = round(batch / dt, 1)
         print(json.dumps(out), flush=True)
-        del eng
+        del eng, caches
 
 
 def speculative_main():
@@ -236,10 +255,11 @@ def speculative_main():
             fn()
         return (time.time() - t0) / reps
 
+    # host-driven plain baseline (same dispatch style as the spec loop)
     dt_plain = timed(lambda: lm.generate(ids, max_new_tokens=n_new))
     out = {"metric": "LLM 1B speculative decode tok/s (batch 1, "
                      "truncated-layer self-draft)",
-           "plain_tok_s": round(n_new / dt_plain, 1)}
+           "plain_hostloop_tok_s": round(n_new / dt_plain, 1)}
     print(json.dumps(out), flush=True)
     for k in ((4, 8) if on_tpu else (1,)):
         draft = lm.truncated_draft(k)
@@ -252,6 +272,68 @@ def speculative_main():
             out[key + "_accept"] = round(st["acceptance_rate"], 3)
             out[key + "_rounds"] = st["rounds"]
             print(json.dumps(out), flush=True)
+
+    # acceptance -> speedup performance curve from MEASURED costs:
+    # random weights give ~0 acceptance (the draft's argmax over 32k
+    # classes almost never matches), so the tok/s rows above exercise
+    # the harness but understate real checkpoints (literature: 0.6-0.9
+    # self-speculative acceptance).  speedup(a) =
+    # (E[accepted]+1) / (gamma*c_draft + c_verify) * c_target
+    import time as _t
+
+    def cost(fn, reps=5):
+        fn()
+        best = 1e9
+        for _ in range(reps):
+            t0 = _t.time()
+            fn()
+            best = min(best, _t.time() - t0)
+        return best
+
+    draft = lm.truncated_draft(4 if on_tpu else 1)
+    gamma = 4
+    model, dmodel = lm.model, draft.model
+    max_len = ids.shape[1] + 8 + gamma
+    t_cache = model.init_cache(1, max_len)
+    d_cache = dmodel.init_cache(1, max_len)
+    tok = jnp.zeros((1,), jnp.int32)
+    toks_g = jnp.zeros((1, gamma + 1), jnp.int32)
+
+    @jax.jit
+    def one_target(params, tok, caches):
+        lg, caches = model.apply({"params": params}, tok[:, None],
+                                 kv_caches=caches, cache_index=8)
+        return jnp.argmax(lg[:, -1], -1)
+
+    @jax.jit
+    def verify(params, toks, caches):
+        lg, caches = model.apply({"params": params}, toks,
+                                 kv_caches=caches, cache_index=8)
+        return jnp.argmax(lg, -1)
+
+    @jax.jit
+    def drafts(params, tok, caches):
+        def body(carry, i):
+            tok, cs = carry
+            lg, cs = dmodel.apply({"params": params}, tok[:, None],
+                                  kv_caches=cs, cache_index=8 + i)
+            return (jnp.argmax(lg[:, -1], -1), cs), None
+        (tok, _), _ = jax.lax.scan(body, (tok, caches), jnp.arange(gamma))
+        return tok
+
+    c_t = cost(lambda: float(jnp.sum(one_target(lm.params, tok, t_cache))))
+    c_v = cost(lambda: float(jnp.sum(verify(lm.params, toks_g, t_cache))))
+    c_d = cost(lambda: float(jnp.sum(drafts(draft.params, tok, d_cache))))
+    out["cost_target_step_ms"] = round(1e3 * c_t, 2)
+    out["cost_verify_g4_ms"] = round(1e3 * c_v, 2)
+    out["cost_draft4L_g4_ms"] = round(1e3 * c_d, 2)
+    curve = {}
+    for a in (0.0, 0.3, 0.5, 0.7, 0.9):
+        exp_acc = sum((a ** i) for i in range(1, gamma + 1))  # E[accepted]
+        speedup = (exp_acc + 1) * c_t / (c_d + c_v)
+        curve[str(a)] = round(speedup, 2)
+    out["projected_speedup_vs_acceptance"] = curve
+    print(json.dumps(out), flush=True)
 
 
 def main():

@@ -16,6 +16,7 @@ KV cache inside jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Sequence
@@ -401,6 +402,22 @@ class CausalLM:
                                       kv_caches=caches, cache_index=idx)
             return jnp.argmax(lg[:, -1], axis=-1), caches
 
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def d_steps(params, tok, caches, idx, n):
+            # all gamma draft proposals in ONE dispatch (the per-step
+            # host round trip costs ~ms through the tunneled device)
+            def body(carry, i):
+                tok, caches = carry
+                lg, caches = dmodel.apply(
+                    {"params": params}, tok[:, None],
+                    kv_caches=caches, cache_index=idx + i)
+                nxt = jnp.argmax(lg[:, -1], axis=-1)
+                return (nxt, caches), nxt
+
+            (_, caches), toks = jax.lax.scan(body, (tok, caches),
+                                             jnp.arange(n))
+            return toks[:, 0], caches
+
         @jax.jit
         def t_verify(params, toks, caches, idx):
             # toks (1, gamma+1) = [cur, d_1..d_gamma]; returns the
@@ -415,14 +432,8 @@ class CausalLM:
         accepted_per_round: List[int] = []
         n = s  # next cache write index for both models
         while len(out) < max_new_tokens:
-            proposals = []
-            dtok, idx = cur, n
-            for _ in range(gamma):
-                dtok, d_cache = d_step(draft.params, dtok, d_cache,
-                                       jnp.int32(idx))
-                proposals.append(dtok)
-                idx += 1
-            d_vec = jnp.concatenate(proposals)                 # (gamma,)
+            d_vec, d_cache = d_steps(draft.params, cur, d_cache,
+                                     jnp.int32(n), gamma)      # (gamma,)
             toks = jnp.concatenate([cur, d_vec])[None]         # (1, gamma+1)
             preds, t_cache = t_verify(self.params, toks, t_cache,
                                       jnp.int32(n))
