@@ -178,16 +178,16 @@ def main():
             print(json.dumps({k: row[k] for k in ("batch", "px", "bf16")}),
                   flush=True)
         for name, plan in plans.items():
-            # pack one variant at a time: 2.6B params x (bf16 base +
-            # two packed copies) + activations exceed 16GB HBM
-            qp = fill_static_act_scales(pack_params(params, plan), stats)
-            if only_plan is not None:
-                # capacity mode: release the bf16 master copy
-                jax.block_until_ready(qp)
-                params = base_model = None
-                import gc
-                gc.collect()
             try:
+                # pack one variant at a time: 2.6B params x (bf16 base +
+                # two packed copies) + activations exceed 16GB HBM
+                qp = fill_static_act_scales(pack_params(params, plan), stats)
+                if only_plan is not None:
+                    # capacity mode: release the bf16 master copy
+                    jax.block_until_ready(qp)
+                    params = base_model = None
+                    import gc
+                    gc.collect()
                 dt_q = time_sdxl(make_sdxl_loop(build(plan, cfg), steps),
                                  qp, latents, ctx, uctx, added, reps)
                 row[name] = round(batch / dt_q, 3)
@@ -195,7 +195,9 @@ def main():
                     row[name + "_x"] = round(row[name] / row["bf16"], 3)
             except Exception as e:
                 row[name] = f"OOM:{type(e).__name__}"
-            del qp
+                if only_plan is not None:
+                    raise  # capacity mode released params: cannot continue
+            qp = None
             print(json.dumps({k: row[k] for k in row if k in
                               ("batch", "px", "bf16", name, name + "_x")}),
                   flush=True)

@@ -468,6 +468,126 @@ class CausalLM:
         return np.concatenate([np.asarray(ids),
                                np.asarray(out, np.int64)[None]], axis=1)
 
+    def generate_speculative_scan(self, input_ids, max_new_tokens: int,
+                                  draft: "CausalLM", gamma: int = 4,
+                                  kv_cache_dtype=None) -> np.ndarray:
+        """``generate_speculative`` with the entire propose/verify/
+        accept loop inside ONE jitted ``lax.while_loop`` — a single
+        device dispatch for the whole generation (the host-driven
+        variant pays a per-round host round trip, which through the
+        tunneled TPU costs more than the compute).  Token-identical
+        output (tested); rejection bookkeeping is traced: the accepted
+        count indexes a dynamic slice of the verifier's predictions and
+        advances the cache write index, stale cache rows past it are
+        masked by cache_index and overwritten next round.  Serving
+        extension beyond the reference (its decode is plain
+        autoregressive, models/base.py:828-850)."""
+        ids = jnp.asarray(input_ids)
+        b, s = ids.shape
+        if b != 1:
+            raise ValueError("speculative decoding is batch-1 only")
+        max_len = s + max_new_tokens + gamma + 1
+        buf_len = max_new_tokens + gamma + 1
+        key = ("spec_scan", s, max_new_tokens, gamma, str(kv_cache_dtype),
+               id(draft), self.plan, draft.plan)
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        run = cache.get(key)
+        if run is None:
+            model, dmodel = self.model, draft.model
+
+            def _run(tparams, dparams, ids, t_cache, d_cache):
+                lg, t_cache = model.apply({"params": tparams}, ids,
+                                          kv_caches=t_cache, cache_index=0)
+                cur = jnp.argmax(lg[:, -1], axis=-1)
+                _, d_cache = dmodel.apply({"params": dparams}, ids,
+                                          kv_caches=d_cache, cache_index=0)
+                outbuf = jnp.zeros((buf_len,), jnp.int32).at[0].set(
+                    cur[0].astype(jnp.int32))
+
+                def cond(st):
+                    return st[4] < max_new_tokens
+
+                def body(st):
+                    cur, t_cache, d_cache, n, produced, outbuf, rounds, acc = st
+
+                    def dbody(carry, i):
+                        tok, cs = carry
+                        lg, cs = dmodel.apply({"params": dparams},
+                                              tok[:, None], kv_caches=cs,
+                                              cache_index=n + i)
+                        nxt = jnp.argmax(lg[:, -1], axis=-1)
+                        return (nxt, cs), nxt
+
+                    (_, d_cache), d_toks = jax.lax.scan(
+                        dbody, (cur, d_cache), jnp.arange(gamma))
+                    d_vec = d_toks[:, 0]                       # (gamma,)
+                    toks = jnp.concatenate([cur, d_vec])[None]  # (1, g+1)
+                    lg, t_cache = model.apply({"params": tparams}, toks,
+                                              kv_caches=t_cache,
+                                              cache_index=n)
+                    t_vec = jnp.argmax(lg[0], axis=-1)          # (g+1,)
+                    match = jnp.cumprod(
+                        (d_vec == t_vec[:gamma]).astype(jnp.int32))
+                    a = jnp.sum(match)
+                    outbuf = jax.lax.dynamic_update_slice(
+                        outbuf, t_vec.astype(jnp.int32), (produced,))
+
+                    def fill_hole(dc):
+                        # full accept: the draft never wrote d_gamma's
+                        # KV (same hole as the host variant)
+                        _, dc = dmodel.apply({"params": dparams},
+                                             d_vec[-1:][:, None],
+                                             kv_caches=dc,
+                                             cache_index=n + gamma)
+                        return dc
+
+                    d_cache = jax.lax.cond(a == gamma, fill_hole,
+                                           lambda dc: dc, d_cache)
+                    cur = jax.lax.dynamic_slice(t_vec, (a,), (1,))
+                    return (cur, t_cache, d_cache, n + a + 1,
+                            produced + a + 1, outbuf, rounds + 1, acc + a)
+
+                st = (cur, t_cache, d_cache, jnp.int32(s), jnp.int32(1),
+                      outbuf, jnp.int32(0), jnp.int32(0))
+                st = jax.lax.while_loop(cond, body, st)
+                return st[5], st[6], st[7]
+
+            run = cache[key] = jax.jit(_run)
+
+        t_cache = self.model.init_cache(b, max_len, kv_cache_dtype)
+        d_cache = draft.model.init_cache(b, max_len, kv_cache_dtype)
+        outbuf, rounds, accepted = run(self.params, draft.params, ids,
+                                       t_cache, d_cache)
+        rounds, accepted = int(rounds), int(accepted)
+        self.last_spec_stats = {
+            "rounds": rounds,
+            "acceptance_rate": accepted / (gamma * rounds) if rounds else 0.0,
+        }
+        out = np.asarray(outbuf)[:max_new_tokens].astype(np.int64)
+        return np.concatenate([np.asarray(ids), out[None]], axis=1)
+
+    def quantized_draft(self, mode: str = "w8a8_xla") -> "CausalLM":
+        """Self-draft from quantizing THIS model's weights: identical
+        architecture, int8 execution (~1.7x faster per step at batch 1,
+        BENCH_NOTES), and logits that track the target's up to
+        quantization noise — measured 0.91 greedy top-1 agreement for
+        w8a8 (tools/llm_quality_table.json), i.e. ~0.9 per-token
+        speculative acceptance even on random weights, where a
+        truncated-layer draft's acceptance collapses to ~0.  The
+        standard quality/speed split the reference's README motivates,
+        recast as a draft/target serving pair."""
+        spec = LayerQuantSpec(mode=mode, w_bits=8, a_bits=8,
+                              quantize_act=True, act_quant="per_token")
+        plan = QuantPlan(default=spec).with_rule("lm_head", None)
+        draft = CausalLM()
+        draft.dtype = self.dtype
+        draft.config = self.config
+        draft.plan = plan
+        draft.params = qapply.pack_params(self.params, plan)
+        return draft
+
     def truncated_draft(self, n_layers: int) -> "CausalLM":
         """Self-draft for speculative decoding: the first ``n_layers``
         decoder layers of THIS model plus its embeddings/norm/lm_head,

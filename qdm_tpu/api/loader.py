@@ -101,6 +101,10 @@ def _leaf_name_and_transform(leaf_dict: dict, torch_leaf: str, value: np.ndarray
                 return "kernel", value.T                    # (out,in)->(in,out)
             if value.ndim == 4:
                 return "kernel", value.transpose(2, 3, 1, 0)  # OIHW->HWIO
+            if value.ndim == 3:
+                # torch Conv1d (O, I, K) -> NHWC-with-H=1 (1, K, I, O)
+                # (whisper's encoder stem runs as a (1,k) 2-D conv)
+                return "kernel", value.transpose(2, 1, 0)[None]
             return "kernel", value
         if "scale" in leaf_dict:
             return "scale", value                            # norm affine

@@ -39,30 +39,73 @@ def word_error_rate(refs: Sequence[str], hyps: Sequence[str]) -> float:
     return errs / max(words, 1)
 
 
+def format_mmlu_prompt(item: Dict, choices: Sequence[str] = ("A", "B", "C", "D"),
+                       fewshot: Sequence[Dict] = (),
+                       subject: str = "") -> str:
+    """The lm_eval 'mmlu' prompt format (hendrycks-test style): an
+    optional subject header, k answered exemplars, then the question
+    with an unanswered 'Answer:' cue (eval_utils.py:117-164 shells
+    this protocol out to lm_eval; reproduced locally)."""
+
+    def one(it, with_answer):
+        p = it["question"].strip() + "\n"
+        for i, c in enumerate(it["choices"]):
+            p += f"{choices[i]}. {c}\n"
+        p += "Answer:"
+        if with_answer:
+            p += f" {choices[it['answer']]}\n\n"
+        return p
+
+    header = ""
+    if subject:
+        pretty = subject.replace("_", " ")
+        header = (f"The following are multiple choice questions "
+                  f"(with answers) about {pretty}.\n\n")
+    return header + "".join(one(f, True) for f in fewshot) + one(item, False)
+
+
 def eval_mmlu(logits_fn: Callable, tokenizer, items: Iterable[Dict],
-              choices: Sequence[str] = ("A", "B", "C", "D")) -> Dict[str, float]:
-    """items: {'question': str, 'choices': [4 x str], 'answer': int}.
-    Scores each choice by the logprob of its letter token appended to
-    the prompt; reports accuracy (the lm_eval 'mmlu' protocol distilled
-    to its logprob core)."""
+              choices: Sequence[str] = ("A", "B", "C", "D"),
+              fewshot: Sequence[Dict] = (),
+              n_shot: int = 0) -> Dict[str, float]:
+    """items: {'question': str, 'choices': [4 x str], 'answer': int,
+    'subject'?: str}.  Scores each choice by the logprob of its letter
+    token appended to the prompt (the lm_eval 'mmlu' protocol's
+    loglikelihood core), with optional k-shot exemplars (MMLU standard
+    is 5-shot) and per-subject accuracy aggregation."""
     import jax
     import jax.numpy as jnp
 
     correct = total = 0
+    by_subject: Dict[str, List[int]] = {}
     for item in items:
-        prompt = item["question"].strip() + "\n"
-        for i, c in enumerate(item["choices"]):
-            prompt += f"{choices[i]}. {c}\n"
-        prompt += "Answer:"
+        shots = tuple(fewshot)[:n_shot] if n_shot else ()
+        prompt = format_mmlu_prompt(item, choices, shots,
+                                    item.get("subject", ""))
+        base = np.asarray(tokenizer([prompt])).reshape(1, -1)
         scores = []
         for letter in choices[: len(item["choices"])]:
-            ids = np.asarray(tokenizer(prompt + " " + letter)).reshape(1, -1)
+            ids = np.asarray(tokenizer([prompt + " " + letter])).reshape(1, -1)
+            # letter-token position: first index where the tokenization
+            # diverges from the bare prompt's (robust to tokenizers
+            # that right-pad — scoring the last position would read a
+            # pad token there)
+            m = min(ids.shape[1], base.shape[1])
+            diff = np.nonzero(ids[0, :m] != base[0, :m])[0]
+            pos = (int(diff[0]) if len(diff)
+                   else m if ids.shape[1] > m else ids.shape[1] - 1)
             logits = np.asarray(logits_fn(jnp.asarray(ids)))
-            logp = jax.nn.log_softmax(jnp.asarray(logits[0, -2]))
-            scores.append(float(logp[ids[0, -1]]))
-        correct += int(np.argmax(scores) == item["answer"])
+            logp = jax.nn.log_softmax(jnp.asarray(logits[0, pos - 1]))
+            scores.append(float(logp[ids[0, pos]]))
+        hit = int(np.argmax(scores) == item["answer"])
+        correct += hit
         total += 1
-    return {"accuracy": correct / max(total, 1), "n": total}
+        by_subject.setdefault(item.get("subject", "all"), []).append(hit)
+    out = {"accuracy": correct / max(total, 1), "n": total}
+    if len(by_subject) > 1 or "all" not in by_subject:
+        out["subjects"] = {k: float(np.mean(v))
+                           for k, v in sorted(by_subject.items())}
+    return out
 
 
 def eval_librispeech(transcribe_fn: Callable[[np.ndarray], str],

@@ -180,3 +180,27 @@ def test_fetch_video_frame_list_and_array(tmp_path):
 
     with pytest.raises(NotImplementedError):
         fetch_video({"video": "clip.mp4"})
+
+
+def test_mmlu_fewshot_protocol():
+    """5-shot hendrycks-style formatting + subject aggregation (the
+    lm_eval protocol the reference shells out to, eval_utils.py:117-164)."""
+    from qdm_tpu.evaluation.eval_utils import eval_mmlu, format_mmlu_prompt
+    from qdm_tpu.utils.tokenizer import SimpleTokenizer
+    from qdm_tpu.api.causal_lm import CausalLM
+
+    shot = {"question": "1+1?", "choices": ["1", "2", "3", "4"],
+            "answer": 1}
+    item = {"question": "2+2?", "choices": ["3", "4", "5", "6"],
+            "answer": 1, "subject": "abstract_algebra"}
+    p = format_mmlu_prompt(item, fewshot=[shot], subject=item["subject"])
+    assert "abstract algebra" in p
+    assert "Answer: B\n\n" in p          # the exemplar is answered
+    assert p.rstrip().endswith("Answer:")
+
+    tok = SimpleTokenizer(vocab_size=256, max_len=128)
+    lm = CausalLM.from_config(dtype=jnp.float32)
+    out = eval_mmlu(lm.logits, tok, [item, dict(item, subject="law")],
+                    fewshot=[shot], n_shot=1)
+    assert out["n"] == 2 and set(out["subjects"]) == {"abstract_algebra",
+                                                      "law"}

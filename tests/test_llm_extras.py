@@ -240,3 +240,35 @@ def test_truncated_self_draft(lm):
     np.testing.assert_array_equal(out, ref)
     with pytest.raises(ValueError):
         lm.truncated_draft(0)
+
+
+def test_speculative_scan_matches_host_loop(lm):
+    """The device-resident while_loop variant is token-identical to
+    plain greedy decode (hence to the host-driven spec loop) for an
+    unrelated draft, a self-draft, and a quantized self-draft."""
+    ids = np.random.default_rng(6).integers(0, 256, (1, 7))
+    ref = lm.generate(ids, max_new_tokens=11)
+    other = CausalLM.from_config(
+        llama_lib.LlamaConfig(vocab_size=256, hidden_size=32,
+                              intermediate_size=64, num_hidden_layers=1,
+                              num_attention_heads=2, num_key_value_heads=2,
+                              max_position_embeddings=128),
+        dtype=jnp.float32, seed=7)
+    for gamma, draft in ((2, other), (3, lm), (4, lm.quantized_draft())):
+        out = lm.generate_speculative_scan(ids, 11, draft, gamma=gamma)
+        np.testing.assert_array_equal(out, ref)
+        st = lm.last_spec_stats
+        assert st["rounds"] >= 1
+        if draft is lm:
+            assert st["acceptance_rate"] == 1.0, st
+
+
+def test_quantized_draft_acceptance_is_high(lm):
+    """w8a8 quantization keeps ~0.9 greedy top-1 agreement even on
+    random weights, so the quantized self-draft must show materially
+    nonzero acceptance (the truncated-layer draft's collapses to ~0
+    there — measured round 3)."""
+    ids = np.random.default_rng(8).integers(0, 256, (1, 6))
+    draft = lm.quantized_draft()
+    lm.generate_speculative_scan(ids, 24, draft, gamma=4)
+    assert lm.last_spec_stats["acceptance_rate"] > 0.3, lm.last_spec_stats
