@@ -269,6 +269,15 @@ class BaseDiffusionPipeline:
                     calib_prompts=calib_prompts)
             elif method == "awq":
                 self._awq_component(name, cfg, calib_prompts=calib_prompts)
+            elif method == "rtn" and cfg.version == "real" \
+                    and cfg.quantize_act and "static" in (
+                        cfg.act_quant_type, cfg.act_quant_conv_type):
+                # capture-only calibration (no scale migration): static
+                # int8 act scales need real ranges even without
+                # smoothing — this is also the smoothing ABLATION path
+                # (quality_table's W8A8-static RTN row)
+                act_stats = self._calibrate_component_stats(
+                    name, cfg, calib_prompts=calib_prompts)
             if cfg.version == "real":
                 if plan.fuse_qkv:
                     # after scale migration (its groups address unfused
@@ -448,6 +457,16 @@ class BaseDiffusionPipeline:
         # smoothed (outlier-free) range, not the raw one
         stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
         return stats
+
+    def _calibrate_component_stats(self, name: str, cfg: QuantConfig,
+                                   calib_prompts=None):
+        """Capture-only calibration: activation absmax stats with NO
+        scale migration applied."""
+        if name in ("unet", "transformer"):
+            return self._calibrate_unet(cfg, calib_prompts=calib_prompts)
+        if name == "vae":
+            return self._calibrate_vae(cfg)
+        return None
 
     def _calibrate_vae(self, cfg: QuantConfig):
         """Per-channel input absmax for every VAE-decoder conv: decode

@@ -55,6 +55,7 @@ CALIB_PROMPTS = [
 
 
 OUTLIERS = "--outliers" in sys.argv
+_MAX_FACTOR = 64.0
 
 
 def build_pipe(tiny, dtype, seed=0):
@@ -68,8 +69,9 @@ def build_pipe(tiny, dtype, seed=0):
         # qdm_tpu/utils/outliers.py
         from qdm_tpu.utils.outliers import inject_norm_outliers
 
-        pipe.params["unet"] = inject_norm_outliers(pipe.params["unet"],
-                                                   seed=11)
+        pipe.params["unet"] = inject_norm_outliers(
+            pipe.params["unet"], seed=11,
+            min_factor=min(8.0, _MAX_FACTOR), max_factor=_MAX_FACTOR)
     return pipe
 
 
@@ -85,7 +87,15 @@ def main():
     ap.add_argument("--outliers", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--px", type=int, default=512)
+    ap.add_argument("--max-factor", type=float, default=None,
+                    help="outlier gain cap (outliers mode); the 64x "
+                         "default saturates a random-weight UNet — its "
+                         "attention runs chaotic (softmax-saturated) and "
+                         "even weight-only int8 decorrelates in one step")
     args = ap.parse_args()
+    global _MAX_FACTOR
+    if args.max_factor:
+        _MAX_FACTOR = args.max_factor
 
     from qdm_tpu.config import QuantConfig
     from qdm_tpu.evaluation.lpips import (load_lpips_weights, lpips_distance,
@@ -108,6 +118,13 @@ def main():
             w_bit=8, a_bit=16, version="real", quantize_act=False,
             weight_quant_type="per_channel", q_group_size=0))),
         "W8A8-static SmoothQuant (real XLA int8)": ("sq", calib(QuantConfig(
+            w_bit=8, a_bit=8, version="real", quantize_act=True,
+            act_quant_type="static", act_quant_conv_type="static",
+            weight_quant_type="per_channel", q_group_size=0))),
+        # the smoothing ablation: same int8 act path, no outlier
+        # migration — per-channel act outliers land on the per-tensor
+        # static scales directly (the regime SmoothQuant exists for)
+        "W8A8-static RTN (no smoothing)": ("rtn", calib(QuantConfig(
             w_bit=8, a_bit=8, version="real", quantize_act=True,
             act_quant_type="static", act_quant_conv_type="static",
             weight_quant_type="per_channel", q_group_size=0))),
@@ -172,7 +189,7 @@ def main():
         "setup": {"tiny": tiny, "steps": steps, "px": px,
                   "prompts": PROMPTS, "seed": 123,
                   "weights": "deterministic random"
-                             + (" + norm-gain outliers" if OUTLIERS else " (no real checkpoints in env)"),
+                             + (f" + norm-gain outliers (max {_MAX_FACTOR}x)" if OUTLIERS else " (no real checkpoints in env)"),
                   "lpips": lpips_w is not None},
         "rows": rows,
     }
