@@ -285,9 +285,13 @@ class DecodeEngine:
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 eng = []
                 for ck, cv in caches:
+                    # stay in the source dtype for the bf16 cache (the
+                    # fp32 round-trip doubles the transpose traffic);
+                    # int8 needs fp32 only for the per-token scales
+                    cdt = jnp.float32 if kv_int8 else self.dtype
                     kvdm = jnp.concatenate(
-                        [ck.astype(jnp.float32).transpose(0, 1, 3, 2),
-                         cv.astype(jnp.float32).transpose(0, 1, 3, 2)],
+                        [ck.astype(cdt).transpose(0, 1, 3, 2),
+                         cv.astype(cdt).transpose(0, 1, 3, 2)],
                         axis=1)                              # (B, 2hkv, d, T)
                     if kv_int8:
                         ss = jnp.clip(jnp.max(jnp.abs(kvdm), axis=2,
@@ -296,7 +300,7 @@ class DecodeEngine:
                         eng.append((jnp.round(kvdm / ss).astype(jnp.int8),
                                     ss))
                     else:
-                        eng.append((kvdm.astype(self.dtype),))
+                        eng.append((kvdm,))
                 return tok, eng
 
             self._prefill_fn = fwd

@@ -187,6 +187,35 @@ def test_real_w8a8_xla_static_pipeline():
     assert np.abs(img - base).mean() < 0.25
 
 
+def test_rtn_static_capture_only_calibration():
+    """RTN (no smoothing) + static int8 acts must still calibrate the
+    act scales with a capture-only pass — this is the smoothing
+    ablation path (quality_table's 'W8A8-static RTN' row); before the
+    fix the scales stayed at the 1.0 placeholder."""
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    cfg = QuantConfig(w_bit=8, a_bit=8, version="real", quantize_act=True,
+                      act_quant_type="static", act_quant_conv_type="static",
+                      weight_quant_type="per_channel", q_group_size=0)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="rtn")
+    scales = []
+    def walk(t):
+        if isinstance(t, dict):
+            if "act_scale" in t and not isinstance(t["act_scale"], dict):
+                scales.append(np.asarray(t["act_scale"]).reshape(-1)[0])
+            for v in t.values():
+                walk(v)
+    walk(p.params["unet"])
+    assert scales, "no static act scales found"
+    n_placeholder = sum(1 for s in scales if abs(float(s) - 1.0) < 1e-12)
+    assert n_placeholder < len(scales) / 2, \
+        f"{n_placeholder}/{len(scales)} act scales left at placeholder 1.0"
+    img = _gen(p)
+    assert np.isfinite(img).all()
+
+
 def test_sdxl_refiner_generate():
     """SDXL base->refiner handoff (reference loads a refiner pipeline,
     StableDiffusionXL.py:13-17; here it also runs)."""
