@@ -200,7 +200,12 @@ def serve_main():
     stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:4])
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
-                                       "act_stats": stats})):
+                                       "act_stats": stats}),
+                      # scan-unroll probe: is the measured per-layer
+                      # in-scan overhead scan machinery XLA can amortize?
+                      ("engine_w8a8_u4", {"mode": "w8a8_static",
+                                          "act_stats": stats,
+                                          "unroll": 4})):
         eng = DecodeEngine(lm, **kw)
         # legacy accounting (prefill + n_new steps, like the module
         # rows) AND decode-only steady state (marginal over token

@@ -47,7 +47,7 @@ class DecodeEngine:
 
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
-                 act_margin: float = 1.0, kv_dtype=None):
+                 act_margin: float = 1.0, kv_dtype=None, unroll: int = 1):
         if mode not in ("bf16", "w8a8_static"):
             raise ValueError(mode)
         if mode == "w8a8_static" and act_stats is None:
@@ -71,6 +71,11 @@ class DecodeEngine:
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
+        # lax.scan unroll over decode steps: probes whether the
+        # measured scan-interleaving overhead (chained-layer marginal
+        # ~96us vs ~186us realized in-scan, BENCH_NOTES round 3) is
+        # per-iteration scan machinery XLA can amortize
+        self.unroll = unroll
         p = lm.params
 
         def scale_of(key):
@@ -246,7 +251,9 @@ class DecodeEngine:
                 return (nxt, new_caches), nxt
 
             (_, _), toks = jax.lax.scan(body, (tok0, caches),
-                                        jnp.arange(n_tokens))
+                                        jnp.arange(n_tokens),
+                                        unroll=min(self.unroll,
+                                                   max(n_tokens, 1)))
             return toks.T  # (B, n_tokens)
 
         self._run_cache[n_tokens] = run

@@ -1,0 +1,10 @@
+#!/bin/bash
+# Round-3c sequential TPU job queue (ONE job at a time on the chip).
+# Runs after r3b: the MMDiT-shape attention sweep (round-3 roadmap #5,
+# never yet run on the chip) and the engine serve rows re-measured
+# with the bf16 cache-conversion fix (12b217e).
+cd /root/repo
+set -x
+python -u bench_attn.py --mmdit > /tmp/qc_attn_mmdit.log 2>&1
+python -u bench_llm.py --serve --engine-only > /tmp/qc_serve_engine.log 2>&1
+echo QUEUE_C_DONE
