@@ -7,4 +7,5 @@ cd /root/repo
 set -x
 python -u bench_attn.py --mmdit > /tmp/qc_attn_mmdit.log 2>&1
 python -u bench_llm.py --serve --engine-only > /tmp/qc_serve_engine.log 2>&1
+python -u tools/vae_quality.py --trajectory > /tmp/qc_vae_traj.log 2>&1
 echo QUEUE_C_DONE

@@ -45,9 +45,20 @@ def main():
 
     ref_pipe = StableDiffusion1_x.from_config(tiny=tiny, dtype=dtype, seed=0)
     h = w = ref_pipe.default_sample_size()
-    lat = np.asarray(jax.random.normal(
-        jax.random.PRNGKey(7), (batch, h, w, ref_pipe.latent_channels()),
-        jnp.float32))
+    if "--trajectory" in sys.argv:
+        # end-of-denoise latents, NOT N(0,1): the distribution the VAE
+        # actually sees in the pipeline (the round-2 15.1 dB per-tensor
+        # collapse happened on these, not on unit-normal draws)
+        lat = np.asarray(ref_pipe.generate(
+            ["a photo of a cat"] * batch,
+            num_inference_steps=4 if tiny else 20, seed=7,
+            output_type="latent"))
+        lat_kind = "end-of-denoise trajectory (fp UNet, 20 steps, seed 7)"
+    else:
+        lat = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(7), (batch, h, w, ref_pipe.latent_channels()),
+            jnp.float32))
+        lat_kind = "fixed N(0,1) seed 7"
 
     def timed_decode(pipe):
         img = pipe.decode_latents(lat)
@@ -81,11 +92,13 @@ def main():
         del pipe
 
     artifact = {"setup": {"tiny": tiny, "batch": batch,
-                          "latents": "fixed N(0,1) seed 7",
+                          "latents": lat_kind,
                           "weights": "deterministic random (seed 0)"},
                 "rows": rows}
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "vae_quality.json"), "w") as f:
+    name = ("vae_quality_trajectory.json" if "--trajectory" in sys.argv
+            else "vae_quality.json")
+    with open(os.path.join(here, name), "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps({"done": True, "rows": rows}))
 
