@@ -28,13 +28,29 @@ def main():
         lm = CausalLM.from_config(llama_lib.tiny_llama_config(),
                                   dtype=jnp.float32)
 
+    ids = np.random.default_rng(0).integers(0, lm.config.vocab_size, (1, 8))
+
+    # megakernel DecodeEngine: three Pallas calls per decoder layer,
+    # the fastest batch-decode path on v5e (7.5k tok/s at batch 32,
+    # BENCH_NOTES round 3); token-exact vs the module path
+    from qdm_tpu.api.serve import DecodeEngine
+
+    module_out = lm.generate(ids, max_new_tokens=args.tokens)
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
+    eng_out = eng.generate(ids, max_new_tokens=args.tokens)
+    print("engine w8a8   :", np.asarray(eng_out)[0, 8:].tolist())
+    bf_eng = DecodeEngine(lm, mode="bf16")
+    assert (bf_eng.generate(ids, max_new_tokens=args.tokens)
+            == module_out).all(), "bf16 engine must match the module path"
+    print("engine bf16 == module greedy: OK")
+
     # int8 weights: the decode sweet spot on v5e (BENCH_NOTES: 1.71x)
     lm.quantize(quant_config=QuantConfig(w_bit=8, a_bit=8, version="real",
                                          quant_method="rtn"),
                 quantType="rtn",
                 calib_data=np.zeros((1, 8), np.int64))
 
-    ids = np.random.default_rng(0).integers(0, lm.config.vocab_size, (1, 8))
     greedy = lm.generate(ids, max_new_tokens=args.tokens)
     print("greedy        :", greedy[0, 8:].tolist())
 
