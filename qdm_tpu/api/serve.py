@@ -16,6 +16,11 @@ Modes
   on v5e).  Prefill runs through the regular bf16 model (prefill is
   MXU-bound, not weight-bound; running it unquantized is strictly
   higher quality), decode through the int8 megakernels.
+* ``w4a8_static`` — int4 group-quantized weights (planar nibble
+  packing, group-128 scales — the reference's W4 group scheme as
+  in-kernel dequant on the int8 MXU) + the same static act scales.
+  Decode weight HBM traffic halves again vs int8; this is the
+  AWQ-style W4A8 serving mode.
 
 The engine extracts weights once from a :class:`CausalLM`'s canonical
 (unfused) params; the KV cache uses the kernel-native layouts
@@ -48,10 +53,10 @@ class DecodeEngine:
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
                  act_margin: float = 1.0, kv_dtype=None, unroll: int = 1):
-        if mode not in ("bf16", "w8a8_static"):
+        if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
-        if mode == "w8a8_static" and act_stats is None:
-            raise ValueError("w8a8_static needs act_stats "
+        if mode != "bf16" and act_stats is None:
+            raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
         cfg = lm.config
         if cfg.attention_bias or cfg.norm_type != "rmsnorm" \
@@ -100,13 +105,28 @@ class DecodeEngine:
             }
             if mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
-            else:
+            elif mode == "w8a8_static":
                 pre = f"layers_{l}"
                 entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
                 entry["w_o"], entry["s_o"] = _quant_w(w_o)
                 entry["wg"], entry["sg"] = _quant_w(wg)
                 entry["wu"], entry["su"] = _quant_w(wu)
                 entry["wd"], entry["sd"] = _quant_w(wd)
+                entry["a_qkv"] = scale_of(
+                    f"{pre}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
+                entry["a_mlp"] = jnp.stack(
+                    [scale_of(f"{pre}/mlp/gate_proj"),
+                     scale_of(f"{pre}/mlp/down_proj")])
+            else:  # w4a8_static
+                pre = f"layers_{l}"
+                entry["w_qkv"], entry["s_qkv"] = _quant_w4(
+                    w_qkv, self.i4_group)
+                entry["w_o"], entry["s_o"] = _quant_w4(w_o, self.i4_group)
+                entry["wg"], entry["sg"] = _quant_w4(wg, self.i4_group)
+                entry["wu"], entry["su"] = _quant_w4(wu, self.i4_group)
+                entry["wd"], entry["sd"] = _quant_w4(wd, self.i4_group,
+                                                     block=self.i4_mlp_block)
                 entry["a_qkv"] = scale_of(
                     f"{pre}/self_attn/q_proj").reshape(1)
                 entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)

@@ -1029,3 +1029,349 @@ def fused_mlp_decode_i8(x, w_gate, w_up, w_down, w_scales, act_scales,
                                           act=act, **kw)
     return fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales,
                                    act_scales, norm_scale, eps=eps, act=act)
+
+# ---------------------------------------------------------------------------
+# int4 (w4a8): planar nibble packing, group-scaled int8-MXU kernels
+# ---------------------------------------------------------------------------
+#
+# Weight bytes are the decode bottleneck once the step runs on
+# megakernels (MLP streams at ~95% of the int8 HBM roofline,
+# BENCH_NOTES round 3) — int4 storage halves them again.  Layout is
+# chosen so the in-kernel unpack needs NO relayout (reshapes across
+# sublanes are Mosaic relayouts; two dots are free):
+#
+#   planar packing: byte row r of the packed (K/2, N) array carries
+#   original row r in its LOW nibble and row r + K/2 in its HIGH
+#   nibble.  Unpack = two arithmetic shifts; the contraction becomes
+#   x[:, :K/2] @ lo + x[:, K/2:] @ hi.
+#
+# For a weight whose contraction dim is STREAMED over the grid
+# (w_down), packing is per grid block (block=bj), so each program
+# unpacks only rows it owns — every byte is read exactly once.
+#
+# Scales are per (group-of-K, out-channel), group_size=128 by default
+# (the reference's W4 group quantization, quantize/fake_quant.py:21-84
+# / utils/packing_utils.py:87-102, as a TPU kernel).  Groups never
+# straddle the planar boundary (K/2 % group == 0 asserted).
+
+
+def quantize_int4_group(w, group: int = 128):
+    """(K, N) float -> int4-valued int8 in [-7, 7] + scales (K/g, N)."""
+    k, n = w.shape
+    assert k % group == 0, (k, group)
+    wg = w.astype(jnp.float32).reshape(k // group, group, n)
+    s = jnp.clip(jnp.max(jnp.abs(wg), axis=1), 1e-8, None) / 7.0
+    q = jnp.clip(jnp.round(wg / s[:, None, :]), -7, 7).astype(jnp.int8)
+    return q.reshape(k, n), s
+
+
+def pack_int4_planar(wq, block: int = 0):
+    """Pack int4-valued int8 (K, N) -> bytes (K/2, N).
+
+    block=0: global planar split at K/2 (contraction fully resident
+    per grid step: qkv / o / gate / up).  block=bj: planar split
+    within each bj-row block (contraction streamed over the grid:
+    w_down)."""
+    k, n = wq.shape
+    b = block or k
+    assert k % b == 0 and b % 2 == 0, (k, b)
+    w3 = wq.reshape(k // b, b, n)
+    lo = w3[:, : b // 2]
+    hi = w3[:, b // 2:]
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8).reshape(k // 2, n)
+
+
+def unpack_int4_planar(packed, block: int = 0):
+    """Inverse of pack_int4_planar (jnp reference)."""
+    k2, n = packed.shape
+    b2 = (block // 2) if block else k2
+    p3 = packed.reshape(k2 // b2, b2, n)
+    lo = jnp.left_shift(p3, 4) >> 4
+    hi = p3 >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * k2, n)
+
+
+def _nibbles(wp):
+    """In-kernel unpack: packed int8 block -> (lo, hi) int8."""
+    lo = jnp.left_shift(wp, 4) >> 4       # arithmetic: sign-extends
+    hi = wp >> 4
+    return lo, hi
+
+
+def _i4_group_dot(xi, wp, ws_ref, s_in, group: int):
+    """xi (bp, k) int8 = quantized activation; wp (k/2, bn) packed
+    bytes; ws_ref (k//group, bn) f32 group scales.  Returns f32
+    (bp, bn) = dequantized xi @ w * s_in."""
+    half = wp.shape[0]
+    k = 2 * half
+    assert half % group == 0, (half, group)
+    gpp = half // group                      # groups per plane
+    lo, hi = _nibbles(wp[:])
+    y = None
+    for plane, w in ((0, lo), (1, hi)):
+        for gi in range(gpp):
+            r0 = gi * group
+            xs = xi[:, plane * half + r0: plane * half + r0 + group]
+            acc = jax.lax.dot_general(
+                xs, w[r0: r0 + group],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            c = acc.astype(jnp.float32) * ws_ref[plane * gpp + gi]
+            y = c if y is None else y + c
+    return y * s_in
+
+
+def _fused_dense_i4_kernel(x_ref, wp_ref, ws_ref, as_ref, ns_ref, r_ref,
+                           cos_ref, sin_ref, o_ref, xi_ref, *,
+                           has_norm: bool, has_residual: bool,
+                           has_rope: bool, head_dim: int, eps: float,
+                           group: int):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if has_norm:
+            xf = _rmsnorm_f32(xf, ns_ref[:], eps)
+        inv = 1.0 / as_ref[0]
+        xi_ref[:] = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+
+    y = _i4_group_dot(xi_ref[:], wp_ref, ws_ref, as_ref[0], group)
+    if has_rope:
+        y = _rope_epilogue(y, cos_ref, sin_ref, head_dim)
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "block_n", "out_dtype", "head_dim", "group",
+                     "interpret"))
+def fused_dense_decode_i4_pallas(x, w_p, w_scale, act_scale,
+                                 norm_scale=None, residual=None,
+                                 rope_cos=None, rope_sin=None,
+                                 head_dim: int = 0, eps: float = 1e-6,
+                                 block_n: int = 512, group: int = 128,
+                                 out_dtype=None, interpret: bool = False):
+    """int4 fused_dense: w_p (K/2, N) planar-packed bytes
+    (pack_int4_planar, block=0), w_scale (K/group, N) f32, static act
+    scale (1,)."""
+    b, k = x.shape
+    k2, n = w_p.shape
+    ng = k // group
+    assert k2 * 2 == k and w_scale.shape == (ng, n), (w_p.shape,
+                                                      w_scale.shape)
+    assert (k // 2) % group == 0, (k, group)
+    out_dtype = out_dtype or x.dtype
+    bn = _pick_block(n, block_n)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    has_norm = norm_scale is not None
+    has_res = residual is not None
+    has_rope = rope_cos is not None
+    if has_rope:
+        assert head_dim > 0 and bn % head_dim == 0, (bn, head_dim)
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
+    rp = residual if has_res else jnp.zeros((1, n), out_dtype)
+    if has_res and bp != b:
+        rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+    cosv = (rope_cos.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.ones((1, 1), jnp.float32))
+    sinv = (rope_sin.reshape(1, n).astype(jnp.float32) if has_rope
+            else jnp.zeros((1, 1), jnp.float32))
+    trig_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_rope
+                 else pl.BlockSpec((1, 1), lambda j: (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_fused_dense_i4_kernel, has_norm=has_norm,
+                          has_residual=has_res, has_rope=has_rope,
+                          head_dim=head_dim, eps=eps, group=group),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k2, bn), lambda j: (0, j)),
+            pl.BlockSpec((ng, bn), lambda j: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
+             else pl.BlockSpec((1, n), lambda j: (0, 0))),
+            trig_spec,
+            trig_spec,
+        ],
+        out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, w_p, w_scale.astype(jnp.float32),
+      act_scale.astype(jnp.float32), ns, rp, cosv, sinv)
+    return out[:b]
+
+
+def _fused_mlp_i4_kernel(x_ref, wgp_ref, wup_ref, wdp_ref, wsg_ref, wsu_ref,
+                         wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
+                         n_j: int, eps: float, act: str, group: int,
+                         bj: int):
+    j = pl.program_id(0)
+    s_in, s_mid = scl_ref[0], scl_ref[1]
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        xn = _rmsnorm_f32(xf, ns_ref[:], eps)
+        xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
+                             -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gate = _i4_group_dot(xi_ref[:], wgp_ref, wsg_ref, s_in, group)
+    up = _i4_group_dot(xi_ref[:], wup_ref, wsu_ref, s_in, group)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
+    # w_down block: packed per-block planar (bj/2, k); ai columns are
+    # this block's inner rows, so the same two-plane group dot applies
+    acc_ref[:] += _i4_group_dot(ai, wdp_ref, wsd_ref, s_mid, group)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:]
+                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_j", "group", "out_dtype",
+                     "interpret"))
+def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
+                               norm_scale, eps: float = 1e-6,
+                               act: str = "silu", block_j: int = 512,
+                               group: int = 128, out_dtype=None,
+                               interpret: bool = False):
+    """int4 fused MLP.  wg_p/wu_p (K/2, I) planar-packed (block=0);
+    wd_p (I/2, K) packed with block=bj (pack_int4_planar(wd_q, bj) for
+    bj = the block_j this call uses — mlp_i4_block(inner, block_j)).
+    w_scales = (sg (K/g, I), su (K/g, I), sd (I/g, K)); act_scales (2,)
+    static [input, mid]."""
+    b, k = x.shape
+    inner = wg_p.shape[1]
+    out_dtype = out_dtype or x.dtype
+    bj = _pick_block(inner, block_j)
+    assert (bj // 2) % group == 0, (bj, group)
+    assert (k // 2) % group == 0, (k, group)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
+    n_j = inner // bj
+    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+    sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
+    ngk = k // group
+    ngj = bj // group
+
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_i4_kernel, n_j=n_j, eps=eps, act=act,
+                          group=group, bj=bj),
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k // 2, bj), lambda j: (0, j)),
+            pl.BlockSpec((k // 2, bj), lambda j: (0, j)),
+            pl.BlockSpec((bj // 2, k), lambda j: (j, 0)),
+            pl.BlockSpec((ngk, bj), lambda j: (0, j)),
+            pl.BlockSpec((ngk, bj), lambda j: (0, j)),
+            pl.BlockSpec((ngj, k), lambda j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bp, k), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), jnp.int8),
+                        pltpu.VMEM((bp, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, wg_p, wu_p, wd_p, sg, su, sd,
+      act_scales.astype(jnp.float32), ns)
+    return out[:b]
+
+
+def mlp_i4_block(inner: int, block_j: int = 512) -> int:
+    """The inner-dim block the i4 MLP kernel will use — w_down must be
+    packed with exactly this block (pack_int4_planar(wd_q, block))."""
+    return _pick_block(inner, block_j)
+
+
+def _dequant_i4(w_p, w_scale, group: int, block: int = 0):
+    wq = unpack_int4_planar(w_p, block=block).astype(jnp.float32)
+    k, n = wq.shape
+    s = jnp.repeat(w_scale.astype(jnp.float32), group, axis=0)
+    return wq * s
+
+
+def fused_dense_decode_i4_ref(x, w_p, w_scale, act_scale, norm_scale=None,
+                              residual=None, rope_cos=None, rope_sin=None,
+                              head_dim: int = 0, eps: float = 1e-6,
+                              group: int = 128, out_dtype=None):
+    xf = x.astype(jnp.float32)
+    if norm_scale is not None:
+        xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    s = act_scale.astype(jnp.float32)[0]
+    xi = jnp.clip(jnp.round(xf / s), -127, 127)
+    wq = unpack_int4_planar(w_p).astype(jnp.float32)
+    k = wq.shape[0]
+    acc = (xi.reshape(x.shape[0], k // group, group).transpose(1, 0, 2)
+           @ wq.reshape(k // group, group, -1))      # (ng, B, N)
+    y = jnp.sum(acc * w_scale.astype(jnp.float32)[:, None, :], axis=0) * s
+    if rope_cos is not None:
+        y = _rope_ref(y, rope_cos, rope_sin, head_dim)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+def fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales, act_scales,
+                            norm_scale, eps: float = 1e-6, act: str = "silu",
+                            block_j: int = 512, group: int = 128,
+                            out_dtype=None):
+    xf = x.astype(jnp.float32)
+    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    s_in = act_scales.astype(jnp.float32)[0]
+    s_mid = act_scales.astype(jnp.float32)[1]
+    sg, su, sd = w_scales
+    inner = wg_p.shape[1]
+    bj = _pick_block(inner, block_j)
+    xi = jnp.clip(jnp.round(xn / s_in), -127, 127)
+    gate = (xi @ _dequant_i4(wg_p, sg, group)) * s_in
+    up = (xi @ _dequant_i4(wu_p, su, group)) * s_in
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai = jnp.clip(jnp.round(a / s_mid), -127, 127)
+    y = (ai @ _dequant_i4(wd_p, sd, group, block=bj)) * s_mid
+    return (y + xf).astype(out_dtype or x.dtype)
+
+
+def fused_dense_decode_i4(x, w_p, w_scale, act_scale, norm_scale=None,
+                          residual=None, rope_cos=None, rope_sin=None,
+                          head_dim: int = 0, eps: float = 1e-6,
+                          group: int = 128, **kw):
+    if on_tpu():
+        return fused_dense_decode_i4_pallas(x, w_p, w_scale, act_scale,
+                                            norm_scale, residual, rope_cos,
+                                            rope_sin, head_dim=head_dim,
+                                            eps=eps, group=group, **kw)
+    return fused_dense_decode_i4_ref(x, w_p, w_scale, act_scale, norm_scale,
+                                     residual, rope_cos, rope_sin,
+                                     head_dim=head_dim, eps=eps, group=group)
+
+
+def fused_mlp_decode_i4(x, wg_p, wu_p, wd_p, w_scales, act_scales,
+                        norm_scale, eps: float = 1e-6, act: str = "silu",
+                        group: int = 128, **kw):
+    if on_tpu():
+        return fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales,
+                                          act_scales, norm_scale, eps=eps,
+                                          act=act, group=group, **kw)
+    return fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales,
+                                   act_scales, norm_scale, eps=eps, act=act,
+                                   group=group)

@@ -294,3 +294,86 @@ def test_decode_attention_kv_i8_interpret_matches_ref():
                                                interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_int4_pack_unpack_bijection():
+    rng = np.random.RandomState(0)
+    wq = jnp.asarray(rng.randint(-7, 8, (256, 128)), jnp.int8)
+    for block in (0, 64):
+        p = dk.pack_int4_planar(wq, block=block)
+        assert p.shape == (128, 128) and p.dtype == jnp.int8
+        back = dk.unpack_int4_planar(p, block=block)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(wq))
+
+
+def test_fused_dense_i4_interpret_matches_ref():
+    rng = np.random.RandomState(1)
+    b, k, n, group = 4, 256, 256, 64
+    x = jnp.asarray(rng.randn(b, k), jnp.float32)
+    w = jnp.asarray(rng.randn(k, n) / np.sqrt(k), jnp.float32)
+    wq, ws = dk.quantize_int4_group(w, group)
+    wp = dk.pack_int4_planar(wq)
+    a_s = jnp.asarray([0.05], jnp.float32)
+    norm = jnp.asarray(rng.rand(k) + 0.5, jnp.float32)
+    res = jnp.asarray(rng.randn(b, n), jnp.float32)
+    out = dk.fused_dense_decode_i4_pallas(
+        x, wp, ws, a_s, norm_scale=norm, residual=res, group=group,
+        block_n=128, interpret=True)
+    ref = dk.fused_dense_decode_i4_ref(
+        x, wp, ws, a_s, norm_scale=norm, residual=res, group=group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # and the dequant path really is int4: error vs the fp product is
+    # small but nonzero
+    fp = dk.fused_dense_decode_ref(x, w, norm_scale=norm, residual=res)
+    rel = float(jnp.linalg.norm(out - fp) / jnp.linalg.norm(fp))
+    assert 1e-5 < rel < 0.2, rel
+
+
+def test_fused_dense_i4_rope_interpret():
+    rng = np.random.RandomState(2)
+    b, k, n, group, hd = 2, 128, 256, 64, 64
+    x = jnp.asarray(rng.randn(b, k), jnp.float32)
+    w = jnp.asarray(rng.randn(k, n) / np.sqrt(k), jnp.float32)
+    wq, ws = dk.quantize_int4_group(w, group)
+    wp = dk.pack_int4_planar(wq)
+    a_s = jnp.asarray([0.05], jnp.float32)
+    ang = rng.rand(n) * 2 * np.pi
+    cos = jnp.asarray(np.cos(ang), jnp.float32)
+    sin = jnp.asarray(np.sin(ang), jnp.float32)
+    out = dk.fused_dense_decode_i4_pallas(
+        x, wp, ws, a_s, rope_cos=cos, rope_sin=sin, head_dim=hd,
+        group=group, block_n=128, interpret=True)
+    ref = dk.fused_dense_decode_i4_ref(
+        x, wp, ws, a_s, rope_cos=cos, rope_sin=sin, head_dim=hd,
+        group=group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_i4_interpret_matches_ref():
+    rng = np.random.RandomState(3)
+    b, k, inner, group, bj = 4, 256, 512, 64, 128
+    x = jnp.asarray(rng.randn(b, k), jnp.float32)
+    wg = jnp.asarray(rng.randn(k, inner) / np.sqrt(k), jnp.float32)
+    wu = jnp.asarray(rng.randn(k, inner) / np.sqrt(k), jnp.float32)
+    wd = jnp.asarray(rng.randn(inner, k) / np.sqrt(inner), jnp.float32)
+    norm = jnp.asarray(rng.rand(k) + 0.5, jnp.float32)
+    wgq, sg = dk.quantize_int4_group(wg, group)
+    wuq, su = dk.quantize_int4_group(wu, group)
+    wdq, sd = dk.quantize_int4_group(wd, group)
+    blk = dk.mlp_i4_block(inner, bj)
+    wgp = dk.pack_int4_planar(wgq)
+    wup = dk.pack_int4_planar(wuq)
+    wdp = dk.pack_int4_planar(wdq, block=blk)
+    a_s = jnp.asarray([0.05, 0.1], jnp.float32)
+    out = dk.fused_mlp_decode_i4_pallas(
+        x, wgp, wup, wdp, (sg, su, sd), a_s, norm, block_j=bj,
+        group=group, interpret=True)
+    ref = dk.fused_mlp_decode_i4_ref(
+        x, wgp, wup, wdp, (sg, su, sd), a_s, norm, block_j=bj, group=group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    fp = dk.fused_mlp_decode_ref(x, wg, wu, wd, norm)
+    rel = float(jnp.linalg.norm(out - fp) / jnp.linalg.norm(fp))
+    assert 1e-5 < rel < 0.3, rel

@@ -199,19 +199,48 @@ def main():
         json.dump(artifact, f, indent=2)
 
     if not tiny:
-        lines = [
-            "# QUALITY — relative quality-parity table (SD1.5 architecture)",
-            "",
-            "Reference evidence: LPIPS tables in the reference README"
-            " (README.md:24-42), fp16 vs quantized on identical prompts/seeds.",
-            "Real checkpoints are unavailable in this environment (zero egress),",
-            "so this table reproduces the *relative* ordering on the real",
-            f"SD1.5 architecture ({px}px, {steps} DDIM steps, CFG 7.5) with",
-            "shared deterministic random weights and latents — identical",
-            "between the bf16 reference row and every quant mode.",
-            "Reproduce: `python tools/quality_table.py` (artifact:",
-            "tools/quality_table.json).",
-            "",
+        if OUTLIERS:
+            lines = [
+                "# QUALITY under outliers — the regime SmoothQuant/AWQ"
+                " exist for",
+                "",
+                "With purely random weights nothing clips: rounding noise",
+                "dominates and every quant mode looks alike (QUALITY.md's",
+                "margin-sweep note; the reference's W4A16-Smooth vs W4-RTN",
+                "LPIPS gap is 0.34 vs 0.57).  This table injects the",
+                "heavy-tailed per-channel structure trained networks have",
+                "(`qdm_tpu/utils/outliers.py::inject_norm_outliers`: ~4% of",
+                f"every norm gain vector's channels scaled up to {_MAX_FACTOR:g}x,",
+                "reproducing the persistent activation outliers SmoothQuant",
+                "is built on — reference quantizer_SQ.py:272-295).  The bf16",
+                "reference row shares the SAME injected weights, so each row",
+                "isolates quantization error.  64x injection sends the",
+                "random-weight UNet chaotic (softmax saturation; every mode",
+                f"collapses to ~8.8 PSNR) — the {_MAX_FACTOR:g}x cap keeps the fp",
+                "trajectory stable so modes separate.",
+                "",
+                f"`python tools/quality_table.py --outliers --max-factor"
+                f" {_MAX_FACTOR:g}`",
+                "(artifact: tools/quality_table_outliers.json;",
+                f"{px}px, {steps} DDIM steps, CFG 7.5):",
+                "",
+            ]
+        else:
+            lines = [
+                "# QUALITY — relative quality-parity table (SD1.5 architecture)",
+                "",
+                "Reference evidence: LPIPS tables in the reference README"
+                " (README.md:24-42), fp16 vs quantized on identical prompts/seeds.",
+                "Real checkpoints are unavailable in this environment (zero egress),",
+                "so this table reproduces the *relative* ordering on the real",
+                f"SD1.5 architecture ({px}px, {steps} DDIM steps, CFG 7.5) with",
+                "shared deterministic random weights and latents — identical",
+                "between the bf16 reference row and every quant mode.",
+                "Reproduce: `python tools/quality_table.py` (artifact:",
+                "tools/quality_table.json).",
+                "",
+            ]
+        lines += [
             "| Config | MSE ↓ | PSNR ↑ | SSIM ↑ | eps rel-L2 ↓ |" +
             (" LPIPS ↓ |" if lpips_w is not None else ""),
             "|---|---|---|---|---|" + ("---|" if lpips_w is not None else ""),
@@ -227,6 +256,20 @@ def main():
             "Expected ordering (reference README): W8 modes degrade least;",
             "W4A16-Smooth recovers much of the W4 error; W4-RTN is worst.",
         ]
+        if OUTLIERS:
+            lines += [
+                "",
+                "The W8A8 SmoothQuant-vs-RTN pair runs the identical int8",
+                "pipeline with identical calibrated static scales — only the",
+                "scale migration differs — so its gap is pure smoothing",
+                "benefit.  The LLM counterpart (tools/llm_quality_table.py",
+                "--outliers, artifact tools/llm_quality_table_outliers.json)",
+                "reproduces the reference ordering too: W4-RTN KL 5.18 >",
+                "W4-Smooth 3.29 > W4-AWQ 3.02 (AWQ's clip+scale search adds",
+                "~9% over smoothing), with W8 modes an order of magnitude",
+                "closer to fp.  tools/awq_ab.json bounds the documented AWQ",
+                "loss-target deviation at 2.7% mean MSE.",
+            ]
         qmd = "QUALITY_OUTLIERS.md" if OUTLIERS else "QUALITY.md"
         with open(os.path.join(os.path.dirname(here), qmd), "w") as f:
             f.write("\n".join(lines) + "\n")
