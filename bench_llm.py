@@ -205,7 +205,11 @@ def serve_main():
                       # in-scan overhead scan machinery XLA can amortize?
                       ("engine_w8a8_u4", {"mode": "w8a8_static",
                                           "act_stats": stats,
-                                          "unroll": 4})):
+                                          "unroll": 4}),
+                      # int4 weights (group-128, planar-packed, int8
+                      # MXU): halves decode weight HBM traffic again
+                      ("engine_w4a8", {"mode": "w4a8_static",
+                                       "act_stats": stats})):
         eng = DecodeEngine(lm, **kw)
         # legacy accounting (prefill + n_new steps, like the module
         # rows) AND decode-only steady state (marginal over token

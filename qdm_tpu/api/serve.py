@@ -47,6 +47,14 @@ def _quant_w(w, dtype=jnp.int8):
     return jnp.clip(jnp.round(wf / s), -127, 127).astype(dtype), s
 
 
+def _quant_w4(w, group: int, block: int = 0):
+    """Group-wise symmetric int4, planar nibble packing (see
+    decode_kernels pack_int4_planar): w (K, N) -> (packed (K/2, N)
+    bytes, scales (K/group, N))."""
+    wq, s = dk.quantize_int4_group(w, group)
+    return dk.pack_int4_planar(wq, block=block), s
+
+
 class DecodeEngine:
     """Extracted-weight greedy-decode engine over megakernels."""
 
@@ -81,6 +89,16 @@ class DecodeEngine:
         # ~96us vs ~186us realized in-scan, BENCH_NOTES round 3) is
         # per-iteration scan machinery XLA can amortize
         self.unroll = unroll
+        if mode == "w4a8_static":
+            import math
+
+            # int4 group size: 128 (reference W4 group scheme) shrunk
+            # to divide both planar half-contractions the kernels see
+            # (K/2 for qkv/o/gate/up, block_j/2 for the streamed
+            # w_down blocks)
+            self.i4_mlp_block = dk.mlp_i4_block(cfg.intermediate_size)
+            self.i4_group = math.gcd(
+                math.gcd(cfg.hidden_size // 2, self.i4_mlp_block // 2), 128)
         p = lm.params
 
         def scale_of(key):
@@ -185,11 +203,17 @@ class DecodeEngine:
             qkv = dk.fused_dense_decode(x, w["w_qkv"], norm_scale=w["ln1"],
                                         rope_cos=cosv, rope_sin=sinv,
                                         head_dim=d, eps=eps)
-        else:
+        elif self.mode == "w8a8_static":
             qkv = dk.fused_dense_decode_i8(x, w["w_qkv"], w["s_qkv"],
                                            w["a_qkv"], norm_scale=w["ln1"],
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps)
+        else:
+            qkv = dk.fused_dense_decode_i4(x, w["w_qkv"], w["s_qkv"],
+                                           w["a_qkv"], norm_scale=w["ln1"],
+                                           rope_cos=cosv, rope_sin=sinv,
+                                           head_dim=d, eps=eps,
+                                           group=self.i4_group)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
         kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
         if self.kv_dtype == jnp.int8:
@@ -218,13 +242,20 @@ class DecodeEngine:
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
             x = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"], w["ln2"],
                                     eps=eps, act=cfg.mlp_act)
-        else:
+        elif self.mode == "w8a8_static":
             x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"], w["a_o"],
                                          residual=x)
             x = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
                                        (w["sg"], w["su"], w["sd"]),
                                        w["a_mlp"], w["ln2"], eps=eps,
                                        act=cfg.mlp_act)
+        else:
+            x = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"], w["a_o"],
+                                         residual=x, group=self.i4_group)
+            x = dk.fused_mlp_decode_i4(x, w["wg"], w["wu"], w["wd"],
+                                       (w["sg"], w["su"], w["sd"]),
+                                       w["a_mlp"], w["ln2"], eps=eps,
+                                       act=cfg.mlp_act, group=self.i4_group)
         return x, cache
 
     # ------------------------------------------------------------------ decode

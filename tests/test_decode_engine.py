@@ -377,3 +377,19 @@ def test_fused_mlp_i4_interpret_matches_ref():
     fp = dk.fused_mlp_decode_ref(x, wg, wu, wd, norm)
     rel = float(jnp.linalg.norm(out - fp) / jnp.linalg.norm(fp))
     assert 1e-5 < rel < 0.3, rel
+
+
+def test_engine_w4a8_static(lm):
+    """int4 group-quantized engine (planar-packed, int8 MXU): runs end
+    to end; greedy tokens mostly survive w4 on a tiny random model."""
+    ids = RNG.integers(0, 256, (2, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    eng = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    # group shrunk to divide the tiny planar half-contractions
+    assert (lm.config.hidden_size // 2) % eng.i4_group == 0
+    assert (eng.i4_mlp_block // 2) % eng.i4_group == 0
+    out = eng.generate(ids, max_new_tokens=10)
+    ref = lm.generate(ids, max_new_tokens=10)
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    assert (out == ref).mean() > 0.5
