@@ -201,11 +201,10 @@ def serve_main():
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
                                        "act_stats": stats}),
-                      # scan-unroll probe: is the measured per-layer
-                      # in-scan overhead scan machinery XLA can amortize?
-                      ("engine_w8a8_u4", {"mode": "w8a8_static",
-                                          "act_stats": stats,
-                                          "unroll": 4}),
+                      # scan-unroll probe answered (r3c): unroll=4
+                      # decode-only 7464.8 vs 7461.7 tok/s — the
+                      # in-scan per-layer overhead is inter-kernel
+                      # fixed cost, not lax.scan machinery
                       # int4 weights (group-128, planar-packed, int8
                       # MXU): halves decode weight HBM traffic again
                       ("engine_w4a8", {"mode": "w4a8_static",

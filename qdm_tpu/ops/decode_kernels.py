@@ -1098,10 +1098,13 @@ def _nibbles(wp):
     return lo, hi
 
 
-def _i4_group_dot(xi, wp, ws_ref, s_in, group: int):
+def _i4_group_dot(xi, wp, ws_ref, s_in, group: int, row0=0):
     """xi (bp, k) int8 = quantized activation; wp (k/2, bn) packed
-    bytes; ws_ref (k//group, bn) f32 group scales.  Returns f32
-    (bp, bn) = dequantized xi @ w * s_in."""
+    bytes; ws_ref f32 group scales, rows [row0, row0 + k//group) of it
+    belong to this block (row0 is dynamic when the scale array is
+    loaded whole — Mosaic requires scale blocks be sublane-aligned or
+    full, and per-grid-block slices of a (I/g, K) array are neither).
+    Returns f32 (bp, bn) = dequantized xi @ w * s_in."""
     half = wp.shape[0]
     k = 2 * half
     assert half % group == 0, (half, group)
@@ -1116,7 +1119,8 @@ def _i4_group_dot(xi, wp, ws_ref, s_in, group: int):
                 xs, w[r0: r0 + group],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            c = acc.astype(jnp.float32) * ws_ref[plane * gpp + gi]
+            c = acc.astype(jnp.float32) * ws_ref[
+                pl.ds(row0 + plane * gpp + gi, 1)]
             y = c if y is None else y + c
     return y * s_in
 
@@ -1232,8 +1236,12 @@ def _fused_mlp_i4_kernel(x_ref, wgp_ref, wup_ref, wdp_ref, wsg_ref, wsu_ref,
          else jax.nn.gelu(gate, approximate=True)) * up
     ai = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
     # w_down block: packed per-block planar (bj/2, k); ai columns are
-    # this block's inner rows, so the same two-plane group dot applies
-    acc_ref[:] += _i4_group_dot(ai, wdp_ref, wsd_ref, s_mid, group)
+    # this block's inner rows, so the same two-plane group dot applies.
+    # wsd rides along WHOLE ((I/g, K) is tiny) — its per-block row
+    # slices are not sublane-aligned, so the block's rows are selected
+    # dynamically instead
+    acc_ref[:] += _i4_group_dot(ai, wdp_ref, wsd_ref, s_mid, group,
+                                row0=j * (bj // group))
 
     @pl.when(j == n_j - 1)
     def _():
@@ -1267,7 +1275,6 @@ def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
     ns = norm_scale.reshape(1, k).astype(jnp.float32)
     sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
     ngk = k // group
-    ngj = bj // group
 
     out = pl.pallas_call(
         functools.partial(_fused_mlp_i4_kernel, n_j=n_j, eps=eps, act=act,
@@ -1280,7 +1287,7 @@ def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
             pl.BlockSpec((bj // 2, k), lambda j: (j, 0)),
             pl.BlockSpec((ngk, bj), lambda j: (0, j)),
             pl.BlockSpec((ngk, bj), lambda j: (0, j)),
-            pl.BlockSpec((ngj, k), lambda j: (j, 0)),
+            pl.BlockSpec((inner // group, k), lambda j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k), lambda j: (0, 0)),
         ],
