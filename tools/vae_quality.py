@@ -73,14 +73,25 @@ def main():
 
     rows = [{"config": "bf16", "psnr": None, "ssim": None,
              "decode_s": round(dt_ref, 4)}]
-    for name, per_channel in (("int8 static per-tensor", False),
-                              ("int8 static per-channel-smoothed (a=0.5, folded)", True)):
+    # the weight-only row separates weight-quant error from act-quant
+    # error: if it tracks bf16 while the a8 rows collapse, the loss is
+    # in the activation scales, not the int8 conv weights
+    variants = [
+        ("int8 weight-only (a16)", {"w_bit": 8, "a_bit": 16,
+                                    "version": "real"}),
+        ("int8 static per-tensor", {"w_bit": 8, "a_bit": 8,
+                                    "version": "real", "quantize_act": True,
+                                    "act_quant_type": "static",
+                                    "act_quant_conv_type": "static",
+                                    "vae_per_channel_acts": False}),
+        ("int8 static per-channel-smoothed (a=0.5, folded)",
+         {"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True,
+          "act_quant_type": "static", "act_quant_conv_type": "static",
+          "vae_per_channel_acts": True}),
+    ]
+    for name, qdict in variants:
         pipe = StableDiffusion1_x.from_config(tiny=tiny, dtype=dtype, seed=0)
-        pipe.quantize({"w_bit": 8, "a_bit": 8, "version": "real",
-                       "quantize_act": True, "act_quant_type": "static",
-                       "act_quant_conv_type": "static",
-                       "vae_per_channel_acts": per_channel},
-                      quantType="sq", quantUnet=False, quantVAE=True)
+        pipe.quantize(qdict, quantType="sq", quantUnet=False, quantVAE=True)
         img, dt = timed_decode(pipe)
         rows.append({
             "config": name,
