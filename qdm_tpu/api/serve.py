@@ -60,7 +60,8 @@ class DecodeEngine:
 
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
-                 act_margin: float = 1.0, kv_dtype=None, unroll: int = 1):
+                 act_margin: float = 1.0, kv_dtype=None, unroll: int = 1,
+                 merge_o: bool = False):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
@@ -89,6 +90,11 @@ class DecodeEngine:
         # ~96us vs ~186us realized in-scan, BENCH_NOTES round 3) is
         # per-iteration scan machinery XLA can amortize
         self.unroll = unroll
+        # fold o_proj+residual into the attention kernel (one fewer
+        # launch per layer; int8-w_o only, and only when the decode
+        # batch needs no sublane padding — the merged kernel requires
+        # q batch == cache batch)
+        self.merge_o = merge_o and mode == "w8a8_static"
         if mode == "w4a8_static":
             import math
 
@@ -235,8 +241,17 @@ class DecodeEngine:
             newc = kv_new.astype(kv.dtype)[:, :, :, None]
             kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
             bb = self.block_b if b % self.block_b == 0 else 1
-            attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
             cache = (kv,)
+            if self.merge_o and bp == b:
+                x = dk.decode_attention_kv_o_i8(
+                    q, kv, w["w_o"], w["s_o"], w["a_o"], x, pos,
+                    block_b=bb)
+                x = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
+                                           (w["sg"], w["su"], w["sd"]),
+                                           w["a_mlp"], w["ln2"], eps=eps,
+                                           act=cfg.mlp_act)
+                return x, cache
+            attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
         attn = attn.reshape(bp, h * d)
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)

@@ -1382,3 +1382,123 @@ def fused_mlp_decode_i4(x, wg_p, wu_p, wd_p, w_scales, act_scales,
     return fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales,
                                    act_scales, norm_scale, eps=eps, act=act,
                                    group=group)
+
+# ---------------------------------------------------------------------------
+# merged attention + o_proj (+residual): one fewer kernel per layer
+# ---------------------------------------------------------------------------
+#
+# The unroll probe (r3c) pinned the in-scan per-layer gap on
+# inter-kernel fixed cost (~14us/launch), so the lever is fewer
+# launches.  This kernel folds o_proj + the residual add into the
+# combined-[K|V] attention kernel: each batch-block program already
+# holds ALL heads' outputs for its rows, and the int8 w_o (4 MB)
+# rides VMEM-resident across the grid (constant index map), so the
+# (bp, h*d) attention output never touches HBM.  int8-weight variant
+# only: a bf16 w_o (8 MB) would not leave room for the double-buffered
+# cache blocks in ~16 MB VMEM.
+
+
+def _decode_attn_kv_o_i8_kernel(pos_ref, q_ref, kv_ref, wo_ref, wos_ref,
+                                aos_ref, r_ref, o_ref, attn_ref, *,
+                                scale: float, hkv: int, bb: int):
+    pos = pos_ref[0]
+    g = q_ref.shape[2]
+    d = q_ref.shape[3]
+    for bi in range(bb):
+        for h in range(hkv):
+            q = q_ref[bi, h].astype(jnp.float32) * scale        # (g, d)
+            k = kv_ref[bi, h].astype(jnp.float32)               # (d, T)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v = kv_ref[bi, hkv + h].astype(jnp.float32)         # (d, T)
+            o = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # row-aligned scratch write: rows (bi*hkv + h)*g ..+g, no
+            # lane-offset stores
+            attn_ref[(bi * hkv + h) * g:(bi * hkv + h + 1) * g, :] = (
+                jnp.clip(jnp.round(o * (1.0 / aos_ref[0])), -127, 127)
+                .astype(jnp.int8))
+    # (bb*hkv*g, d) -> (bb, hkv*g*d) relayout + one int8 o_proj dot
+    att = attn_ref[:].reshape(bb, hkv * g * d)
+    acc = jax.lax.dot_general(
+        att, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (aos_ref[0] * wos_ref[:])
+    o_ref[:] = (y + r_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8, wo_scale,
+                                    attn_scale, residual, pos,
+                                    block_b: int = 2,
+                                    interpret: bool = False):
+    """Combined-cache attention + int8 o_proj + residual in ONE call.
+
+    q (B, hkv, g, d); kv_cache (B, 2hkv, d, T); w_o_i8 (h*d, K) int8
+    with per-out-channel scales wo_scale (1, K); attn_scale (1,) static
+    scale for quantizing the attention output (calibrated o_proj input
+    scale); residual (B, K).  Returns (B, K) = attn @ w_o + residual.
+    Output rows beyond B=cache batch (CFG-style padding) are NOT
+    supported here — q batch must equal cache batch."""
+    b, hkv, g, d = q.shape
+    t = kv_cache.shape[-1]
+    hd, kk = w_o_i8.shape
+    assert hd == hkv * g * d, (hd, hkv, g, d)
+    assert kv_cache.shape == (b, 2 * hkv, d, t)
+    assert residual.shape == (b, kk)
+    assert t % LANE == 0 and b % block_b == 0, (t, b, block_b)
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    bb = block_b
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kv_o_i8_kernel, scale=scale,
+                          hkv=hkv, bb=bb),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, d, t), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((hd, kk), lambda i: (0, 0)),
+            pl.BlockSpec((1, kk), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, kk), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, kk), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, kk), residual.dtype),
+        scratch_shapes=[pltpu.VMEM((bb * hkv * g, d), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, kv_cache, w_o_i8, wo_scale.astype(jnp.float32),
+      attn_scale.astype(jnp.float32), residual)
+
+
+def decode_attention_kv_o_i8_ref(q, kv_cache, w_o_i8, wo_scale, attn_scale,
+                                 residual, pos):
+    b, hkv, g, d = q.shape
+    out = decode_attention_ref(q, kv_cache[:, :hkv],
+                               kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos)
+    att = out.reshape(b, hkv * g * d).astype(jnp.float32)
+    s = attn_scale.astype(jnp.float32)[0]
+    ai = jnp.clip(jnp.round(att / s), -127, 127)
+    acc = ai @ w_o_i8.astype(jnp.float32)
+    y = acc * (s * wo_scale.astype(jnp.float32))
+    return (y + residual.astype(jnp.float32)).astype(residual.dtype)
+
+
+def decode_attention_kv_o_i8(q, kv_cache, w_o_i8, wo_scale, attn_scale,
+                             residual, pos, **kw):
+    if on_tpu():
+        return decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8,
+                                               wo_scale, attn_scale,
+                                               residual, pos, **kw)
+    return decode_attention_kv_o_i8_ref(q, kv_cache, w_o_i8, wo_scale,
+                                        attn_scale, residual, pos)
