@@ -201,6 +201,12 @@ def serve_main():
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
                                        "act_stats": stats}),
+                      # merged attention+o_proj kernel: one fewer
+                      # launch per layer (the unroll probe pinned the
+                      # in-scan gap on per-launch fixed cost)
+                      ("engine_w8a8_mo", {"mode": "w8a8_static",
+                                          "act_stats": stats,
+                                          "merge_o": True}),
                       # scan-unroll probe answered (r3c): unroll=4
                       # decode-only 7464.8 vs 7461.7 tok/s — the
                       # in-scan per-layer overhead is inter-kernel

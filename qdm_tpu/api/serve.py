@@ -25,6 +25,18 @@ Modes
 The engine extracts weights once from a :class:`CausalLM`'s canonical
 (unfused) params; the KV cache uses the kernel-native layouts
 K (B, hkv, d, T) / V (B, hkv, T, d) (see decode_kernels module doc).
+
+Tensor parallelism
+------------------
+Pass ``mesh=`` (a ``jax.sharding.Mesh`` with a ``'model'`` axis) for
+megatron-style tensor-parallel serving over ICI: qkv/gate/up are
+column-split by head / inner channel, o_proj/down are row-split with
+one ``psum`` each per layer, the KV cache shards over kv heads, and
+the lm_head splits the vocab with a cross-shard argmax.  The decode
+step runs under ``shard_map`` so each device launches its own pallas
+megakernels on local shards; the collectives ride ICI.  Counterpart of
+the reference's multi-GPU device-map placement (utils/parallel.py) —
+re-designed as SPMD rather than per-layer placement.
 """
 
 from __future__ import annotations
@@ -35,6 +47,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from qdm_tpu.ops import decode_kernels as dk
 from qdm_tpu.ops.quant_matmul import _round_up
@@ -55,19 +68,66 @@ def _quant_w4(w, group: int, block: int = 0):
     return dk.pack_int4_planar(wq, block=block), s
 
 
+def _qkv_shard_perm(h: int, hkv: int, d: int, tp: int) -> np.ndarray:
+    """Column permutation putting the fused [q | k | v] projection into
+    shard-major order: shard s's columns are [q_s | k_s | v_s], so a
+    plain P(None, 'model') split hands each device a local fused qkv
+    weight with the SAME internal layout the kernels expect."""
+    hl, hkvl = h // tp, hkv // tp
+    q0, k0, v0 = 0, h * d, (h + hkv) * d
+    idx = []
+    for s in range(tp):
+        idx.append(np.arange(q0 + s * hl * d, q0 + (s + 1) * hl * d))
+        idx.append(np.arange(k0 + s * hkvl * d, k0 + (s + 1) * hkvl * d))
+        idx.append(np.arange(v0 + s * hkvl * d, v0 + (s + 1) * hkvl * d))
+    return np.concatenate(idx)
+
+
+def _kv_shard_perm(hkv: int, tp: int) -> np.ndarray:
+    """Axis-1 permutation of the combined [K | V] cache (2*hkv rows of
+    heads) into shard-major [k_s | v_s] blocks."""
+    hkvl = hkv // tp
+    idx = []
+    for s in range(tp):
+        idx.append(np.arange(s * hkvl, (s + 1) * hkvl))
+        idx.append(np.arange(hkv + s * hkvl, hkv + (s + 1) * hkvl))
+    return np.concatenate(idx)
+
+
 class DecodeEngine:
     """Extracted-weight greedy-decode engine over megakernels."""
 
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
                  act_margin: float = 1.0, kv_dtype=None, unroll: int = 1,
-                 merge_o: bool = False):
+                 merge_o: bool = False, mesh=None):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
             raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
         cfg = lm.config
+        # tensor-parallel serving (module docstring): tp = size of the
+        # mesh's 'model' axis; 1 (or no mesh) = the single-device path
+        self.mesh = mesh
+        self.tp = int(mesh.shape["model"]) if (
+            mesh is not None and "model" in mesh.axis_names) else 1
+        if self.tp > 1:
+            if mode == "w4a8_static":
+                raise NotImplementedError(
+                    "tensor-parallel w4a8: planar int4 packing does not "
+                    "column-shard; use w8a8_static")
+            if kv_dtype is not None or merge_o:
+                raise NotImplementedError(
+                    "tensor-parallel engine: int8 KV / merge_o are "
+                    "single-device options")
+            if (cfg.num_attention_heads % self.tp
+                    or cfg.num_key_value_heads % self.tp
+                    or cfg.intermediate_size % self.tp
+                    or cfg.vocab_size % self.tp):
+                raise ValueError(
+                    f"heads/kv-heads/intermediate/vocab must divide "
+                    f"tp={self.tp}")
         if cfg.attention_bias or cfg.norm_type != "rmsnorm" \
                 or cfg.parallel_residual:
             raise NotImplementedError(
@@ -111,6 +171,9 @@ class DecodeEngine:
             s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
             return (s * act_margin).astype(jnp.float32)
 
+        qkv_perm = (_qkv_shard_perm(cfg.num_attention_heads,
+                                    cfg.num_key_value_heads, cfg.head_dim,
+                                    self.tp) if self.tp > 1 else None)
         layers = []
         for l in range(cfg.num_hidden_layers):
             lp = p[f"layers_{l}"]
@@ -118,6 +181,8 @@ class DecodeEngine:
             w_qkv = jnp.concatenate(
                 [at["q_proj"]["kernel"], at["k_proj"]["kernel"],
                  at["v_proj"]["kernel"]], axis=1).astype(self.dtype)
+            if qkv_perm is not None:
+                w_qkv = w_qkv[:, qkv_perm]
             w_o = at["o_proj"]["kernel"].astype(self.dtype)
             wg = mp_["gate_proj"]["kernel"].astype(self.dtype)
             wu = mp_["up_proj"]["kernel"].astype(self.dtype)
@@ -165,10 +230,35 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        if self.tp > 1:
+            # place each leaf on its shard once, up front (the decode
+            # jit then sees correctly-sharded inputs; no resharding)
+            self._lspecs = [
+                {k: self._tp_spec(k) for k in e} for e in self.layers]
+            self.layers = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                self.layers, self._lspecs)
+            self.embed = jax.device_put(
+                self.embed, NamedSharding(mesh, P()))
+            self.final_norm = jax.device_put(
+                self.final_norm, NamedSharding(mesh, P()))
+            self.w_head = jax.device_put(
+                self.w_head, NamedSharding(mesh, P(None, "model")))
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict[int, callable] = {}
         self._prefill_fn = None
+
+    @staticmethod
+    def _tp_spec(key: str) -> P:
+        """PartitionSpec for one engine weight leaf (megatron rules:
+        qkv/gate/up column-split, o/down row-split, scales follow the
+        split axis, scalars replicate)."""
+        if key in ("w_qkv", "s_qkv", "wg", "wu", "sg", "su"):
+            return P(None, "model")
+        if key in ("w_o", "wd"):
+            return P("model", None)
+        return P()
 
     # ------------------------------------------------------------- calibration
 
@@ -193,10 +283,16 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------ layers
 
-    def _layer(self, x, cache, w, pos, cosv, sinv):
+    def _layer(self, x, cache, w, pos, cosv, sinv, h=None, hkv=None,
+               tp_axis=None):
+        """One decoder layer.  h/hkv default to the model's head counts;
+        under shard_map (tp_axis set) they are the LOCAL per-shard
+        counts and the row-split o_proj/down partials psum over
+        tp_axis with the residual added once, in f32."""
         cfg = self.cfg
-        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                     cfg.head_dim)
+        h = cfg.num_attention_heads if h is None else h
+        hkv = cfg.num_key_value_heads if hkv is None else hkv
+        d = cfg.head_dim
         g = h // hkv
         bp = x.shape[0]
         b = cache[0].shape[0]
@@ -253,6 +349,31 @@ class DecodeEngine:
                 return x, cache
             attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
         attn = attn.reshape(bp, h * d)
+        if tp_axis is not None:
+            if self.mode == "bf16":
+                part = dk.fused_dense_decode(attn, w["w_o"],
+                                             out_dtype=jnp.float32)
+            else:
+                part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
+                                                w["a_o"],
+                                                out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32)
+                 + jax.lax.psum(part, tp_axis)).astype(x.dtype)
+            if self.mode == "bf16":
+                part = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"],
+                                           w["ln2"], eps=eps,
+                                           act=cfg.mlp_act, residual=False,
+                                           out_dtype=jnp.float32)
+            else:
+                part = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
+                                              (w["sg"], w["su"], w["sd"]),
+                                              w["a_mlp"], w["ln2"], eps=eps,
+                                              act=cfg.mlp_act,
+                                              residual=False,
+                                              out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32)
+                 + jax.lax.psum(part, tp_axis)).astype(x.dtype)
+            return x, cache
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
             x = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"], w["ln2"],
@@ -278,6 +399,10 @@ class DecodeEngine:
     def _make_run(self, n_tokens: int):
         if n_tokens in self._run_cache:
             return self._run_cache[n_tokens]
+        if self.tp > 1:
+            run = self._make_run_tp(n_tokens)
+            self._run_cache[n_tokens] = run
+            return run
         cfg = self.cfg
         h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                      cfg.head_dim)
@@ -325,6 +450,99 @@ class DecodeEngine:
         self._run_cache[n_tokens] = run
         return run
 
+    def _make_run_tp(self, n_tokens: int):
+        """Tensor-parallel decode step: the whole scan runs under
+        shard_map, so each device launches megakernels on its local
+        shards and the two psums per layer ride ICI."""
+        import inspect
+
+        try:
+            from jax import shard_map
+        except ImportError:                      # jax < 0.6
+            from jax.experimental.shard_map import shard_map
+        # the replication checker was check_rep in the experimental
+        # API, check_vma in jax.shard_map; disable under either name
+        # (psum-produced outputs are replicated, but the static
+        # checker cannot see through the pallas kernels)
+        sig = inspect.signature(shard_map).parameters
+        rep_kw = ({"check_vma": False} if "check_vma" in sig
+                  else {"check_rep": False})
+
+        cfg = self.cfg
+        tp = self.tp
+        h_l = cfg.num_attention_heads // tp
+        hkv_l = cfg.num_key_value_heads // tp
+        d = cfg.head_dim
+        half = d // 2
+        freqs = 1.0 / (cfg.rope_theta
+                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        # rope mask/sign over the LOCAL fused qkv layout [q_l | k_l | v_l]
+        # — structurally identical to the global one at local head counts
+        n_qkv = (h_l + 2 * hkv_l) * d
+        w_rope = (h_l + hkv_l) * d
+        col = jnp.arange(n_qkv)
+        col_j = col % d
+        is_rope = col < w_rope
+        sign = jnp.where(col_j < half, -1.0, 1.0)
+        base_idx = col_j % half
+
+        def body_sharded(layers, embed, final_norm, w_head, tok0, caches,
+                         start_pos):
+            b = tok0.shape[0]
+            bp = max(_round_up(b, 8), 8)
+            v_l = w_head.shape[1]
+            off = jax.lax.axis_index("model").astype(jnp.int32) * v_l
+
+            def body(carry, i):
+                tok, caches = carry
+                pos = start_pos + i
+                angles = pos.astype(jnp.float32) * freqs
+                cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
+                sinv = jnp.where(is_rope,
+                                 sign * jnp.sin(angles)[base_idx], 0.0)
+                x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
+                x = embed[x]
+                new_caches = []
+                for l, w in enumerate(layers):
+                    x, cache = self._layer(x, caches[l], w, pos, cosv,
+                                           sinv, h=h_l, hkv=hkv_l,
+                                           tp_axis="model")
+                    new_caches.append(cache)
+                logits = dk.fused_dense_decode(
+                    x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
+                    out_dtype=jnp.float32, block_n=1280)
+                logits = logits[:b]
+                lmax = jnp.max(logits, axis=-1)                     # (b,)
+                larg = jnp.argmax(logits, axis=-1).astype(jnp.int32) + off
+                gmax = jax.lax.all_gather(lmax, "model")            # (tp, b)
+                garg = jax.lax.all_gather(larg, "model")
+                widx = jnp.argmax(gmax, axis=0)                     # (b,)
+                nxt = jnp.take_along_axis(garg, widx[None], axis=0)[0]
+                nxt = nxt.astype(tok.dtype)
+                return (nxt, tuple(new_caches)), nxt
+
+            (_, _), toks = jax.lax.scan(body, (tok0, caches),
+                                        jnp.arange(n_tokens))
+            return toks.T
+
+        lspecs = tuple(
+            {k: self._tp_spec(k) for k in e} for e in self.layers)
+        cache_spec = tuple((P(None, "model", None, None),)
+                           for _ in self.layers)
+        fn = shard_map(
+            body_sharded, mesh=self.mesh,
+            in_specs=(lspecs, P(), P(), P(None, "model"), P(),
+                      cache_spec, P()),
+            out_specs=P(),
+            **rep_kw)
+
+        @jax.jit
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos):
+            return fn(tuple(layers), embed, final_norm, w_head, tok0,
+                      tuple(tuple(c) for c in caches), start_pos)
+
+        return run
+
     def init_cache(self, batch: int, max_len: int):
         """Combined [K | V] cache (B, 2*hkv, d, T): one array per layer
         so the per-step write is a single dynamic_update_slice."""
@@ -350,6 +568,9 @@ class DecodeEngine:
 
         if self._prefill_fn is None:
             kv_int8 = self.kv_dtype == jnp.int8
+            kv_perm = (jnp.asarray(_kv_shard_perm(
+                self.cfg.num_key_value_heads, self.tp))
+                if self.tp > 1 else None)
 
             @jax.jit
             def fwd(params, ids, caches):
@@ -366,6 +587,10 @@ class DecodeEngine:
                         [ck.astype(cdt).transpose(0, 1, 3, 2),
                          cv.astype(cdt).transpose(0, 1, 3, 2)],
                         axis=1)                              # (B, 2hkv, d, T)
+                    if kv_perm is not None:
+                        # shard-major [k_s | v_s] head order (tp cache
+                        # layout; see _kv_shard_perm)
+                        kvdm = jnp.take(kvdm, kv_perm, axis=1)
                     if kv_int8:
                         ss = jnp.clip(jnp.max(jnp.abs(kvdm), axis=2,
                                               keepdims=True),
@@ -377,7 +602,13 @@ class DecodeEngine:
                 return tok, eng
 
             self._prefill_fn = fwd
-        return self._prefill_fn(self.lm.params, jnp.asarray(ids), caches)
+        tok, eng = self._prefill_fn(self.lm.params, jnp.asarray(ids), caches)
+        if self.tp > 1:
+            sh = NamedSharding(self.mesh, P(None, "model", None, None))
+            eng = [tuple(jax.device_put(c, sh) for c in entry)
+                   for entry in eng]
+            tok = jax.device_put(tok, NamedSharding(self.mesh, P()))
+        return tok, eng
 
     def generate(self, input_ids, max_new_tokens: int = 32) -> np.ndarray:
         ids = np.asarray(input_ids)

@@ -833,7 +833,8 @@ def decode_attention_i8(q, k_i8, k_scale, v_i8, v_scale, pos, **kw):
 
 
 def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, o_ref,
-                      xn_ref, acc_ref, *, n_j: int, eps: float, act: str):
+                      xn_ref, acc_ref, *, n_j: int, eps: float, act: str,
+                      residual: bool = True):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -851,13 +852,16 @@ def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, o_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        o_ref[:] = (acc_ref[:]
-                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        y = acc_ref[:]
+        if residual:
+            y = y + x_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _fused_mlp_i8_kernel(x_ref, wg_ref, wu_ref, wd_ref, wsg_ref, wsu_ref,
                          wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
-                         n_j: int, eps: float, act: str):
+                         n_j: int, eps: float, act: str,
+                         residual: bool = True):
     j = pl.program_id(0)
     s_in, s_mid = scl_ref[0], scl_ref[1]
 
@@ -887,21 +891,27 @@ def _fused_mlp_i8_kernel(x_ref, wg_ref, wu_ref, wd_ref, wsg_ref, wsu_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        o_ref[:] = (acc_ref[:]
-                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        y = acc_ref[:]
+        if residual:
+            y = y + x_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "act", "block_j", "out_dtype", "interpret"))
+    static_argnames=("eps", "act", "block_j", "out_dtype", "residual",
+                     "interpret"))
 def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
                             eps: float = 1e-6, act: str = "silu",
                             block_j: int = 256, out_dtype=None,
+                            residual: bool = True,
                             interpret: bool = False):
     """x (B, K) -> x + down(act(gate(n)) * up(n)), n = rmsnorm(x).
 
     Grid streams inner-dim blocks of all three weights; the (B, I)
-    hidden never leaves VMEM.  w_gate/w_up (K, I), w_down (I, K)."""
+    hidden never leaves VMEM.  w_gate/w_up (K, I), w_down (I, K).
+    residual=False returns just the MLP output (tensor-parallel
+    row-split partials psum outside and add the residual once)."""
     b, k = x.shape
     inner = w_gate.shape[1]
     assert w_up.shape == (k, inner) and w_down.shape == (inner, k)
@@ -913,7 +923,8 @@ def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
     ns = norm_scale.reshape(1, k).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_kernel, n_j=n_j, eps=eps, act=act),
+        functools.partial(_fused_mlp_kernel, n_j=n_j, eps=eps, act=act,
+                          residual=residual),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -935,11 +946,13 @@ def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "act", "block_j", "out_dtype", "interpret"))
+    static_argnames=("eps", "act", "block_j", "out_dtype", "residual",
+                     "interpret"))
 def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
                                act_scales, norm_scale, eps: float = 1e-6,
                                act: str = "silu", block_j: int = 512,
-                               out_dtype=None, interpret: bool = False):
+                               out_dtype=None, residual: bool = True,
+                               interpret: bool = False):
     """int8 fused MLP.  w_* int8; w_scales = (sg (1,I), su (1,I),
     sd (1,K)); act_scales (2,) = [input scale, mid (down-input) scale],
     both static (calibrated)."""
@@ -954,7 +967,8 @@ def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
     sg, su, sd = w_scales
 
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_i8_kernel, n_j=n_j, eps=eps, act=act),
+        functools.partial(_fused_mlp_i8_kernel, n_j=n_j, eps=eps, act=act,
+                          residual=residual),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -981,7 +995,7 @@ def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
 
 def fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
                          eps: float = 1e-6, act: str = "silu",
-                         out_dtype=None):
+                         out_dtype=None, residual: bool = True):
     xf = x.astype(jnp.float32)
     xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps).astype(
         x.dtype).astype(jnp.float32)
@@ -990,12 +1004,14 @@ def fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
     a = (jax.nn.silu(gate) if act == "silu"
          else jax.nn.gelu(gate, approximate=True)) * up
     y = a.astype(x.dtype).astype(jnp.float32) @ w_down.astype(jnp.float32)
-    return (y + xf).astype(out_dtype or x.dtype)
+    if residual:
+        y = y + xf
+    return y.astype(out_dtype or x.dtype)
 
 
 def fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales, act_scales,
                             norm_scale, eps: float = 1e-6, act: str = "silu",
-                            out_dtype=None):
+                            out_dtype=None, residual: bool = True):
     xf = x.astype(jnp.float32)
     xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
     s_in = act_scales.astype(jnp.float32)[0]
@@ -1008,27 +1024,31 @@ def fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales, act_scales,
          else jax.nn.gelu(gate, approximate=True)) * up
     ai = jnp.clip(jnp.round(a / s_mid), -127, 127).astype(jnp.int32)
     y = (ai @ w_down.astype(jnp.int32)).astype(jnp.float32) * (s_mid * sd)
-    return (y + xf).astype(out_dtype or x.dtype)
+    if residual:
+        y = y + xf
+    return y.astype(out_dtype or x.dtype)
 
 
 def fused_mlp_decode(x, w_gate, w_up, w_down, norm_scale, eps: float = 1e-6,
-                     act: str = "silu", **kw):
+                     act: str = "silu", residual: bool = True, **kw):
     if on_tpu():
         return fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
-                                       eps=eps, act=act, **kw)
+                                       eps=eps, act=act, residual=residual,
+                                       **kw)
     return fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
-                                eps=eps, act=act)
+                                eps=eps, act=act, residual=residual)
 
 
 def fused_mlp_decode_i8(x, w_gate, w_up, w_down, w_scales, act_scales,
                         norm_scale, eps: float = 1e-6, act: str = "silu",
-                        **kw):
+                        residual: bool = True, **kw):
     if on_tpu():
         return fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
                                           act_scales, norm_scale, eps=eps,
-                                          act=act, **kw)
+                                          act=act, residual=residual, **kw)
     return fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales,
-                                   act_scales, norm_scale, eps=eps, act=act)
+                                   act_scales, norm_scale, eps=eps, act=act,
+                                   residual=residual)
 
 # ---------------------------------------------------------------------------
 # int4 (w4a8): planar nibble packing, group-scaled int8-MXU kernels
@@ -1431,7 +1451,10 @@ def _decode_attn_kv_o_i8_kernel(pos_ref, q_ref, kv_ref, wo_ref, wos_ref,
         att, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (aos_ref[0] * wos_ref[:])
-    o_ref[:] = (y + r_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    # residual/output ride as (1, bb, kk) blocks of a (b//bb, bb, kk)
+    # view: Mosaic requires the LAST TWO block dims to be
+    # sublane/lane-legal or full — bb<8 is only legal as a leading dim
+    o_ref[0] = (y + r_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
@@ -1458,7 +1481,7 @@ def decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8, wo_scale,
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     bb = block_b
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_decode_attn_kv_o_i8_kernel, scale=scale,
                           hkv=hkv, bb=bb),
         grid=(b // bb,),
@@ -1469,16 +1492,17 @@ def decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8, wo_scale,
             pl.BlockSpec((hd, kk), lambda i: (0, 0)),
             pl.BlockSpec((1, kk), lambda i: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bb, kk), lambda i: (i, 0)),
+            pl.BlockSpec((1, bb, kk), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, kk), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, kk), residual.dtype),
+        out_specs=pl.BlockSpec((1, bb, kk), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b // bb, bb, kk), residual.dtype),
         scratch_shapes=[pltpu.VMEM((bb * hkv * g, d), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(pos_arr, q, kv_cache, w_o_i8, wo_scale.astype(jnp.float32),
-      attn_scale.astype(jnp.float32), residual)
+      attn_scale.astype(jnp.float32), residual.reshape(b // bb, bb, kk))
+    return out.reshape(b, kk)
 
 
 def decode_attention_kv_o_i8_ref(q, kv_cache, w_o_i8, wo_scale, attn_scale,

@@ -427,3 +427,38 @@ def test_engine_w8a8_merged_o_matches_split(lm):
     a = split.generate(ids, max_new_tokens=10)
     b = merged.generate(ids, max_new_tokens=10)
     np.testing.assert_array_equal(a, b)
+
+
+def test_engine_tp_matches_single(lm):
+    """Tensor-parallel engine (shard_map over the 'model' axis:
+    column/row-split megakernels + per-layer psums + vocab-split
+    argmax) must reproduce the single-device engine's greedy tokens."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)          # ('data', 'model') = (4, 2)
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    for mode, kw in (("bf16", {}),
+                     ("w8a8_static", {"act_stats": stats})):
+        single = DecodeEngine(lm, mode=mode, **kw)
+        tp = DecodeEngine(lm, mode=mode, mesh=mesh, **kw)
+        assert tp.tp == 2
+        a = single.generate(ids, max_new_tokens=10)
+        b = tp.generate(ids, max_new_tokens=10)
+        # split-contraction f32 partial sums can differ from the
+        # single-device accumulation by ulps; greedy tokens on a tiny
+        # f32 model still match exactly in practice
+        np.testing.assert_array_equal(a, b, err_msg=mode)
+
+
+def test_engine_tp_rejects_unsupported(lm):
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    ids = RNG.integers(0, 256, (2, 5))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    with pytest.raises(NotImplementedError):
+        DecodeEngine(lm, mode="w4a8_static", act_stats=stats, mesh=mesh)
+    with pytest.raises(NotImplementedError):
+        DecodeEngine(lm, mode="w8a8_static", act_stats=stats, mesh=mesh,
+                     kv_dtype=jnp.int8)

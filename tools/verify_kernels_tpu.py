@@ -149,6 +149,39 @@ def main():
     results["flash_int8"] = {"max_abs_diff": d, "tol": 2e-2,
                              "pass": d <= 2e-2}
 
+    # ---- decode megakernels: combined-[K|V] attention and the merged
+    # attention+o_proj(+residual) variant (new in round 3; interpret
+    # mode cannot catch Mosaic lowering failures, so exactness must be
+    # proven on the real chip before the serve bench relies on it)
+    from qdm_tpu.ops import decode_kernels as dkk
+
+    b_, hkv_, g_, d_, t_, kk_ = 4, 4, 8, 64, 1024, 2048
+    kq = jax.random.split(jax.random.PRNGKey(20), 5)
+    qd = jax.random.normal(kq[0], (b_, hkv_, g_, d_), jnp.float32) * 0.5
+    kvd = jax.random.normal(kq[1], (b_, 2 * hkv_, d_, t_), jnp.float32) * 0.5
+    out = dkk.decode_attention_kv_pallas(qd, kvd, 700, block_b=2)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, kvd[:, :hkv_],
+                                       kvd[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv"] = {"max_abs_diff": d, "tol": 1e-3,
+                                 "pass": d <= 1e-3}
+
+    res_ = jax.random.normal(kq[2], (b_, kk_), jnp.float32)
+    wo_ = jax.random.normal(kq[3], (hkv_ * g_ * d_, kk_), jnp.float32) / 40
+    wo_i8 = jnp.clip(jnp.round(wo_ / 0.005), -127, 127).astype(jnp.int8)
+    wos_ = jnp.full((1, kk_), 0.005, jnp.float32)
+    aos_ = jnp.asarray([0.01], jnp.float32)
+    out = dkk.decode_attention_kv_o_i8_pallas(qd, kvd, wo_i8, wos_, aos_,
+                                              res_, 700, block_b=2)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_kv_o_i8_ref(qd, kvd, wo_i8, wos_, aos_,
+                                               res_, 700)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_o_i8"] = {"max_abs_diff": d, "tol": 5e-3,
+                                      "pass": d <= 5e-3}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
