@@ -150,10 +150,11 @@ class DecodeEngine:
         # ~96us vs ~186us realized in-scan, BENCH_NOTES round 3) is
         # per-iteration scan machinery XLA can amortize
         self.unroll = unroll
-        # fold o_proj+residual into the attention kernel (one fewer
-        # launch per layer; int8-w_o only, and only when the decode
-        # batch needs no sublane padding — the merged kernel requires
-        # q batch == cache batch)
+        # fold o_proj + residual + MLP into ONE dense megakernel after
+        # attention (2 pallas calls/layer instead of 3).  Merging into
+        # the attention kernel instead is relayout-blocked on Mosaic
+        # (sublane->lane flatten, decode_kernels module comment);
+        # int8-only (the serve mode)
         self.merge_o = merge_o and mode == "w8a8_static"
         if mode == "w4a8_static":
             import math
@@ -338,17 +339,14 @@ class DecodeEngine:
             kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
             bb = self.block_b if b % self.block_b == 0 else 1
             cache = (kv,)
-            if self.merge_o and bp == b:
-                x = dk.decode_attention_kv_o_i8(
-                    q, kv, w["w_o"], w["s_o"], w["a_o"], x, pos,
-                    block_b=bb)
-                x = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
-                                           (w["sg"], w["su"], w["sd"]),
-                                           w["a_mlp"], w["ln2"], eps=eps,
-                                           act=cfg.mlp_act)
-                return x, cache
             attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
         attn = attn.reshape(bp, h * d)
+        if self.merge_o and tp_axis is None:
+            x = dk.fused_o_mlp_decode_i8(
+                attn, w["w_o"], w["s_o"], w["a_o"], x, w["wg"], w["wu"],
+                w["wd"], (w["sg"], w["su"], w["sd"]), w["a_mlp"], w["ln2"],
+                eps=eps, act=cfg.mlp_act)
+            return x, cache
         if tp_axis is not None:
             if self.mode == "bf16":
                 part = dk.fused_dense_decode(attn, w["w_o"],

@@ -1403,126 +1403,151 @@ def fused_mlp_decode_i4(x, wg_p, wu_p, wd_p, w_scales, act_scales,
                                    act_scales, norm_scale, eps=eps, act=act,
                                    group=group)
 
+
 # ---------------------------------------------------------------------------
-# merged attention + o_proj (+residual): one fewer kernel per layer
+# merged o_proj + residual + MLP: one fewer launch per layer
 # ---------------------------------------------------------------------------
 #
 # The unroll probe (r3c) pinned the in-scan per-layer gap on
-# inter-kernel fixed cost (~14us/launch), so the lever is fewer
-# launches.  This kernel folds o_proj + the residual add into the
-# combined-[K|V] attention kernel: each batch-block program already
-# holds ALL heads' outputs for its rows, and the int8 w_o (4 MB)
-# rides VMEM-resident across the grid (constant index map), so the
-# (bp, h*d) attention output never touches HBM.  int8-weight variant
-# only: a bf16 w_o (8 MB) would not leave room for the double-buffered
-# cache blocks in ~16 MB VMEM.
+# inter-kernel fixed cost (~14us/launch + XLA glue), so the lever is
+# fewer launches.  Merging o_proj INTO the attention kernel is
+# relayout-blocked on Mosaic (the (bb*heads, d) -> (bb, heads*d)
+# flatten is an unsupported sublane->lane shape cast — proven by the
+# on-chip verifier, r3f).  This kernel merges on the OTHER side of the
+# boundary instead: o_proj + residual + the whole MLP are all
+# LANE-MAJOR (bp, features) ops, so they fuse with no relayout at all:
+#
+#   x2 = attn @ w_o * scales + x          (j == 0, w_o rides VMEM)
+#   out = x2 + down(act(gate(n)) * up(n)), n = rmsnorm(x2)
+#
+# int8 variant only (the serve mode); the intermediate x2 never
+# touches HBM and the per-layer launch count drops 3 -> 2.
 
 
-def _decode_attn_kv_o_i8_kernel(pos_ref, q_ref, kv_ref, wo_ref, wos_ref,
-                                aos_ref, r_ref, o_ref, attn_ref, *,
-                                scale: float, hkv: int, bb: int):
-    pos = pos_ref[0]
-    g = q_ref.shape[2]
-    d = q_ref.shape[3]
-    for bi in range(bb):
-        for h in range(hkv):
-            q = q_ref[bi, h].astype(jnp.float32) * scale        # (g, d)
-            k = kv_ref[bi, h].astype(jnp.float32)               # (d, T)
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(t_ids <= pos, logits, -1e9)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            v = kv_ref[bi, hkv + h].astype(jnp.float32)         # (d, T)
-            o = jax.lax.dot_general(
-                p, v, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # row-aligned scratch write: rows (bi*hkv + h)*g ..+g, no
-            # lane-offset stores
-            attn_ref[(bi * hkv + h) * g:(bi * hkv + h + 1) * g, :] = (
-                jnp.clip(jnp.round(o * (1.0 / aos_ref[0])), -127, 127)
-                .astype(jnp.int8))
-    # (bb*hkv*g, d) -> (bb, hkv*g*d) relayout + one int8 o_proj dot
-    att = attn_ref[:].reshape(bb, hkv * g * d)
-    acc = jax.lax.dot_general(
-        att, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+def _fused_o_mlp_i8_kernel(attn_ref, wo_ref, wos_ref, x_ref, wg_ref,
+                           wu_ref, wd_ref, wsg_ref, wsu_ref, wsd_ref,
+                           scl_ref, ns_ref, o_ref, x2_ref, xi_ref, acc_ref,
+                           *, n_j: int, eps: float, act: str):
+    j = pl.program_id(0)
+    s_ao, s_in, s_mid = scl_ref[0], scl_ref[1], scl_ref[2]
+
+    @pl.when(j == 0)
+    def _():
+        ai = jnp.clip(jnp.round(attn_ref[:].astype(jnp.float32)
+                                * (1.0 / s_ao)), -127, 127).astype(jnp.int8)
+        acc0 = jax.lax.dot_general(
+            ai, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x2 = (acc0.astype(jnp.float32) * (s_ao * wos_ref[:])
+              + x_ref[:].astype(jnp.float32))
+        x2_ref[:] = x2
+        xn = _rmsnorm_f32(x2, ns_ref[:], eps)
+        xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
+                             -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def i8dot(w_ref, ws_ref):
+        acc = jax.lax.dot_general(
+            xi_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (s_in * ws_ref[:])
+
+    gate = i8dot(wg_ref, wsg_ref)
+    up = i8dot(wu_ref, wsu_ref)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai2 = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
+    pd = jax.lax.dot_general(
+        ai2, wd_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (aos_ref[0] * wos_ref[:])
-    # residual/output ride as (1, bb, kk) blocks of a (b//bb, bb, kk)
-    # view: Mosaic requires the LAST TWO block dims to be
-    # sublane/lane-legal or full — bb<8 is only legal as a leading dim
-    o_ref[0] = (y + r_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    acc_ref[:] += pd.astype(jnp.float32) * (s_mid * wsd_ref[:])
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] + x2_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8, wo_scale,
-                                    attn_scale, residual, pos,
-                                    block_b: int = 2,
-                                    interpret: bool = False):
-    """Combined-cache attention + int8 o_proj + residual in ONE call.
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_j", "out_dtype", "interpret"))
+def fused_o_mlp_decode_i8_pallas(attn, w_o_i8, wo_scale, attn_scale,
+                                 residual, w_gate, w_up, w_down, w_scales,
+                                 act_scales, norm_scale, eps: float = 1e-6,
+                                 act: str = "silu", block_j: int = 512,
+                                 out_dtype=None, interpret: bool = False):
+    """o_proj + residual + fused MLP in ONE call (module docstring).
 
-    q (B, hkv, g, d); kv_cache (B, 2hkv, d, T); w_o_i8 (h*d, K) int8
-    with per-out-channel scales wo_scale (1, K); attn_scale (1,) static
-    scale for quantizing the attention output (calibrated o_proj input
-    scale); residual (B, K).  Returns (B, K) = attn @ w_o + residual.
-    Output rows beyond B=cache batch (CFG-style padding) are NOT
-    supported here — q batch must equal cache batch."""
-    b, hkv, g, d = q.shape
-    t = kv_cache.shape[-1]
-    hd, kk = w_o_i8.shape
-    assert hd == hkv * g * d, (hd, hkv, g, d)
-    assert kv_cache.shape == (b, 2 * hkv, d, t)
+    attn (B, hd) attention output; w_o_i8 (hd, K) int8 + per-channel
+    scales wo_scale (1, K); attn_scale (1,) static input scale;
+    residual (B, K); MLP weights/scales as fused_mlp_decode_i8; ln2
+    norm_scale (K,)."""
+    b, hd = attn.shape
+    kk = w_o_i8.shape[1]
+    inner = w_gate.shape[1]
     assert residual.shape == (b, kk)
-    assert t % LANE == 0 and b % block_b == 0, (t, b, block_b)
-    scale = d ** -0.5
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    bb = block_b
+    assert w_up.shape == (kk, inner) and w_down.shape == (inner, kk)
+    out_dtype = out_dtype or residual.dtype
+    bj = _pick_block(inner, block_j)
+    bp = _round_up(b, 8)
+    if bp != b:
+        attn = jnp.pad(attn, ((0, bp - b), (0, 0)))
+        residual = jnp.pad(residual, ((0, bp - b), (0, 0)))
+    n_j = inner // bj
+    ns = norm_scale.reshape(1, kk).astype(jnp.float32)
+    sg, su, sd = w_scales
+    scl = jnp.concatenate([attn_scale.reshape(1).astype(jnp.float32),
+                           act_scales.astype(jnp.float32).reshape(2)])
 
     out = pl.pallas_call(
-        functools.partial(_decode_attn_kv_o_i8_kernel, scale=scale,
-                          hkv=hkv, bb=bb),
-        grid=(b // bb,),
+        functools.partial(_fused_o_mlp_i8_kernel, n_j=n_j, eps=eps, act=act),
+        grid=(n_j,),
         in_specs=[
+            pl.BlockSpec((bp, hd), lambda j: (0, 0)),
+            pl.BlockSpec((hd, kk), lambda j: (0, 0)),
+            pl.BlockSpec((1, kk), lambda j: (0, 0)),
+            pl.BlockSpec((bp, kk), lambda j: (0, 0)),
+            pl.BlockSpec((kk, bj), lambda j: (0, j)),
+            pl.BlockSpec((kk, bj), lambda j: (0, j)),
+            pl.BlockSpec((bj, kk), lambda j: (j, 0)),
+            pl.BlockSpec((1, bj), lambda j: (0, j)),
+            pl.BlockSpec((1, bj), lambda j: (0, j)),
+            pl.BlockSpec((1, kk), lambda j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, 2 * hkv, d, t), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((hd, kk), lambda i: (0, 0)),
-            pl.BlockSpec((1, kk), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bb, kk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, kk), lambda j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bb, kk), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b // bb, bb, kk), residual.dtype),
-        scratch_shapes=[pltpu.VMEM((bb * hkv * g, d), jnp.int8)],
+        out_specs=pl.BlockSpec((bp, kk), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, kk), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, kk), jnp.float32),
+                        pltpu.VMEM((bp, kk), jnp.int8),
+                        pltpu.VMEM((bp, kk), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(pos_arr, q, kv_cache, w_o_i8, wo_scale.astype(jnp.float32),
-      attn_scale.astype(jnp.float32), residual.reshape(b // bb, bb, kk))
-    return out.reshape(b, kk)
+    )(attn, w_o_i8, wo_scale.astype(jnp.float32), residual, w_gate, w_up,
+      w_down, sg, su, sd, scl, ns)
+    return out[:b]
 
 
-def decode_attention_kv_o_i8_ref(q, kv_cache, w_o_i8, wo_scale, attn_scale,
-                                 residual, pos):
-    b, hkv, g, d = q.shape
-    out = decode_attention_ref(q, kv_cache[:, :hkv],
-                               kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos)
-    att = out.reshape(b, hkv * g * d).astype(jnp.float32)
-    s = attn_scale.astype(jnp.float32)[0]
-    ai = jnp.clip(jnp.round(att / s), -127, 127)
-    acc = ai @ w_o_i8.astype(jnp.float32)
-    y = acc * (s * wo_scale.astype(jnp.float32))
-    return (y + residual.astype(jnp.float32)).astype(residual.dtype)
+def fused_o_mlp_decode_i8_ref(attn, w_o_i8, wo_scale, attn_scale, residual,
+                              w_gate, w_up, w_down, w_scales, act_scales,
+                              norm_scale, eps: float = 1e-6,
+                              act: str = "silu", out_dtype=None):
+    x2 = fused_dense_decode_i8_ref(attn, w_o_i8, wo_scale,
+                                   attn_scale.reshape(1), residual=residual,
+                                   out_dtype=jnp.float32)
+    return fused_mlp_decode_i8_ref(x2, w_gate, w_up, w_down, w_scales,
+                                   act_scales, norm_scale, eps=eps, act=act,
+                                   out_dtype=out_dtype or residual.dtype)
 
 
-def decode_attention_kv_o_i8(q, kv_cache, w_o_i8, wo_scale, attn_scale,
-                             residual, pos, **kw):
+def fused_o_mlp_decode_i8(attn, w_o_i8, wo_scale, attn_scale, residual,
+                          w_gate, w_up, w_down, w_scales, act_scales,
+                          norm_scale, eps: float = 1e-6, act: str = "silu",
+                          **kw):
     if on_tpu():
-        return decode_attention_kv_o_i8_pallas(q, kv_cache, w_o_i8,
-                                               wo_scale, attn_scale,
-                                               residual, pos, **kw)
-    return decode_attention_kv_o_i8_ref(q, kv_cache, w_o_i8, wo_scale,
-                                        attn_scale, residual, pos)
+        return fused_o_mlp_decode_i8_pallas(
+            attn, w_o_i8, wo_scale, attn_scale, residual, w_gate, w_up,
+            w_down, w_scales, act_scales, norm_scale, eps=eps, act=act, **kw)
+    return fused_o_mlp_decode_i8_ref(
+        attn, w_o_i8, wo_scale, attn_scale, residual, w_gate, w_up, w_down,
+        w_scales, act_scales, norm_scale, eps=eps, act=act)

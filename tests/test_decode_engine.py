@@ -395,29 +395,38 @@ def test_engine_w4a8_static(lm):
     assert (out == ref).mean() > 0.5
 
 
-def test_attn_o_merged_interpret_matches_ref():
-    """Merged attention+o_proj kernel vs the split reference chain."""
-    b, hkv, g, d, t, kk = 4, 2, 4, 64, 256, 512
+def test_fused_o_mlp_interpret_matches_ref():
+    """Merged o_proj+residual+MLP kernel vs the composed references."""
+    b, hd, kk, inner = 4, 256, 512, 1024
     rng = np.random.RandomState(5)
-    q = _arr(b, hkv, g, d, scale=0.5)
-    kv = _arr(b, 2 * hkv, d, t, scale=0.5)
+    attn = _arr(b, hd, scale=0.5)
     res = _arr(b, kk)
-    wo = jnp.asarray(rng.randn(hkv * g * d, kk) / 16.0, jnp.float32)
-    wo_i8 = jnp.clip(jnp.round(wo / 0.01), -127, 127).astype(jnp.int8)
+    wo_i8 = jnp.clip(jnp.round(
+        jnp.asarray(rng.randn(hd, kk) / 16.0, jnp.float32) / 0.01),
+        -127, 127).astype(jnp.int8)
     wos = jnp.full((1, kk), 0.01, jnp.float32)
     aos = jnp.asarray([0.02], jnp.float32)
-    for bb in (1, 2):
-        out = dk.decode_attention_kv_o_i8_pallas(
-            q, kv, wo_i8, wos, aos, res, 100, block_b=bb, interpret=True)
-        ref = dk.decode_attention_kv_o_i8_ref(q, kv, wo_i8, wos, aos,
-                                              res, 100)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
+    qw = lambda k2, n2: (jnp.asarray(  # noqa: E731
+        rng.randint(-127, 128, (k2, n2)), jnp.int8),
+        jnp.full((1, n2), 0.008, jnp.float32))
+    wg, sg = qw(kk, inner)
+    wu, su = qw(kk, inner)
+    wd, sd = qw(inner, kk)
+    scl = jnp.asarray([0.03, 0.05], jnp.float32)
+    ln2 = jnp.abs(jnp.asarray(rng.randn(kk), jnp.float32)) + 0.5
+    out = dk.fused_o_mlp_decode_i8_pallas(
+        attn, wo_i8, wos, aos, res, wg, wu, wd, (sg, su, sd), scl, ln2,
+        block_j=256, interpret=True)
+    ref = dk.fused_o_mlp_decode_i8_ref(
+        attn, wo_i8, wos, aos, res, wg, wu, wd, (sg, su, sd), scl, ln2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_engine_w8a8_merged_o_matches_split(lm):
-    """merge_o folds o_proj into the attention kernel; same math, so
-    tokens must match the split w8a8 engine exactly (CPU refs)."""
+    """merge_o folds o_proj+residual+MLP into one dense megakernel;
+    same math, so tokens must match the split w8a8 engine exactly
+    (CPU refs)."""
     ids = RNG.integers(0, 256, (8, 7))   # batch 8 = no sublane padding
     stats = DecodeEngine.calibrate_scales(lm, ids)
     split = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
