@@ -207,6 +207,13 @@ def serve_main():
                       ("engine_w8a8_mo", {"mode": "w8a8_static",
                                           "act_stats": stats,
                                           "merge_o": True}),
+                      # everything-on serving config: merged dense
+                      # megakernel + int8 prefill (prefill is
+                      # MXU-bound -> w8a8_xla module path ~1.7x)
+                      ("engine_w8a8_full", {"mode": "w8a8_static",
+                                            "act_stats": stats,
+                                            "merge_o": True,
+                                            "prefill_quant": True}),
                       # scan-unroll probe answered (r3c): unroll=4
                       # decode-only 7464.8 vs 7461.7 tok/s — the
                       # in-scan per-layer overhead is inter-kernel

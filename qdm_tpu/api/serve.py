@@ -100,7 +100,8 @@ class DecodeEngine:
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
                  act_margin: float = 1.0, kv_dtype=None, unroll: int = 1,
-                 merge_o: bool = False, mesh=None):
+                 merge_o: bool = False, mesh=None,
+                 prefill_quant: bool = False):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
@@ -245,6 +246,22 @@ class DecodeEngine:
                 self.final_norm, NamedSharding(mesh, P()))
             self.w_head = jax.device_put(
                 self.w_head, NamedSharding(mesh, P(None, "model")))
+        # opt-in int8 prefill: the (B, S) prefill forward is MXU-bound,
+        # so the w8a8_xla dynamic-per-token module path runs it ~1.7x
+        # faster than bf16 (BENCH_NOTES round 2); default stays bf16
+        # prefill for maximum prompt-encoding quality
+        self.prefill_quant = prefill_quant and mode != "bf16"
+        if self.prefill_quant:
+            from qdm_tpu.quant.apply import pack_params
+            from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
+
+            w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
+                                quantize_act=True, act_quant="per_token")
+            pplan = QuantPlan(default=w8).with_rule("lm_head", None)
+            self._prefill_model = type(lm.model)(config=cfg,
+                                                 dtype=self.dtype,
+                                                 plan=pplan)
+            self._prefill_params = pack_params(lm.params, pplan)
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict[int, callable] = {}
@@ -561,7 +578,10 @@ class DecodeEngine:
         (first generated token, engine caches)."""
         b, s = ids.shape
         tp = _round_up(max_len, 128)
-        model = self.lm.model
+        model = (self._prefill_model if self.prefill_quant
+                 else self.lm.model)
+        params = (self._prefill_params if self.prefill_quant
+                  else self.lm.params)
         caches = model.init_cache(b, tp)
 
         if self._prefill_fn is None:
@@ -600,7 +620,7 @@ class DecodeEngine:
                 return tok, eng
 
             self._prefill_fn = fwd
-        tok, eng = self._prefill_fn(self.lm.params, jnp.asarray(ids), caches)
+        tok, eng = self._prefill_fn(params, jnp.asarray(ids), caches)
         if self.tp > 1:
             sh = NamedSharding(self.mesh, P(None, "model", None, None))
             eng = [tuple(jax.device_put(c, sh) for c in entry)

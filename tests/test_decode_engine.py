@@ -471,3 +471,20 @@ def test_engine_tp_rejects_unsupported(lm):
     with pytest.raises(NotImplementedError):
         DecodeEngine(lm, mode="w8a8_static", act_stats=stats, mesh=mesh,
                      kv_dtype=jnp.int8)
+
+
+def test_engine_prefill_quant(lm):
+    """prefill_quant runs the prompt forward through the packed
+    w8a8_xla module path; the decode tokens shift slightly (int8 KV
+    from prefill) but stay mostly aligned on a tiny random model."""
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    base = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
+    qp = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                      prefill_quant=True)
+    assert qp.prefill_quant
+    a = base.generate(ids, max_new_tokens=10)
+    b = qp.generate(ids, max_new_tokens=10)
+    assert b.shape == a.shape
+    assert np.isfinite(b).all()
+    assert (a == b).mean() > 0.5
