@@ -45,6 +45,27 @@ def main():
             == module_out).all(), "bf16 engine must match the module path"
     print("engine bf16 == module greedy: OK")
 
+    # everything-on serving config: merged o_proj+MLP megakernel
+    # (2 launches/layer) + int8 prefill (the prompt forward is
+    # MXU-bound, so the packed w8a8_xla module path runs it ~1.7x)
+    full = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                        merge_o=True, prefill_quant=True)
+    print("engine full   :",
+          np.asarray(full.generate(ids, max_new_tokens=args.tokens))
+          [0, 8:].tolist())
+
+    # tensor-parallel serving: shard_map megatron sharding over the
+    # mesh's 'model' axis — token-exact vs the single-device engine
+    import jax
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) >= 2 and lm.config.num_key_value_heads % 2 == 0:
+        tp_eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                              mesh=make_mesh(len(jax.devices()) // 2, 2))
+        tp_out = tp_eng.generate(ids, max_new_tokens=args.tokens)
+        assert (tp_out == eng_out).all(), "tp engine must match"
+        print(f"engine tp={tp_eng.tp} == single-device engine: OK")
+
     # int8 weights: the decode sweet spot on v5e (BENCH_NOTES: 1.71x)
     lm.quantize(quant_config=QuantConfig(w_bit=8, a_bit=8, version="real",
                                          quant_method="rtn"),
