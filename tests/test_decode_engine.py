@@ -488,3 +488,17 @@ def test_engine_prefill_quant(lm):
     assert b.shape == a.shape
     assert np.isfinite(b).all()
     assert (a == b).mean() > 0.5
+
+
+def test_engine_merged_o_with_int8_kv(lm):
+    """merge_o composes with the int8 KV cache (the merged kernel sits
+    downstream of attention, so cache dtype is orthogonal)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    base = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                        kv_dtype=jnp.int8)
+    merged = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                          kv_dtype=jnp.int8, merge_o=True)
+    a = base.generate(ids, max_new_tokens=10)
+    b = merged.generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(a, b)
