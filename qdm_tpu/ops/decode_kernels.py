@@ -1112,9 +1112,15 @@ def unpack_int4_planar(packed, block: int = 0):
 
 
 def _nibbles(wp):
-    """In-kernel unpack: packed int8 block -> (lo, hi) int8."""
-    lo = jnp.left_shift(wp, 4) >> 4       # arithmetic: sign-extends
-    hi = wp >> 4
+    """In-kernel unpack: packed int8 block -> (lo, hi) int8.
+
+    Shifts run in int32: Mosaic cannot legalize arith.shli on int8
+    vectors (proven on-chip, r3g — the int8 (8,128,4)-tiled register
+    has no vector shift), while int32 shifts are the same pattern the
+    exactness-verified quant_matmul kernels use."""
+    w32 = wp.astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.int8)   # sign-extended low nibble
+    hi = (w32 >> 4).astype(jnp.int8)            # arithmetic: high nibble
     return lo, hi
 
 

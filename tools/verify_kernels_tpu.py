@@ -200,6 +200,44 @@ def main():
     results["fused_o_mlp_i8"] = {"max_abs_diff": d, "tol": tol_om,
                                  "pass": d <= tol_om}
 
+    # int4 decode megakernels (planar nibble packing, int32-shift
+    # in-kernel unpack — int8 vector shifts don't legalize, r3g)
+    kd = jax.random.split(jax.random.PRNGKey(22), 4)
+    grp = 128
+    wq4, ws4 = dkk.quantize_int4_group(
+        jax.random.normal(kd[0], (kk_, kk_), jnp.float32) / 30, grp)
+    wp4 = dkk.pack_int4_planar(wq4)
+    x4 = jax.random.normal(kd[1], (32, kk_), jnp.float32) * 0.5
+    a4 = jnp.asarray([0.01], jnp.float32)
+    out = dkk.fused_dense_decode_i4_pallas(x4, wp4, ws4, a4, group=grp)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_dense_decode_i4_ref(x4, wp4, ws4, a4, group=grp)
+    d = _maxdiff(out, ref)
+    tol_d4 = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))), 1.0) * 2e-6
+    results["fused_dense_decode_i4"] = {"max_abs_diff": d, "tol": tol_d4,
+                                        "pass": d <= tol_d4}
+
+    blk4 = dkk.mlp_i4_block(inner_)
+    wg4q, wg4s = dkk.quantize_int4_group(
+        jax.random.normal(kd[2], (kk_, inner_), jnp.float32) / 30, grp)
+    wu4q, wu4s = wg4q, wg4s
+    wd4q, wd4s = dkk.quantize_int4_group(
+        jax.random.normal(kd[3], (inner_, kk_), jnp.float32) / 30, grp)
+    wg4 = dkk.pack_int4_planar(wg4q)
+    wd4 = dkk.pack_int4_planar(wd4q, block=blk4)
+    scl4 = jnp.asarray([0.03, 0.05], jnp.float32)
+    out = dkk.fused_mlp_decode_i4_pallas(x4, wg4, wg4, wd4,
+                                         (wg4s, wu4s, wd4s), scl4, ln2_,
+                                         group=grp)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_mlp_decode_i4_ref(x4, wg4, wg4, wd4,
+                                          (wg4s, wu4s, wd4s), scl4, ln2_,
+                                          group=grp)
+    d = _maxdiff(out, ref)
+    tol_m4 = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))), 1.0) * 2e-6
+    results["fused_mlp_decode_i4"] = {"max_abs_diff": d, "tol": tol_m4,
+                                      "pass": d <= tol_m4}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
