@@ -53,6 +53,20 @@ from qdm_tpu.ops import decode_kernels as dk
 from qdm_tpu.ops.quant_matmul import _round_up
 
 
+def _xla_norm(x, scale, bias, norm_type: str, eps: float):
+    """f32 rmsnorm/layernorm matching models/layers.py exactly (used
+    once per layer for the parallel-residual arch, where one norm
+    feeds both branches and the kernels skip theirs)."""
+    xf = x.astype(jnp.float32)
+    if norm_type == "layernorm":
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+                * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y * scale.astype(jnp.float32)
+
+
 def _quant_w(w, dtype=jnp.int8):
     """Per-out-channel symmetric int8: w (K, N) -> (codes, scales (1,N))."""
     wf = w.astype(jnp.float32)
@@ -129,12 +143,19 @@ class DecodeEngine:
                 raise ValueError(
                     f"heads/kv-heads/intermediate/vocab must divide "
                     f"tp={self.tp}")
-        if cfg.attention_bias or cfg.norm_type != "rmsnorm" \
-                or cfg.parallel_residual:
+        # the engine covers the WHOLE registry config space: qkv bias
+        # (qwen2), layernorm (stablelm), parallel residual + logit
+        # scale + tied embeds (cohere) — see _layer
+        if cfg.logit_scale <= 0:
+            raise ValueError("logit_scale must be positive (greedy "
+                             "argmax drops it as a monotone transform)")
+        if mode == "w4a8_static" and (cfg.attention_bias
+                                      or cfg.norm_type != "rmsnorm"
+                                      or cfg.parallel_residual):
             raise NotImplementedError(
-                "DecodeEngine covers the LLaMA-family canonical arch "
-                "(no attn bias / rmsnorm / sequential residual); other "
-                "registry presets use the module path")
+                "w4a8 covers the canonical LLaMA arch only (the i4 "
+                "kernels carry no bias/layernorm/parallel-residual "
+                "epilogues); use w8a8_static")
         self.lm = lm
         self.cfg = cfg
         self.mode = mode
@@ -156,7 +177,9 @@ class DecodeEngine:
         # the attention kernel instead is relayout-blocked on Mosaic
         # (sublane->lane flatten, decode_kernels module comment);
         # int8-only (the serve mode)
-        self.merge_o = merge_o and mode == "w8a8_static"
+        self.merge_o = (merge_o and mode == "w8a8_static"
+                        and cfg.norm_type == "rmsnorm"
+                        and not cfg.parallel_residual)
         if mode == "w4a8_static":
             import math
 
@@ -191,9 +214,23 @@ class DecodeEngine:
             wd = mp_["down_proj"]["kernel"].astype(self.dtype)
             entry = {
                 "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
-                "ln2": lp["post_attention_layernorm"]["scale"].astype(
-                    jnp.float32),
             }
+            if not cfg.parallel_residual:
+                entry["ln2"] = lp["post_attention_layernorm"][
+                    "scale"].astype(jnp.float32)
+            if cfg.norm_type == "layernorm":
+                entry["ln1_b"] = lp["input_layernorm"]["bias"].astype(
+                    jnp.float32)
+                if not cfg.parallel_residual:
+                    entry["ln2_b"] = lp["post_attention_layernorm"][
+                        "bias"].astype(jnp.float32)
+            if cfg.attention_bias:
+                b_qkv = jnp.concatenate(
+                    [at["q_proj"]["bias"], at["k_proj"]["bias"],
+                     at["v_proj"]["bias"]]).astype(jnp.float32)
+                if qkv_perm is not None:
+                    b_qkv = b_qkv[qkv_perm]
+                entry["b_qkv"] = b_qkv
             if mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
             elif mode == "w8a8_static":
@@ -228,6 +265,8 @@ class DecodeEngine:
         self.layers = layers
         self.embed = p["embed_tokens"]["embedding"].astype(self.dtype)
         self.final_norm = p["norm"]["scale"].astype(jnp.float32)
+        self.final_norm_b = (p["norm"]["bias"].astype(jnp.float32)
+                             if cfg.norm_type == "layernorm" else None)
         if cfg.tie_word_embeddings:
             self.w_head = self.embed.T
         else:
@@ -276,6 +315,8 @@ class DecodeEngine:
             return P(None, "model")
         if key in ("w_o", "wd"):
             return P("model", None)
+        if key == "b_qkv":
+            return P("model")
         return P()
 
     # ------------------------------------------------------------- calibration
@@ -316,16 +357,32 @@ class DecodeEngine:
         b = cache[0].shape[0]
         eps = cfg.rms_norm_eps
 
+        nt = cfg.norm_type
+        parallel = cfg.parallel_residual
+        if parallel:
+            # cohere-style: ONE norm feeds attention AND the MLP.  The
+            # norm runs once in XLA; both kernels skip theirs.
+            xin = _xla_norm(x, w["ln1"], w.get("ln1_b"), nt,
+                            eps).astype(x.dtype)
+            qkv_in, qkv_ns, qkv_nb = xin, None, None
+        else:
+            qkv_in, qkv_ns, qkv_nb = x, w["ln1"], w.get("ln1_b")
+
         # rope applied IN the qkv kernel epilogue (lane-roll partner
         # trick, decode_kernels._rope_epilogue) — the XLA-side rotation
         # was ~5 small dispatches/layer at ~10us fixed cost each
         if self.mode == "bf16":
-            qkv = dk.fused_dense_decode(x, w["w_qkv"], norm_scale=w["ln1"],
+            qkv = dk.fused_dense_decode(qkv_in, w["w_qkv"],
+                                        norm_scale=qkv_ns,
+                                        norm_bias=qkv_nb, norm_type=nt,
+                                        bias=w.get("b_qkv"),
                                         rope_cos=cosv, rope_sin=sinv,
                                         head_dim=d, eps=eps)
         elif self.mode == "w8a8_static":
-            qkv = dk.fused_dense_decode_i8(x, w["w_qkv"], w["s_qkv"],
-                                           w["a_qkv"], norm_scale=w["ln1"],
+            qkv = dk.fused_dense_decode_i8(qkv_in, w["w_qkv"], w["s_qkv"],
+                                           w["a_qkv"], norm_scale=qkv_ns,
+                                           norm_bias=qkv_nb, norm_type=nt,
+                                           bias=w.get("b_qkv"),
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps)
         else:
@@ -364,6 +421,33 @@ class DecodeEngine:
                 w["wd"], (w["sg"], w["su"], w["sd"]), w["a_mlp"], w["ln2"],
                 eps=eps, act=cfg.mlp_act)
             return x, cache
+        if parallel:
+            # x + attn_out + mlp_out, both branches off the same xin;
+            # under tp each branch is a row-split partial -> psum
+            if self.mode == "bf16":
+                o_part = dk.fused_dense_decode(attn, w["w_o"],
+                                               out_dtype=jnp.float32)
+                m_part = dk.fused_mlp_decode(xin, w["wg"], w["wu"],
+                                             w["wd"], None, eps=eps,
+                                             act=cfg.mlp_act,
+                                             residual=False,
+                                             out_dtype=jnp.float32)
+            else:
+                o_part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
+                                                  w["a_o"],
+                                                  out_dtype=jnp.float32)
+                m_part = dk.fused_mlp_decode_i8(xin, w["wg"], w["wu"],
+                                                w["wd"],
+                                                (w["sg"], w["su"], w["sd"]),
+                                                w["a_mlp"], None, eps=eps,
+                                                act=cfg.mlp_act,
+                                                residual=False,
+                                                out_dtype=jnp.float32)
+            if tp_axis is not None:
+                o_part = jax.lax.psum(o_part, tp_axis)
+                m_part = jax.lax.psum(m_part, tp_axis)
+            x = (x.astype(jnp.float32) + o_part + m_part).astype(x.dtype)
+            return x, cache
         if tp_axis is not None:
             if self.mode == "bf16":
                 part = dk.fused_dense_decode(attn, w["w_o"],
@@ -378,6 +462,8 @@ class DecodeEngine:
                 part = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"],
                                            w["ln2"], eps=eps,
                                            act=cfg.mlp_act, residual=False,
+                                           norm_bias=w.get("ln2_b"),
+                                           norm_type=nt,
                                            out_dtype=jnp.float32)
             else:
                 part = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
@@ -385,6 +471,8 @@ class DecodeEngine:
                                               w["a_mlp"], w["ln2"], eps=eps,
                                               act=cfg.mlp_act,
                                               residual=False,
+                                              norm_bias=w.get("ln2_b"),
+                                              norm_type=nt,
                                               out_dtype=jnp.float32)
             x = (x.astype(jnp.float32)
                  + jax.lax.psum(part, tp_axis)).astype(x.dtype)
@@ -392,14 +480,17 @@ class DecodeEngine:
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
             x = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"], w["ln2"],
-                                    eps=eps, act=cfg.mlp_act)
+                                    eps=eps, act=cfg.mlp_act,
+                                    norm_bias=w.get("ln2_b"), norm_type=nt)
         elif self.mode == "w8a8_static":
             x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"], w["a_o"],
                                          residual=x)
             x = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
                                        (w["sg"], w["su"], w["sd"]),
                                        w["a_mlp"], w["ln2"], eps=eps,
-                                       act=cfg.mlp_act)
+                                       act=cfg.mlp_act,
+                                       norm_bias=w.get("ln2_b"),
+                                       norm_type=nt)
         else:
             x = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"], w["a_o"],
                                          residual=x, group=self.i4_group)
@@ -450,8 +541,11 @@ class DecodeEngine:
                 for l, w in enumerate(layers):
                     x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
                     new_caches.append(cache)
+                # logit_scale (cohere) is a positive monotone transform
+                # — greedy argmax is invariant, so it is not applied
                 logits = dk.fused_dense_decode(
                     x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
+                    norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
                     out_dtype=jnp.float32, block_n=1280)
                 nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 return (nxt, new_caches), nxt
@@ -525,6 +619,7 @@ class DecodeEngine:
                     new_caches.append(cache)
                 logits = dk.fused_dense_decode(
                     x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
+                    norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
                     out_dtype=jnp.float32, block_n=1280)
                 logits = logits[:b]
                 lmax = jnp.max(logits, axis=-1)                     # (b,)

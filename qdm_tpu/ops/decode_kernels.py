@@ -54,6 +54,17 @@ from qdm_tpu.ops.quant_matmul import LANE, _cdiv, _pick_block, _round_up, on_tpu
 # ---------------------------------------------------------------------------
 
 
+def _norm_f32(xf, scale, bias, eps: float, norm_type: str):
+    """f32 rmsnorm or layernorm (matching models/layers.py semantics:
+    layernorm eps=1e-5, affine scale+bias)."""
+    if norm_type == "layernorm":
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        return xc * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return _rmsnorm_f32(xf, scale, eps)
+
+
 def _rmsnorm_f32(xf, scale, eps):
     return xf * jax.lax.rsqrt(
         jnp.mean(xf * xf, axis=-1, keepdims=True) + eps) * scale
@@ -75,20 +86,22 @@ def _rope_epilogue(y, cos_ref, sin_ref, head_dim: int):
     return y * cos_ref[:] + partner * sin_ref[:]
 
 
-def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, cos_ref, sin_ref,
-                        o_ref, xn_ref, *, has_norm: bool,
-                        has_residual: bool, has_rope: bool, head_dim: int,
-                        eps: float):
+def _fused_dense_kernel(x_ref, w_ref, ns_ref, nb_ref, b_ref, r_ref,
+                        cos_ref, sin_ref, o_ref, xn_ref, *, has_norm: bool,
+                        has_bias: bool, has_residual: bool, has_rope: bool,
+                        head_dim: int, eps: float, norm_type: str):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
         if has_norm:
-            xf = _rmsnorm_f32(xf, ns_ref[:], eps)
+            xf = _norm_f32(xf, ns_ref[:], nb_ref[:], eps, norm_type)
         xn_ref[:] = xf.astype(xn_ref.dtype)
 
     y = jnp.dot(xn_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_bias:
+        y = y + b_ref[:]
     if has_rope:
         y = _rope_epilogue(y, cos_ref, sin_ref, head_dim)
     if has_residual:
@@ -96,17 +109,18 @@ def _fused_dense_kernel(x_ref, w_ref, ns_ref, r_ref, cos_ref, sin_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
-                           cos_ref, sin_ref, o_ref, xi_ref, *,
-                           has_norm: bool, has_residual: bool,
-                           has_rope: bool, head_dim: int, eps: float):
+def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, nb_ref,
+                           b_ref, r_ref, cos_ref, sin_ref, o_ref, xi_ref, *,
+                           has_norm: bool, has_bias: bool,
+                           has_residual: bool, has_rope: bool,
+                           head_dim: int, eps: float, norm_type: str):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
         if has_norm:
-            xf = _rmsnorm_f32(xf, ns_ref[:], eps)
+            xf = _norm_f32(xf, ns_ref[:], nb_ref[:], eps, norm_type)
         inv = 1.0 / as_ref[0]
         xi_ref[:] = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
 
@@ -114,6 +128,8 @@ def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
         xi_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (as_ref[0] * ws_ref[:])
+    if has_bias:
+        y = y + b_ref[:]
     if has_rope:
         y = _rope_epilogue(y, cos_ref, sin_ref, head_dim)
     if has_residual:
@@ -123,19 +139,25 @@ def _fused_dense_i8_kernel(x_ref, w_ref, ws_ref, as_ref, ns_ref, r_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "block_n", "out_dtype", "head_dim", "interpret"))
+    static_argnames=("eps", "block_n", "out_dtype", "head_dim",
+                     "norm_type", "interpret"))
 def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
                               rope_cos=None, rope_sin=None,
                               head_dim: int = 0, eps: float = 1e-6,
                               block_n: int = 512, out_dtype=None,
+                              bias=None, norm_bias=None,
+                              norm_type: str = "rmsnorm",
                               interpret: bool = False):
-    """x (B, K) -> rmsnorm?(x) @ w (K, N) (+rope epilogue) (+ residual)
-    in one call.
+    """x (B, K) -> norm?(x) @ w (K, N) (+bias) (+rope epilogue)
+    (+ residual) in one call.
 
     B is padded to the sublane granule; weights stream block_n columns
     per grid step (auto double-buffered), x stays VMEM-resident.
     rope_cos/rope_sin (1, N) apply the in-kernel rotary epilogue (sign
-    and v-column identity pre-baked; see _rope_epilogue)."""
+    and v-column identity pre-baked; see _rope_epilogue).  norm_type
+    'layernorm' uses norm_bias (stablelm/cohere family); bias (1, N)
+    is the projection bias (qwen2 qkv), added before rope like the
+    module path."""
     b, k = x.shape
     kw, n = w.shape
     assert kw == k, (kw, k)
@@ -144,12 +166,17 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
     bp = _round_up(b, 8)
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     has_norm = norm_scale is not None
+    has_bias = bias is not None
     has_res = residual is not None
     has_rope = rope_cos is not None
     if has_rope:
         assert head_dim > 0 and bn % head_dim == 0, (bn, head_dim)
     ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
           else jnp.ones((1, k), jnp.float32))
+    nb = (norm_bias.reshape(1, k).astype(jnp.float32)
+          if norm_bias is not None else jnp.zeros((1, k), jnp.float32))
+    bi = (bias.reshape(1, n).astype(jnp.float32) if has_bias
+          else jnp.zeros((1, 1), jnp.float32))
     rp = residual if has_res else jnp.zeros((1, n), out_dtype)
     if has_res and bp != b:
         rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
@@ -159,16 +186,21 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
             else jnp.zeros((1, 1), jnp.float32))
     trig_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_rope
                  else pl.BlockSpec((1, 1), lambda j: (0, 0)))
+    bias_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_bias
+                 else pl.BlockSpec((1, 1), lambda j: (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_fused_dense_kernel, has_norm=has_norm,
-                          has_residual=has_res, has_rope=has_rope,
-                          head_dim=head_dim, eps=eps),
+                          has_bias=has_bias, has_residual=has_res,
+                          has_rope=has_rope, head_dim=head_dim, eps=eps,
+                          norm_type=norm_type),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
             pl.BlockSpec((k, bn), lambda j: (0, j)),
             pl.BlockSpec((1, k), lambda j: (0, 0)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            bias_spec,
             (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
              else pl.BlockSpec((1, n), lambda j: (0, 0))),
             trig_spec,
@@ -180,22 +212,26 @@ def fused_dense_decode_pallas(x, w, norm_scale=None, residual=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xp, w, ns, rp, cosv, sinv)
+    )(xp, w, ns, nb, bi, rp, cosv, sinv)
     return out[:b]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "block_n", "out_dtype", "head_dim", "interpret"))
+    static_argnames=("eps", "block_n", "out_dtype", "head_dim",
+                     "norm_type", "interpret"))
 def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
                                  norm_scale=None, residual=None,
                                  rope_cos=None, rope_sin=None,
                                  head_dim: int = 0, eps: float = 1e-6,
                                  block_n: int = 512, out_dtype=None,
+                                 bias=None, norm_bias=None,
+                                 norm_type: str = "rmsnorm",
                                  interpret: bool = False):
     """int8 fused_dense: static act scale (scalar array (1,)), int8
     weights (K, N) with per-out-channel scales (1, N); optional rope
-    epilogue as in fused_dense_decode_pallas."""
+    epilogue / projection bias / layernorm as in
+    fused_dense_decode_pallas."""
     b, k = x.shape
     kw, n = w_i8.shape
     assert kw == k
@@ -204,12 +240,17 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
     bp = _round_up(b, 8)
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     has_norm = norm_scale is not None
+    has_bias = bias is not None
     has_res = residual is not None
     has_rope = rope_cos is not None
     if has_rope:
         assert head_dim > 0 and bn % head_dim == 0, (bn, head_dim)
     ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
           else jnp.ones((1, k), jnp.float32))
+    nb = (norm_bias.reshape(1, k).astype(jnp.float32)
+          if norm_bias is not None else jnp.zeros((1, k), jnp.float32))
+    bi = (bias.reshape(1, n).astype(jnp.float32) if has_bias
+          else jnp.zeros((1, 1), jnp.float32))
     rp = residual if has_res else jnp.zeros((1, n), out_dtype)
     if has_res and bp != b:
         rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
@@ -219,11 +260,14 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
             else jnp.zeros((1, 1), jnp.float32))
     trig_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_rope
                  else pl.BlockSpec((1, 1), lambda j: (0, 0)))
+    bias_spec = (pl.BlockSpec((1, bn), lambda j: (0, j)) if has_bias
+                 else pl.BlockSpec((1, 1), lambda j: (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_fused_dense_i8_kernel, has_norm=has_norm,
-                          has_residual=has_res, has_rope=has_rope,
-                          head_dim=head_dim, eps=eps),
+                          has_bias=has_bias, has_residual=has_res,
+                          has_rope=has_rope, head_dim=head_dim, eps=eps,
+                          norm_type=norm_type),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -231,6 +275,8 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
             pl.BlockSpec((1, bn), lambda j: (0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k), lambda j: (0, 0)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
+            bias_spec,
             (pl.BlockSpec((bp, bn), lambda j: (0, j)) if has_res
              else pl.BlockSpec((1, n), lambda j: (0, 0))),
             trig_spec,
@@ -242,7 +288,8 @@ def fused_dense_decode_i8_pallas(x, w_i8, w_scale, act_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xp, w_i8, w_scale, act_scale.astype(jnp.float32), ns, rp, cosv, sinv)
+    )(xp, w_i8, w_scale, act_scale.astype(jnp.float32), ns, nb, bi, rp,
+      cosv, sinv)
     return out[:b]
 
 
@@ -260,12 +307,18 @@ def _rope_ref(y, rope_cos, rope_sin, head_dim):
 
 def fused_dense_decode_ref(x, w, norm_scale=None, residual=None,
                            rope_cos=None, rope_sin=None, head_dim: int = 0,
-                           eps: float = 1e-6, out_dtype=None):
+                           eps: float = 1e-6, out_dtype=None, bias=None,
+                           norm_bias=None, norm_type: str = "rmsnorm"):
     xf = x.astype(jnp.float32)
     if norm_scale is not None:
-        xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+        nb = (norm_bias.astype(jnp.float32) if norm_bias is not None
+              else 0.0)
+        xf = _norm_f32(xf, norm_scale.astype(jnp.float32), nb, eps,
+                       norm_type)
     y = jnp.dot(xf.astype(x.dtype).astype(jnp.float32),
                 w.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.reshape(1, -1).astype(jnp.float32)
     if rope_cos is not None:
         y = _rope_ref(y, rope_cos, rope_sin, head_dim)
     if residual is not None:
@@ -276,10 +329,14 @@ def fused_dense_decode_ref(x, w, norm_scale=None, residual=None,
 def fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale, norm_scale=None,
                               residual=None, rope_cos=None, rope_sin=None,
                               head_dim: int = 0, eps: float = 1e-6,
-                              out_dtype=None):
+                              out_dtype=None, bias=None, norm_bias=None,
+                              norm_type: str = "rmsnorm"):
     xf = x.astype(jnp.float32)
     if norm_scale is not None:
-        xf = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+        nb = (norm_bias.astype(jnp.float32) if norm_bias is not None
+              else 0.0)
+        xf = _norm_f32(xf, norm_scale.astype(jnp.float32), nb, eps,
+                       norm_type)
     s = act_scale.astype(jnp.float32)[0]
     xi = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -287,6 +344,8 @@ def fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale, norm_scale=None,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (s * w_scale.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.reshape(1, -1).astype(jnp.float32)
     if rope_cos is not None:
         y = _rope_ref(y, rope_cos, rope_sin, head_dim)
     if residual is not None:
@@ -302,7 +361,9 @@ def fused_dense_decode(x, w, norm_scale=None, residual=None,
                                          rope_cos, rope_sin,
                                          head_dim=head_dim, eps=eps, **kw)
     return fused_dense_decode_ref(x, w, norm_scale, residual, rope_cos,
-                                  rope_sin, head_dim=head_dim, eps=eps)
+                                  rope_sin, head_dim=head_dim, eps=eps,
+                                  **{k: v for k, v in kw.items()
+                                     if k not in ("block_n", "interpret")})
 
 
 def fused_dense_decode_i8(x, w_i8, w_scale, act_scale, norm_scale=None,
@@ -315,7 +376,10 @@ def fused_dense_decode_i8(x, w_i8, w_scale, act_scale, norm_scale=None,
                                             eps=eps, **kw)
     return fused_dense_decode_i8_ref(x, w_i8, w_scale, act_scale,
                                      norm_scale, residual, rope_cos,
-                                     rope_sin, head_dim=head_dim, eps=eps)
+                                     rope_sin, head_dim=head_dim, eps=eps,
+                                     **{k: v for k, v in kw.items()
+                                        if k not in ("block_n",
+                                                     "interpret")})
 
 
 # ---------------------------------------------------------------------------
@@ -832,15 +896,18 @@ def decode_attention_i8(q, k_i8, k_scale, v_i8, v_scale, pos, **kw):
 # ---------------------------------------------------------------------------
 
 
-def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, o_ref,
+def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, nb_ref, o_ref,
                       xn_ref, acc_ref, *, n_j: int, eps: float, act: str,
-                      residual: bool = True):
+                      residual: bool = True, has_norm: bool = True,
+                      norm_type: str = "rmsnorm"):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
-        xn_ref[:] = _rmsnorm_f32(xf, ns_ref[:], eps).astype(xn_ref.dtype)
+        if has_norm:
+            xf = _norm_f32(xf, ns_ref[:], nb_ref[:], eps, norm_type)
+        xn_ref[:] = xf.astype(xn_ref.dtype)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     gate = jnp.dot(xn_ref[:], wg_ref[:], preferred_element_type=jnp.float32)
@@ -859,16 +926,18 @@ def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, ns_ref, o_ref,
 
 
 def _fused_mlp_i8_kernel(x_ref, wg_ref, wu_ref, wd_ref, wsg_ref, wsu_ref,
-                         wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
-                         n_j: int, eps: float, act: str,
-                         residual: bool = True):
+                         wsd_ref, scl_ref, ns_ref, nb_ref, o_ref, xi_ref,
+                         acc_ref, *, n_j: int, eps: float, act: str,
+                         residual: bool = True, has_norm: bool = True,
+                         norm_type: str = "rmsnorm"):
     j = pl.program_id(0)
     s_in, s_mid = scl_ref[0], scl_ref[1]
 
     @pl.when(j == 0)
     def _():
-        xf = x_ref[:].astype(jnp.float32)
-        xn = _rmsnorm_f32(xf, ns_ref[:], eps)
+        xn = x_ref[:].astype(jnp.float32)
+        if has_norm:
+            xn = _norm_f32(xn, ns_ref[:], nb_ref[:], eps, norm_type)
         xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
                              -127, 127).astype(jnp.int8)
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -900,11 +969,12 @@ def _fused_mlp_i8_kernel(x_ref, wg_ref, wu_ref, wd_ref, wsg_ref, wsu_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "act", "block_j", "out_dtype", "residual",
-                     "interpret"))
+                     "norm_type", "interpret"))
 def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
                             eps: float = 1e-6, act: str = "silu",
                             block_j: int = 256, out_dtype=None,
-                            residual: bool = True,
+                            residual: bool = True, norm_bias=None,
+                            norm_type: str = "rmsnorm",
                             interpret: bool = False):
     """x (B, K) -> x + down(act(gate(n)) * up(n)), n = rmsnorm(x).
 
@@ -920,17 +990,23 @@ def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
     bp = _round_up(b, 8)
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     n_j = inner // bj
-    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+    has_norm = norm_scale is not None
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
+    nb = (norm_bias.reshape(1, k).astype(jnp.float32)
+          if norm_bias is not None else jnp.zeros((1, k), jnp.float32))
 
     out = pl.pallas_call(
         functools.partial(_fused_mlp_kernel, n_j=n_j, eps=eps, act=act,
-                          residual=residual),
+                          residual=residual, has_norm=has_norm,
+                          norm_type=norm_type),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
             pl.BlockSpec((k, bj), lambda j: (0, j)),
             pl.BlockSpec((k, bj), lambda j: (0, j)),
             pl.BlockSpec((bj, k), lambda j: (j, 0)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
             pl.BlockSpec((1, k), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -940,18 +1016,19 @@ def fused_mlp_decode_pallas(x, w_gate, w_up, w_down, norm_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xp, w_gate, w_up, w_down, ns)
+    )(xp, w_gate, w_up, w_down, ns, nb)
     return out[:b]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "act", "block_j", "out_dtype", "residual",
-                     "interpret"))
+                     "norm_type", "interpret"))
 def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
                                act_scales, norm_scale, eps: float = 1e-6,
                                act: str = "silu", block_j: int = 512,
                                out_dtype=None, residual: bool = True,
+                               norm_bias=None, norm_type: str = "rmsnorm",
                                interpret: bool = False):
     """int8 fused MLP.  w_* int8; w_scales = (sg (1,I), su (1,I),
     sd (1,K)); act_scales (2,) = [input scale, mid (down-input) scale],
@@ -963,12 +1040,17 @@ def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
     bp = _round_up(b, 8)
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     n_j = inner // bj
-    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+    has_norm = norm_scale is not None
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
+    nb = (norm_bias.reshape(1, k).astype(jnp.float32)
+          if norm_bias is not None else jnp.zeros((1, k), jnp.float32))
     sg, su, sd = w_scales
 
     out = pl.pallas_call(
         functools.partial(_fused_mlp_i8_kernel, n_j=n_j, eps=eps, act=act,
-                          residual=residual),
+                          residual=residual, has_norm=has_norm,
+                          norm_type=norm_type),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -980,6 +1062,7 @@ def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
             pl.BlockSpec((1, k), lambda j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k), lambda j: (0, 0)),
+            pl.BlockSpec((1, k), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bp, k), lambda j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((bp, k), out_dtype),
@@ -989,16 +1072,23 @@ def fused_mlp_decode_i8_pallas(x, w_gate, w_up, w_down, w_scales,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xp, w_gate, w_up, w_down, sg, su, sd,
-      act_scales.astype(jnp.float32), ns)
+      act_scales.astype(jnp.float32), ns, nb)
     return out[:b]
 
 
 def fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
                          eps: float = 1e-6, act: str = "silu",
-                         out_dtype=None, residual: bool = True):
+                         out_dtype=None, residual: bool = True,
+                         norm_bias=None, norm_type: str = "rmsnorm"):
     xf = x.astype(jnp.float32)
-    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps).astype(
-        x.dtype).astype(jnp.float32)
+    if norm_scale is not None:
+        nb = (norm_bias.astype(jnp.float32) if norm_bias is not None
+              else 0.0)
+        xn = _norm_f32(xf, norm_scale.astype(jnp.float32), nb, eps,
+                       norm_type)
+    else:
+        xn = xf
+    xn = xn.astype(x.dtype).astype(jnp.float32)
     gate = xn @ w_gate.astype(jnp.float32)
     up = xn @ w_up.astype(jnp.float32)
     a = (jax.nn.silu(gate) if act == "silu"
@@ -1011,9 +1101,16 @@ def fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
 
 def fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales, act_scales,
                             norm_scale, eps: float = 1e-6, act: str = "silu",
-                            out_dtype=None, residual: bool = True):
+                            out_dtype=None, residual: bool = True,
+                            norm_bias=None, norm_type: str = "rmsnorm"):
     xf = x.astype(jnp.float32)
-    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    if norm_scale is not None:
+        nb = (norm_bias.astype(jnp.float32) if norm_bias is not None
+              else 0.0)
+        xn = _norm_f32(xf, norm_scale.astype(jnp.float32), nb, eps,
+                       norm_type)
+    else:
+        xn = xf
     s_in = act_scales.astype(jnp.float32)[0]
     s_mid = act_scales.astype(jnp.float32)[1]
     sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
@@ -1036,7 +1133,9 @@ def fused_mlp_decode(x, w_gate, w_up, w_down, norm_scale, eps: float = 1e-6,
                                        eps=eps, act=act, residual=residual,
                                        **kw)
     return fused_mlp_decode_ref(x, w_gate, w_up, w_down, norm_scale,
-                                eps=eps, act=act, residual=residual)
+                                eps=eps, act=act, residual=residual,
+                                **{k: v for k, v in kw.items()
+                                   if k not in ("block_j", "interpret")})
 
 
 def fused_mlp_decode_i8(x, w_gate, w_up, w_down, w_scales, act_scales,
@@ -1048,7 +1147,9 @@ def fused_mlp_decode_i8(x, w_gate, w_up, w_down, w_scales, act_scales,
                                           act=act, residual=residual, **kw)
     return fused_mlp_decode_i8_ref(x, w_gate, w_up, w_down, w_scales,
                                    act_scales, norm_scale, eps=eps, act=act,
-                                   residual=residual)
+                                   residual=residual,
+                                   **{k: v for k, v in kw.items()
+                                      if k not in ("block_j", "interpret")})
 
 # ---------------------------------------------------------------------------
 # int4 (w4a8): planar nibble packing, group-scaled int8-MXU kernels

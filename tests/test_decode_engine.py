@@ -502,3 +502,67 @@ def test_engine_merged_o_with_int8_kv(lm):
     a = base.generate(ids, max_new_tokens=10)
     b = merged.generate(ids, max_new_tokens=10)
     np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------- registry arch coverage
+
+
+def _tiny_cfg(**kw):
+    import dataclasses
+    return dataclasses.replace(llama_lib.tiny_llama_config(), **kw)
+
+
+@pytest.mark.parametrize("name,cfg_kw", [
+    ("qwen2-style (attention bias)", dict(attention_bias=True)),
+    ("stablelm-style (layernorm)", dict(norm_type="layernorm")),
+    ("cohere-style (parallel residual + tied + logit scale)",
+     dict(parallel_residual=True, tie_word_embeddings=True,
+          logit_scale=0.0625)),
+    ("all-features", dict(attention_bias=True, norm_type="layernorm",
+                          parallel_residual=True)),
+])
+def test_engine_registry_archs_bf16_exact(name, cfg_kw):
+    """bf16 engine == module greedy for every registry arch variant
+    (qkv bias / layernorm / parallel residual / logit scale)."""
+    lm = CausalLM.from_config(_tiny_cfg(**cfg_kw), dtype=jnp.float32,
+                              seed=3)
+    ids = RNG.integers(0, 256, (2, 6))
+    ref = lm.generate(ids, max_new_tokens=10)
+    eng = DecodeEngine(lm, mode="bf16")
+    out = eng.generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(out, ref, err_msg=name)
+
+
+def test_engine_registry_archs_w8a8(lm):
+    """w8a8 engine runs on the bias/layernorm/parallel variants and
+    mostly tracks the fp module tokens on a tiny model."""
+    for kw in (dict(attention_bias=True),
+               dict(norm_type="layernorm", parallel_residual=True)):
+        lm2 = CausalLM.from_config(_tiny_cfg(**kw), dtype=jnp.float32,
+                                   seed=4)
+        ids = RNG.integers(0, 256, (2, 6))
+        stats = DecodeEngine.calibrate_scales(lm2, ids)
+        eng = DecodeEngine(lm2, mode="w8a8_static", act_stats=stats)
+        out = eng.generate(ids, max_new_tokens=10)
+        ref = lm2.generate(ids, max_new_tokens=10)
+        assert out.shape == ref.shape
+        assert np.isfinite(out).all()
+        assert (out == ref).mean() > 0.5, kw
+
+
+def test_engine_tp_registry_arch():
+    """tp engine == single-device engine on the all-features arch."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    lm2 = CausalLM.from_config(
+        _tiny_cfg(attention_bias=True, norm_type="layernorm",
+                  parallel_residual=True),
+        dtype=jnp.float32, seed=5)
+    ids = RNG.integers(0, 256, (4, 6))
+    stats = DecodeEngine.calibrate_scales(lm2, ids)
+    single = DecodeEngine(lm2, mode="w8a8_static", act_stats=stats)
+    tp = DecodeEngine(lm2, mode="w8a8_static", act_stats=stats,
+                      mesh=make_mesh(4, 2))
+    a = single.generate(ids, max_new_tokens=8)
+    b = tp.generate(ids, max_new_tokens=8)
+    np.testing.assert_array_equal(a, b)
