@@ -304,6 +304,7 @@ class DecodeEngine:
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict[int, callable] = {}
+        self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
 
     @staticmethod
@@ -320,6 +321,27 @@ class DecodeEngine:
         return P()
 
     # ------------------------------------------------------------- calibration
+
+    @staticmethod
+    def smooth_lm(lm, calib_ids, alpha: float = 0.5):
+        """SmoothQuant-migrate ``lm.params`` in place (an fp-exact
+        reparameterization: norm ÷ s, fc × s) so the engine's int8/int4
+        weight codes and static act scales quantize a flatter
+        distribution.  Run BEFORE constructing the engine; then
+        calibrate_scales on the smoothed lm.  Counterpart of the
+        reference's smooth-then-quantize serving flow
+        (quantize/quantizer_SQ.py:395-431 ahead of the fused modules)."""
+        from qdm_tpu.config import QuantConfig
+        from qdm_tpu.models.shims import llama_scaling_groups
+        from qdm_tpu.quant import smooth as smooth_lib
+
+        cfg = QuantConfig(w_bit=8, a_bit=8)
+        stats, _ = lm._calibrate(cfg, np.asarray(calib_ids),
+                                 capture_inputs=False)
+        groups = llama_scaling_groups(lm.params, include_fc_groups=False)
+        lm.params = smooth_lib.smooth_params(lm.params, groups, stats,
+                                             alpha=alpha)
+        return lm
 
     @staticmethod
     def calibrate_scales(lm, calib_ids) -> Dict[str, jnp.ndarray]:
@@ -735,3 +757,65 @@ class DecodeEngine:
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
         return np.concatenate([ids, out], axis=1)
+
+    def score(self, input_ids) -> jnp.ndarray:
+        """Teacher-forced per-position logits (B, S, V) through the
+        decode megakernels — the engine counterpart of the module
+        path's ``logits``, so KL/perplexity evaluation can measure the
+        engine's EXACT serving numerics (static act scales, int8/int4
+        weight codes, kernel arithmetic).  Single-device only."""
+        assert self.tp == 1, "score() is a single-device eval path"
+        ids = jnp.asarray(input_ids)
+        b, s = ids.shape
+        fn = self._score_cache.get(s)
+        if fn is None:
+            cfg = self.cfg
+            h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim)
+            half = d // 2
+            freqs = 1.0 / (cfg.rope_theta
+                           ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+            n_qkv = (h + 2 * hkv) * d
+            w_rope = (h + hkv) * d
+            col = jnp.arange(n_qkv)
+            col_j = col % d
+            is_rope = col < w_rope
+            sign = jnp.where(col_j < half, -1.0, 1.0)
+            base_idx = col_j % half
+
+            @jax.jit
+            def run(layers, embed, final_norm, w_head, ids, caches):
+                bp = max(_round_up(ids.shape[0], 8), 8)
+                bq = ids.shape[0]
+
+                def body(caches, xs):
+                    i, tok = xs
+                    pos = i
+                    angles = pos.astype(jnp.float32) * freqs
+                    cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx],
+                                     1.0)
+                    sinv = jnp.where(is_rope,
+                                     sign * jnp.sin(angles)[base_idx], 0.0)
+                    x = jnp.zeros((bp,), tok.dtype).at[:bq].set(tok)
+                    x = embed[x]
+                    new_caches = []
+                    for l, w in enumerate(layers):
+                        x, cache = self._layer(x, caches[l], w, pos, cosv,
+                                               sinv)
+                        new_caches.append(cache)
+                    logits = dk.fused_dense_decode(
+                        x, w_head, norm_scale=final_norm,
+                        eps=cfg.rms_norm_eps, norm_bias=self.final_norm_b,
+                        norm_type=cfg.norm_type, out_dtype=jnp.float32,
+                        block_n=1280)
+                    return new_caches, logits[:bq] * cfg.logit_scale
+
+                caches, logits = jax.lax.scan(
+                    body, caches, (jnp.arange(ids.shape[1]),
+                                   ids.T.astype(jnp.int32)))
+                return logits.transpose(1, 0, 2)        # (B, S, V)
+
+            self._score_cache[s] = fn = run
+        caches = self.init_cache(b, s)
+        return fn(self.layers, self.embed, self.final_norm, self.w_head,
+                  ids, caches)

@@ -71,6 +71,11 @@ def _pick_block(n: int, pref: int, mult: int = LANE) -> int:
     b = max(b, mult)
     while n % b:
         b -= mult
+        if b <= 0:
+            raise ValueError(
+                f"no multiple of {mult} divides {n} — pad the dimension "
+                f"to a lane multiple (TPU kernels block in {mult}-lane "
+                f"granules)")
     return b
 
 

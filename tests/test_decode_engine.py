@@ -566,3 +566,13 @@ def test_engine_tp_registry_arch():
     a = single.generate(ids, max_new_tokens=8)
     b = tp.generate(ids, max_new_tokens=8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_engine_score_matches_module_logits(lm):
+    """engine.score (teacher-forced megakernel logits) == module
+    logits for bf16 — the eval path measures real engine numerics."""
+    ids = RNG.integers(0, 256, (2, 9))
+    ref = lm.logits(ids)
+    out = DecodeEngine(lm, mode="bf16").score(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -32,7 +32,7 @@ from qdm_tpu.evaluation.kl_divergence import (eval_kl_divergence,
 from qdm_tpu.models import llama as llama_lib
 
 CFG = llama_lib.LlamaConfig(
-    vocab_size=2048, hidden_size=256, intermediate_size=704,
+    vocab_size=2048, hidden_size=256, intermediate_size=768,
     num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
     max_position_embeddings=256)
 
@@ -112,6 +112,36 @@ def main():
            "top5": round(r["top5_agreement"], 4), "ppl_delta_pct": None}
     rows.append(row)
     print(json.dumps(row), flush=True)
+
+    # DecodeEngine serving schemes: teacher-forced engine logits
+    # (engine.score) vs the fp module — the EXACT numerics the serve
+    # bench rows run (static per-tensor act scales + per-channel int8 /
+    # group-128-family int4 weights + megakernel arithmetic)
+    from qdm_tpu.api.serve import DecodeEngine
+
+    stats = DecodeEngine.calibrate_scales(ref, CALIB[:4])
+    sm = fresh()
+    DecodeEngine.smooth_lm(sm, CALIB[:4])       # fp-exact migration
+    sm_stats = DecodeEngine.calibrate_scales(sm, CALIB[:4])
+    for ename, base, ekw in (
+            ("engine w8a8_static (serve path)", ref,
+             {"mode": "w8a8_static", "act_stats": stats}),
+            ("engine w8a8_static + smoothquant", sm,
+             {"mode": "w8a8_static", "act_stats": sm_stats}),
+            ("engine w4a8_static (serve winner)", ref,
+             {"mode": "w4a8_static", "act_stats": stats}),
+            ("engine w4a8_static + smoothquant", sm,
+             {"mode": "w4a8_static", "act_stats": sm_stats})):
+        eng = DecodeEngine(base, **ekw)
+        r = eval_kl_divergence(ref_logits, eng.score, EVAL_CHUNKS)
+        ppl = evaluate_perplexity(eng.score, PPL_STREAM, seqlen=SEQ)
+        row = {"config": ename, "kl_mean": round(r["kl_mean"], 6),
+               "kl_ci95": round(r["kl_ci95"], 6),
+               "top1": round(r["top1_agreement"], 4),
+               "top5": round(r["top5_agreement"], 4),
+               "ppl_delta_pct": round(100 * (ppl - ppl_ref) / ppl_ref, 3)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     out = {"model": "llama-style 4L/256h random weights (f32)"
                     + (" + norm-gain outliers" if OUTLIERS else ""),
