@@ -442,6 +442,11 @@ def main():
     stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids))
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
+                                       "act_stats": stats}),
+                      # int4 weights: batch-1 decode is the
+                      # weight-bandwidth-bound regime where the 4x
+                      # byte saving pays most
+                      ("engine_w4a8", {"mode": "w4a8_static",
                                        "act_stats": stats})):
         eng = DecodeEngine(lm, **kw)
         float(np.sum(eng.generate(np.asarray(ids), n_new)))
