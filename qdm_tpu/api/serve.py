@@ -82,6 +82,22 @@ def _quant_w4(w, group: int, block: int = 0):
     return dk.pack_int4_planar(wq, block=block), s
 
 
+def _quant_w4_rowsharded(w, group: int, tp: int, block: int = 0):
+    """Row-split (tensor-parallel) int4 packing: planar nibble pairs
+    must stay WITHIN a shard's rows (row r pairs with r + K_local/2),
+    so each shard's slice packs independently and the packs concatenate
+    along the packed-row axis — P('model', None) then hands every
+    device a self-contained local planar pack + its group scales."""
+    k = w.shape[0]
+    kl = k // tp
+    packs, scs = [], []
+    for s_ in range(tp):
+        pk, sc = _quant_w4(w[s_ * kl:(s_ + 1) * kl], group, block=block)
+        packs.append(pk)
+        scs.append(sc)
+    return jnp.concatenate(packs, axis=0), jnp.concatenate(scs, axis=0)
+
+
 def _qkv_shard_perm(h: int, hkv: int, d: int, tp: int) -> np.ndarray:
     """Column permutation putting the fused [q | k | v] projection into
     shard-major order: shard s's columns are [q_s | k_s | v_s], so a
@@ -128,10 +144,6 @@ class DecodeEngine:
         self.tp = int(mesh.shape["model"]) if (
             mesh is not None and "model" in mesh.axis_names) else 1
         if self.tp > 1:
-            if mode == "w4a8_static":
-                raise NotImplementedError(
-                    "tensor-parallel w4a8: planar int4 packing does not "
-                    "column-shard; use w8a8_static")
             if kv_dtype is not None or merge_o:
                 raise NotImplementedError(
                     "tensor-parallel engine: int8 KV / merge_o are "
@@ -184,12 +196,15 @@ class DecodeEngine:
             import math
 
             # int4 group size: 128 (reference W4 group scheme) shrunk
-            # to divide both planar half-contractions the kernels see
-            # (K/2 for qkv/o/gate/up, block_j/2 for the streamed
-            # w_down blocks)
-            self.i4_mlp_block = dk.mlp_i4_block(cfg.intermediate_size)
+            # to divide every planar half-contraction the LOCAL kernels
+            # see (K/2 for qkv/gate/up, local h*d/2 for the row-split
+            # o_proj, local block_j/2 for the streamed w_down blocks)
+            inner_l = cfg.intermediate_size // self.tp
+            hd_l = (cfg.num_attention_heads // self.tp) * cfg.head_dim
+            self.i4_mlp_block = dk.mlp_i4_block(inner_l)
             self.i4_group = math.gcd(
-                math.gcd(cfg.hidden_size // 2, self.i4_mlp_block // 2), 128)
+                math.gcd(cfg.hidden_size // 2, self.i4_mlp_block // 2),
+                math.gcd(hd_l // 2, 128))
         p = lm.params
 
         def scale_of(key):
@@ -250,11 +265,20 @@ class DecodeEngine:
                 pre = f"layers_{l}"
                 entry["w_qkv"], entry["s_qkv"] = _quant_w4(
                     w_qkv, self.i4_group)
-                entry["w_o"], entry["s_o"] = _quant_w4(w_o, self.i4_group)
                 entry["wg"], entry["sg"] = _quant_w4(wg, self.i4_group)
                 entry["wu"], entry["su"] = _quant_w4(wu, self.i4_group)
-                entry["wd"], entry["sd"] = _quant_w4(wd, self.i4_group,
-                                                     block=self.i4_mlp_block)
+                if self.tp > 1:
+                    # row-split weights pack per shard (helper doc)
+                    entry["w_o"], entry["s_o"] = _quant_w4_rowsharded(
+                        w_o, self.i4_group, self.tp)
+                    entry["wd"], entry["sd"] = _quant_w4_rowsharded(
+                        wd, self.i4_group, self.tp,
+                        block=self.i4_mlp_block)
+                else:
+                    entry["w_o"], entry["s_o"] = _quant_w4(w_o,
+                                                           self.i4_group)
+                    entry["wd"], entry["sd"] = _quant_w4(
+                        wd, self.i4_group, block=self.i4_mlp_block)
                 entry["a_qkv"] = scale_of(
                     f"{pre}/self_attn/q_proj").reshape(1)
                 entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
@@ -307,17 +331,19 @@ class DecodeEngine:
         self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
 
-    @staticmethod
-    def _tp_spec(key: str) -> P:
+    def _tp_spec(self, key: str) -> P:
         """PartitionSpec for one engine weight leaf (megatron rules:
         qkv/gate/up column-split, o/down row-split, scales follow the
-        split axis, scalars replicate)."""
+        split axis, scalars replicate).  Under w4a8 the row-split
+        weights' group scales are 2D (K/g, N) and row-split too."""
         if key in ("w_qkv", "s_qkv", "wg", "wu", "sg", "su"):
             return P(None, "model")
         if key in ("w_o", "wd"):
             return P("model", None)
         if key == "b_qkv":
             return P("model")
+        if self.mode == "w4a8_static" and key in ("s_o", "sd"):
+            return P("model", None)
         return P()
 
     # ------------------------------------------------------------- calibration
@@ -474,9 +500,14 @@ class DecodeEngine:
             if self.mode == "bf16":
                 part = dk.fused_dense_decode(attn, w["w_o"],
                                              out_dtype=jnp.float32)
-            else:
+            elif self.mode == "w8a8_static":
                 part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                                 w["a_o"],
+                                                out_dtype=jnp.float32)
+            else:
+                part = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
+                                                w["a_o"],
+                                                group=self.i4_group,
                                                 out_dtype=jnp.float32)
             x = (x.astype(jnp.float32)
                  + jax.lax.psum(part, tp_axis)).astype(x.dtype)
@@ -487,7 +518,7 @@ class DecodeEngine:
                                            norm_bias=w.get("ln2_b"),
                                            norm_type=nt,
                                            out_dtype=jnp.float32)
-            else:
+            elif self.mode == "w8a8_static":
                 part = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
                                               (w["sg"], w["su"], w["sd"]),
                                               w["a_mlp"], w["ln2"], eps=eps,
@@ -495,6 +526,14 @@ class DecodeEngine:
                                               residual=False,
                                               norm_bias=w.get("ln2_b"),
                                               norm_type=nt,
+                                              out_dtype=jnp.float32)
+            else:
+                part = dk.fused_mlp_decode_i4(x, w["wg"], w["wu"], w["wd"],
+                                              (w["sg"], w["su"], w["sd"]),
+                                              w["a_mlp"], w["ln2"], eps=eps,
+                                              act=cfg.mlp_act,
+                                              residual=False,
+                                              group=self.i4_group,
                                               out_dtype=jnp.float32)
             x = (x.astype(jnp.float32)
                  + jax.lax.psum(part, tp_axis)).astype(x.dtype)

@@ -1345,7 +1345,7 @@ def fused_dense_decode_i4_pallas(x, w_p, w_scale, act_scale,
 def _fused_mlp_i4_kernel(x_ref, wgp_ref, wup_ref, wdp_ref, wsg_ref, wsu_ref,
                          wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
                          n_j: int, eps: float, act: str, group: int,
-                         bj: int):
+                         bj: int, residual: bool = True):
     j = pl.program_id(0)
     s_in, s_mid = scl_ref[0], scl_ref[1]
 
@@ -1372,18 +1372,21 @@ def _fused_mlp_i4_kernel(x_ref, wgp_ref, wup_ref, wdp_ref, wsg_ref, wsu_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        o_ref[:] = (acc_ref[:]
-                    + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        y = acc_ref[:]
+        if residual:
+            y = y + x_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "act", "block_j", "group", "out_dtype",
-                     "interpret"))
+                     "residual", "interpret"))
 def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
                                norm_scale, eps: float = 1e-6,
                                act: str = "silu", block_j: int = 512,
                                group: int = 128, out_dtype=None,
+                               residual: bool = True,
                                interpret: bool = False):
     """int4 fused MLP.  wg_p/wu_p (K/2, I) planar-packed (block=0);
     wd_p (I/2, K) packed with block=bj (pack_int4_planar(wd_q, bj) for
@@ -1405,7 +1408,7 @@ def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
 
     out = pl.pallas_call(
         functools.partial(_fused_mlp_i4_kernel, n_j=n_j, eps=eps, act=act,
-                          group=group, bj=bj),
+                          group=group, bj=bj, residual=residual),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -1430,10 +1433,20 @@ def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
     return out[:b]
 
 
+def _pick_block_i4(inner: int, pref: int) -> int:
+    """Inner-dim block for the i4 MLP path.  Tiny (test-sized) local
+    dims — e.g. a tensor-parallel shard of a unit-test model — can sit
+    below the 128-lane granule; those only ever run through the jnp
+    ref path, where the whole dim as one block is always valid."""
+    if inner % LANE:
+        return inner
+    return _pick_block(inner, pref)
+
+
 def mlp_i4_block(inner: int, block_j: int = 512) -> int:
     """The inner-dim block the i4 MLP kernel will use — w_down must be
     packed with exactly this block (pack_int4_planar(wd_q, block))."""
-    return _pick_block(inner, block_j)
+    return _pick_block_i4(inner, block_j)
 
 
 def _dequant_i4(w_p, w_scale, group: int, block: int = 0):
@@ -1467,14 +1480,14 @@ def fused_dense_decode_i4_ref(x, w_p, w_scale, act_scale, norm_scale=None,
 def fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales, act_scales,
                             norm_scale, eps: float = 1e-6, act: str = "silu",
                             block_j: int = 512, group: int = 128,
-                            out_dtype=None):
+                            out_dtype=None, residual: bool = True):
     xf = x.astype(jnp.float32)
     xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
     s_in = act_scales.astype(jnp.float32)[0]
     s_mid = act_scales.astype(jnp.float32)[1]
     sg, su, sd = w_scales
     inner = wg_p.shape[1]
-    bj = _pick_block(inner, block_j)
+    bj = _pick_block_i4(inner, block_j)
     xi = jnp.clip(jnp.round(xn / s_in), -127, 127)
     gate = (xi @ _dequant_i4(wg_p, sg, group)) * s_in
     up = (xi @ _dequant_i4(wu_p, su, group)) * s_in
@@ -1482,7 +1495,9 @@ def fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales, act_scales,
          else jax.nn.gelu(gate, approximate=True)) * up
     ai = jnp.clip(jnp.round(a / s_mid), -127, 127)
     y = (ai @ _dequant_i4(wd_p, sd, group, block=bj)) * s_mid
-    return (y + xf).astype(out_dtype or x.dtype)
+    if residual:
+        y = y + xf
+    return y.astype(out_dtype or x.dtype)
 
 
 def fused_dense_decode_i4(x, w_p, w_scale, act_scale, norm_scale=None,
@@ -1496,19 +1511,25 @@ def fused_dense_decode_i4(x, w_p, w_scale, act_scale, norm_scale=None,
                                             eps=eps, group=group, **kw)
     return fused_dense_decode_i4_ref(x, w_p, w_scale, act_scale, norm_scale,
                                      residual, rope_cos, rope_sin,
-                                     head_dim=head_dim, eps=eps, group=group)
+                                     head_dim=head_dim, eps=eps, group=group,
+                                     **{k: v for k, v in kw.items()
+                                        if k not in ("block_n",
+                                                     "interpret")})
 
 
 def fused_mlp_decode_i4(x, wg_p, wu_p, wd_p, w_scales, act_scales,
                         norm_scale, eps: float = 1e-6, act: str = "silu",
-                        group: int = 128, **kw):
+                        group: int = 128, residual: bool = True, **kw):
     if on_tpu():
         return fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales,
                                           act_scales, norm_scale, eps=eps,
-                                          act=act, group=group, **kw)
+                                          act=act, group=group,
+                                          residual=residual, **kw)
     return fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales,
                                    act_scales, norm_scale, eps=eps, act=act,
-                                   group=group)
+                                   group=group, residual=residual,
+                                   **{k: v for k, v in kw.items()
+                                      if k != "interpret"})
 
 
 # ---------------------------------------------------------------------------

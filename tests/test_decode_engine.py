@@ -467,10 +467,49 @@ def test_engine_tp_rejects_unsupported(lm):
     ids = RNG.integers(0, 256, (2, 5))
     stats = DecodeEngine.calibrate_scales(lm, ids)
     with pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats, mesh=mesh)
-    with pytest.raises(NotImplementedError):
         DecodeEngine(lm, mode="w8a8_static", act_stats=stats, mesh=mesh,
                      kv_dtype=jnp.int8)
+
+
+def test_engine_tp_w4a8_runs(lm):
+    """Tensor-parallel w4a8: per-shard planar packs + row-split group
+    scales.  On the tiny model the TP gcd shrinks the int4 group (the
+    local h*d/2 term), so quantized values differ slightly from the
+    single-device engine — tokens must still mostly agree."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    single = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    tp = DecodeEngine(lm, mode="w4a8_static", act_stats=stats, mesh=mesh)
+    assert tp.tp == 2
+    a = single.generate(ids, max_new_tokens=10)
+    b = tp.generate(ids, max_new_tokens=10)
+    assert np.isfinite(b).all()
+    assert (a == b).mean() > 0.5
+
+
+def test_engine_tp_w4a8_exact_when_groups_align():
+    """With dims where the int4 group is 128 both single-device and
+    under tp=2 (group | local h*d/2 and | local-inner block/2), the
+    per-shard packs dequantize to the SAME values as the global pack,
+    so greedy tokens match the single-device engine exactly."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    lm2 = CausalLM.from_config(
+        _tiny_cfg(hidden_size=512, intermediate_size=512,
+                  num_attention_heads=16, num_key_value_heads=8),
+        dtype=jnp.float32, seed=7)
+    ids = RNG.integers(0, 256, (4, 6))
+    stats = DecodeEngine.calibrate_scales(lm2, ids)
+    single = DecodeEngine(lm2, mode="w4a8_static", act_stats=stats)
+    tp = DecodeEngine(lm2, mode="w4a8_static", act_stats=stats,
+                      mesh=make_mesh(4, 2))
+    assert single.i4_group == tp.i4_group == 128
+    a = single.generate(ids, max_new_tokens=8)
+    b = tp.generate(ids, max_new_tokens=8)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_engine_prefill_quant(lm):
