@@ -238,6 +238,22 @@ def main():
     results["fused_mlp_decode_i4"] = {"max_abs_diff": d, "tol": tol_m4,
                                       "pass": d <= tol_m4}
 
+    # residual-free variant (tensor-parallel epilogue: the psum adds
+    # the residual once outside the kernel)
+    out = dkk.fused_mlp_decode_i4_pallas(x4, wg4, wg4, wd4,
+                                         (wg4s, wu4s, wd4s), scl4, ln2_,
+                                         group=grp, residual=False)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_mlp_decode_i4_ref(x4, wg4, wg4, wd4,
+                                          (wg4s, wu4s, wd4s), scl4, ln2_,
+                                          group=grp, residual=False)
+    d = _maxdiff(out, ref)
+    tol_m4n = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))),
+                  1.0) * 2e-6
+    results["fused_mlp_decode_i4_nores"] = {"max_abs_diff": d,
+                                            "tol": tol_m4n,
+                                            "pass": d <= tol_m4n}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
