@@ -62,6 +62,10 @@ def serve_main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
     batch, prefill, n_new = (32, 1024, 32) if on_tpu else (2, 8, 4)
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--ctx" in sys.argv:
+        prefill = int(sys.argv[sys.argv.index("--ctx") + 1])
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     lm = CausalLM.from_config(cfg, dtype=dtype)
@@ -198,6 +202,46 @@ def serve_main():
     from qdm_tpu.api.serve import DecodeEngine
 
     stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:4])
+    if "--kv8" in sys.argv:
+        # int8-KV crossover study: the kv8 attention kernel loses at
+        # ctx 1024 (61-67 us vs 51.5 bf16 — VPU dequant overhead) but
+        # its HBM saving scales with T while the VPU passes ride the
+        # same (g, T) vectors; at long ctx the halved cache read
+        # should pay.  Run with --ctx 4096 --batch 16 (module prefill
+        # materializes (B, S, vocab) logits).
+        rows = (("engine_w8a8", {"mode": "w8a8_static",
+                                 "act_stats": stats}),
+                ("engine_w8a8_kv8", {"mode": "w8a8_static",
+                                     "act_stats": stats,
+                                     "kv_dtype": jnp.int8}),
+                ("engine_w4a8", {"mode": "w4a8_static",
+                                 "act_stats": stats}),
+                ("engine_w4a8_kv8", {"mode": "w4a8_static",
+                                     "act_stats": stats,
+                                     "kv_dtype": jnp.int8}))
+        for ename, kw in rows:
+            eng = DecodeEngine(lm, **kw)
+            tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)
+            jax.block_until_ready(caches[0][0])
+            args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+            def t(n):
+                run = eng._make_run(n)
+                best = 1e9
+                run(*args, tok0, caches, jnp.int32(prefill))
+                for _ in range(5):
+                    t0 = time.time()
+                    float(jnp.sum(run(*args, tok0, caches,
+                                      jnp.int32(prefill))))
+                    best = min(best, time.time() - t0)
+                return best
+
+            dt = (t(40) - t(8)) / 32
+            out[f"{ename}_decode_tok_s"] = round(batch / dt, 1)
+            print(json.dumps(out), flush=True)
+            del eng, caches
+        return
+
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
                                        "act_stats": stats}),
