@@ -491,7 +491,23 @@ def main():
                       # weight-bandwidth-bound regime where the 4x
                       # byte saving pays most
                       ("engine_w4a8", {"mode": "w4a8_static",
-                                       "act_stats": stats})):
+                                       "act_stats": stats}),
+                      # batch-1 launch-overhead levers: merged
+                      # o_proj+res+MLP megakernel (2 launches/layer —
+                      # neutral at batch 32 where launches overlap
+                      # compute, but engine bf16 = 0.88x at batch 1
+                      # shows fixed cost dominates here) and the int8
+                      # lm_head (the single largest weight read)
+                      ("engine_w8a8_mo", {"mode": "w8a8_static",
+                                          "act_stats": stats,
+                                          "merge_o": True}),
+                      ("engine_w4a8_mo", {"mode": "w4a8_static",
+                                          "act_stats": stats,
+                                          "merge_o": True}),
+                      ("engine_w4a8_mo_h8", {"mode": "w4a8_static",
+                                             "act_stats": stats,
+                                             "merge_o": True,
+                                             "head_quant": "int8"})):
         eng = DecodeEngine(lm, **kw)
         float(np.sum(eng.generate(np.asarray(ids), n_new)))
         t0 = time.time()

@@ -319,6 +319,35 @@ class CausalLM:
         self.is_quantized = True
         return self
 
+    # ------------------------------------------------------------------ serve
+
+    def serve(self, calib_ids=None, mode: str = "w4a8_static",
+              smooth: bool = False, smooth_alpha: float = 0.5, **engine_kw):
+        """Build the megakernel serving engine for this model — the
+        production decode path (qdm_tpu/api/serve.py).  One call wraps
+        the serving flow: optional SmoothQuant migration, static
+        act-scale calibration, engine construction.
+
+        ``mode``: 'w4a8_static' (default; int4 weights on the int8 MXU
+        — the measured serve AND batch-1 winner, BENCH_NOTES round 3),
+        'w8a8_static', or 'bf16'.  ``calib_ids`` (B, S) int tokens are
+        required for the quantized modes.  Extra kwargs (kv_dtype,
+        merge_o, head_quant, mesh, prefill_quant, ...) pass through to
+        :class:`DecodeEngine`.  Counterpart of the reference's
+        ``fuse_layers=True`` serving entry (models/base.py:1338-1526 →
+        fuse_layers base.py:1494-1515)."""
+        from qdm_tpu.api.serve import DecodeEngine
+
+        if mode == "bf16":
+            return DecodeEngine(self, mode="bf16", **engine_kw)
+        if calib_ids is None:
+            raise ValueError(f"mode={mode!r} needs calib_ids for static "
+                             "activation-scale calibration")
+        if smooth:
+            DecodeEngine.smooth_lm(self, calib_ids, alpha=smooth_alpha)
+        stats = DecodeEngine.calibrate_scales(self, np.asarray(calib_ids))
+        return DecodeEngine(self, mode=mode, act_stats=stats, **engine_kw)
+
     # --------------------------------------------------------------- generate
 
     def logits(self, input_ids) -> jnp.ndarray:

@@ -131,7 +131,8 @@ class DecodeEngine:
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
                  act_margin: float = 1.0, kv_dtype=None, unroll: int = 1,
                  merge_o: bool = False, mesh=None,
-                 prefill_quant: bool = False):
+                 prefill_quant: bool = False,
+                 head_quant: Optional[str] = None):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
@@ -187,9 +188,11 @@ class DecodeEngine:
         # fold o_proj + residual + MLP into ONE dense megakernel after
         # attention (2 pallas calls/layer instead of 3).  Merging into
         # the attention kernel instead is relayout-blocked on Mosaic
-        # (sublane->lane flatten, decode_kernels module comment);
-        # int8-only (the serve mode)
-        self.merge_o = (merge_o and mode == "w8a8_static"
+        # (sublane->lane flatten, decode_kernels module comment).
+        # Neutral at batch 32 (launches overlap compute there) but a
+        # batch-1 lever, where per-launch fixed cost dominates the
+        # engine step (BENCH_NOTES round 3)
+        self.merge_o = (merge_o and mode in ("w8a8_static", "w4a8_static")
                         and cfg.norm_type == "rmsnorm"
                         and not cfg.parallel_residual)
         if mode == "w4a8_static":
@@ -295,6 +298,31 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        # opt-in int8 lm_head: per-out-channel weight codes + the
+        # calibrated static scale of the final-norm output.  The head
+        # is the single largest decode weight read (vocab x hidden =
+        # 131 MB bf16 on the 1B bench model — ~8% of the batch-1
+        # step); int8 halves it.  Greedy argmax is NOT invariant to
+        # head quantization, so this is a measured-quality option
+        # (quality table rows), not a default.
+        self.head_quant = head_quant
+        if head_quant is not None:
+            if head_quant != "int8":
+                raise ValueError(f"head_quant: {head_quant!r} "
+                                 "(only 'int8' is supported)")
+            if self.tp > 1:
+                raise NotImplementedError(
+                    "head_quant is a single-device option (the tp head "
+                    "is vocab-split)")
+            if act_stats is None or "lm_head" not in act_stats:
+                raise ValueError(
+                    "head_quant needs 'lm_head' act stats — calibrate "
+                    "with DecodeEngine.calibrate_scales on a model with "
+                    "an untied lm_head")
+            wh_q, wh_s = _quant_w(self.w_head)
+            self._head = (wh_q, wh_s, scale_of("lm_head").reshape(1))
+        else:
+            self._head = self.w_head
         if self.tp > 1:
             # place each leaf on its shard once, up front (the decode
             # jit then sees correctly-sharded inputs; no resharding)
@@ -309,6 +337,7 @@ class DecodeEngine:
                 self.final_norm, NamedSharding(mesh, P()))
             self.w_head = jax.device_put(
                 self.w_head, NamedSharding(mesh, P(None, "model")))
+            self._head = self.w_head
         # opt-in int8 prefill: the (B, S) prefill forward is MXU-bound,
         # so the w8a8_xla dynamic-per-token module path runs it ~1.7x
         # faster than bf16 (BENCH_NOTES round 2); default stays bf16
@@ -464,10 +493,17 @@ class DecodeEngine:
             attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
         attn = attn.reshape(bp, h * d)
         if self.merge_o and tp_axis is None:
-            x = dk.fused_o_mlp_decode_i8(
-                attn, w["w_o"], w["s_o"], w["a_o"], x, w["wg"], w["wu"],
-                w["wd"], (w["sg"], w["su"], w["sd"]), w["a_mlp"], w["ln2"],
-                eps=eps, act=cfg.mlp_act)
+            if self.mode == "w4a8_static":
+                x = dk.fused_o_mlp_decode_i4(
+                    attn, w["w_o"], w["s_o"], w["a_o"], x, w["wg"],
+                    w["wu"], w["wd"], (w["sg"], w["su"], w["sd"]),
+                    w["a_mlp"], w["ln2"], eps=eps, act=cfg.mlp_act,
+                    group=self.i4_group)
+            else:
+                x = dk.fused_o_mlp_decode_i8(
+                    attn, w["w_o"], w["s_o"], w["a_o"], x, w["wg"],
+                    w["wu"], w["wd"], (w["sg"], w["su"], w["sd"]),
+                    w["a_mlp"], w["ln2"], eps=eps, act=cfg.mlp_act)
             return x, cache
         if parallel:
             # x + attn_out + mlp_out, both branches off the same xin;
@@ -561,6 +597,23 @@ class DecodeEngine:
                                        act=cfg.mlp_act, group=self.i4_group)
         return x, cache
 
+    def _head_logits(self, x, w_head, final_norm):
+        """final norm + lm_head as one fused launch.  w_head is either
+        the bf16 (K, V) matrix or, under head_quant='int8', the
+        (codes, per-channel scales, static act scale) triple."""
+        cfg = self.cfg
+        if self.head_quant == "int8":
+            wh, whs, ah = w_head
+            return dk.fused_dense_decode_i8(
+                x, wh, whs, ah, norm_scale=final_norm,
+                eps=cfg.rms_norm_eps, norm_bias=self.final_norm_b,
+                norm_type=cfg.norm_type, out_dtype=jnp.float32,
+                block_n=1280)
+        return dk.fused_dense_decode(
+            x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
+            norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
+            out_dtype=jnp.float32, block_n=1280)
+
     # ------------------------------------------------------------------ decode
 
     def _make_run(self, n_tokens: int):
@@ -604,10 +657,7 @@ class DecodeEngine:
                     new_caches.append(cache)
                 # logit_scale (cohere) is a positive monotone transform
                 # — greedy argmax is invariant, so it is not applied
-                logits = dk.fused_dense_decode(
-                    x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
-                    norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
-                    out_dtype=jnp.float32, block_n=1280)
+                logits = self._head_logits(x, w_head, final_norm)
                 nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 return (nxt, new_caches), nxt
 
@@ -791,7 +841,7 @@ class DecodeEngine:
         tok0, caches = self.prefill(ids, max_len)
         run = self._make_run(max_new_tokens - 1)
         weights = self.layers
-        toks = run(weights, self.embed, self.final_norm, self.w_head,
+        toks = run(weights, self.embed, self.final_norm, self._head,
                    tok0, caches, jnp.int32(s))
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
@@ -842,11 +892,7 @@ class DecodeEngine:
                         x, cache = self._layer(x, caches[l], w, pos, cosv,
                                                sinv)
                         new_caches.append(cache)
-                    logits = dk.fused_dense_decode(
-                        x, w_head, norm_scale=final_norm,
-                        eps=cfg.rms_norm_eps, norm_bias=self.final_norm_b,
-                        norm_type=cfg.norm_type, out_dtype=jnp.float32,
-                        block_n=1280)
+                    logits = self._head_logits(x, w_head, final_norm)
                     return new_caches, logits[:bq] * cfg.logit_scale
 
                 caches, logits = jax.lax.scan(
@@ -856,5 +902,5 @@ class DecodeEngine:
 
             self._score_cache[s] = fn = run
         caches = self.init_cache(b, s)
-        return fn(self.layers, self.embed, self.final_norm, self.w_head,
+        return fn(self.layers, self.embed, self.final_norm, self._head,
                   ids, caches)

@@ -1679,3 +1679,136 @@ def fused_o_mlp_decode_i8(attn, w_o_i8, wo_scale, attn_scale, residual,
     return fused_o_mlp_decode_i8_ref(
         attn, w_o_i8, wo_scale, attn_scale, residual, w_gate, w_up, w_down,
         w_scales, act_scales, norm_scale, eps=eps, act=act)
+
+
+def _fused_o_mlp_i4_kernel(attn_ref, wop_ref, wos_ref, x_ref, wgp_ref,
+                           wup_ref, wdp_ref, wsg_ref, wsu_ref, wsd_ref,
+                           scl_ref, ns_ref, o_ref, x2_ref, xi_ref, acc_ref,
+                           *, n_j: int, eps: float, act: str, group: int,
+                           bj: int):
+    j = pl.program_id(0)
+    s_ao, s_in, s_mid = scl_ref[0], scl_ref[1], scl_ref[2]
+
+    @pl.when(j == 0)
+    def _():
+        ai = jnp.clip(jnp.round(attn_ref[:].astype(jnp.float32)
+                                * (1.0 / s_ao)), -127, 127).astype(jnp.int8)
+        x2 = (_i4_group_dot(ai, wop_ref, wos_ref, s_ao, group)
+              + x_ref[:].astype(jnp.float32))
+        x2_ref[:] = x2
+        xn = _rmsnorm_f32(x2, ns_ref[:], eps)
+        xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
+                             -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gate = _i4_group_dot(xi_ref[:], wgp_ref, wsg_ref, s_in, group)
+    up = _i4_group_dot(xi_ref[:], wup_ref, wsu_ref, s_in, group)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    ai2 = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
+    acc_ref[:] += _i4_group_dot(ai2, wdp_ref, wsd_ref, s_mid, group,
+                                row0=j * (bj // group))
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] + x2_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act", "block_j", "group", "out_dtype",
+                     "interpret"))
+def fused_o_mlp_decode_i4_pallas(attn, w_o_p, wo_scale, attn_scale,
+                                 residual, wg_p, wu_p, wd_p, w_scales,
+                                 act_scales, norm_scale, eps: float = 1e-6,
+                                 act: str = "silu", block_j: int = 512,
+                                 group: int = 128, out_dtype=None,
+                                 interpret: bool = False):
+    """int4 variant of fused_o_mlp_decode_i8: o_proj + residual + the
+    whole MLP in ONE launch, all weights planar-packed int4 with
+    group scales, contractions on the int8 MXU.  The batch-1 decode
+    configuration: per-launch fixed cost is the dominant engine
+    overhead there (BENCH_NOTES round 3, engine bf16 = 0.88x) and the
+    int4 weight stream is the bandwidth floor.
+
+    w_o_p (hd/2, K) planar (block=0) + wo_scale (hd/g, K); MLP packs
+    as fused_mlp_decode_i4_pallas (wd_p packed with block=bj);
+    act_scales (2,) = [mlp input, mid]; attn_scale (1,)."""
+    b, hd = attn.shape
+    kk = w_o_p.shape[1]
+    inner = wg_p.shape[1]
+    assert residual.shape == (b, kk)
+    assert (hd // 2) % group == 0, (hd, group)
+    assert (kk // 2) % group == 0, (kk, group)
+    out_dtype = out_dtype or residual.dtype
+    bj = _pick_block_i4(inner, block_j)
+    assert (bj // 2) % group == 0, (bj, group)
+    bp = _round_up(b, 8)
+    if bp != b:
+        attn = jnp.pad(attn, ((0, bp - b), (0, 0)))
+        residual = jnp.pad(residual, ((0, bp - b), (0, 0)))
+    n_j = inner // bj
+    ns = norm_scale.reshape(1, kk).astype(jnp.float32)
+    sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
+    ngk = kk // group
+    scl = jnp.concatenate([attn_scale.reshape(1).astype(jnp.float32),
+                           act_scales.astype(jnp.float32).reshape(2)])
+
+    out = pl.pallas_call(
+        functools.partial(_fused_o_mlp_i4_kernel, n_j=n_j, eps=eps, act=act,
+                          group=group, bj=bj),
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((bp, hd), lambda j: (0, 0)),
+            pl.BlockSpec((hd // 2, kk), lambda j: (0, 0)),
+            pl.BlockSpec((hd // group, kk), lambda j: (0, 0)),
+            pl.BlockSpec((bp, kk), lambda j: (0, 0)),
+            pl.BlockSpec((kk // 2, bj), lambda j: (0, j)),
+            pl.BlockSpec((kk // 2, bj), lambda j: (0, j)),
+            pl.BlockSpec((bj // 2, kk), lambda j: (j, 0)),
+            pl.BlockSpec((ngk, bj), lambda j: (0, j)),
+            pl.BlockSpec((ngk, bj), lambda j: (0, j)),
+            pl.BlockSpec((inner // group, kk), lambda j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, kk), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bp, kk), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, kk), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, kk), jnp.float32),
+                        pltpu.VMEM((bp, kk), jnp.int8),
+                        pltpu.VMEM((bp, kk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(attn, w_o_p, wo_scale.astype(jnp.float32), residual, wg_p,
+      wu_p, wd_p, sg, su, sd, scl, ns)
+    return out[:b]
+
+
+def fused_o_mlp_decode_i4_ref(attn, w_o_p, wo_scale, attn_scale, residual,
+                              wg_p, wu_p, wd_p, w_scales, act_scales,
+                              norm_scale, eps: float = 1e-6,
+                              act: str = "silu", group: int = 128,
+                              block_j: int = 512, out_dtype=None):
+    x2 = fused_dense_decode_i4_ref(attn, w_o_p, wo_scale,
+                                   attn_scale.reshape(1), residual=residual,
+                                   group=group, out_dtype=jnp.float32)
+    return fused_mlp_decode_i4_ref(x2, wg_p, wu_p, wd_p, w_scales,
+                                   act_scales, norm_scale, eps=eps, act=act,
+                                   group=group, block_j=block_j,
+                                   out_dtype=out_dtype or residual.dtype)
+
+
+def fused_o_mlp_decode_i4(attn, w_o_p, wo_scale, attn_scale, residual,
+                          wg_p, wu_p, wd_p, w_scales, act_scales,
+                          norm_scale, eps: float = 1e-6, act: str = "silu",
+                          group: int = 128, **kw):
+    if on_tpu():
+        return fused_o_mlp_decode_i4_pallas(
+            attn, w_o_p, wo_scale, attn_scale, residual, wg_p, wu_p, wd_p,
+            w_scales, act_scales, norm_scale, eps=eps, act=act, group=group,
+            **kw)
+    return fused_o_mlp_decode_i4_ref(
+        attn, w_o_p, wo_scale, attn_scale, residual, wg_p, wu_p, wd_p,
+        w_scales, act_scales, norm_scale, eps=eps, act=act, group=group,
+        **{k: v for k, v in kw.items() if k != "interpret"})

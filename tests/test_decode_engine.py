@@ -543,6 +543,104 @@ def test_engine_merged_o_with_int8_kv(lm):
     np.testing.assert_array_equal(a, b)
 
 
+def test_fused_o_mlp_i4_interpret_matches_ref():
+    """Merged o_proj+residual+MLP int4 kernel vs composed references."""
+    rng = np.random.RandomState(11)
+    b, hd, kk, inner, group, bj = 4, 128, 256, 512, 64, 256
+    attn = jnp.asarray(rng.randn(b, hd), jnp.float32)
+    res = jnp.asarray(rng.randn(b, kk), jnp.float32)
+    wo = jnp.asarray(rng.randn(hd, kk) / np.sqrt(hd), jnp.float32)
+    wg = jnp.asarray(rng.randn(kk, inner) / np.sqrt(kk), jnp.float32)
+    wu = jnp.asarray(rng.randn(kk, inner) / np.sqrt(kk), jnp.float32)
+    wd = jnp.asarray(rng.randn(inner, kk) / np.sqrt(inner), jnp.float32)
+    ln2 = jnp.asarray(rng.rand(kk) + 0.5, jnp.float32)
+    woq, wos = dk.quantize_int4_group(wo, group)
+    wop = dk.pack_int4_planar(woq)
+    wgq, sg = dk.quantize_int4_group(wg, group)
+    wuq, su = dk.quantize_int4_group(wu, group)
+    wdq, sd = dk.quantize_int4_group(wd, group)
+    blk = dk.mlp_i4_block(inner, bj)
+    wgp, wup = dk.pack_int4_planar(wgq), dk.pack_int4_planar(wuq)
+    wdp = dk.pack_int4_planar(wdq, block=blk)
+    aos = jnp.asarray([0.05], jnp.float32)
+    scl = jnp.asarray([0.04, 0.08], jnp.float32)
+    out = dk.fused_o_mlp_decode_i4_pallas(
+        attn, wop, wos, aos, res, wgp, wup, wdp, (sg, su, sd), scl, ln2,
+        block_j=bj, group=group, interpret=True)
+    ref = dk.fused_o_mlp_decode_i4_ref(
+        attn, wop, wos, aos, res, wgp, wup, wdp, (sg, su, sd), scl, ln2,
+        block_j=bj, group=group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_w4a8_merged_o_matches_split(lm):
+    """merge_o under w4a8: the merged int4 kernel is the same math as
+    the split dense_i4 + mlp_i4 pair — tokens must match exactly."""
+    ids = RNG.integers(0, 256, (8, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    split = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    merged = DecodeEngine(lm, mode="w4a8_static", act_stats=stats,
+                          merge_o=True)
+    assert merged.merge_o
+    a = split.generate(ids, max_new_tokens=10)
+    b = merged.generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_engine_head_quant_int8(lm):
+    """head_quant='int8' swaps the bf16 lm_head for per-channel int8
+    codes + the calibrated final-norm act scale.  Argmax is not
+    invariant, so tokens may shift — they must stay mostly aligned on
+    the tiny model, and score() must use the SAME quantized head."""
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    assert "lm_head" in stats
+    base = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
+    hq = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                      head_quant="int8")
+    a = base.generate(ids, max_new_tokens=10)
+    b = hq.generate(ids, max_new_tokens=10)
+    assert b.shape == a.shape
+    assert np.isfinite(b).all()
+    assert (a == b).mean() > 0.5
+    # score() reflects serving numerics: the quantized head's logits
+    # differ from the bf16 head's
+    sc_q = np.asarray(hq.score(ids))
+    sc_b = np.asarray(base.score(ids))
+    assert sc_q.shape == sc_b.shape
+    assert not np.allclose(sc_q, sc_b)
+    # and head_quant composes with the w4a8 merged config
+    full = DecodeEngine(lm, mode="w4a8_static", act_stats=stats,
+                        merge_o=True, head_quant="int8")
+    c = full.generate(ids, max_new_tokens=10)
+    assert np.isfinite(c).all()
+    assert (a == c).mean() > 0.5
+
+
+def test_causal_lm_serve_entry(lm):
+    """CausalLM.serve() is the one-call serving entry: calibrates and
+    returns a DecodeEngine in the requested mode."""
+    ids = RNG.integers(0, 256, (2, 7))
+    eng = lm.serve(ids, mode="w4a8_static")
+    assert isinstance(eng, DecodeEngine) and eng.mode == "w4a8_static"
+    out = eng.generate(ids, max_new_tokens=6)
+    assert out.shape == (2, 13) and np.isfinite(out).all()
+    assert isinstance(lm.serve(mode="bf16"), DecodeEngine)
+    with pytest.raises(ValueError, match="calib_ids"):
+        lm.serve(mode="w8a8_static")
+
+
+def test_engine_head_quant_needs_stats(lm):
+    ids = RNG.integers(0, 256, (2, 5))
+    stats = {k: v for k, v in
+             DecodeEngine.calibrate_scales(lm, ids).items()
+             if k != "lm_head"}
+    with pytest.raises(ValueError, match="lm_head"):
+        DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                     head_quant="int8")
+
+
 # ------------------------------------------------- registry arch coverage
 
 

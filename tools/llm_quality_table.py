@@ -131,7 +131,13 @@ def main():
             ("engine w4a8_static (serve winner)", ref,
              {"mode": "w4a8_static", "act_stats": stats}),
             ("engine w4a8_static + smoothquant", sm,
-             {"mode": "w4a8_static", "act_stats": sm_stats})):
+             {"mode": "w4a8_static", "act_stats": sm_stats}),
+            # batch-1 latency config: merged o+MLP kernel (same math
+            # as split — exactness-tested) + int8 lm_head (the one
+            # row whose QUALITY differs: head codes perturb logits)
+            ("engine w4a8 + merge_o + int8 head", ref,
+             {"mode": "w4a8_static", "act_stats": stats,
+              "merge_o": True, "head_quant": "int8"})):
         eng = DecodeEngine(base, **ekw)
         r = eval_kl_divergence(ref_logits, eng.score, EVAL_CHUNKS)
         ppl = evaluate_perplexity(eng.score, PPL_STREAM, seqlen=SEQ)

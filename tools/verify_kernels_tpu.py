@@ -254,6 +254,24 @@ def main():
                                             "tol": tol_m4n,
                                             "pass": d <= tol_m4n}
 
+    # merged o_proj + residual + MLP, int4 variant (the batch-1
+    # engine configuration: per-launch cost dominates there)
+    wo4q, wo4s = dkk.quantize_int4_group(
+        jax.random.normal(kd[0], (hd_, kk_), jnp.float32) / 30, grp)
+    wo4p = dkk.pack_int4_planar(wo4q)
+    out = dkk.fused_o_mlp_decode_i4_pallas(
+        attn_, wo4p, wo4s, aos_, res_, wg4, wg4, wd4,
+        (wg4s, wu4s, wd4s), scl4, ln2_, group=grp)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_o_mlp_decode_i4_ref(
+            attn_, wo4p, wo4s, aos_, res_, wg4, wg4, wd4,
+            (wg4s, wu4s, wd4s), scl4, ln2_, group=grp)
+    d = _maxdiff(out, ref)
+    tol_om4 = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))),
+                  1.0) * 2e-6
+    results["fused_o_mlp_i4"] = {"max_abs_diff": d, "tol": tol_om4,
+                                 "pass": d <= tol_om4}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
