@@ -23,8 +23,11 @@ Modes
   AWQ-style W4A8 serving mode.
 
 The engine extracts weights once from a :class:`CausalLM`'s canonical
-(unfused) params; the KV cache uses the kernel-native layouts
-K (B, hkv, d, T) / V (B, hkv, T, d) (see decode_kernels module doc).
+(unfused) params; the KV cache is ONE combined [K|V] depth-major array
+(B, 2*hkv, d, T) per layer — a single dynamic_update_slice per step,
+dense (sublane x lane) DMA tiles in the attention kernel, and the
+module-path prefill writes it directly (llama.py's len-1-tuple cache
+branch), so prefill->decode needs no layout conversion.
 
 Tensor parallelism
 ------------------
@@ -298,18 +301,19 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
-        # opt-in int8 lm_head: per-out-channel weight codes + the
-        # calibrated static scale of the final-norm output.  The head
-        # is the single largest decode weight read (vocab x hidden =
-        # 131 MB bf16 on the 1B bench model — ~8% of the batch-1
-        # step); int8 halves it.  Greedy argmax is NOT invariant to
-        # head quantization, so this is a measured-quality option
-        # (quality table rows), not a default.
+        # opt-in quantized lm_head: per-out-channel int8 codes or
+        # group-128 planar int4, plus the calibrated static scale of
+        # the final-norm output.  The head is the single largest
+        # decode weight read (vocab x hidden = 131 MB bf16 on the 1B
+        # bench model — ~8% of the batch-1 step); int8 halves it,
+        # int4 quarters it.  Greedy argmax is NOT invariant to head
+        # quantization, so this is a measured-quality option (quality
+        # table rows), not a default.
         self.head_quant = head_quant
         if head_quant is not None:
-            if head_quant != "int8":
+            if head_quant not in ("int8", "int4"):
                 raise ValueError(f"head_quant: {head_quant!r} "
-                                 "(only 'int8' is supported)")
+                                 "(supported: 'int8', 'int4')")
             if self.tp > 1:
                 raise NotImplementedError(
                     "head_quant is a single-device option (the tp head "
@@ -319,8 +323,24 @@ class DecodeEngine:
                     "head_quant needs 'lm_head' act stats — calibrate "
                     "with DecodeEngine.calibrate_scales on a model with "
                     "an untied lm_head")
-            wh_q, wh_s = _quant_w(self.w_head)
-            self._head = (wh_q, wh_s, scale_of("lm_head").reshape(1))
+            if head_quant == "int4":
+                # the i4 dense kernel does rmsnorm only (no
+                # layernorm-bias prologue variant)
+                if cfg.norm_type != "rmsnorm":
+                    raise NotImplementedError(
+                        "head_quant='int4' requires an rmsnorm final "
+                        "norm (the i4 kernel has no layernorm prologue)")
+                # planar packing needs the group to divide both K and
+                # the K/2 nibble planes; fall back to one group per
+                # plane on tiny (test) widths
+                hs = cfg.hidden_size
+                self._head_group = (128 if (hs // 2) % 128 == 0
+                                    else hs // 2)
+                wh_p, wh_s = _quant_w4(self.w_head, self._head_group)
+                self._head = (wh_p, wh_s, scale_of("lm_head").reshape(1))
+            else:
+                wh_q, wh_s = _quant_w(self.w_head)
+                self._head = (wh_q, wh_s, scale_of("lm_head").reshape(1))
         else:
             self._head = self.w_head
         if self.tp > 1:
@@ -609,6 +629,12 @@ class DecodeEngine:
                 eps=cfg.rms_norm_eps, norm_bias=self.final_norm_b,
                 norm_type=cfg.norm_type, out_dtype=jnp.float32,
                 block_n=1280)
+        if self.head_quant == "int4":
+            wh, whs, ah = w_head
+            return dk.fused_dense_decode_i4(
+                x, wh, whs, ah, norm_scale=final_norm,
+                eps=cfg.rms_norm_eps, group=self._head_group,
+                out_dtype=jnp.float32, block_n=1280)
         return dk.fused_dense_decode(
             x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
             norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
@@ -779,8 +805,11 @@ class DecodeEngine:
                 for _ in range(cfg.num_hidden_layers)]
 
     def prefill(self, ids, max_len: int):
-        """bf16 module-path prefill, caches converted to the kernel
-        layouts (quantized per-token when kv_dtype=int8).  Returns
+        """Module-path prefill writing the engine's combined [K|V]
+        depth-major cache layout DIRECTLY (the llama attention's
+        len-1-tuple cache branch) — no post-prefill transpose+concat
+        conversion.  Only the int8-KV quantization and the tp>1
+        shard-major head permutation remain as post-passes.  Returns
         (first generated token, engine caches)."""
         b, s = ids.shape
         tp = _round_up(max_len, 128)
@@ -788,7 +817,10 @@ class DecodeEngine:
                  else self.lm.model)
         params = (self._prefill_params if self.prefill_quant
                   else self.lm.params)
-        caches = model.init_cache(b, tp)
+        cfg = self.cfg
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
+                              tp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_fn is None:
             kv_int8 = self.kv_dtype == jnp.int8
@@ -802,24 +834,17 @@ class DecodeEngine:
                                              kv_caches=caches, cache_index=0)
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 eng = []
-                for ck, cv in caches:
-                    # stay in the source dtype for the bf16 cache (the
-                    # fp32 round-trip doubles the transpose traffic);
-                    # int8 needs fp32 only for the per-token scales
-                    cdt = jnp.float32 if kv_int8 else self.dtype
-                    kvdm = jnp.concatenate(
-                        [ck.astype(cdt).transpose(0, 1, 3, 2),
-                         cv.astype(cdt).transpose(0, 1, 3, 2)],
-                        axis=1)                              # (B, 2hkv, d, T)
+                for (kvdm,) in caches:                       # (B, 2hkv, d, T)
                     if kv_perm is not None:
                         # shard-major [k_s | v_s] head order (tp cache
                         # layout; see _kv_shard_perm)
                         kvdm = jnp.take(kvdm, kv_perm, axis=1)
                     if kv_int8:
-                        ss = jnp.clip(jnp.max(jnp.abs(kvdm), axis=2,
+                        kvf = kvdm.astype(jnp.float32)
+                        ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
                                               keepdims=True),
                                       1e-8, None) / 127.0    # (B,2hkv,1,T)
-                        eng.append((jnp.round(kvdm / ss).astype(jnp.int8),
+                        eng.append((jnp.round(kvf / ss).astype(jnp.int8),
                                     ss))
                     else:
                         eng.append((kvdm,))

@@ -113,7 +113,27 @@ class LlamaAttention(nn.Module):
         vt = v.transpose(0, 2, 1, 3)
 
         new_cache = None
-        if kv_cache is not None and len(kv_cache) == 4:
+        depth_major = False
+        if kv_cache is not None and len(kv_cache) == 1:
+            # combined [K|V] depth-major cache (B, 2*hkv, d, T): the
+            # DecodeEngine's native layout (api/serve.py).  Prefilling
+            # through this branch writes engine caches in place, so the
+            # engine needs no post-prefill transpose+concat conversion
+            # (measured ~14% of batch-32 serve e2e).  K occupies head
+            # rows [0, hkv), V rows [hkv, 2*hkv).
+            (ckv,) = kv_cache
+            kd = kt.transpose(0, 1, 3, 2).astype(ckv.dtype)  # (B,hkv,d,s)
+            vd = vt.transpose(0, 1, 3, 2).astype(ckv.dtype)
+            ckv = jax.lax.dynamic_update_slice(ckv, kd, (0, 0, 0, cache_index))
+            ckv = jax.lax.dynamic_update_slice(ckv, vd,
+                                               (0, hkv, 0, cache_index))
+            new_cache = (ckv,)
+            kt, vt = ckv[:, :hkv], ckv[:, hkv:]       # (B, hkv, d, T)
+            depth_major = True
+            kv_len = ckv.shape[3]
+            k_pos = jnp.arange(kv_len)[None, :]
+            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+        elif kv_cache is not None and len(kv_cache) == 4:
             # int8 KV cache: per-token per-head absmax scales.  Halves
             # the cache HBM traffic that dominates large-batch /
             # long-context decode (TPU-native extension of the
@@ -148,25 +168,27 @@ class LlamaAttention(nn.Module):
             kv_len = s
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
+        kspec = "bhdk" if depth_major else "bhkd"
         if hkv < h:
             # GQA: group the query heads; K/V are contracted in their
-            # (B, hkv, T, d) layout directly — no materialized repeat
+            # cache-native layout directly — no materialized repeat
             # (a jnp.repeat costs ~6 GB/step of HBM writes at batch-32
             # ctx-1024 serving) and no per-step cache transpose
             g = h // hkv
             qg = q.reshape(b, s, hkv, g, d)
-            logits = jnp.einsum("bqhgd,bhkd->bhgqk", qg, kt).astype(
+            logits = jnp.einsum(f"bqhgd,{kspec}->bhgqk", qg, kt).astype(
                 jnp.float32) * (d ** -0.5)
             logits = jnp.where(mask[:, :, None], logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, vt).reshape(
+            out = jnp.einsum(f"bhgqk,{kspec}->bqhgd", probs, vt).reshape(
                 b, s, h * d)
         else:
-            logits = jnp.einsum("bqhd,bhkd->bhqk", q, kt).astype(
+            logits = jnp.einsum(f"bqhd,{kspec}->bhqk", q, kt).astype(
                 jnp.float32) * (d ** -0.5)
             logits = jnp.where(mask, logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bhkd->bqhd", probs, vt).reshape(b, s, h * d)
+            out = jnp.einsum(f"bhqk,{kspec}->bqhd", probs, vt).reshape(
+                b, s, h * d)
         out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                      plan=self.plan, name="o_proj")(out)
         return out, new_cache

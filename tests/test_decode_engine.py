@@ -618,6 +618,25 @@ def test_engine_head_quant_int8(lm):
     assert (a == c).mean() > 0.5
 
 
+def test_engine_head_quant_int4(lm):
+    """head_quant='int4' packs the lm_head as planar group int4 (the
+    i4 dense kernel).  Same contract as int8: finite logits, tokens
+    mostly aligned with the unquantized-head engine, score() runs
+    through the same quantized head."""
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    base = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    h4 = DecodeEngine(lm, mode="w4a8_static", act_stats=stats,
+                      merge_o=True, head_quant="int4")
+    a = base.generate(ids, max_new_tokens=10)
+    b = h4.generate(ids, max_new_tokens=10)
+    assert b.shape == a.shape
+    assert np.isfinite(b).all()
+    assert (a == b).mean() > 0.5
+    sc = np.asarray(h4.score(ids))
+    assert np.isfinite(sc).all()
+
+
 def test_causal_lm_serve_entry(lm):
     """CausalLM.serve() is the one-call serving entry: calibrates and
     returns a DecodeEngine in the requested mode."""

@@ -137,7 +137,10 @@ def main():
             # row whose QUALITY differs: head codes perturb logits)
             ("engine w4a8 + merge_o + int8 head", ref,
              {"mode": "w4a8_static", "act_stats": stats,
-              "merge_o": True, "head_quant": "int8"})):
+              "merge_o": True, "head_quant": "int8"}),
+            ("engine w4a8 + merge_o + int4 head", ref,
+             {"mode": "w4a8_static", "act_stats": stats,
+              "merge_o": True, "head_quant": "int4"})):
         eng = DecodeEngine(base, **ekw)
         r = eval_kl_divergence(ref_logits, eng.score, EVAL_CHUNKS)
         ppl = evaluate_perplexity(eng.score, PPL_STREAM, seqlen=SEQ)

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-3l: (1) refresh kernel exactness for the c1e5d18 kernels
+# (merged i4 o+MLP, int8 lm_head), (2) batch-1 decode with the new
+# latency levers (merge_o int4, int8/int4 head), (3) serve table with
+# the direct engine-layout prefill (legacy accounting should gain the
+# ~0.11 s/batch conversion the old transpose+concat cost), (4) retry
+# the r3k int8-KV long-context crossover (ctx 4096, batch 16) that
+# died on a tunnel outage.
+cd /root/repo
+set -x
+python -u tools/verify_kernels_tpu.py > /tmp/ql_kex.log 2>&1
+echo KEX_DONE
+python -u bench_llm.py > /tmp/ql_b1.log 2>&1
+echo B1_DONE
+python -u bench_llm.py --serve --engine-only > /tmp/ql_serve.log 2>&1
+echo SERVE_DONE
+python -u bench_llm.py --serve --kv8 --ctx 4096 --batch 16 > /tmp/ql_kv8.log 2>&1
+echo QUEUE_L_DONE
