@@ -214,11 +214,23 @@ def serve_main():
                 ("engine_w8a8_kv8", {"mode": "w8a8_static",
                                      "act_stats": stats,
                                      "kv_dtype": jnp.int8}),
+                # channel-static scales: K/V scales fold OUT of the
+                # kernel (into q / the output), so the i8c kernel does
+                # zero per-token scale arithmetic — the halved cache
+                # read should be pure saving at any ctx
+                ("engine_w8a8_kv8c", {"mode": "w8a8_static",
+                                      "act_stats": stats,
+                                      "kv_dtype": jnp.int8,
+                                      "kv_scale_mode": "channel"}),
                 ("engine_w4a8", {"mode": "w4a8_static",
                                  "act_stats": stats}),
                 ("engine_w4a8_kv8", {"mode": "w4a8_static",
                                      "act_stats": stats,
-                                     "kv_dtype": jnp.int8}))
+                                     "kv_dtype": jnp.int8}),
+                ("engine_w4a8_kv8c", {"mode": "w4a8_static",
+                                      "act_stats": stats,
+                                      "kv_dtype": jnp.int8,
+                                      "kv_scale_mode": "channel"}))
         for ename, kw in rows:
             eng = DecodeEngine(lm, **kw)
             tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)

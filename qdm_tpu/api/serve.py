@@ -135,7 +135,8 @@ class DecodeEngine:
                  act_margin: float = 1.0, kv_dtype=None, unroll: int = 1,
                  merge_o: bool = False, mesh=None,
                  prefill_quant: bool = False,
-                 head_quant: Optional[str] = None):
+                 head_quant: Optional[str] = None,
+                 kv_scale_mode: str = "token", kv_margin: float = 2.0):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
@@ -177,9 +178,23 @@ class DecodeEngine:
         self.mode = mode
         self.dtype = lm.dtype
         # int8 KV cache: halves the cache HBM traffic that dominates
-        # decode attention; per-token per-head scales factor out of the
-        # in-kernel contractions (decode_attention_i8)
+        # decode attention.  Two scale schemes:
+        # * 'token'   — per-token per-head scales, exact-range but the
+        #   kernel pays (g, T) scale multiplies + scale-plane reads
+        #   (measured LOSER vs bf16 at ctx 1024, BENCH_NOTES round 3);
+        # * 'channel' — per-(head, depth-channel) STATIC scales set at
+        #   prefill (x kv_margin headroom, decode writes clip; the
+        #   margin sweep showed clipping, not resolution, is the
+        #   binding error — 2.0 matches per-token agreement).  K
+        #   scales fold into q, V scales into the output — zero
+        #   per-token scale arithmetic in the kernel
+        #   (decode_attention_kv_i8c), so the halved cache read is pure
+        #   saving.  Quality is a measured trade (quality-table row).
         self.kv_dtype = kv_dtype
+        if kv_scale_mode not in ("token", "channel"):
+            raise ValueError(f"kv_scale_mode: {kv_scale_mode!r}")
+        self.kv_scale_mode = kv_scale_mode if kv_dtype == jnp.int8 else "token"
+        self.kv_margin = float(kv_margin)
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
@@ -490,7 +505,29 @@ class DecodeEngine:
                                            group=self.i4_group)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
         kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
-        if self.kv_dtype == jnp.int8:
+        if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
+            kv, csc = cache            # csc (B, 2hkv, d, 1) static
+            newq = jnp.clip(jnp.round(kv_new.astype(jnp.float32)
+                                      / csc[..., 0]), -127, 127)
+            kv = jax.lax.dynamic_update_slice(
+                kv, newq.astype(jnp.int8)[:, :, :, None], (0, 0, 0, pos))
+            # K channel scales fold into q (QK contracts over d), V
+            # channel scales into the output (d is free in PV) — the
+            # kernel sees no scales at all
+            kf = csc[:, :hkv].transpose(0, 1, 3, 2)          # (B,hkv,1,d)
+            vf = csc[:, hkv:].transpose(0, 1, 3, 2)
+            if bp > b:
+                pad = ((0, bp - b), (0, 0), (0, 0), (0, 0))
+                kf = jnp.pad(kf, pad, constant_values=1.0)
+                vf = jnp.pad(vf, pad, constant_values=1.0)
+            bb = self.block_b if b % self.block_b == 0 else 1
+            # q rides f32 into the kernel (tiny array; a bf16 fold
+            # would stack rounding on top of the int8 quantization)
+            attn = dk.decode_attention_kv_i8c(
+                q.astype(jnp.float32) * kf, kv, pos, block_b=bb)
+            attn = (attn.astype(jnp.float32) * vf).astype(x.dtype)
+            cache = (kv, csc)
+        elif self.kv_dtype == jnp.int8:
             kv, kvs = cache
             # k and v are ADJACENT columns of the fused qkv output, so
             # the combined [K|V] rows come from one slice — no concat
@@ -796,6 +833,11 @@ class DecodeEngine:
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
+        if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
+            return [(jnp.zeros(shape, jnp.int8),
+                     jnp.ones((batch, 2 * cfg.num_key_value_heads,
+                               cfg.head_dim, 1), jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
         if self.kv_dtype == jnp.int8:
             return [(jnp.zeros(shape, jnp.int8),
                      jnp.zeros((batch, 2 * cfg.num_key_value_heads, 1, tp),
@@ -824,6 +866,8 @@ class DecodeEngine:
 
         if self._prefill_fn is None:
             kv_int8 = self.kv_dtype == jnp.int8
+            kv_channel = kv_int8 and self.kv_scale_mode == "channel"
+            kv_margin = self.kv_margin
             kv_perm = (jnp.asarray(_kv_shard_perm(
                 self.cfg.num_key_value_heads, self.tp))
                 if self.tp > 1 else None)
@@ -839,7 +883,17 @@ class DecodeEngine:
                         # shard-major [k_s | v_s] head order (tp cache
                         # layout; see _kv_shard_perm)
                         kvdm = jnp.take(kvdm, kv_perm, axis=1)
-                    if kv_int8:
+                    if kv_channel:
+                        # static per-(head, channel) scales from the
+                        # prompt range x margin; decode writes clip
+                        kvf = kvdm.astype(jnp.float32)
+                        sc = jnp.clip(jnp.max(jnp.abs(kvf), axis=3,
+                                              keepdims=True),
+                                      1e-8, None) * (kv_margin / 127.0)
+                        eng.append((jnp.clip(jnp.round(kvf / sc), -127,
+                                             127).astype(jnp.int8),
+                                    sc))                     # (B,2hkv,d,1)
+                    elif kv_int8:
                         kvf = kvdm.astype(jnp.float32)
                         ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
                                               keepdims=True),
@@ -927,5 +981,12 @@ class DecodeEngine:
 
             self._score_cache[s] = fn = run
         caches = self.init_cache(b, s)
+        if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
+            # channel-static scales come from a prompt prefill in
+            # serving; for teacher-forced scoring, derive them from
+            # the scored sequence itself (same semantics: the scales
+            # an engine serving this prompt would run with)
+            _, pref = self.prefill(ids, s)
+            caches = [(jnp.zeros_like(kv), sc) for kv, sc in pref]
         return fn(self.layers, self.embed, self.final_norm, self._head,
                   ids, caches)

@@ -784,6 +784,92 @@ def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):
         kv_i8[:, hkv:], kv_scale[:, hkv:], pos)
 
 
+def _decode_attn_kv_i8c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
+                               scale: float, hkv: int, bb: int):
+    """Channel-scaled int8 combined cache.  The per-(head, depth-
+    channel) STATIC cache scales are folded OUTSIDE the kernel — K
+    scales into q before the call (q'[d] = q[d] * ks[d], exact because
+    the QK contraction runs over d), V scales into the output after
+    (o[d] *= vs[d], exact because d is a free axis of PV).  The kernel
+    therefore does ZERO per-token scale arithmetic: quantize q once
+    per step, two int8 MXU dots, one scalar-per-row logits scale —
+    unlike the per-token variant whose (g, T) scale multiplies and
+    scale-plane reads cost more than the halved cache bytes save
+    (61-67 us vs 51.5 bf16 at ctx 1024, BENCH_NOTES round 3)."""
+    pos = pos_ref[0]
+    for bi in range(bb):
+        for h in range(hkv):
+            qf = q_ref[bi, h].astype(jnp.float32) * scale       # (g, d)
+            qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            qi = jnp.round(qf / qs).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qi, kv_ref[bi, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) * qs               # (g, T)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            pi = jnp.round(p / ps).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                pi, kv_ref[bi, hkv + h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[bi, h] = (o.astype(jnp.float32) * ps).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def decode_attention_kv_i8c_pallas(q, kv_i8, pos, block_b: int = 1,
+                                   interpret: bool = False):
+    """Channel-scaled combined int8 cache: kv_i8 (B, 2*hkv, d, T) int8;
+    q must arrive PRE-FOLDED with the K channel scales and the output
+    must be POST-FOLDED with the V channel scales by the caller (see
+    _decode_attn_kv_i8c_kernel docstring)."""
+    bp, hkv, g, d = q.shape
+    b, t = kv_i8.shape[0], kv_i8.shape[-1]
+    assert kv_i8.shape == (b, 2 * hkv, d, t)
+    assert t % LANE == 0 and b % block_b == 0
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    bb = block_b
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kv_i8c_kernel, scale=scale, hkv=hkv,
+                          bb=bb),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, d, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, kv_i8)
+
+
+def decode_attention_kv_i8c_ref(q, kv_i8, pos):
+    """f32 reference of the channel-scaled kernel (no q/p quantization
+    — the kernel's int8 rounding is covered by tolerance)."""
+    hkv = q.shape[1]
+    return decode_attention_ref(
+        q, kv_i8[:, :hkv].astype(jnp.float32),
+        kv_i8[:, hkv:].astype(jnp.float32).transpose(0, 1, 3, 2), pos)
+
+
+def decode_attention_kv_i8c(q, kv_i8, pos, **kw):
+    if on_tpu():
+        return decode_attention_kv_i8c_pallas(q, kv_i8, pos, **kw)
+    return decode_attention_kv_i8c_ref(q, kv_i8, pos)
+
+
 def decode_attention_dm(q, k_cache, v_cache, pos, **kw):
     """Depth-major attention dispatcher (both caches (B, hkv, d, T))."""
     if on_tpu():

@@ -197,6 +197,53 @@ def test_engine_int8_kv_cache(lm):
     assert (out == ref).mean() > 0.7, (out, ref)
 
 
+def test_engine_int8_kv_channel_static(lm):
+    """Channel-static int8 KV (kv_scale_mode='channel'): per-(head,
+    depth-channel) scales set at prefill, folded into q / the output
+    outside the kernel.  Tokens track the bf16-cache engine closely;
+    score() derives the scales from the scored sequence."""
+    ids = RNG.integers(0, 256, (2, 7))
+    eng = DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8,
+                       kv_scale_mode="channel")
+    assert eng.kv_scale_mode == "channel"
+    out = eng.generate(ids, max_new_tokens=10)
+    ref = lm.generate(ids, max_new_tokens=10)
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.7, (out, ref)
+    sc = np.asarray(eng.score(ids))
+    assert np.isfinite(sc).all()
+    # decode-time writes CLIP at the prefill-derived range: feeding a
+    # token stream again must stay finite
+    out2 = eng.generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_kv_i8c_ref_matches_token_scales():
+    """The channel-scale folding identity: q'=q*ks outside +
+    unit-scale int8 cache + o*vs outside == attention over the
+    dequantized cache (exact in f32, up to softmax arithmetic)."""
+    from qdm_tpu.ops import decode_kernels as dk
+
+    rng = np.random.default_rng(3)
+    b, hkv, g, d, t = 2, 2, 4, 64, 128
+    pos = 65
+    kv = rng.normal(size=(b, 2 * hkv, d, t)).astype(np.float32)
+    q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
+    sc = (np.abs(kv).max(axis=3, keepdims=True) + 1e-6) / 127.0
+    kv_i8 = np.clip(np.round(kv / sc), -127, 127).astype(np.int8)
+    kf = sc[:, :hkv].transpose(0, 1, 3, 2)            # (b,hkv,1,d)
+    vf = sc[:, hkv:].transpose(0, 1, 3, 2)
+    out = dk.decode_attention_kv_i8c(
+        jnp.asarray(q * kf), jnp.asarray(kv_i8), pos)
+    out = np.asarray(out) * vf
+    # reference: attention over the dequantized depth-major cache
+    deq = kv_i8.astype(np.float32) * sc
+    ref = dk.decode_attention_ref(
+        jnp.asarray(q), jnp.asarray(deq[:, :hkv]),
+        jnp.asarray(deq[:, hkv:].transpose(0, 1, 3, 2)), pos)
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_dense_rope_interpret_matches_ref():
     """In-kernel rope epilogue (pltpu.roll partner trick) vs the jnp
     reference AND vs the canonical models/llama.py rope math."""

@@ -140,7 +140,16 @@ def main():
               "merge_o": True, "head_quant": "int8"}),
             ("engine w4a8 + merge_o + int4 head", ref,
              {"mode": "w4a8_static", "act_stats": stats,
-              "merge_o": True, "head_quant": "int4"})):
+              "merge_o": True, "head_quant": "int4"}),
+            # int8 KV scale schemes: per-token (exact-range) vs the
+            # channel-static fold-out scheme (prefill-range + margin,
+            # decode writes clip) — the speed/quality trade pair
+            ("engine w8a8 + int8 KV (per-token)", ref,
+             {"mode": "w8a8_static", "act_stats": stats,
+              "kv_dtype": jnp.int8}),
+            ("engine w8a8 + int8 KV (channel-static)", ref,
+             {"mode": "w8a8_static", "act_stats": stats,
+              "kv_dtype": jnp.int8, "kv_scale_mode": "channel"})):
         eng = DecodeEngine(base, **ekw)
         r = eval_kl_divergence(ref_logits, eng.score, EVAL_CHUNKS)
         ppl = evaluate_perplexity(eng.score, PPL_STREAM, seqlen=SEQ)

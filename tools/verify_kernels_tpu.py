@@ -168,6 +168,25 @@ def main():
     results["decode_attn_kv"] = {"max_abs_diff": d, "tol": 1e-3,
                                  "pass": d <= 1e-3}
 
+    # channel-static int8 cache variant: scales folded outside (K into
+    # q, V into the output) — kernel sees only int8 planes.  Tolerance
+    # covers the in-kernel q/p int8 rounding.
+    scd = jnp.clip(jnp.max(jnp.abs(kvd), axis=3, keepdims=True),
+                   1e-8, None) / 127.0
+    kv8 = jnp.clip(jnp.round(kvd / scd), -127, 127).astype(jnp.int8)
+    kfd = scd[:, :hkv_].transpose(0, 1, 3, 2)
+    vfd = scd[:, hkv_:].transpose(0, 1, 3, 2)
+    out = dkk.decode_attention_kv_i8c_pallas(qd * kfd, kv8, 700,
+                                             block_b=2) * vfd
+    deq = kv8.astype(jnp.float32) * scd
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, deq[:, :hkv_],
+                                       deq[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_i8c"] = {"max_abs_diff": d, "tol": 2e-2,
+                                     "pass": d <= 2e-2}
+
     # merged o_proj + residual + MLP (lane-major megakernel; the
     # attention-side merge is relayout-blocked — module comment)
     hd_ = hkv_ * g_ * d_
