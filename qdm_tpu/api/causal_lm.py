@@ -322,11 +322,12 @@ class CausalLM:
     # ------------------------------------------------------------------ serve
 
     def serve(self, calib_ids=None, mode: str = "w4a8_static",
-              smooth: bool = False, smooth_alpha: float = 0.5, **engine_kw):
+              smooth: bool = False, smooth_alpha: float = 0.5,
+              awq: bool = False, **engine_kw):
         """Build the megakernel serving engine for this model — the
         production decode path (qdm_tpu/api/serve.py).  One call wraps
-        the serving flow: optional SmoothQuant migration, static
-        act-scale calibration, engine construction.
+        the serving flow: optional SmoothQuant or AWQ weight-space
+        migration, static act-scale calibration, engine construction.
 
         ``mode``: 'w4a8_static' (default; int4 weights on the int8 MXU
         — the measured serve AND batch-1 winner, BENCH_NOTES round 3),
@@ -345,6 +346,10 @@ class CausalLM:
                              "activation-scale calibration")
         if smooth:
             DecodeEngine.smooth_lm(self, calib_ids, alpha=smooth_alpha)
+        if awq:
+            DecodeEngine.awq_lm(
+                self, calib_ids,
+                w_bits=4 if mode == "w4a8_static" else 8)
         stats = DecodeEngine.calibrate_scales(self, np.asarray(calib_ids))
         return DecodeEngine(self, mode=mode, act_stats=stats, **engine_kw)
 

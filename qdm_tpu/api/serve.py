@@ -434,6 +434,35 @@ class DecodeEngine:
         return lm
 
     @staticmethod
+    def awq_lm(lm, calib_ids, w_bits: int = 4, group_size: int = 128,
+               zero_point: bool = False):
+        """AWQ scale+clip migration applied to ``lm.params`` ahead of
+        engine construction — the activation-aware counterpart of
+        :meth:`smooth_lm` for the w4a8 serving mode: the 20-point
+        duo-scale grid flattens salient channels, then the clip search
+        clamps per-(oc, group) weight ranges to minimize the int4 MSE
+        the engine's group quantizer realizes.  zero_point defaults to
+        False to match the engine's SYMMETRIC int4 codes
+        (decode_kernels.quantize_int4_group).  Run BEFORE
+        ``DecodeEngine(...)``; then ``calibrate_scales`` on the
+        migrated lm.  Counterpart of the reference quantizing with AWQ
+        before building its fused serving modules
+        (quantize/quantizer.py scale/clip search ahead of
+        utils/fused_utils.py:45-142)."""
+        from qdm_tpu.config import QuantConfig
+        from qdm_tpu.models.shims import llama_scaling_groups
+        from qdm_tpu.quant import awq as awq_lib
+
+        cfg = QuantConfig(w_bit=w_bits, q_group_size=group_size,
+                          zero_point=zero_point)
+        _, feats = lm._calibrate(cfg, np.asarray(calib_ids),
+                                 capture_inputs=True)
+        groups = llama_scaling_groups(lm.params, include_fc_groups=True)
+        lm.params = awq_lib.awq_search_and_apply(lm.params, groups, feats,
+                                                 cfg)
+        return lm
+
+    @staticmethod
     def calibrate_scales(lm, calib_ids) -> Dict[str, jnp.ndarray]:
         """Per-layer input-absmax stats from one sown capture forward
         (the engine's static act scales; same machinery as the

@@ -697,6 +697,25 @@ def test_causal_lm_serve_entry(lm):
         lm.serve(mode="w8a8_static")
 
 
+def test_engine_awq_lm():
+    """awq_lm migrates scales+clips into lm.params ahead of engine
+    construction (the activation-aware counterpart of smooth_lm).
+    The migrated engine must serve finite tokens mostly agreeing with
+    the unmigrated model, and the migration must actually change
+    params.  (Fresh model — serve(awq=True) mutates params.)"""
+    mylm = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                                dtype=jnp.float32, seed=0)
+    ids = RNG.integers(0, 256, (4, 9))
+    ref = mylm.generate(ids, max_new_tokens=8)
+    before = mylm.params["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    eng = mylm.serve(ids, mode="w4a8_static", awq=True)
+    after = mylm.params["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    out = eng.generate(ids, max_new_tokens=8)
+    assert np.isfinite(out).all()
+    assert (out[:, ids.shape[1]:] == ref[:, ids.shape[1]:]).mean() > 0.4
+
+
 def test_engine_head_quant_needs_stats(lm):
     ids = RNG.integers(0, 256, (2, 5))
     stats = {k: v for k, v in

@@ -123,6 +123,9 @@ def main():
     sm = fresh()
     DecodeEngine.smooth_lm(sm, CALIB[:4])       # fp-exact migration
     sm_stats = DecodeEngine.calibrate_scales(sm, CALIB[:4])
+    aw = fresh()
+    DecodeEngine.awq_lm(aw, CALIB[:4])          # scale+clip migration
+    aw_stats = DecodeEngine.calibrate_scales(aw, CALIB[:4])
     for ename, base, ekw in (
             ("engine w8a8_static (serve path)", ref,
              {"mode": "w8a8_static", "act_stats": stats}),
@@ -132,6 +135,8 @@ def main():
              {"mode": "w4a8_static", "act_stats": stats}),
             ("engine w4a8_static + smoothquant", sm,
              {"mode": "w4a8_static", "act_stats": sm_stats}),
+            ("engine w4a8_static + awq", aw,
+             {"mode": "w4a8_static", "act_stats": aw_stats}),
             # batch-1 latency config: merged o+MLP kernel (same math
             # as split — exactness-tested) + int8 lm_head (the one
             # row whose QUALITY differs: head codes perturb logits)
