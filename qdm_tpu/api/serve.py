@@ -149,10 +149,11 @@ class DecodeEngine:
         self.tp = int(mesh.shape["model"]) if (
             mesh is not None and "model" in mesh.axis_names) else 1
         if self.tp > 1:
-            if kv_dtype is not None or merge_o:
+            if merge_o:
                 raise NotImplementedError(
-                    "tensor-parallel engine: int8 KV / merge_o are "
-                    "single-device options")
+                    "tensor-parallel engine: merge_o is a single-device "
+                    "option (the merged kernel's o_proj epilogue has no "
+                    "psum seam)")
             if (cfg.num_attention_heads % self.tp
                     or cfg.num_key_value_heads % self.tp
                     or cfg.intermediate_size % self.tp
@@ -840,8 +841,11 @@ class DecodeEngine:
 
         lspecs = tuple(
             {k: self._tp_spec(k) for k in e} for e in self.layers)
-        cache_spec = tuple((P(None, "model", None, None),)
-                           for _ in self.layers)
+        # both cache planes (int8 codes and either scale layout) shard
+        # over the head axis; the bf16 cache is a 1-tuple
+        kv_spec = P(None, "model", None, None)
+        n_planes = 2 if self.kv_dtype == jnp.int8 else 1
+        cache_spec = tuple((kv_spec,) * n_planes for _ in self.layers)
         fn = shard_map(
             body_sharded, mesh=self.mesh,
             in_specs=(lspecs, P(), P(), P(None, "model"), P(),

@@ -515,7 +515,24 @@ def test_engine_tp_rejects_unsupported(lm):
     stats = DecodeEngine.calibrate_scales(lm, ids)
     with pytest.raises(NotImplementedError):
         DecodeEngine(lm, mode="w8a8_static", act_stats=stats, mesh=mesh,
-                     kv_dtype=jnp.int8)
+                     merge_o=True)
+
+
+def test_engine_tp_int8_kv(lm):
+    """int8 KV cache under tensor parallelism: both the per-token and
+    the channel-static scale planes shard over the head axis.  Tokens
+    must match the single-device engine with the same scheme."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    ids = RNG.integers(0, 256, (2, 6))
+    for kw in ({"kv_dtype": jnp.int8},
+               {"kv_dtype": jnp.int8, "kv_scale_mode": "channel"}):
+        single = DecodeEngine(lm, mode="bf16", **kw)
+        tp = DecodeEngine(lm, mode="bf16", mesh=mesh, **kw)
+        a = single.generate(ids, max_new_tokens=8)
+        b = tp.generate(ids, max_new_tokens=8)
+        np.testing.assert_array_equal(a, b, err_msg=str(kw))
 
 
 def test_engine_tp_w4a8_runs(lm):
