@@ -116,6 +116,16 @@ def _qkv_shard_perm(h: int, hkv: int, d: int, tp: int) -> np.ndarray:
     return np.concatenate(idx)
 
 
+def _params_packed(tree) -> bool:
+    """True if any layer carries packed quant buffers instead of an fp
+    kernel (a from_quantized / AutoAWQ-imported params tree)."""
+    if isinstance(tree, dict):
+        if "qweight" in tree:
+            return True
+        return any(_params_packed(v) for v in tree.values())
+    return False
+
+
 def _kv_shard_perm(hkv: int, tp: int) -> np.ndarray:
     """Axis-1 permutation of the combined [K | V] cache (2*hkv rows of
     heads) into shard-major [k_s | v_s] blocks."""
@@ -228,6 +238,21 @@ class DecodeEngine:
                 math.gcd(cfg.hidden_size // 2, self.i4_mlp_block // 2),
                 math.gcd(hd_l // 2, 128))
         p = lm.params
+        if _params_packed(p):
+            # a from_quantized / AutoAWQ-imported model: materialize
+            # the dequantized fp kernels once (the values the packed
+            # module path computes with), then re-quantize into the
+            # engine's planar layouts below.  Counterpart of the
+            # reference's fuse_layers over loaded WQLinear modules
+            # (models/base.py:1494-1515).
+            from qdm_tpu.models import llama as llama_lib
+            from qdm_tpu.quant import apply as qapply
+
+            tmpl = llama_lib.LlamaForCausalLM(config=cfg, dtype=lm.dtype)
+            shapes = jax.eval_shape(
+                lambda: tmpl.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8), jnp.int32)))["params"]
+            p = qapply.unpack_params(p, lm.plan, shapes)
 
         def scale_of(key):
             s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0

@@ -161,6 +161,75 @@ def pack_dense_layer(layer: dict, spec: LayerQuantSpec) -> dict:
     return new
 
 
+def unpack_dense_layer(layer: dict, spec: LayerQuantSpec,
+                       shape: Tuple[int, int]) -> dict:
+    """Reconstruct a dense layer's fp kernel from its packed buffers.
+
+    The inverse of :func:`pack_dense_layer` up to the (lossy)
+    quantization: the returned kernel holds the DEQUANTIZED values —
+    exactly what the packed kernels compute with — sliced back to the
+    unpadded ``shape`` (K, N)."""
+    k, n = shape
+    new = {k2: v for k2, v in layer.items()
+           if k2 not in ("qweight", "scales", "zeros", "act_scale")}
+    if spec.mode in ("w4a16", "w4a8"):
+        gs = spec.group_size if spec.group_size > 0 else k
+        gs = qmm.align_group_size(k, rtn.resolve_group_size(k, gs) or k)
+        codes = qmm.unpack_rows_strided(layer["qweight"], qmm.PACK_BLOCK_K,
+                                        4).astype(jnp.float32)
+        s = jnp.repeat(layer["scales"], gs, axis=0)
+        z = (jnp.repeat(layer["zeros"], gs, axis=0)
+             if "zeros" in layer else 8.0)
+        new["kernel"] = ((codes - z) * s)[:k, :n]
+    elif spec.mode == "w4a16_xla":
+        packed = layer["qweight"].astype(jnp.int32) & 0xFF
+        kp = packed.shape[0] * 2
+        gs = spec.group_size if spec.group_size > 0 else kp
+        gs = rtn.resolve_group_size(kp, gs) or kp
+        codes = (jnp.zeros((kp, packed.shape[1]), jnp.int32)
+                 .at[0::2].set(packed & 0xF)
+                 .at[1::2].set((packed >> 4) & 0xF) - 8)
+        w = (codes.reshape(kp // gs, gs, -1).astype(jnp.float32)
+             * layer["scales"][:, None, :])
+        new["kernel"] = w.reshape(kp, -1)[:k, :n]
+    elif spec.mode == "w8a8_xla":
+        new["kernel"] = (layer["qweight"].astype(jnp.float32)
+                         * layer["scales"][None, :])[:k, :n]
+    elif spec.mode in ("w8a8", "w8a16"):
+        new["kernel"] = (layer["qweight"].astype(jnp.float32)
+                         * layer["scales"])[:k, :n]
+    else:
+        raise ValueError(f"unpack_dense_layer: mode {spec.mode!r}")
+    return new
+
+
+def unpack_params(params: dict, plan: QuantPlan, shapes: dict) -> dict:
+    """Materialize fp kernels from a packed-params pytree.
+
+    ``shapes`` is the fp model's param template (``jax.eval_shape`` of
+    ``model.init``) providing the unpadded kernel shapes.  Dense layers
+    only (the serving-engine use case: feed a ``from_quantized`` /
+    ``from_quantized_autoawq`` checkpoint to :class:`DecodeEngine`,
+    which re-quantizes into its own planar layouts).  Counterpart of
+    the reference loading packed WQLinear checkpoints into its fused
+    serving modules (models/base.py:1338-1526)."""
+    out = params
+    for path, tmpl in iter_layers(shapes):
+        sub = params
+        try:
+            for p in path:
+                sub = sub[p]
+        except (KeyError, TypeError):
+            continue
+        if "qweight" not in sub or tmpl["kernel"].ndim != 2:
+            continue
+        spec = plan.spec_for(path_str(path))
+        new = unpack_dense_layer(sub, spec, tuple(tmpl["kernel"].shape))
+        new["kernel"] = new["kernel"].astype(tmpl["kernel"].dtype)
+        out = _set_at(out, path, new)
+    return out
+
+
 def pack_params(params: dict, plan: QuantPlan,
                 act_stats: Optional[Dict[str, "jnp.ndarray"]] = None,
                 act_margin: float = 1.0,
