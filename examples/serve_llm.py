@@ -54,6 +54,16 @@ def main():
           np.asarray(full.generate(ids, max_new_tokens=args.tokens))
           [0, 8:].tolist())
 
+    # batch-1 latency config (one-call entry): int4 weights + merged
+    # o+MLP kernel + int4 lm_head; channel-static int8 KV folds the
+    # cache scales out of the attention kernel entirely
+    lat = lm.serve(ids, mode="w4a8_static", merge_o=True,
+                   head_quant="int4", kv_dtype=jnp.int8,
+                   kv_scale_mode="channel")
+    print("engine w4a8 mo+h4+kv8c:",
+          np.asarray(lat.generate(ids, max_new_tokens=args.tokens))
+          [0, 8:].tolist())
+
     # tensor-parallel serving: shard_map megatron sharding over the
     # mesh's 'model' axis — token-exact vs the single-device engine
     import jax
