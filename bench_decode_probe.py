@@ -120,6 +120,13 @@ def kernel_rows(out, cfg, batch, dtype):
         out[f"k_attn_kv_i8_bb{bb}_us"] = t_attn(
             lambda qc, bb=bb: dk.decode_attention_kv_i8_pallas(
                 qc, kvi_, kvs_, tp - 2, block_b=bb))
+    # channel-static scales: the kernel sees no scale planes at all
+    # (K scales pre-folded into q, V scales post-folded) — the halved
+    # cache read should be pure saving vs the bf16 kv rows above
+    for bb in (1, 2, 4):
+        out[f"k_attn_kv_i8c_bb{bb}_us"] = t_attn(
+            lambda qc, bb=bb: dk.decode_attention_kv_i8c_pallas(
+                qc.astype(jnp.float32), kvi_, tp - 2, block_b=bb))
     print(json.dumps(out), flush=True)
     # lm_head block sweep (the fixed-cost suspect: 125 grid steps at
     # bn=256)
