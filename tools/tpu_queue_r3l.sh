@@ -15,4 +15,11 @@ echo B1_DONE
 python -u bench_llm.py --serve --engine-only > /tmp/ql_serve.log 2>&1
 echo SERVE_DONE
 python -u bench_llm.py --serve --kv8 --ctx 4096 --batch 16 > /tmp/ql_kv8.log 2>&1
+echo KV8_DONE
+# kv8/kv8c at the standard serve shape too (ctx 1024 batch 32): the
+# channel-static kernel should win where per-token lost
+python -u bench_llm.py --serve --kv8 > /tmp/ql_kv8_1k.log 2>&1
+echo KV8_1K_DONE
+# kernel-level marginals incl. the i8c attention block_b sweep
+python -u bench_decode_probe.py > /tmp/ql_probe.log 2>&1
 echo QUEUE_L_DONE
