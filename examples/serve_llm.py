@@ -56,11 +56,13 @@ def main():
 
     # batch-1 latency config (one-call entry): int4 weights + merged
     # o+MLP kernel + int4 lm_head; channel-static int8 KV folds the
-    # cache scales out of the attention kernel entirely
+    # cache scales out of the attention kernel entirely.  head_quant
+    # needs an untied lm_head (tied-embed models have no separate
+    # head read to shrink).
+    hq = {} if lm.config.tie_word_embeddings else {"head_quant": "int4"}
     lat = lm.serve(ids, mode="w4a8_static", merge_o=True,
-                   head_quant="int4", kv_dtype=jnp.int8,
-                   kv_scale_mode="channel")
-    print("engine w4a8 mo+h4+kv8c:",
+                   kv_dtype=jnp.int8, kv_scale_mode="channel", **hq)
+    print("engine w4a8 mo+kv8c%s:" % ("+h4" if hq else ""),
           np.asarray(lat.generate(ids, max_new_tokens=args.tokens))
           [0, 8:].tolist())
 

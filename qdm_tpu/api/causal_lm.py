@@ -340,6 +340,11 @@ class CausalLM:
         from qdm_tpu.api.serve import DecodeEngine
 
         if mode == "bf16":
+            if smooth or awq:
+                raise ValueError("smooth/awq migrations target the "
+                                 "quantized serve modes; they would be "
+                                 "a silent no-op (smooth) or an "
+                                 "unmeasured clip (awq) on bf16")
             return DecodeEngine(self, mode="bf16", **engine_kw)
         if calib_ids is None:
             raise ValueError(f"mode={mode!r} needs calib_ids for static "
@@ -347,9 +352,23 @@ class CausalLM:
         if smooth:
             DecodeEngine.smooth_lm(self, calib_ids, alpha=smooth_alpha)
         if awq:
-            DecodeEngine.awq_lm(
-                self, calib_ids,
-                w_bits=4 if mode == "w4a8_static" else 8)
+            # clip search must target the SAME group quantizer the
+            # engine realizes (i4_group can shrink below 128 on tiny /
+            # sharded dims)
+            from qdm_tpu.api.serve import _i4_layout
+
+            mesh = engine_kw.get("mesh")
+            tp = (int(mesh.shape["model"])
+                  if mesh is not None and "model" in mesh.axis_names else 1)
+            if mode == "w4a8_static":
+                group, _ = _i4_layout(self.config, tp)
+                DecodeEngine.awq_lm(self, calib_ids, w_bits=4,
+                                    group_size=group)
+            else:
+                # engine int8 weights are per-out-channel (one group
+                # spanning the row): group_size=0 -> per-channel search
+                DecodeEngine.awq_lm(self, calib_ids, w_bits=8,
+                                    group_size=0)
         stats = DecodeEngine.calibrate_scales(self, np.asarray(calib_ids))
         return DecodeEngine(self, mode=mode, act_stats=stats, **engine_kw)
 

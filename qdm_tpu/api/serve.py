@@ -116,6 +116,22 @@ def _qkv_shard_perm(h: int, hkv: int, d: int, tp: int) -> np.ndarray:
     return np.concatenate(idx)
 
 
+def _i4_layout(cfg, tp: int = 1):
+    """(i4_group, i4_mlp_block) for the w4a8 engine's LOCAL shards:
+    the int4 group is 128 (the reference W4 group scheme) shrunk to
+    divide every planar half-contraction the local kernels see (K/2
+    for qkv/gate/up, local h*d/2 for the row-split o_proj, local
+    block_j/2 for the streamed w_down blocks)."""
+    import math
+
+    inner_l = cfg.intermediate_size // tp
+    hd_l = (cfg.num_attention_heads // tp) * cfg.head_dim
+    mlp_block = dk.mlp_i4_block(inner_l)
+    group = math.gcd(math.gcd(cfg.hidden_size // 2, mlp_block // 2),
+                     math.gcd(hd_l // 2, 128))
+    return group, mlp_block
+
+
 def _params_packed(tree) -> bool:
     """True if any layer carries packed quant buffers instead of an fp
     kernel (a from_quantized / AutoAWQ-imported params tree)."""
@@ -204,7 +220,10 @@ class DecodeEngine:
         self.kv_dtype = kv_dtype
         if kv_scale_mode not in ("token", "channel"):
             raise ValueError(f"kv_scale_mode: {kv_scale_mode!r}")
-        self.kv_scale_mode = kv_scale_mode if kv_dtype == jnp.int8 else "token"
+        if kv_scale_mode == "channel" and kv_dtype != jnp.int8:
+            raise ValueError("kv_scale_mode='channel' requires "
+                             "kv_dtype=jnp.int8")
+        self.kv_scale_mode = kv_scale_mode
         self.kv_margin = float(kv_margin)
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
@@ -225,18 +244,7 @@ class DecodeEngine:
                         and cfg.norm_type == "rmsnorm"
                         and not cfg.parallel_residual)
         if mode == "w4a8_static":
-            import math
-
-            # int4 group size: 128 (reference W4 group scheme) shrunk
-            # to divide every planar half-contraction the LOCAL kernels
-            # see (K/2 for qkv/gate/up, local h*d/2 for the row-split
-            # o_proj, local block_j/2 for the streamed w_down blocks)
-            inner_l = cfg.intermediate_size // self.tp
-            hd_l = (cfg.num_attention_heads // self.tp) * cfg.head_dim
-            self.i4_mlp_block = dk.mlp_i4_block(inner_l)
-            self.i4_group = math.gcd(
-                math.gcd(cfg.hidden_size // 2, self.i4_mlp_block // 2),
-                math.gcd(hd_l // 2, 128))
+            self.i4_group, self.i4_mlp_block = _i4_layout(cfg, self.tp)
         p = lm.params
         if _params_packed(p):
             # a from_quantized / AutoAWQ-imported model: materialize
@@ -414,7 +422,10 @@ class DecodeEngine:
             self._prefill_model = type(lm.model)(config=cfg,
                                                  dtype=self.dtype,
                                                  plan=pplan)
-            self._prefill_params = pack_params(lm.params, pplan)
+            # pack from `p` (the fp kernels), not lm.params — on a
+            # from_quantized model lm.params is already packed and
+            # pack_params would silently no-op on it
+            self._prefill_params = pack_params(p, pplan)
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict[int, callable] = {}
@@ -451,6 +462,12 @@ class DecodeEngine:
         from qdm_tpu.models.shims import llama_scaling_groups
         from qdm_tpu.quant import smooth as smooth_lib
 
+        if _params_packed(lm.params):
+            raise NotImplementedError(
+                "smooth_lm needs fp kernels; this model's params are "
+                "already packed (from_quantized) — migrate before "
+                "quantizing, or serve the packed model without "
+                "migration")
         cfg = QuantConfig(w_bit=8, a_bit=8)
         stats, _ = lm._calibrate(cfg, np.asarray(calib_ids),
                                  capture_inputs=False)
@@ -479,6 +496,12 @@ class DecodeEngine:
         from qdm_tpu.models.shims import llama_scaling_groups
         from qdm_tpu.quant import awq as awq_lib
 
+        if _params_packed(lm.params):
+            raise NotImplementedError(
+                "awq_lm needs fp kernels; this model's params are "
+                "already packed (from_quantized) — migrate before "
+                "quantizing, or serve the packed model without "
+                "migration")
         cfg = QuantConfig(w_bit=w_bits, q_group_size=group_size,
                           zero_point=zero_point)
         _, feats = lm._calibrate(cfg, np.asarray(calib_ids),

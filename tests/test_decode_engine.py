@@ -218,6 +218,33 @@ def test_engine_int8_kv_channel_static(lm):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_kv_i8c_interpret_matches_ref():
+    """The i8c pallas kernel body (in-kernel q/p int8 quantization,
+    pos masking, block_b grid, bp>b padding) vs the scale-free f32
+    ref, in interpret mode — in the realistic folded-scales regime
+    (q carries the K channel scales, so logits are moderate; raw
+    unit-scale q over ±127 codes would be a chaotic one-hot softmax)."""
+    from qdm_tpu.ops import decode_kernels as dk
+
+    rng = np.random.default_rng(5)
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    pos = 130
+    kvf = rng.normal(size=(b, 2 * hkv, d, t)).astype(np.float32)
+    sc = np.abs(kvf).max(axis=3, keepdims=True).clip(1e-6) / 127.0
+    kv = jnp.asarray(np.clip(np.round(kvf / sc), -127, 127), jnp.int8)
+    kf = sc[:, :hkv].transpose(0, 1, 3, 2)                 # (b,hkv,1,d)
+    for bp, bb in ((b, 1), (b, 2), (b + 4, 1)):
+        q = rng.normal(size=(bp, hkv, g, d)).astype(np.float32)
+        qf = jnp.asarray(q * np.pad(kf, ((0, bp - b),) + ((0, 0),) * 3,
+                                    constant_values=1.0))
+        out = dk.decode_attention_kv_i8c_pallas(qf, kv, pos, block_b=bb,
+                                                interpret=True)
+        ref = dk.decode_attention_kv_i8c_ref(qf, kv, pos)
+        np.testing.assert_allclose(np.asarray(out)[:b], np.asarray(ref)[:b],
+                                   rtol=0, atol=2.0,
+                                   err_msg=f"bp={bp} bb={bb}")
+
+
 def test_kv_i8c_ref_matches_token_scales():
     """The channel-scale folding identity: q'=q*ks outside +
     unit-scale int8 cache + o*vs outside == attention over the
