@@ -124,7 +124,11 @@ def main():
     DecodeEngine.smooth_lm(sm, CALIB[:4])       # fp-exact migration
     sm_stats = DecodeEngine.calibrate_scales(sm, CALIB[:4])
     aw = fresh()
-    DecodeEngine.awq_lm(aw, CALIB[:4])          # scale+clip migration
+    from qdm_tpu.api.serve import _i4_layout
+
+    # clip search targets the engine's realized int4 group
+    DecodeEngine.awq_lm(aw, CALIB[:4], w_bits=4,
+                        group_size=_i4_layout(CFG)[0])
     aw_stats = DecodeEngine.calibrate_scales(aw, CALIB[:4])
     for ename, base, ekw in (
             ("engine w8a8_static (serve path)", ref,
