@@ -395,7 +395,8 @@ class CausalLM:
         @jax.jit
         def prefill(params, ids, caches):
             logits, caches = model.apply({"params": params}, ids,
-                                         kv_caches=caches, cache_index=0)
+                                         kv_caches=caches, cache_index=0,
+                                         last_logits_only=True)
             return jnp.argmax(logits[:, -1], axis=-1), caches
 
         @jax.jit

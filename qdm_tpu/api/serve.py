@@ -956,7 +956,8 @@ class DecodeEngine:
             @jax.jit
             def fwd(params, ids, caches):
                 logits, caches = model.apply({"params": params}, ids,
-                                             kv_caches=caches, cache_index=0)
+                                             kv_caches=caches, cache_index=0,
+                                             last_logits_only=True)
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 eng = []
                 for (kvdm,) in caches:                       # (B, 2hkv, d, T)

@@ -255,7 +255,8 @@ class LlamaForCausalLM(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids=None, positions=None, kv_caches=None,
-                 cache_index=None, input_embeds=None):
+                 cache_index=None, input_embeds=None,
+                 last_logits_only: bool = False):
         cfg = self.config
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                          name="embed_tokens")
@@ -277,6 +278,12 @@ class LlamaForCausalLM(nn.Module):
                                       name=f"layers_{i}")(
                 x, positions, cache_i, cache_index)
             new_caches.append(nc)
+        if last_logits_only:
+            # prefill wants only the last position's logits: at ctx
+            # 4096 batch 16 the full (B, S, vocab) head output is
+            # 4.2 GB bf16 of pure waste (and an OOM risk) — slice
+            # BEFORE the lm_head matmul
+            x = x[:, -1:]
         if cfg.norm_type == "layernorm":
             x = LayerNorm(dtype=self.dtype, name="norm")(x)
         else:
