@@ -35,6 +35,45 @@ from qdm_tpu.quant import smooth as smooth_lib
 from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan, spec_from_config
 
 
+def sample_token(logits, key, temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 0.0):
+    """Pick next tokens from (B, V) logits — jittable.
+
+    temperature<=0 is greedy argmax; otherwise temperature-scaled
+    sampling with optional top-k and/or nucleus (top-p) truncation —
+    the decoding knobs the reference drives through HF ``generate``
+    (evaluation/humaneval_utils.py:85-95: temperature=0.2, top_p=0.95,
+    do_sample=True)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    if top_p and 0.0 < top_p < 1.0:
+        sort = jnp.sort(lg, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sort, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative mass >= top_p
+        # (the HF convention keeps the boundary token)
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sort, jnp.inf), axis=-1,
+                         keepdims=True)
+        lg = jnp.where(lg < cutoff, -jnp.inf, lg)
+    return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+
+def mask_after_eos(tokens: np.ndarray, eos_token_id: int) -> np.ndarray:
+    """Replace everything after the first EOS in each row with EOS
+    (HF pad-after-eos convention; the fixed-length jit loop keeps
+    generating, this post-pass makes the output well-formed)."""
+    toks = np.asarray(tokens).copy()
+    hit = np.cumsum(toks == eos_token_id, axis=1) > 0
+    done = np.concatenate([np.zeros_like(hit[:, :1]), hit[:, :-1]], axis=1)
+    toks[done] = eos_token_id
+    return toks
+
+
 class CausalLM:
     """LLaMA-family causal LM with the reference quantize lifecycle."""
 
@@ -380,37 +419,49 @@ class CausalLM:
         return out
 
     def generate(self, input_ids, max_new_tokens: int = 32,
-                 kv_cache_dtype=None) -> np.ndarray:
-        """Greedy decode with a static KV cache inside jit.
+                 kv_cache_dtype=None, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 0.0, seed: int = 0,
+                 eos_token_id: Optional[int] = None) -> np.ndarray:
+        """Decode with a static KV cache inside jit — greedy by
+        default, sampling when temperature > 0 (top_k / top_p as in
+        HF ``generate``, which the reference drives; see sample_token).
 
         kv_cache_dtype=jnp.int8 stores the cache quantized (per-token
         per-head scales) — half the cache HBM traffic at large
-        batch/long context."""
+        batch/long context.  eos_token_id masks everything after the
+        first EOS per row with EOS (pad-after-eos convention)."""
         model = self.model
         ids = jnp.asarray(input_ids)
         b, s = ids.shape
         max_len = s + max_new_tokens
         caches = model.init_cache(b, max_len, kv_cache_dtype)
+        pick = functools.partial(sample_token, temperature=temperature,
+                                 top_k=top_k, top_p=top_p)
 
         @jax.jit
-        def prefill(params, ids, caches):
+        def prefill(params, ids, caches, key):
             logits, caches = model.apply({"params": params}, ids,
                                          kv_caches=caches, cache_index=0,
                                          last_logits_only=True)
-            return jnp.argmax(logits[:, -1], axis=-1), caches
+            return pick(logits[:, -1], key), caches
 
         @jax.jit
-        def step(params, tok, caches, idx):
+        def step(params, tok, caches, idx, key):
             logits, caches = model.apply({"params": params}, tok[:, None],
                                          kv_caches=caches, cache_index=idx)
-            return jnp.argmax(logits[:, -1], axis=-1), caches
+            return pick(logits[:, -1], key), caches
 
-        tok, caches = prefill(self.params, ids, caches)
+        key = jax.random.PRNGKey(seed)
+        tok, caches = prefill(self.params, ids, caches, key)
         out = [np.asarray(tok)]
         for i in range(max_new_tokens - 1):
-            tok, caches = step(self.params, tok, caches, s + i)
+            tok, caches = step(self.params, tok, caches, s + i,
+                               jax.random.fold_in(key, i + 1))
             out.append(np.asarray(tok))
-        return np.concatenate([np.asarray(ids), np.stack(out, 1)], axis=1)
+        new = np.stack(out, 1)
+        if eos_token_id is not None:
+            new = mask_after_eos(new, eos_token_id)
+        return np.concatenate([np.asarray(ids), new], axis=1)
 
     def generate_speculative(self, input_ids, max_new_tokens: int,
                              draft: "CausalLM", gamma: int = 4,

@@ -428,9 +428,10 @@ class DecodeEngine:
             self._prefill_params = pack_params(p, pplan)
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
-        self._run_cache: Dict[int, callable] = {}
+        self._run_cache: Dict = {}
         self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
+        self._last_prefill_logits = None
 
     def _tp_spec(self, key: str) -> P:
         """PartitionSpec for one engine weight leaf (megatron rules:
@@ -757,12 +758,18 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------ decode
 
-    def _make_run(self, n_tokens: int):
-        if n_tokens in self._run_cache:
-            return self._run_cache[n_tokens]
+    def _make_run(self, n_tokens: int, sampler=()):
+        memo = (n_tokens, sampler)
+        if memo in self._run_cache:
+            return self._run_cache[memo]
         if self.tp > 1:
+            if sampler:
+                raise NotImplementedError(
+                    "sampling under tensor parallelism needs a "
+                    "cross-shard logits gather; run tp=1 or greedy "
+                    "(the tp argmax is vocab-split)")
             run = self._make_run_tp(n_tokens)
-            self._run_cache[n_tokens] = run
+            self._run_cache[memo] = run
             return run
         cfg = self.cfg
         h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -778,8 +785,18 @@ class DecodeEngine:
         sign = jnp.where(col_j < half, -1.0, 1.0)
         base_idx = col_j % half
 
+        if sampler:
+            from qdm_tpu.api.causal_lm import sample_token
+
+            temperature, top_k, top_p = sampler
+            pick = functools.partial(sample_token, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
+        else:
+            pick = None
+
         @jax.jit
-        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos):
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
+                key=None):
             b = tok0.shape[0]
             bp = max(_round_up(b, 8), 8)
 
@@ -796,10 +813,15 @@ class DecodeEngine:
                 for l, w in enumerate(layers):
                     x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
                     new_caches.append(cache)
-                # logit_scale (cohere) is a positive monotone transform
-                # — greedy argmax is invariant, so it is not applied
                 logits = self._head_logits(x, w_head, final_norm)
-                nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                if pick is None:
+                    # logit_scale (cohere) is a positive monotone
+                    # transform — greedy argmax is invariant
+                    nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                else:
+                    # sampling IS logit_scale/temperature sensitive
+                    nxt = pick(logits[:b] * self.cfg.logit_scale,
+                               jax.random.fold_in(key, i)).astype(tok.dtype)
                 return (nxt, new_caches), nxt
 
             (_, _), toks = jax.lax.scan(body, (tok0, caches),
@@ -808,7 +830,7 @@ class DecodeEngine:
                                                    max(n_tokens, 1)))
             return toks.T  # (B, n_tokens)
 
-        self._run_cache[n_tokens] = run
+        self._run_cache[memo] = run
         return run
 
     def _make_run_tp(self, n_tokens: int):
@@ -902,7 +924,9 @@ class DecodeEngine:
             **rep_kw)
 
         @jax.jit
-        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos):
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
+                key=None):
+            # key unused: the tp path is greedy-only (vocab-split argmax)
             return fn(tuple(layers), embed, final_norm, w_head, tok0,
                       tuple(tuple(c) for c in caches), start_pos)
 
@@ -958,7 +982,8 @@ class DecodeEngine:
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0,
                                              last_logits_only=True)
-                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                logits = logits[:, -1]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 eng = []
                 for (kvdm,) in caches:                       # (B, 2hkv, d, T)
                     if kv_perm is not None:
@@ -984,10 +1009,13 @@ class DecodeEngine:
                                     ss))
                     else:
                         eng.append((kvdm,))
-                return tok, eng
+                return tok, logits, eng
 
             self._prefill_fn = fwd
-        tok, eng = self._prefill_fn(params, jnp.asarray(ids), caches)
+        tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches)
+        # last-position logits stay on device; the sampling path picks
+        # its first token from them (greedy ignores them)
+        self._last_prefill_logits = logits
         if self.tp > 1:
             sh = NamedSharding(self.mesh, P(None, "model", None, None))
             eng = [tuple(jax.device_put(c, sh) for c in entry)
@@ -995,17 +1023,43 @@ class DecodeEngine:
             tok = jax.device_put(tok, NamedSharding(self.mesh, P()))
         return tok, eng
 
-    def generate(self, input_ids, max_new_tokens: int = 32) -> np.ndarray:
+    def generate(self, input_ids, max_new_tokens: int = 32,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 0.0, seed: int = 0,
+                 eos_token_id: Optional[int] = None) -> np.ndarray:
+        """Decode — greedy by default, sampled when temperature > 0
+        (same knobs as CausalLM.generate / HF generate; single-device
+        only — the tp lm_head is vocab-split).  The prefill token is
+        always the greedy pick (HF convention: the prompt's next-token
+        sample uses the same sampler — we resample it below when
+        sampling is on)."""
         ids = np.asarray(input_ids)
         b, s = ids.shape
         max_len = s + max_new_tokens
         tok0, caches = self.prefill(ids, max_len)
-        run = self._make_run(max_new_tokens - 1)
+        sampler = ((float(temperature), int(top_k), float(top_p))
+                   if temperature > 0.0 else ())
+        run = self._make_run(max_new_tokens - 1, sampler)
         weights = self.layers
+        key = jax.random.PRNGKey(seed) if sampler else None
+        if sampler:
+            # pick the first token with the sampler too (the prefill's
+            # returned token is the greedy argmax); prefill left its
+            # last-position logits on device
+            from qdm_tpu.api.causal_lm import sample_token
+
+            tok0 = sample_token(
+                self._last_prefill_logits * self.cfg.logit_scale,
+                jax.random.fold_in(key, 2**32 - 1), temperature=temperature,
+                top_k=top_k, top_p=top_p).astype(tok0.dtype)
         toks = run(weights, self.embed, self.final_norm, self._head,
-                   tok0, caches, jnp.int32(s))
+                   tok0, caches, jnp.int32(s), key)
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
+        if eos_token_id is not None:
+            from qdm_tpu.api.causal_lm import mask_after_eos
+
+            out = mask_after_eos(out, eos_token_id)
         return np.concatenate([ids, out], axis=1)
 
     def score(self, input_ids) -> jnp.ndarray:

@@ -113,7 +113,12 @@ def eval_humaneval(complete_fn: Callable[[str], List[str]],
                    ks: Sequence[int] = (1, 10),
                    out_path: str | None = None) -> Dict[str, float]:
     """Full harness (humaneval_utils.py:34-110): generate candidates per
-    problem, sandbox-execute, report pass@k."""
+    problem, sandbox-execute, report pass@k.
+
+    The reference samples candidates at temperature=0.2 / top_p=0.95
+    (humaneval_utils.py:85-95); build the matching complete_fn with
+    ``CausalLM.generate(..., temperature=0.2, top_p=0.95, seed=i)``
+    per candidate i."""
     totals, corrects, records = [], [], []
     for problem in problems:
         completions = complete_fn(problem["prompt"])

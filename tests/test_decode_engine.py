@@ -794,6 +794,50 @@ def test_engine_from_quantized_checkpoint(tmp_path):
     assert out.shape == ref.shape and np.isfinite(out).all()
 
 
+def test_sampling_module_and_engine(lm):
+    """temperature/top_k/top_p sampling (the decoding knobs the
+    reference drives through HF generate): seed-deterministic,
+    top_k=1 == greedy, high temperature diverges from greedy, EOS
+    masking pads after the first EOS."""
+    ids = np.random.default_rng(3).integers(0, 256, (2, 7))
+    greedy = lm.generate(ids, max_new_tokens=10)
+    # top_k=1 sampling IS greedy regardless of temperature
+    t1 = lm.generate(ids, max_new_tokens=10, temperature=0.7, top_k=1)
+    np.testing.assert_array_equal(t1, greedy)
+    # seed-deterministic
+    s1 = lm.generate(ids, max_new_tokens=10, temperature=3.0, seed=5)
+    s2 = lm.generate(ids, max_new_tokens=10, temperature=3.0, seed=5)
+    np.testing.assert_array_equal(s1, s2)
+    # high temperature diverges from greedy (vocab 2048, 20 draws)
+    assert (s1 != greedy).any()
+    # top_p sanity: nucleus-truncated sampling stays in-vocab + finite
+    p1 = lm.generate(ids, max_new_tokens=10, temperature=0.8, top_p=0.9)
+    assert ((p1 >= 0) & (p1 < lm.config.vocab_size)).all()
+    # engine path: same knobs
+    eng = DecodeEngine(lm, mode="bf16")
+    e1 = eng.generate(ids, max_new_tokens=10, temperature=0.7, top_k=1)
+    np.testing.assert_array_equal(e1, eng.generate(ids, max_new_tokens=10))
+    e2 = eng.generate(ids, max_new_tokens=10, temperature=3.0, seed=5)
+    e3 = eng.generate(ids, max_new_tokens=10, temperature=3.0, seed=5)
+    np.testing.assert_array_equal(e2, e3)
+    assert (e2 != e1).any()
+    # EOS masking: everything after the first EOS becomes EOS
+    from qdm_tpu.api.causal_lm import mask_after_eos
+
+    toks = np.array([[5, 9, 2, 7, 3], [1, 1, 1, 1, 1]])
+    np.testing.assert_array_equal(
+        mask_after_eos(toks, 2), [[5, 9, 2, 2, 2], [1, 1, 1, 1, 1]])
+
+
+def test_engine_tp_rejects_sampling(lm):
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    eng = DecodeEngine(lm, mode="bf16", mesh=make_mesh(4, 2))
+    ids = np.random.default_rng(3).integers(0, 256, (2, 7))
+    with pytest.raises(NotImplementedError, match="sampling"):
+        eng.generate(ids, max_new_tokens=4, temperature=0.5)
+
+
 def test_engine_head_quant_needs_stats(lm):
     ids = RNG.integers(0, 256, (2, 5))
     stats = {k: v for k, v in
