@@ -29,17 +29,21 @@ dense (sublane x lane) DMA tiles in the attention kernel, and the
 module-path prefill writes it directly (llama.py's len-1-tuple cache
 branch), so prefill->decode needs no layout conversion.
 
-Tensor parallelism
-------------------
-Pass ``mesh=`` (a ``jax.sharding.Mesh`` with a ``'model'`` axis) for
-megatron-style tensor-parallel serving over ICI: qkv/gate/up are
+Parallel serving (dp x tp)
+--------------------------
+Pass ``mesh=`` (a ``jax.sharding.Mesh`` with ``('data', 'model')``
+axes, e.g. ``parallel.mesh.make_mesh(dp, tp)``).  Tensor parallelism
+(the 'model' axis) is megatron-style over ICI: qkv/gate/up are
 column-split by head / inner channel, o_proj/down are row-split with
 one ``psum`` each per layer, the KV cache shards over kv heads, and
-the lm_head splits the vocab with a cross-shard argmax.  The decode
-step runs under ``shard_map`` so each device launches its own pallas
-megakernels on local shards; the collectives ride ICI.  Counterpart of
-the reference's multi-GPU device-map placement (utils/parallel.py) —
-re-designed as SPMD rather than per-layer placement.
+the lm_head splits the vocab with a cross-shard argmax.  Data
+parallelism (the 'data' axis) shards the batch and the KV cache's
+batch dim; weights replicate (their specs name only 'model'), and no
+collectives cross 'data'.  The decode step runs under ``shard_map`` so
+each device launches its own pallas megakernels on local shards.
+Counterpart of the reference's multi-GPU device-map placement
+(utils/parallel.py) — re-designed as SPMD rather than per-layer
+placement.
 """
 
 from __future__ import annotations
@@ -169,11 +173,16 @@ class DecodeEngine:
             raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
         cfg = lm.config
-        # tensor-parallel serving (module docstring): tp = size of the
-        # mesh's 'model' axis; 1 (or no mesh) = the single-device path
+        # SPMD serving (module docstring): tp = size of the mesh's
+        # 'model' axis, dp = size of its 'data' axis (batch sharding,
+        # weights replicated).  No mesh (or a 1x1 mesh) = the
+        # single-device path.
         self.mesh = mesh
         self.tp = int(mesh.shape["model"]) if (
             mesh is not None and "model" in mesh.axis_names) else 1
+        self.dp = int(mesh.shape["data"]) if (
+            mesh is not None and "data" in mesh.axis_names) else 1
+        self.spmd = self.tp > 1 or self.dp > 1
         if self.tp > 1:
             if merge_o:
                 raise NotImplementedError(
@@ -363,10 +372,10 @@ class DecodeEngine:
             if head_quant not in ("int8", "int4"):
                 raise ValueError(f"head_quant: {head_quant!r} "
                                  "(supported: 'int8', 'int4')")
-            if self.tp > 1:
+            if self.spmd:
                 raise NotImplementedError(
-                    "head_quant is a single-device option (the tp head "
-                    "is vocab-split)")
+                    "head_quant is a single-device option (the sharded "
+                    "head is vocab-split / replicated bf16)")
             if act_stats is None or "lm_head" not in act_stats:
                 raise ValueError(
                     "head_quant needs 'lm_head' act stats — calibrate "
@@ -392,9 +401,11 @@ class DecodeEngine:
                 self._head = (wh_q, wh_s, scale_of("lm_head").reshape(1))
         else:
             self._head = self.w_head
-        if self.tp > 1:
+        if self.spmd:
             # place each leaf on its shard once, up front (the decode
-            # jit then sees correctly-sharded inputs; no resharding)
+            # jit then sees correctly-sharded inputs; no resharding).
+            # Weight specs reference only the 'model' axis, so under
+            # dp they replicate across 'data' automatically.
             self._lspecs = [
                 {k: self._tp_spec(k) for k in e} for e in self.layers]
             self.layers = jax.tree.map(
@@ -762,7 +773,7 @@ class DecodeEngine:
         memo = (n_tokens, sampler)
         if memo in self._run_cache:
             return self._run_cache[memo]
-        if self.tp > 1:
+        if self.spmd:
             if sampler:
                 raise NotImplementedError(
                     "sampling under tensor parallelism needs a "
@@ -912,15 +923,17 @@ class DecodeEngine:
         lspecs = tuple(
             {k: self._tp_spec(k) for k in e} for e in self.layers)
         # both cache planes (int8 codes and either scale layout) shard
-        # over the head axis; the bf16 cache is a 1-tuple
-        kv_spec = P(None, "model", None, None)
+        # over the head axis AND the batch over 'data'; the bf16 cache
+        # is a 1-tuple.  Weights replicate across 'data' (their specs
+        # name only 'model').
+        kv_spec = P("data", "model", None, None)
         n_planes = 2 if self.kv_dtype == jnp.int8 else 1
         cache_spec = tuple((kv_spec,) * n_planes for _ in self.layers)
         fn = shard_map(
             body_sharded, mesh=self.mesh,
-            in_specs=(lspecs, P(), P(), P(None, "model"), P(),
+            in_specs=(lspecs, P(), P(), P(None, "model"), P("data"),
                       cache_spec, P()),
-            out_specs=P(),
+            out_specs=P("data"),
             **rep_kw)
 
         @jax.jit
@@ -959,6 +972,8 @@ class DecodeEngine:
         shard-major head permutation remain as post-passes.  Returns
         (first generated token, engine caches)."""
         b, s = ids.shape
+        if self.spmd and b % self.dp:
+            raise ValueError(f"batch {b} must divide dp={self.dp}")
         tp = _round_up(max_len, 128)
         model = (self._prefill_model if self.prefill_quant
                  else self.lm.model)
@@ -1016,11 +1031,11 @@ class DecodeEngine:
         # last-position logits stay on device; the sampling path picks
         # its first token from them (greedy ignores them)
         self._last_prefill_logits = logits
-        if self.tp > 1:
-            sh = NamedSharding(self.mesh, P(None, "model", None, None))
+        if self.spmd:
+            sh = NamedSharding(self.mesh, P("data", "model", None, None))
             eng = [tuple(jax.device_put(c, sh) for c in entry)
                    for entry in eng]
-            tok = jax.device_put(tok, NamedSharding(self.mesh, P()))
+            tok = jax.device_put(tok, NamedSharding(self.mesh, P("data")))
         return tok, eng
 
     def generate(self, input_ids, max_new_tokens: int = 32,
@@ -1068,7 +1083,7 @@ class DecodeEngine:
         path's ``logits``, so KL/perplexity evaluation can measure the
         engine's EXACT serving numerics (static act scales, int8/int4
         weight codes, kernel arithmetic).  Single-device only."""
-        assert self.tp == 1, "score() is a single-device eval path"
+        assert not self.spmd, "score() is a single-device eval path"
         ids = jnp.asarray(input_ids)
         b, s = ids.shape
         fn = self._score_cache.get(s)

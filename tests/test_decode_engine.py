@@ -545,13 +545,38 @@ def test_engine_tp_rejects_unsupported(lm):
                      merge_o=True)
 
 
+def test_engine_dp_and_dpxtp(lm):
+    """Data-parallel serving: the batch shards over the mesh's 'data'
+    axis, weights replicate (specs name only 'model').  Tokens must
+    match the single-device engine under dp-only (4x1), dp x tp (2x2),
+    and dp x tp with channel-static int8 KV."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    ids = np.random.default_rng(9).integers(0, 256, (4, 6))
+    single = DecodeEngine(lm, mode="bf16")
+    want = single.generate(ids, max_new_tokens=8)
+    for dpn, tpn, kw in ((4, 1, {}), (2, 2, {}),
+                         (2, 2, {"kv_dtype": jnp.int8,
+                                 "kv_scale_mode": "channel"})):
+        base = (DecodeEngine(lm, mode="bf16", **kw).generate(
+            ids, max_new_tokens=8) if kw else want)
+        eng = DecodeEngine(lm, mode="bf16", mesh=make_mesh(dpn, tpn), **kw)
+        assert eng.dp == dpn and eng.tp == tpn
+        got = eng.generate(ids, max_new_tokens=8)
+        np.testing.assert_array_equal(got, base,
+                                      err_msg=f"dp={dpn} tp={tpn} {kw}")
+    with pytest.raises(ValueError, match="divide dp"):
+        DecodeEngine(lm, mode="bf16", mesh=make_mesh(4, 1)).generate(
+            np.zeros((3, 5), np.int32), max_new_tokens=4)
+
+
 def test_engine_tp_int8_kv(lm):
     """int8 KV cache under tensor parallelism: both the per-token and
     the channel-static scale planes shard over the head axis.  Tokens
     must match the single-device engine with the same scheme."""
     from qdm_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(4, 2)
+    mesh = make_mesh(1, 2)
     ids = RNG.integers(0, 256, (2, 6))
     for kw in ({"kv_dtype": jnp.int8},
                {"kv_dtype": jnp.int8, "kv_scale_mode": "channel"}):
@@ -832,7 +857,7 @@ def test_sampling_module_and_engine(lm):
 def test_engine_tp_rejects_sampling(lm):
     from qdm_tpu.parallel.mesh import make_mesh
 
-    eng = DecodeEngine(lm, mode="bf16", mesh=make_mesh(4, 2))
+    eng = DecodeEngine(lm, mode="bf16", mesh=make_mesh(1, 2))
     ids = np.random.default_rng(3).integers(0, 256, (2, 7))
     with pytest.raises(NotImplementedError, match="sampling"):
         eng.generate(ids, max_new_tokens=4, temperature=0.5)
