@@ -91,6 +91,12 @@ def main():
                       kv_cache_dtype=jnp.int8)
     print("int8 KV cache :", kv8[0, 8:].tolist())
 
+    # sampling decode (the reference's HF-generate knobs): seed-
+    # deterministic temperature/top-p inside the jitted loop
+    samp = lm.generate(ids, max_new_tokens=args.tokens,
+                       temperature=0.7, top_p=0.9, seed=1)
+    print("sampled t=0.7 :", samp[0, 8:].tolist())
+
     draft = CausalLM.from_config(
         llama_lib.LlamaConfig(vocab_size=lm.config.vocab_size, hidden_size=32,
                               intermediate_size=64, num_hidden_layers=1,
