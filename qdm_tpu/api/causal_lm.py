@@ -84,6 +84,11 @@ class CausalLM:
         self.quant_config: Optional[QuantConfig] = None
         self.dtype = jnp.bfloat16
         self.is_quantized = False
+        # memoized jitted generate closures (CLAUDE.md: never build a
+        # fresh @jax.jit closure per call); keyed on the module
+        # structure (plan/config/dtype) + sampler — new shapes retrace
+        # WITHIN a cached closure, which jit handles
+        self._gen_cache: Dict = {}
 
     # ------------------------------------------------------------------ build
 
@@ -430,27 +435,43 @@ class CausalLM:
         per-head scales) — half the cache HBM traffic at large
         batch/long context.  eos_token_id masks everything after the
         first EOS per row with EOS (pad-after-eos convention)."""
+        if temperature <= 0.0 and (top_k or top_p):
+            raise ValueError(
+                "top_k/top_p need temperature > 0 (HF do_sample uses "
+                "temperature=1.0 by default); temperature<=0 is greedy")
         model = self.model
         ids = jnp.asarray(input_ids)
         b, s = ids.shape
         max_len = s + max_new_tokens
         caches = model.init_cache(b, max_len, kv_cache_dtype)
-        pick = functools.partial(sample_token, temperature=temperature,
-                                 top_k=top_k, top_p=top_p)
+        # memoize the jitted closures (a fresh @jax.jit per call
+        # re-traces every call — the measured 4.3x pipeline bug;
+        # repeated sampled calls, e.g. humaneval candidates, reuse)
+        memo = ("gen", self.plan, id(self.config), str(self.dtype),
+                float(temperature), int(top_k), float(top_p))
+        fns = self._gen_cache.get(memo)
+        if fns is None:
+            pick = functools.partial(sample_token, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
 
-        @jax.jit
-        def prefill(params, ids, caches, key):
-            logits, caches = model.apply({"params": params}, ids,
-                                         kv_caches=caches, cache_index=0,
-                                         last_logits_only=True)
-            return pick(logits[:, -1], key), caches
+            @jax.jit
+            def prefill(params, ids, caches, key):
+                logits, caches = model.apply({"params": params}, ids,
+                                             kv_caches=caches,
+                                             cache_index=0,
+                                             last_logits_only=True)
+                return pick(logits[:, -1], key), caches
 
-        @jax.jit
-        def step(params, tok, caches, idx, key):
-            logits, caches = model.apply({"params": params}, tok[:, None],
-                                         kv_caches=caches, cache_index=idx)
-            return pick(logits[:, -1], key), caches
+            @jax.jit
+            def step(params, tok, caches, idx, key):
+                logits, caches = model.apply({"params": params},
+                                             tok[:, None], kv_caches=caches,
+                                             cache_index=idx)
+                return pick(logits[:, -1], key), caches
 
+            fns = (prefill, step)
+            self._gen_cache[memo] = fns
+        prefill, step = fns
         key = jax.random.PRNGKey(seed)
         tok, caches = prefill(self.params, ids, caches, key)
         out = [np.asarray(tok)]

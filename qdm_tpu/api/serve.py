@@ -776,9 +776,11 @@ class DecodeEngine:
         if self.spmd:
             if sampler:
                 raise NotImplementedError(
-                    "sampling under tensor parallelism needs a "
-                    "cross-shard logits gather; run tp=1 or greedy "
-                    "(the tp argmax is vocab-split)")
+                    "sampling is not wired through the shard_map decode "
+                    "body yet (tp>1 would additionally need a "
+                    "cross-shard logits gather — the tp argmax is "
+                    "vocab-split); serve sampled requests on a "
+                    "single-device engine, or greedy on the mesh")
             run = self._make_run_tp(n_tokens)
             self._run_cache[memo] = run
             return run
@@ -1042,12 +1044,17 @@ class DecodeEngine:
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 0.0, seed: int = 0,
                  eos_token_id: Optional[int] = None) -> np.ndarray:
-        """Decode — greedy by default, sampled when temperature > 0
-        (same knobs as CausalLM.generate / HF generate; single-device
-        only — the tp lm_head is vocab-split).  The prefill token is
-        always the greedy pick (HF convention: the prompt's next-token
-        sample uses the same sampler — we resample it below when
-        sampling is on)."""
+        """Decode.  Greedy by default (works single-device and under
+        any dp x tp mesh); sampled when temperature > 0 — same knobs
+        as CausalLM.generate / HF generate, single-device only (the
+        sharded lm_head blocks a local sample).  Every generated token
+        including the first comes from the sampler when sampling is
+        on (the first from the prefill's last-position logits), all
+        seed-deterministic."""
+        if temperature <= 0.0 and (top_k or top_p):
+            raise ValueError(
+                "top_k/top_p need temperature > 0 (HF do_sample uses "
+                "temperature=1.0 by default); temperature<=0 is greedy")
         ids = np.asarray(input_ids)
         b, s = ids.shape
         max_len = s + max_new_tokens
@@ -1058,15 +1065,22 @@ class DecodeEngine:
         weights = self.layers
         key = jax.random.PRNGKey(seed) if sampler else None
         if sampler:
-            # pick the first token with the sampler too (the prefill's
-            # returned token is the greedy argmax); prefill left its
-            # last-position logits on device
-            from qdm_tpu.api.causal_lm import sample_token
+            # pick the first token with the sampler too, from the
+            # prefill's last-position logits (module-path logits —
+            # logit_scale is ALREADY applied there, llama.py).  One
+            # memoized jitted launch, not eager per-op dispatches.
+            pick0 = self._run_cache.get(("pick0", sampler))
+            if pick0 is None:
+                from qdm_tpu.api.causal_lm import sample_token
 
-            tok0 = sample_token(
-                self._last_prefill_logits * self.cfg.logit_scale,
-                jax.random.fold_in(key, 2**32 - 1), temperature=temperature,
-                top_k=top_k, top_p=top_p).astype(tok0.dtype)
+                pick0 = jax.jit(functools.partial(
+                    sample_token, temperature=temperature, top_k=top_k,
+                    top_p=top_p))
+                self._run_cache[("pick0", sampler)] = pick0
+            tok0 = pick0(self._last_prefill_logits,
+                         jax.random.fold_in(key, 2**32 - 1)
+                         ).astype(tok0.dtype)
+        self._last_prefill_logits = None
         toks = run(weights, self.embed, self.final_norm, self._head,
                    tok0, caches, jnp.int32(s), key)
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
