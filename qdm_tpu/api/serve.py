@@ -442,6 +442,7 @@ class DecodeEngine:
         self._run_cache: Dict = {}
         self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
+        self._prefill_ragged_fn = None
         self._last_prefill_logits = None
 
     def _tp_spec(self, key: str) -> P:
@@ -545,11 +546,18 @@ class DecodeEngine:
     # ------------------------------------------------------------------ layers
 
     def _layer(self, x, cache, w, pos, cosv, sinv, h=None, hkv=None,
-               tp_axis=None):
+               tp_axis=None, rope_xla=None, attn_starts=None):
         """One decoder layer.  h/hkv default to the model's head counts;
         under shard_map (tp_axis set) they are the LOCAL per-shard
         counts and the row-split o_proj/down partials psum over
-        tp_axis with the residual added once, in f32."""
+        tp_axis with the residual added once, in f32.
+
+        rope_xla=(cos (bp, n_qkv), sin (bp, n_qkv), partner_perm):
+        ragged batches need PER-ROW rotation angles, which the shared
+        kernel trig vectors cannot carry — pass cosv=sinv=None and the
+        rotation runs here in XLA with the exact kernel formula
+        (y*cos + partner*sin).  attn_starts (B,): first valid cache
+        slot per row (left-padded ragged batches)."""
         cfg = self.cfg
         h = cfg.num_attention_heads if h is None else h
         hkv = cfg.num_key_value_heads if hkv is None else hkv
@@ -593,6 +601,10 @@ class DecodeEngine:
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps,
                                            group=self.i4_group)
+        if rope_xla is not None:
+            cosb, sinb, perm = rope_xla
+            qf32 = qkv.astype(jnp.float32)
+            qkv = (qf32 * cosb + qf32[:, perm] * sinb).astype(qkv.dtype)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
         kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
         if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
@@ -637,7 +649,8 @@ class DecodeEngine:
             kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
             bb = self.block_b if b % self.block_b == 0 else 1
             cache = (kv,)
-            attn = dk.decode_attention_kv(q, kv, pos, block_b=bb)
+            attn = dk.decode_attention_kv(q, kv, pos, starts=attn_starts,
+                                          block_b=bb)
         attn = attn.reshape(bp, h * d)
         if self.merge_o and tp_axis is None:
             if self.mode == "w4a8_static":
@@ -1090,6 +1103,190 @@ class DecodeEngine:
 
             out = mask_after_eos(out, eos_token_id)
         return np.concatenate([ids, out], axis=1)
+
+    # --------------------------------------------------------- ragged batches
+
+    def prefill_ragged(self, ids, lens, max_len: int):
+        """Prefill a LEFT-padded ragged batch: ids (B, S) with row r's
+        real tokens in columns [S - lens[r], S).  Per-row rope
+        positions start at 0 for each prompt, and pad slots are masked
+        out of every attention (the model's ``attn_start``).  Returns
+        (first tokens, engine caches, starts) — starts (B,) are the
+        per-row first valid cache slots the decode attention needs."""
+        b, s = ids.shape
+        if self.spmd:
+            raise NotImplementedError("ragged serving is single-device")
+        tp = _round_up(max_len, 128)
+        model = (self._prefill_model if self.prefill_quant
+                 else self.lm.model)
+        params = (self._prefill_params if self.prefill_quant
+                  else self.lm.params)
+        cfg = self.cfg
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
+                              tp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+
+        if self._prefill_ragged_fn is None:
+            @jax.jit
+            def fwd(params, ids, lens, caches):
+                b2, s2 = ids.shape
+                pads = s2 - lens                              # (B,)
+                positions = jnp.clip(jnp.arange(s2)[None] - pads[:, None],
+                                     0, None)
+                logits, caches = model.apply({"params": params}, ids,
+                                             positions=positions,
+                                             kv_caches=caches,
+                                             cache_index=0,
+                                             attn_start=pads,
+                                             last_logits_only=True)
+                logits = logits[:, -1]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return tok, logits, [kv for (kv,) in caches]
+
+            self._prefill_ragged_fn = fwd
+        lens = jnp.asarray(lens, jnp.int32)
+        tok, logits, kvs = self._prefill_ragged_fn(
+            params, jnp.asarray(ids), lens, caches)
+        self._last_prefill_logits = logits
+        return tok, [(kv,) for kv in kvs], (s - lens)
+
+    def _make_run_ragged(self, n_tokens: int, sampler=()):
+        """Decode step for ragged batches: per-row rope angles (the
+        kernel trig vectors are shared, so rotation moves to XLA with
+        the exact kernel formula) + per-row start masks in attention.
+        Physical cache slots stay uniform (every row appends at
+        start_pos + i); only the LOGICAL rope position differs
+        (lens[r] + i)."""
+        memo = ("ragged", n_tokens, sampler)
+        if memo in self._run_cache:
+            return self._run_cache[memo]
+        cfg = self.cfg
+        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        half = d // 2
+        freqs = 1.0 / (cfg.rope_theta
+                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        n_qkv = (h + 2 * hkv) * d
+        w_rope = (h + hkv) * d
+        col = np.arange(n_qkv)
+        col_j = col % d
+        is_rope = jnp.asarray(col < w_rope)
+        sign = jnp.asarray(np.where(col_j < half, -1.0, 1.0), jnp.float32)
+        base_idx = jnp.asarray(col_j % half)
+        # partner permutation (the kernel's lane-roll pair): within each
+        # head, column j pairs with j +/- d/2; v columns (sin=0) self-pair
+        partner = np.where(col < w_rope,
+                           np.where(col_j < half, col + half, col - half),
+                           col)
+        partner = jnp.asarray(partner)
+        if sampler:
+            from qdm_tpu.api.causal_lm import sample_token
+
+            temperature, top_k, top_p = sampler
+            pick = functools.partial(sample_token, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
+        else:
+            pick = None
+
+        @jax.jit
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
+                lens, starts, key=None):
+            b = tok0.shape[0]
+            bp = max(_round_up(b, 8), 8)
+
+            def body(carry, i):
+                tok, caches = carry
+                pos = start_pos + i                      # physical slot
+                pos_log = lens + i                       # (b,) logical
+                angles = pos_log.astype(jnp.float32)[:, None] * freqs
+                cosb = jnp.where(is_rope[None],
+                                 jnp.cos(angles)[:, base_idx], 1.0)
+                sinb = jnp.where(is_rope[None],
+                                 sign[None] * jnp.sin(angles)[:, base_idx],
+                                 0.0)
+                if bp > b:
+                    cosb = jnp.pad(cosb, ((0, bp - b), (0, 0)),
+                                   constant_values=1.0)
+                    sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
+                x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
+                x = embed[x]
+                new_caches = []
+                for l, w in enumerate(layers):
+                    x, cache = self._layer(x, caches[l], w, pos, None,
+                                           None,
+                                           rope_xla=(cosb, sinb, partner),
+                                           attn_starts=starts)
+                    new_caches.append(cache)
+                logits = self._head_logits(x, w_head, final_norm)
+                if pick is None:
+                    nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                else:
+                    nxt = pick(logits[:b] * cfg.logit_scale,
+                               jax.random.fold_in(key, i)).astype(tok.dtype)
+                return (nxt, new_caches), nxt
+
+            (_, _), toks = jax.lax.scan(body, (tok0, caches),
+                                        jnp.arange(n_tokens))
+            return toks.T
+
+        self._run_cache[memo] = run
+        return run
+
+    def generate_ragged(self, prompts, max_new_tokens: int = 32,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 0.0, seed: int = 0,
+                        eos_token_id: Optional[int] = None):
+        """Serve a RAGGED batch — prompts of different lengths in one
+        engine batch (the production serving shape; the reference and
+        HF generate handle this with left-padding + attention masks).
+        Left-pads to the longest prompt, runs ONE batched prefill +
+        decode, and returns a list of 1-D arrays (prompt + generated
+        tokens, generated count == max_new_tokens for every row).
+        Exactness contract: each row's tokens equal a single-prompt
+        ``generate`` of that row (tested).  Single-device, bf16 KV
+        (quantized weights fine; the int8 KV schemes keep per-slot
+        state the ragged masks don't thread yet)."""
+        if temperature <= 0.0 and (top_k or top_p):
+            raise ValueError("top_k/top_p need temperature > 0")
+        if self.kv_dtype is not None:
+            raise NotImplementedError(
+                "ragged serving runs on the bf16 KV cache")
+        prompts = [np.asarray(p).reshape(-1) for p in prompts]
+        lens = np.asarray([len(p) for p in prompts], np.int32)
+        assert (lens > 0).all()
+        b, s = len(prompts), int(lens.max())
+        ids = np.zeros((b, s), np.int32)
+        for r, p in enumerate(prompts):
+            ids[r, s - len(p):] = p
+        max_len = s + max_new_tokens
+        tok0, caches, starts = self.prefill_ragged(ids, lens, max_len)
+        sampler = ((float(temperature), int(top_k), float(top_p))
+                   if temperature > 0.0 else ())
+        key = jax.random.PRNGKey(seed) if sampler else None
+        if sampler:
+            pick0 = self._run_cache.get(("pick0", sampler))
+            if pick0 is None:
+                from qdm_tpu.api.causal_lm import sample_token
+
+                pick0 = jax.jit(functools.partial(
+                    sample_token, temperature=temperature, top_k=top_k,
+                    top_p=top_p))
+                self._run_cache[("pick0", sampler)] = pick0
+            tok0 = pick0(self._last_prefill_logits,
+                         jax.random.fold_in(key, 2**32 - 1)
+                         ).astype(tok0.dtype)
+        self._last_prefill_logits = None
+        run = self._make_run_ragged(max_new_tokens - 1, sampler)
+        toks = run(self.layers, self.embed, self.final_norm, self._head,
+                   tok0, caches, jnp.int32(s), jnp.asarray(lens),
+                   jnp.asarray(starts, jnp.int32), key)
+        gen = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
+                             axis=1)[:, :max_new_tokens]
+        if eos_token_id is not None:
+            from qdm_tpu.api.causal_lm import mask_after_eos
+
+            gen = mask_after_eos(gen, eos_token_id)
+        return [np.concatenate([prompts[r], gen[r]]) for r in range(b)]
 
     def score(self, input_ids) -> jnp.ndarray:
         """Teacher-forced per-position logits (B, S, V) through the

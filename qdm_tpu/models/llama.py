@@ -81,7 +81,8 @@ class LlamaAttention(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, cache_index=None):
+    def __call__(self, x, positions, kv_cache=None, cache_index=None,
+                 attn_start=None):
         cfg = self.config
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -133,6 +134,10 @@ class LlamaAttention(nn.Module):
             kv_len = ckv.shape[3]
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+            if attn_start is not None:
+                # ragged left-padded batch: slots [0, start) hold pad
+                # tokens that must be invisible to every real query
+                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
         elif kv_cache is not None and len(kv_cache) == 4:
             # int8 KV cache: per-token per-head absmax scales.  Halves
             # the cache HBM traffic that dominates large-batch /
@@ -155,6 +160,8 @@ class LlamaAttention(nn.Module):
             kv_len = ck.shape[2]
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+            if attn_start is not None:
+                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
         elif kv_cache is not None:
             ck, cv = kv_cache                       # (B, hkv, T, d)
             ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_index, 0))
@@ -164,6 +171,8 @@ class LlamaAttention(nn.Module):
             kv_len = ck.shape[2]
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
+            if attn_start is not None:
+                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
         else:
             kv_len = s
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
@@ -229,19 +238,22 @@ class LlamaDecoderLayer(nn.Module):
         return RMSNorm(epsilon=self.config.rms_norm_eps, dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, cache_index=None):
+    def __call__(self, x, positions, kv_cache=None, cache_index=None,
+                 attn_start=None):
         if self.config.parallel_residual:
             # cohere-style: one norm feeds attention AND the MLP
             h = self._norm("input_layernorm")(x)
             attn, new_cache = LlamaAttention(
                 self.config, dtype=self.dtype, plan=self.plan,
-                name="self_attn")(h, positions, kv_cache, cache_index)
+                name="self_attn")(h, positions, kv_cache, cache_index,
+                                  attn_start)
             mlp = LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
                            name="mlp")(h)
             return x + attn + mlp, new_cache
         h, new_cache = LlamaAttention(
             self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
-            self._norm("input_layernorm")(x), positions, kv_cache, cache_index)
+            self._norm("input_layernorm")(x), positions, kv_cache,
+            cache_index, attn_start)
         x = x + h
         x = x + LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
                          name="mlp")(self._norm("post_attention_layernorm")(x))
@@ -256,7 +268,7 @@ class LlamaForCausalLM(nn.Module):
     @nn.compact
     def __call__(self, input_ids=None, positions=None, kv_caches=None,
                  cache_index=None, input_embeds=None,
-                 last_logits_only: bool = False):
+                 last_logits_only: bool = False, attn_start=None):
         cfg = self.config
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                          name="embed_tokens")
@@ -276,7 +288,7 @@ class LlamaForCausalLM(nn.Module):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = LlamaDecoderLayer(cfg, dtype=self.dtype, plan=self.plan,
                                       name=f"layers_{i}")(
-                x, positions, cache_i, cache_index)
+                x, positions, cache_i, cache_index, attn_start)
             new_caches.append(nc)
         if last_logits_only:
             # prefill wants only the last position's logits: at ctx

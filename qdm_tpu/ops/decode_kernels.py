@@ -443,12 +443,15 @@ def decode_attention_pallas(q, k_cache, v_cache, pos, interpret: bool = False):
     )(pos_arr, q, k_cache, v_cache)
 
 
-def decode_attention_ref(q, k_cache, v_cache, pos):
+def decode_attention_ref(q, k_cache, v_cache, pos, starts=None):
     bp, hkv, g, d = q.shape
     b, t = k_cache.shape[0], k_cache.shape[-1]
     qf = q[:b].astype(jnp.float32) * (d ** -0.5)
     logits = jnp.einsum("bhgd,bhdt->bhgt", qf, k_cache.astype(jnp.float32))
     mask = jnp.arange(t)[None, None, None, :] <= pos
+    if starts is not None:
+        mask = mask & (jnp.arange(t)[None, :]
+                       >= starts[:, None])[:, None, None, :]
     logits = jnp.where(mask, logits, -1e9)
     p = jax.nn.softmax(logits, axis=-1)
     o = jnp.einsum("bhgt,bhtd->bhgd", p, v_cache.astype(jnp.float32))
@@ -649,12 +652,19 @@ def decode_attention_dm_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos):
 
 
 def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
-                           hkv: int, bb: int):
+                           hkv: int, bb: int, ragged: bool = False):
     """Combined-cache variant: kv (bb, 2*hkv, d, T) holds K rows then V
     rows — ONE cache array, so the per-step cache update is a single
-    dynamic_update_slice and the kernel streams one block per program."""
+    dynamic_update_slice and the kernel streams one block per program.
+
+    ragged=True: pos_ref is [pos, start_0, ..., start_{B-1}] and cache
+    slots below each row's start are masked out (left-padded ragged
+    batches: pad tokens occupy slots [0, start) and must be invisible
+    to every real query)."""
     pos = pos_ref[0]
     for bi in range(bb):
+        start = (pos_ref[1 + pl.program_id(0) * bb + bi] if ragged
+                 else None)
         for h in range(hkv):
             q = q_ref[bi, h].astype(jnp.float32) * scale        # (g, d)
             k = kv_ref[bi, h].astype(jnp.float32)               # (d, T)
@@ -662,7 +672,10 @@ def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
                 q, k, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            ok = t_ids <= pos
+            if ragged:
+                ok = ok & (t_ids >= start)
+            logits = jnp.where(ok, logits, -1e9)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -674,21 +687,25 @@ def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def decode_attention_kv_pallas(q, kv_cache, pos, block_b: int = 1,
-                               interpret: bool = False):
+def decode_attention_kv_pallas(q, kv_cache, pos, starts=None,
+                               block_b: int = 1, interpret: bool = False):
     """Combined depth-major cache attention: kv_cache (B, 2*hkv, d, T)
-    = [K | V] along axis 1."""
+    = [K | V] along axis 1.  starts (B,) optional per-row first valid
+    cache slot (ragged left-padded batches)."""
     bp, hkv, g, d = q.shape
     b, t = kv_cache.shape[0], kv_cache.shape[-1]
     assert kv_cache.shape == (b, 2 * hkv, d, t)
     assert t % LANE == 0 and b % block_b == 0, (t, b, block_b)
     scale = d ** -0.5
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if starts is not None:
+        assert starts.shape == (b,), starts.shape
+        pos_arr = jnp.concatenate([pos_arr, starts.astype(jnp.int32)])
     bb = block_b
 
     return pl.pallas_call(
         functools.partial(_decode_attn_kv_kernel, scale=scale, hkv=hkv,
-                          bb=bb),
+                          bb=bb, ragged=starts is not None),
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -765,14 +782,14 @@ def decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, block_b: int = 1,
     )(pos_arr, q, kv_i8, kv_scale)
 
 
-def decode_attention_kv(q, kv_cache, pos, **kw):
+def decode_attention_kv(q, kv_cache, pos, starts=None, **kw):
     """Combined-cache dispatcher (kv (B, 2hkv, d, T) = [K | V])."""
     if on_tpu():
-        return decode_attention_kv_pallas(q, kv_cache, pos, **kw)
+        return decode_attention_kv_pallas(q, kv_cache, pos, starts, **kw)
     hkv = q.shape[1]
     return decode_attention_ref(
         q, kv_cache[:, :hkv],
-        kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos)
+        kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos, starts=starts)
 
 
 def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):

@@ -245,6 +245,24 @@ def test_kv_i8c_interpret_matches_ref():
                                    err_msg=f"bp={bp} bb={bb}")
 
 
+def test_kv_attn_ragged_starts_interpret():
+    """The combined-cache kernel's per-row start mask (ragged
+    left-padded batches) vs the masked f32 reference."""
+    rng = np.random.default_rng(13)
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    pos = 140
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(b, 2 * hkv, d, t)) * 0.5, jnp.float32)
+    starts = jnp.asarray([0, 17, 5, 100], jnp.int32)
+    out = dk.decode_attention_kv_pallas(q, kv, pos, starts, block_b=2,
+                                        interpret=True)
+    ref = dk.decode_attention_ref(q, kv[:, :hkv],
+                                  kv[:, hkv:].transpose(0, 1, 3, 2), pos,
+                                  starts=starts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kv_i8c_ref_matches_token_scales():
     """The channel-scale folding identity: q'=q*ks outside +
     unit-scale int8 cache + o*vs outside == attention over the
@@ -861,6 +879,40 @@ def test_engine_tp_rejects_sampling(lm):
     ids = np.random.default_rng(3).integers(0, 256, (2, 7))
     with pytest.raises(NotImplementedError, match="sampling"):
         eng.generate(ids, max_new_tokens=4, temperature=0.5)
+
+
+def test_engine_ragged_matches_per_prompt(lm):
+    """Ragged serving (left-padded different-length prompts in one
+    batch): every row's tokens must EQUAL a single-prompt generate of
+    that row — per-row rope positions and pad-slot attention masks
+    make the padding invisible (f32 CPU: bit-identical math)."""
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (3, 7, 5, 7)]
+    eng = DecodeEngine(lm, mode="bf16")
+    outs = eng.generate_ragged(prompts, max_new_tokens=8)
+    assert len(outs) == 4
+    for r, p in enumerate(prompts):
+        single = eng.generate(p[None], max_new_tokens=8)[0]
+        np.testing.assert_array_equal(outs[r], single, err_msg=f"row {r}")
+    # quantized weights ride the same ragged path
+    stats = DecodeEngine.calibrate_scales(lm, prompts[1][None])
+    e8 = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
+    outs8 = e8.generate_ragged(prompts, max_new_tokens=8)
+    for r, p in enumerate(prompts):
+        single = e8.generate(p[None], max_new_tokens=8)[0]
+        np.testing.assert_array_equal(outs8[r], single,
+                                      err_msg=f"w8a8 row {r}")
+    # sampled ragged: deterministic per seed, finite
+    s1 = eng.generate_ragged(prompts, max_new_tokens=8, temperature=2.0,
+                             seed=3)
+    s2 = eng.generate_ragged(prompts, max_new_tokens=8, temperature=2.0,
+                             seed=3)
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(NotImplementedError, match="bf16 KV"):
+        DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8).generate_ragged(
+            prompts, max_new_tokens=4)
 
 
 def test_engine_head_quant_needs_stats(lm):

@@ -168,6 +168,17 @@ def main():
     results["decode_attn_kv"] = {"max_abs_diff": d, "tol": 1e-3,
                                  "pass": d <= 1e-3}
 
+    # ragged per-row start mask (left-padded batches)
+    starts_ = jnp.asarray([0, 37, 211, 699], jnp.int32)
+    out = dkk.decode_attention_kv_pallas(qd, kvd, 700, starts_, block_b=2)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, kvd[:, :hkv_],
+                                       kvd[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700, starts=starts_)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_ragged"] = {"max_abs_diff": d, "tol": 1e-3,
+                                        "pass": d <= 1e-3}
+
     # channel-static int8 cache variant: scales folded outside (K into
     # q, V into the output) — kernel sees only int8 planes.  Tolerance
     # covers the in-kernel q/p int8 rounding.
