@@ -859,6 +859,80 @@ class DecodeEngine:
         self._run_cache[memo] = run
         return run
 
+    def _make_run_while(self, n_tokens: int, sampler, eos: int):
+        """Early-exit decode: lax.while_loop that stops once EVERY row
+        has emitted eos (the scan variant computes all max_new_tokens
+        steps regardless).  Finished rows keep emitting eos; the token
+        buffer is eos-initialized so the unreached tail is already
+        pad-after-eos."""
+        memo = ("while", n_tokens, sampler, eos)
+        if memo in self._run_cache:
+            return self._run_cache[memo]
+        cfg = self.cfg
+        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        half = d // 2
+        freqs = 1.0 / (cfg.rope_theta
+                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        n_qkv = (h + 2 * hkv) * d
+        w_rope = (h + hkv) * d
+        col = jnp.arange(n_qkv)
+        col_j = col % d
+        is_rope = col < w_rope
+        sign = jnp.where(col_j < half, -1.0, 1.0)
+        base_idx = col_j % half
+        if sampler:
+            from qdm_tpu.api.causal_lm import sample_token
+
+            temperature, top_k, top_p = sampler
+            pick = functools.partial(sample_token, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
+        else:
+            pick = None
+
+        @jax.jit
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
+                key=None):
+            b = tok0.shape[0]
+            bp = max(_round_up(b, 8), 8)
+            done0 = tok0 == eos
+            buf0 = jnp.full((b, n_tokens), eos, tok0.dtype)
+
+            def cond(st):
+                i, _, done, _, _ = st
+                return (i < n_tokens) & ~jnp.all(done)
+
+            def body(st):
+                i, tok, done, caches, buf = st
+                pos = start_pos + i
+                angles = pos.astype(jnp.float32) * freqs
+                cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
+                sinv = jnp.where(is_rope,
+                                 sign * jnp.sin(angles)[base_idx], 0.0)
+                x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
+                x = embed[x]
+                new_caches = []
+                for l, w in enumerate(layers):
+                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
+                    new_caches.append(cache)
+                logits = self._head_logits(x, w_head, final_norm)
+                if pick is None:
+                    nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                else:
+                    nxt = pick(logits[:b] * cfg.logit_scale,
+                               jax.random.fold_in(key, i)).astype(tok.dtype)
+                nxt = jnp.where(done, eos, nxt)
+                return (i + 1, nxt, done | (nxt == eos), new_caches,
+                        jax.lax.dynamic_update_slice(buf, nxt[:, None],
+                                                     (0, i)))
+
+            _, _, _, _, buf = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok0, done0, caches, buf0))
+            return buf
+
+        self._run_cache[memo] = run
+        return run
+
     def _make_run_tp(self, n_tokens: int):
         """Tensor-parallel decode step: the whole scan runs under
         shard_map, so each device launches megakernels on its local
@@ -1056,14 +1130,22 @@ class DecodeEngine:
     def generate(self, input_ids, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 0.0, seed: int = 0,
-                 eos_token_id: Optional[int] = None) -> np.ndarray:
+                 eos_token_id: Optional[int] = None,
+                 stop_early: bool = False) -> np.ndarray:
         """Decode.  Greedy by default (works single-device and under
         any dp x tp mesh); sampled when temperature > 0 — same knobs
         as CausalLM.generate / HF generate, single-device only (the
         sharded lm_head blocks a local sample).  Every generated token
         including the first comes from the sampler when sampling is
         on (the first from the prefill's last-position logits), all
-        seed-deterministic."""
+        seed-deterministic.
+
+        stop_early=True (needs eos_token_id; single-device): the
+        decode runs as a lax.while_loop that EXITS once every row has
+        emitted EOS — the fixed-length scan keeps computing after all
+        rows finish, which wastes up to (max_new_tokens - longest
+        completion) steps per batch in real serving.  Finished rows
+        emit EOS from then on (pad-after-eos built in)."""
         if temperature <= 0.0 and (top_k or top_p):
             raise ValueError(
                 "top_k/top_p need temperature > 0 (HF do_sample uses "
@@ -1074,7 +1156,17 @@ class DecodeEngine:
         tok0, caches = self.prefill(ids, max_len)
         sampler = ((float(temperature), int(top_k), float(top_p))
                    if temperature > 0.0 else ())
-        run = self._make_run(max_new_tokens - 1, sampler)
+        if stop_early:
+            if eos_token_id is None:
+                raise ValueError("stop_early needs eos_token_id")
+            if self.spmd:
+                raise NotImplementedError(
+                    "stop_early is a single-device option (the while "
+                    "predicate is a cross-shard reduction)")
+            run = self._make_run_while(max_new_tokens - 1, sampler,
+                                       int(eos_token_id))
+        else:
+            run = self._make_run(max_new_tokens - 1, sampler)
         weights = self.layers
         key = jax.random.PRNGKey(seed) if sampler else None
         if sampler:

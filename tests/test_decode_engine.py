@@ -915,6 +915,28 @@ def test_engine_ragged_matches_per_prompt(lm):
             prompts, max_new_tokens=4)
 
 
+def test_engine_stop_early_matches_scan(lm):
+    """The while_loop early-exit decode must return the same tokens as
+    the fixed-length scan + pad-after-eos (rows that finish keep
+    emitting EOS; rows that never finish run the full budget)."""
+    ids = np.random.default_rng(17).integers(0, 256, (3, 6))
+    eng = DecodeEngine(lm, mode="bf16")
+    base = eng.generate(ids, max_new_tokens=10)
+    # pick an eos that actually fires mid-stream for at least one row
+    eos = int(base[0, ids.shape[1] + 3])
+    want = eng.generate(ids, max_new_tokens=10, eos_token_id=eos)
+    got = eng.generate(ids, max_new_tokens=10, eos_token_id=eos,
+                       stop_early=True)
+    np.testing.assert_array_equal(got, want)
+    # an eos that never fires: early exit must not trigger
+    never = int(np.setdiff1d(np.arange(256), base)[0])
+    got2 = eng.generate(ids, max_new_tokens=10, eos_token_id=never,
+                        stop_early=True)
+    np.testing.assert_array_equal(got2, base)
+    with pytest.raises(ValueError, match="eos"):
+        eng.generate(ids, max_new_tokens=4, stop_early=True)
+
+
 def test_engine_head_quant_needs_stats(lm):
     ids = RNG.integers(0, 256, (2, 5))
     stats = {k: v for k, v in
