@@ -787,14 +787,13 @@ class DecodeEngine:
         if memo in self._run_cache:
             return self._run_cache[memo]
         if self.spmd:
-            if sampler:
+            if sampler and self.tp > 1:
                 raise NotImplementedError(
-                    "sampling is not wired through the shard_map decode "
-                    "body yet (tp>1 would additionally need a "
-                    "cross-shard logits gather — the tp argmax is "
-                    "vocab-split); serve sampled requests on a "
-                    "single-device engine, or greedy on the mesh")
-            run = self._make_run_tp(n_tokens)
+                    "sampling under tensor parallelism needs a "
+                    "cross-shard logits gather (the tp lm_head is "
+                    "vocab-split); sample on a dp-only mesh or a "
+                    "single device")
+            run = self._make_run_tp(n_tokens, sampler)
             self._run_cache[memo] = run
             return run
         cfg = self.cfg
@@ -933,10 +932,14 @@ class DecodeEngine:
         self._run_cache[memo] = run
         return run
 
-    def _make_run_tp(self, n_tokens: int):
-        """Tensor-parallel decode step: the whole scan runs under
-        shard_map, so each device launches megakernels on its local
-        shards and the two psums per layer ride ICI."""
+    def _make_run_tp(self, n_tokens: int, sampler=()):
+        """Sharded decode step: the whole scan runs under shard_map,
+        so each device launches megakernels on its local shards and
+        the two psums per layer ride ICI.  Sampling is supported on
+        dp-only meshes (tp == 1: every shard holds the full vocab);
+        each data shard folds its axis index into the key, so dp
+        sampling is seed-deterministic but draws a DIFFERENT stream
+        than the single-device engine."""
         import inspect
 
         try:
@@ -968,9 +971,17 @@ class DecodeEngine:
         is_rope = col < w_rope
         sign = jnp.where(col_j < half, -1.0, 1.0)
         base_idx = col_j % half
+        if sampler:
+            from qdm_tpu.api.causal_lm import sample_token
+
+            temperature, top_k, top_p = sampler
+            pick = functools.partial(sample_token, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
+        else:
+            pick = None
 
         def body_sharded(layers, embed, final_norm, w_head, tok0, caches,
-                         start_pos):
+                         start_pos, key):
             b = tok0.shape[0]
             bp = max(_round_up(b, 8), 8)
             v_l = w_head.shape[1]
@@ -996,6 +1007,15 @@ class DecodeEngine:
                     norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
                     out_dtype=jnp.float32, block_n=1280)
                 logits = logits[:b]
+                if pick is not None:
+                    # dp-only (tp==1): the local logits span the full
+                    # vocab; each data shard draws its own stream
+                    sub = jax.random.fold_in(
+                        jax.random.fold_in(key, i),
+                        jax.lax.axis_index("data").astype(jnp.uint32))
+                    nxt = pick(logits * cfg.logit_scale,
+                               sub).astype(tok.dtype)
+                    return (nxt, tuple(new_caches)), nxt
                 lmax = jnp.max(logits, axis=-1)                     # (b,)
                 larg = jnp.argmax(logits, axis=-1).astype(jnp.int32) + off
                 gmax = jax.lax.all_gather(lmax, "model")            # (tp, b)
@@ -1021,16 +1041,17 @@ class DecodeEngine:
         fn = shard_map(
             body_sharded, mesh=self.mesh,
             in_specs=(lspecs, P(), P(), P(None, "model"), P("data"),
-                      cache_spec, P()),
+                      cache_spec, P(), P()),
             out_specs=P("data"),
             **rep_kw)
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
                 key=None):
-            # key unused: the tp path is greedy-only (vocab-split argmax)
+            if key is None:
+                key = jax.random.PRNGKey(0)      # unused on greedy
             return fn(tuple(layers), embed, final_norm, w_head, tok0,
-                      tuple(tuple(c) for c in caches), start_pos)
+                      tuple(tuple(c) for c in caches), start_pos, key)
 
         return run
 

@@ -881,6 +881,22 @@ def test_engine_tp_rejects_sampling(lm):
         eng.generate(ids, max_new_tokens=4, temperature=0.5)
 
 
+def test_engine_dp_sampling(lm):
+    """Sampling on a dp-only mesh (tp=1: full vocab per shard; each
+    data shard folds its axis index into the key).  Seed-deterministic
+    and in-vocab; diverges from greedy at high temperature."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    eng = DecodeEngine(lm, mode="bf16", mesh=make_mesh(4, 1))
+    ids = np.random.default_rng(4).integers(0, 256, (4, 6))
+    a = eng.generate(ids, max_new_tokens=8, temperature=3.0, seed=2)
+    b = eng.generate(ids, max_new_tokens=8, temperature=3.0, seed=2)
+    np.testing.assert_array_equal(a, b)
+    assert ((a >= 0) & (a < lm.config.vocab_size)).all()
+    greedy = eng.generate(ids, max_new_tokens=8)
+    assert (a != greedy).any()
+
+
 def test_engine_ragged_matches_per_prompt(lm):
     """Ragged serving (left-padded different-length prompts in one
     batch): every row's tokens must EQUAL a single-prompt generate of
