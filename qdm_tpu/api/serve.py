@@ -136,6 +136,18 @@ def _i4_layout(cfg, tp: int = 1):
     return group, mlp_block
 
 
+def _local_row_range(sh, shape):
+    """[lo, hi) of the leading ('data'-sharded) axis owned by THIS
+    process under sharding ``sh`` (contiguous for the (data, model)
+    meshes this engine builds)."""
+    pid = jax.process_index()
+    rows = [idx[0] for d, idx in sh.devices_indices_map(tuple(shape)).items()
+            if d.process_index == pid]
+    lo = min(r.start or 0 for r in rows)
+    hi = max(r.stop if r.stop is not None else shape[0] for r in rows)
+    return lo, hi
+
+
 def _params_packed(tree) -> bool:
     """True if any layer carries packed quant buffers instead of an fp
     kernel (a from_quantized / AutoAWQ-imported params tree)."""
@@ -183,6 +195,12 @@ class DecodeEngine:
         self.dp = int(mesh.shape["data"]) if (
             mesh is not None and "data" in mesh.axis_names) else 1
         self.spmd = self.tp > 1 or self.dp > 1
+        # multi-host (DCN) mesh: placement cannot jax.device_put a
+        # host-local array onto non-addressable devices — build global
+        # arrays from each process's local portion instead
+        self.multihost = bool(mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat))
         if self.tp > 1:
             if merge_o:
                 raise NotImplementedError(
@@ -408,15 +426,11 @@ class DecodeEngine:
             # dp they replicate across 'data' automatically.
             self._lspecs = [
                 {k: self._tp_spec(k) for k in e} for e in self.layers]
-            self.layers = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                self.layers, self._lspecs)
-            self.embed = jax.device_put(
-                self.embed, NamedSharding(mesh, P()))
-            self.final_norm = jax.device_put(
-                self.final_norm, NamedSharding(mesh, P()))
-            self.w_head = jax.device_put(
-                self.w_head, NamedSharding(mesh, P(None, "model")))
+            self.layers = jax.tree.map(self._put, self.layers,
+                                       self._lspecs)
+            self.embed = self._put(self.embed, P())
+            self.final_norm = self._put(self.final_norm, P())
+            self.w_head = self._put(self.w_head, P(None, "model"))
             self._head = self.w_head
         # opt-in int8 prefill: the (B, S) prefill forward is MXU-bound,
         # so the w8a8_xla dynamic-per-token module path runs it ~1.7x
@@ -444,6 +458,21 @@ class DecodeEngine:
         self._prefill_fn = None
         self._prefill_ragged_fn = None
         self._last_prefill_logits = None
+
+    def _put(self, x, spec):
+        """Place an array under a PartitionSpec on the engine mesh —
+        device_put on one host, make_array_from_process_local_data on
+        a multi-host mesh (each process supplies its local portion;
+        for weight specs that never name 'data', that is the full
+        leaf, replicated across hosts)."""
+        sh = NamedSharding(self.mesh, spec)
+        if not self.multihost:
+            return jax.device_put(x, sh)
+        arr = np.asarray(x)
+        if spec and len(spec) > 0 and spec[0] == "data":
+            lo, hi = _local_row_range(sh, arr.shape)
+            arr = arr[lo:hi]
+        return jax.make_array_from_process_local_data(sh, arr)
 
     def _tp_spec(self, key: str) -> P:
         """PartitionSpec for one engine weight leaf (megatron rules:
@@ -1142,10 +1171,10 @@ class DecodeEngine:
         # its first token from them (greedy ignores them)
         self._last_prefill_logits = logits
         if self.spmd:
-            sh = NamedSharding(self.mesh, P("data", "model", None, None))
-            eng = [tuple(jax.device_put(c, sh) for c in entry)
+            kv_sp = P("data", "model", None, None)
+            eng = [tuple(self._put(c, kv_sp) for c in entry)
                    for entry in eng]
-            tok = jax.device_put(tok, NamedSharding(self.mesh, P("data")))
+            tok = self._put(tok, P("data"))
         return tok, eng
 
     def generate(self, input_ids, max_new_tokens: int = 32,
