@@ -136,6 +136,29 @@ def _i4_layout(cfg, tp: int = 1):
     return group, mlp_block
 
 
+def _rope_consts(cfg, h=None, hkv=None):
+    """Per-column rope tables over the fused [q | k | v] layout:
+    (freqs (d/2,), is_rope, sign, base_idx, partner) — partner is the
+    lane-roll pair index (j +/- d/2 within each head; v columns
+    self-pair, their sin is 0).  h/hkv override for LOCAL (tp-shard)
+    head counts."""
+    h = cfg.num_attention_heads if h is None else h
+    hkv = cfg.num_key_value_heads if hkv is None else hkv
+    d = cfg.head_dim
+    half = d // 2
+    freqs = 1.0 / (cfg.rope_theta
+                   ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    n_qkv = (h + 2 * hkv) * d
+    w_rope = (h + hkv) * d
+    col = np.arange(n_qkv)
+    col_j = col % d
+    partner = np.where(col < w_rope,
+                       np.where(col_j < half, col + half, col - half), col)
+    return (freqs, jnp.asarray(col < w_rope),
+            jnp.asarray(np.where(col_j < half, -1.0, 1.0), jnp.float32),
+            jnp.asarray(col_j % half), jnp.asarray(partner))
+
+
 def _local_row_range(sh, shape):
     """[lo, hi) of the leading ('data'-sharded) axis owned by THIS
     process under sharding ``sh`` (contiguous for the (data, model)
@@ -459,17 +482,36 @@ class DecodeEngine:
         self._prefill_ragged_fn = None
         self._last_prefill_logits = None
 
-    def _put(self, x, spec):
+    def _make_pick(self, sampler):
+        if not sampler:
+            return None
+        from qdm_tpu.api.causal_lm import sample_token
+
+        temperature, top_k, top_p = sampler
+        return functools.partial(sample_token, temperature=temperature,
+                                 top_k=top_k, top_p=top_p)
+
+    def _pick0(self, sampler):
+        """Memoized jitted first-token sampler (over the prefill's
+        last-position logits)."""
+        pick0 = self._run_cache.get(("pick0", sampler))
+        if pick0 is None:
+            pick0 = jax.jit(self._make_pick(sampler))
+            self._run_cache[("pick0", sampler)] = pick0
+        return pick0
+
+    def _put(self, x, spec, local: bool = False):
         """Place an array under a PartitionSpec on the engine mesh —
         device_put on one host, make_array_from_process_local_data on
         a multi-host mesh (each process supplies its local portion;
         for weight specs that never name 'data', that is the full
-        leaf, replicated across hosts)."""
+        leaf, replicated across hosts).  local=True: x already holds
+        only this process's 'data' rows."""
         sh = NamedSharding(self.mesh, spec)
         if not self.multihost:
             return jax.device_put(x, sh)
         arr = np.asarray(x)
-        if spec and len(spec) > 0 and spec[0] == "data":
+        if (not local and spec and len(spec) > 0 and spec[0] == "data"):
             lo, hi = _local_row_range(sh, arr.shape)
             arr = arr[lo:hi]
         return jax.make_array_from_process_local_data(sh, arr)
@@ -826,27 +868,9 @@ class DecodeEngine:
             self._run_cache[memo] = run
             return run
         cfg = self.cfg
-        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                     cfg.head_dim)
-        half = d // 2
-        freqs = 1.0 / (cfg.rope_theta
-                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-        n_qkv = (h + 2 * hkv) * d
-        w_rope = (h + hkv) * d
-        col = jnp.arange(n_qkv)
-        col_j = col % d
-        is_rope = col < w_rope
-        sign = jnp.where(col_j < half, -1.0, 1.0)
-        base_idx = col_j % half
-
-        if sampler:
-            from qdm_tpu.api.causal_lm import sample_token
-
-            temperature, top_k, top_p = sampler
-            pick = functools.partial(sample_token, temperature=temperature,
-                                     top_k=top_k, top_p=top_p)
-        else:
-            pick = None
+        d = cfg.head_dim
+        freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
+        pick = self._make_pick(sampler)
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
@@ -897,26 +921,8 @@ class DecodeEngine:
         if memo in self._run_cache:
             return self._run_cache[memo]
         cfg = self.cfg
-        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                     cfg.head_dim)
-        half = d // 2
-        freqs = 1.0 / (cfg.rope_theta
-                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-        n_qkv = (h + 2 * hkv) * d
-        w_rope = (h + hkv) * d
-        col = jnp.arange(n_qkv)
-        col_j = col % d
-        is_rope = col < w_rope
-        sign = jnp.where(col_j < half, -1.0, 1.0)
-        base_idx = col_j % half
-        if sampler:
-            from qdm_tpu.api.causal_lm import sample_token
-
-            temperature, top_k, top_p = sampler
-            pick = functools.partial(sample_token, temperature=temperature,
-                                     top_k=top_k, top_p=top_p)
-        else:
-            pick = None
+        freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
+        pick = self._make_pick(sampler)
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
@@ -987,27 +993,10 @@ class DecodeEngine:
         tp = self.tp
         h_l = cfg.num_attention_heads // tp
         hkv_l = cfg.num_key_value_heads // tp
-        d = cfg.head_dim
-        half = d // 2
-        freqs = 1.0 / (cfg.rope_theta
-                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
         # rope mask/sign over the LOCAL fused qkv layout [q_l | k_l | v_l]
         # — structurally identical to the global one at local head counts
-        n_qkv = (h_l + 2 * hkv_l) * d
-        w_rope = (h_l + hkv_l) * d
-        col = jnp.arange(n_qkv)
-        col_j = col % d
-        is_rope = col < w_rope
-        sign = jnp.where(col_j < half, -1.0, 1.0)
-        base_idx = col_j % half
-        if sampler:
-            from qdm_tpu.api.causal_lm import sample_token
-
-            temperature, top_k, top_p = sampler
-            pick = functools.partial(sample_token, temperature=temperature,
-                                     top_k=top_k, top_p=top_p)
-        else:
-            pick = None
+        freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg, h_l, hkv_l)
+        pick = self._make_pick(sampler)
 
         def body_sharded(layers, embed, final_norm, w_head, tok0, caches,
                          start_pos, key):
@@ -1113,6 +1102,13 @@ class DecodeEngine:
         b, s = ids.shape
         if self.spmd and b % self.dp:
             raise ValueError(f"batch {b} must divide dp={self.dp}")
+        if self.multihost:
+            # each process prefills only ITS dp rows — the full-batch
+            # forward would be (nprocs-1)/nprocs redundant work
+            shd = NamedSharding(self.mesh, P("data"))
+            lo, hi = _local_row_range(shd, (b,))
+            ids = np.asarray(ids)[lo:hi]
+            b = hi - lo
         tp = _round_up(max_len, 128)
         model = (self._prefill_model if self.prefill_quant
                  else self.lm.model)
@@ -1172,9 +1168,9 @@ class DecodeEngine:
         self._last_prefill_logits = logits
         if self.spmd:
             kv_sp = P("data", "model", None, None)
-            eng = [tuple(self._put(c, kv_sp) for c in entry)
-                   for entry in eng]
-            tok = self._put(tok, P("data"))
+            eng = [tuple(self._put(c, kv_sp, local=self.multihost)
+                         for c in entry) for entry in eng]
+            tok = self._put(tok, P("data"), local=self.multihost)
         return tok, eng
 
     def generate(self, input_ids, max_new_tokens: int = 32,
@@ -1182,13 +1178,14 @@ class DecodeEngine:
                  top_p: float = 0.0, seed: int = 0,
                  eos_token_id: Optional[int] = None,
                  stop_early: bool = False) -> np.ndarray:
-        """Decode.  Greedy by default (works single-device and under
-        any dp x tp mesh); sampled when temperature > 0 — same knobs
-        as CausalLM.generate / HF generate, single-device only (the
-        sharded lm_head blocks a local sample).  Every generated token
-        including the first comes from the sampler when sampling is
-        on (the first from the prefill's last-position logits), all
-        seed-deterministic.
+        """Decode.  Greedy by default (works single-device, under any
+        single-host dp x tp mesh, and on multi-host meshes); sampled
+        when temperature > 0 — same knobs as CausalLM.generate / HF
+        generate, on a single device or a single-host dp-only mesh
+        (tp>1 splits the vocab; each dp shard samples its own stream).
+        Every generated token including the first comes from the
+        sampler when sampling is on (the first from the prefill's
+        last-position logits), all seed-deterministic.
 
         stop_early=True (needs eos_token_id; single-device): the
         decode runs as a lax.while_loop that EXITS once every row has
@@ -1196,16 +1193,18 @@ class DecodeEngine:
         rows finish, which wastes up to (max_new_tokens - longest
         completion) steps per batch in real serving.  Finished rows
         emit EOS from then on (pad-after-eos built in)."""
+        # validate BEFORE the expensive prefill (a late reject would
+        # burn the full prompt forward + its remote kernel compiles)
         if temperature <= 0.0 and (top_k or top_p):
             raise ValueError(
                 "top_k/top_p need temperature > 0 (HF do_sample uses "
                 "temperature=1.0 by default); temperature<=0 is greedy")
-        ids = np.asarray(input_ids)
-        b, s = ids.shape
-        max_len = s + max_new_tokens
-        tok0, caches = self.prefill(ids, max_len)
         sampler = ((float(temperature), int(top_k), float(top_p))
                    if temperature > 0.0 else ())
+        if sampler and (self.tp > 1 or self.multihost):
+            raise NotImplementedError(
+                "sampling needs the full vocab on one host (dp-only "
+                "single-host meshes or a single device)")
         if stop_early:
             if eos_token_id is None:
                 raise ValueError("stop_early needs eos_token_id")
@@ -1213,6 +1212,11 @@ class DecodeEngine:
                 raise NotImplementedError(
                     "stop_early is a single-device option (the while "
                     "predicate is a cross-shard reduction)")
+        ids = np.asarray(input_ids)
+        b, s = ids.shape
+        max_len = s + max_new_tokens
+        tok0, caches = self.prefill(ids, max_len)
+        if stop_early:
             run = self._make_run_while(max_new_tokens - 1, sampler,
                                        int(eos_token_id))
         else:
@@ -1224,20 +1228,18 @@ class DecodeEngine:
             # prefill's last-position logits (module-path logits —
             # logit_scale is ALREADY applied there, llama.py).  One
             # memoized jitted launch, not eager per-op dispatches.
-            pick0 = self._run_cache.get(("pick0", sampler))
-            if pick0 is None:
-                from qdm_tpu.api.causal_lm import sample_token
-
-                pick0 = jax.jit(functools.partial(
-                    sample_token, temperature=temperature, top_k=top_k,
-                    top_p=top_p))
-                self._run_cache[("pick0", sampler)] = pick0
-            tok0 = pick0(self._last_prefill_logits,
-                         jax.random.fold_in(key, 2**32 - 1)
-                         ).astype(tok0.dtype)
+            tok0 = self._pick0(sampler)(
+                self._last_prefill_logits,
+                jax.random.fold_in(key, 2**32 - 1)).astype(tok0.dtype)
         self._last_prefill_logits = None
         toks = run(weights, self.embed, self.final_norm, self._head,
                    tok0, caches, jnp.int32(s), key)
+        if self.multihost:
+            # global dp-sharded tokens -> full value on every host
+            from jax.experimental import multihost_utils as mhu
+
+            tok0 = mhu.process_allgather(tok0, tiled=True)
+            toks = mhu.process_allgather(toks, tiled=True)
         out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
         if eos_token_id is not None:
@@ -1258,6 +1260,10 @@ class DecodeEngine:
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")
+        if self.kv_dtype is not None:
+            raise NotImplementedError(
+                "ragged serving runs on the bf16 KV cache (the int8 "
+                "schemes' scale planes don't thread the ragged masks)")
         tp = _round_up(max_len, 128)
         model = (self._prefill_model if self.prefill_quant
                  else self.lm.model)
@@ -1303,32 +1309,8 @@ class DecodeEngine:
         if memo in self._run_cache:
             return self._run_cache[memo]
         cfg = self.cfg
-        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                     cfg.head_dim)
-        half = d // 2
-        freqs = 1.0 / (cfg.rope_theta
-                       ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-        n_qkv = (h + 2 * hkv) * d
-        w_rope = (h + hkv) * d
-        col = np.arange(n_qkv)
-        col_j = col % d
-        is_rope = jnp.asarray(col < w_rope)
-        sign = jnp.asarray(np.where(col_j < half, -1.0, 1.0), jnp.float32)
-        base_idx = jnp.asarray(col_j % half)
-        # partner permutation (the kernel's lane-roll pair): within each
-        # head, column j pairs with j +/- d/2; v columns (sin=0) self-pair
-        partner = np.where(col < w_rope,
-                           np.where(col_j < half, col + half, col - half),
-                           col)
-        partner = jnp.asarray(partner)
-        if sampler:
-            from qdm_tpu.api.causal_lm import sample_token
-
-            temperature, top_k, top_p = sampler
-            pick = functools.partial(sample_token, temperature=temperature,
-                                     top_k=top_k, top_p=top_p)
-        else:
-            pick = None
+        freqs, is_rope, sign, base_idx, partner = _rope_consts(cfg)
+        pick = self._make_pick(sampler)
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
@@ -1384,8 +1366,11 @@ class DecodeEngine:
         Left-pads to the longest prompt, runs ONE batched prefill +
         decode, and returns a list of 1-D arrays (prompt + generated
         tokens, generated count == max_new_tokens for every row).
-        Exactness contract: each row's tokens equal a single-prompt
-        ``generate`` of that row (tested).  Single-device, bf16 KV
+        GREEDY exactness contract: each row's tokens equal a
+        single-prompt ``generate`` of that row (tested).  Sampled
+        ragged decoding is seed-deterministic but draws batch-shaped
+        noise, so rows differ from single-prompt sampled runs.
+        Single-device, bf16 KV
         (quantized weights fine; the int8 KV schemes keep per-slot
         state the ragged masks don't thread yet)."""
         if temperature <= 0.0 and (top_k or top_p):
@@ -1406,17 +1391,9 @@ class DecodeEngine:
                    if temperature > 0.0 else ())
         key = jax.random.PRNGKey(seed) if sampler else None
         if sampler:
-            pick0 = self._run_cache.get(("pick0", sampler))
-            if pick0 is None:
-                from qdm_tpu.api.causal_lm import sample_token
-
-                pick0 = jax.jit(functools.partial(
-                    sample_token, temperature=temperature, top_k=top_k,
-                    top_p=top_p))
-                self._run_cache[("pick0", sampler)] = pick0
-            tok0 = pick0(self._last_prefill_logits,
-                         jax.random.fold_in(key, 2**32 - 1)
-                         ).astype(tok0.dtype)
+            tok0 = self._pick0(sampler)(
+                self._last_prefill_logits,
+                jax.random.fold_in(key, 2**32 - 1)).astype(tok0.dtype)
         self._last_prefill_logits = None
         run = self._make_run_ragged(max_new_tokens - 1, sampler)
         toks = run(self.layers, self.embed, self.final_norm, self._head,
@@ -1442,18 +1419,7 @@ class DecodeEngine:
         fn = self._score_cache.get(s)
         if fn is None:
             cfg = self.cfg
-            h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                         cfg.head_dim)
-            half = d // 2
-            freqs = 1.0 / (cfg.rope_theta
-                           ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-            n_qkv = (h + 2 * hkv) * d
-            w_rope = (h + hkv) * d
-            col = jnp.arange(n_qkv)
-            col_j = col % d
-            is_rope = col < w_rope
-            sign = jnp.where(col_j < half, -1.0, 1.0)
-            base_idx = col_j % half
+            freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
 
             @jax.jit
             def run(layers, embed, final_norm, w_head, ids, caches):
