@@ -97,6 +97,18 @@ def main():
                        temperature=0.7, top_p=0.9, seed=1)
     print("sampled t=0.7 :", samp[0, 8:].tolist())
 
+    # ragged serving: different-length prompts in ONE engine batch
+    # (left-padding + per-row rope + pad-slot masks); each row equals
+    # its single-prompt generate exactly
+    rng2 = np.random.default_rng(5)
+    prompts = [rng2.integers(0, lm.config.vocab_size, (n,))
+               for n in (3, 8, 5)]
+    rag = bf_eng.generate_ragged(prompts, max_new_tokens=6)
+    for r, p in enumerate(prompts):
+        single = bf_eng.generate(np.asarray(p)[None], max_new_tokens=6)[0]
+        assert (rag[r] == single).all()
+    print("ragged rows == single-prompt generates: OK")
+
     draft = CausalLM.from_config(
         llama_lib.LlamaConfig(vocab_size=lm.config.vocab_size, hidden_size=32,
                               intermediate_size=64, num_hidden_layers=1,

@@ -474,6 +474,14 @@ class DecodeEngine:
             # from_quantized model lm.params is already packed and
             # pack_params would silently no-op on it
             self._prefill_params = pack_params(p, pplan)
+        else:
+            # SNAPSHOT the module + params at construction: prefill
+            # must keep working even if the caller later mutates the
+            # lm (e.g. lm.quantize() repacks lm.params under a new
+            # plan, which would no longer match lm.model's traced
+            # structure mid-engine)
+            self._prefill_model = lm.model
+            self._prefill_params = lm.params
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict = {}
@@ -1110,10 +1118,7 @@ class DecodeEngine:
             ids = np.asarray(ids)[lo:hi]
             b = hi - lo
         tp = _round_up(max_len, 128)
-        model = (self._prefill_model if self.prefill_quant
-                 else self.lm.model)
-        params = (self._prefill_params if self.prefill_quant
-                  else self.lm.params)
+        model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
                               tp), self.dtype),)
@@ -1265,10 +1270,7 @@ class DecodeEngine:
                 "ragged serving runs on the bf16 KV cache (the int8 "
                 "schemes' scale planes don't thread the ragged masks)")
         tp = _round_up(max_len, 128)
-        model = (self._prefill_model if self.prefill_quant
-                 else self.lm.model)
-        params = (self._prefill_params if self.prefill_quant
-                  else self.lm.params)
+        model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
                               tp), self.dtype),)
