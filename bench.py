@@ -123,8 +123,31 @@ def quantized_plan_and_params(cfg, params, lat2, t, ctx2):
     return plan, params, qparams
 
 
+def _backend_or_cpu() -> str:
+    """Resolve the backend WITHOUT hanging: when the axon tunnel is
+    down, backend init blocks forever (no exception), which would
+    leave the driver's bench artifact empty.  Probe init in a bounded
+    subprocess; on timeout/failure force the CPU platform so the run
+    still emits its one JSON line (marked backend=cpu)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=240)
+        backend = r.stdout.strip().splitlines()[-1] if r.returncode == 0 \
+            else ""
+    except subprocess.TimeoutExpired:
+        backend = ""
+    if backend != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+    return jax.default_backend()
+
+
 def main():
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _backend_or_cpu() == "tpu"
     from qdm_tpu.models.unet import SD15_UNET, tiny_unet_config
     from qdm_tpu.quant.plan import QuantPlan
 
