@@ -10,6 +10,8 @@ cd /root/repo
 set -x
 python -u tools/verify_kernels_tpu.py > /tmp/ql_kex.log 2>&1
 echo KEX_DONE
+python -u tools/engine_smoke_tpu.py > /tmp/ql_smoke.log 2>&1
+echo SMOKE_DONE
 python -u bench_llm.py > /tmp/ql_b1.log 2>&1
 echo B1_DONE
 python -u bench_llm.py --serve --engine-only > /tmp/ql_serve.log 2>&1
