@@ -705,7 +705,8 @@ class DecodeEngine:
             # q rides f32 into the kernel (tiny array; a bf16 fold
             # would stack rounding on top of the int8 quantization)
             attn = dk.decode_attention_kv_i8c(
-                q.astype(jnp.float32) * kf, kv, pos, block_b=bb)
+                q.astype(jnp.float32) * kf, kv, pos, starts=attn_starts,
+                block_b=bb)
             attn = (attn.astype(jnp.float32) * vf).astype(x.dtype)
             cache = (kv, csc)
         elif self.kv_dtype == jnp.int8:
@@ -1265,10 +1266,11 @@ class DecodeEngine:
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")
-        if self.kv_dtype is not None:
+        if self.kv_dtype == jnp.int8 and self.kv_scale_mode != "channel":
             raise NotImplementedError(
-                "ragged serving runs on the bf16 KV cache (the int8 "
-                "schemes' scale planes don't thread the ragged masks)")
+                "ragged int8 KV runs with the channel-static scales "
+                "(kv_scale_mode='channel'); the per-token scale plane "
+                "doesn't thread the ragged masks")
         tp = _round_up(max_len, 128)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
@@ -1277,6 +1279,9 @@ class DecodeEngine:
                   for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_ragged_fn is None:
+            kv_channel = self.kv_dtype == jnp.int8
+            kv_margin = self.kv_margin
+
             @jax.jit
             def fwd(params, ids, lens, caches):
                 b2, s2 = ids.shape
@@ -1291,14 +1296,32 @@ class DecodeEngine:
                                              last_logits_only=True)
                 logits = logits[:, -1]
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return tok, logits, [kv for (kv,) in caches]
+                eng = []
+                for (kvdm,) in caches:
+                    if kv_channel:
+                        # channel-static scales from the VALID slots
+                        # only (pad columns hold garbage K/V the masks
+                        # hide; they must not inflate the scales)
+                        tpos = jnp.arange(kvdm.shape[-1])
+                        valid = ((tpos[None] >= pads[:, None])
+                                 & (tpos[None] < s2))         # (B, T)
+                        kvf = kvdm.astype(jnp.float32)
+                        mag = jnp.where(valid[:, None, None, :],
+                                        jnp.abs(kvf), 0.0)
+                        sc = jnp.clip(jnp.max(mag, axis=3, keepdims=True),
+                                      1e-8, None) * (kv_margin / 127.0)
+                        eng.append((jnp.clip(jnp.round(kvf / sc), -127,
+                                             127).astype(jnp.int8), sc))
+                    else:
+                        eng.append((kvdm,))
+                return tok, logits, eng
 
             self._prefill_ragged_fn = fwd
         lens = jnp.asarray(lens, jnp.int32)
-        tok, logits, kvs = self._prefill_ragged_fn(
+        tok, logits, eng = self._prefill_ragged_fn(
             params, jnp.asarray(ids), lens, caches)
         self._last_prefill_logits = logits
-        return tok, [(kv,) for kv in kvs], (s - lens)
+        return tok, eng, (s - lens)
 
     def _make_run_ragged(self, n_tokens: int, sampler=()):
         """Decode step for ragged batches: per-row rope angles (the
@@ -1369,17 +1392,17 @@ class DecodeEngine:
         decode, and returns a list of 1-D arrays (prompt + generated
         tokens, generated count == max_new_tokens for every row).
         GREEDY exactness contract: each row's tokens equal a
-        single-prompt ``generate`` of that row (tested).  Sampled
-        ragged decoding is seed-deterministic but draws batch-shaped
-        noise, so rows differ from single-prompt sampled runs.
-        Single-device, bf16 KV
+        single-prompt ``generate`` of that row (tested; holds for the
+        bf16 AND channel-static int8 KV caches — the channel scales
+        are per-row and pad-masked, so they equal the single-prompt
+        scales exactly).  Sampled ragged decoding is
+        seed-deterministic but draws batch-shaped noise, so rows
+        differ from single-prompt sampled runs.  Single-device; int8
+        KV needs kv_scale_mode='channel'
         (quantized weights fine; the int8 KV schemes keep per-slot
         state the ragged masks don't thread yet)."""
         if temperature <= 0.0 and (top_k or top_p):
             raise ValueError("top_k/top_p need temperature > 0")
-        if self.kv_dtype is not None:
-            raise NotImplementedError(
-                "ragged serving runs on the bf16 KV cache")
         prompts = [np.asarray(p).reshape(-1) for p in prompts]
         lens = np.asarray([len(p) for p in prompts], np.int32)
         assert (lens > 0).all()

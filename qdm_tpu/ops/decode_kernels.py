@@ -802,7 +802,8 @@ def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):
 
 
 def _decode_attn_kv_i8c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
-                               scale: float, hkv: int, bb: int):
+                               scale: float, hkv: int, bb: int,
+                               ragged: bool = False):
     """Channel-scaled int8 combined cache.  The per-(head, depth-
     channel) STATIC cache scales are folded OUTSIDE the kernel — K
     scales into q before the call (q'[d] = q[d] * ks[d], exact because
@@ -812,9 +813,14 @@ def _decode_attn_kv_i8c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
     per step, two int8 MXU dots, one scalar-per-row logits scale —
     unlike the per-token variant whose (g, T) scale multiplies and
     scale-plane reads cost more than the halved cache bytes save
-    (61-67 us vs 51.5 bf16 at ctx 1024, BENCH_NOTES round 3)."""
+    (61-67 us vs 51.5 bf16 at ctx 1024, BENCH_NOTES round 3).
+
+    ragged=True: pos_ref carries per-row starts like the bf16 kv
+    kernel (slots below a row's start are masked out)."""
     pos = pos_ref[0]
     for bi in range(bb):
+        start = (pos_ref[1 + pl.program_id(0) * bb + bi] if ragged
+                 else None)
         for h in range(hkv):
             qf = q_ref[bi, h].astype(jnp.float32) * scale       # (g, d)
             qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
@@ -826,7 +832,10 @@ def _decode_attn_kv_i8c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
                 preferred_element_type=jnp.int32)
             logits = acc.astype(jnp.float32) * qs               # (g, T)
             t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(t_ids <= pos, logits, -1e9)
+            ok = t_ids <= pos
+            if ragged:
+                ok = ok & (t_ids >= start)
+            logits = jnp.where(ok, logits, -1e9)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -841,7 +850,8 @@ def _decode_attn_kv_i8c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def decode_attention_kv_i8c_pallas(q, kv_i8, pos, block_b: int = 1,
+def decode_attention_kv_i8c_pallas(q, kv_i8, pos, starts=None,
+                                   block_b: int = 1,
                                    interpret: bool = False):
     """Channel-scaled combined int8 cache: kv_i8 (B, 2*hkv, d, T) int8;
     q must arrive PRE-FOLDED with the K channel scales and the output
@@ -853,11 +863,14 @@ def decode_attention_kv_i8c_pallas(q, kv_i8, pos, block_b: int = 1,
     assert t % LANE == 0 and b % block_b == 0
     scale = d ** -0.5
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if starts is not None:
+        assert starts.shape == (b,), starts.shape
+        pos_arr = jnp.concatenate([pos_arr, starts.astype(jnp.int32)])
     bb = block_b
 
     return pl.pallas_call(
         functools.partial(_decode_attn_kv_i8c_kernel, scale=scale, hkv=hkv,
-                          bb=bb),
+                          bb=bb, ragged=starts is not None),
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -872,19 +885,20 @@ def decode_attention_kv_i8c_pallas(q, kv_i8, pos, block_b: int = 1,
     )(pos_arr, q, kv_i8)
 
 
-def decode_attention_kv_i8c_ref(q, kv_i8, pos):
+def decode_attention_kv_i8c_ref(q, kv_i8, pos, starts=None):
     """f32 reference of the channel-scaled kernel (no q/p quantization
     — the kernel's int8 rounding is covered by tolerance)."""
     hkv = q.shape[1]
     return decode_attention_ref(
         q, kv_i8[:, :hkv].astype(jnp.float32),
-        kv_i8[:, hkv:].astype(jnp.float32).transpose(0, 1, 3, 2), pos)
+        kv_i8[:, hkv:].astype(jnp.float32).transpose(0, 1, 3, 2), pos,
+        starts=starts)
 
 
-def decode_attention_kv_i8c(q, kv_i8, pos, **kw):
+def decode_attention_kv_i8c(q, kv_i8, pos, starts=None, **kw):
     if on_tpu():
-        return decode_attention_kv_i8c_pallas(q, kv_i8, pos, **kw)
-    return decode_attention_kv_i8c_ref(q, kv_i8, pos)
+        return decode_attention_kv_i8c_pallas(q, kv_i8, pos, starts, **kw)
+    return decode_attention_kv_i8c_ref(q, kv_i8, pos, starts=starts)
 
 
 def decode_attention_dm(q, k_cache, v_cache, pos, **kw):

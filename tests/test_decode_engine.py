@@ -926,9 +926,18 @@ def test_engine_ragged_matches_per_prompt(lm):
                              seed=3)
     for a, b in zip(s1, s2):
         np.testing.assert_array_equal(a, b)
-    with pytest.raises(NotImplementedError, match="bf16 KV"):
+    with pytest.raises(NotImplementedError, match="channel"):
         DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8).generate_ragged(
             prompts, max_new_tokens=4)
+    # channel-static int8 KV: per-row pad-masked scales equal the
+    # single-prompt scales exactly -> same greedy exactness contract
+    kc = DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8,
+                      kv_scale_mode="channel")
+    outc = kc.generate_ragged(prompts, max_new_tokens=8)
+    for r, p in enumerate(prompts):
+        single = kc.generate(p[None], max_new_tokens=8)[0]
+        np.testing.assert_array_equal(outc[r], single,
+                                      err_msg=f"kv8c row {r}")
 
 
 def test_engine_stop_early_matches_scan(lm):
