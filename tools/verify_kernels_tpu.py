@@ -198,6 +198,17 @@ def main():
     results["decode_attn_kv_i8c"] = {"max_abs_diff": d, "tol": 2e-2,
                                      "pass": d <= 2e-2}
 
+    # i8c with per-row ragged starts
+    out = dkk.decode_attention_kv_i8c_pallas(qd * kfd, kv8, 700, starts_,
+                                             block_b=2) * vfd
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, deq[:, :hkv_],
+                                       deq[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700, starts=starts_)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_i8c_ragged"] = {"max_abs_diff": d, "tol": 2e-2,
+                                            "pass": d <= 2e-2}
+
     # merged o_proj + residual + MLP (lane-major megakernel; the
     # attention-side merge is relayout-blocked — module comment)
     hd_ = hkv_ * g_ * d_
