@@ -24,4 +24,8 @@ python -u bench_llm.py --serve --kv8 > /tmp/ql_kv8_1k.log 2>&1
 echo KV8_1K_DONE
 # kernel-level marginals incl. the i8c attention block_b sweep
 python -u bench_decode_probe.py > /tmp/ql_probe.log 2>&1
+echo PROBE_DONE
+# fresh headline (insurance: if the tunnel drops again before the
+# driver's round-end bench run, these numbers exist in the log)
+python -u bench.py > /tmp/ql_headline.log 2>&1
 echo QUEUE_L_DONE
