@@ -1323,14 +1323,15 @@ class DecodeEngine:
         self._last_prefill_logits = logits
         return tok, eng, (s - lens)
 
-    def _make_run_ragged(self, n_tokens: int, sampler=()):
+    def _make_run_ragged(self, n_tokens: int, sampler=(), eos=None):
         """Decode step for ragged batches: per-row rope angles (the
         kernel trig vectors are shared, so rotation moves to XLA with
         the exact kernel formula) + per-row start masks in attention.
         Physical cache slots stay uniform (every row appends at
         start_pos + i); only the LOGICAL rope position differs
-        (lens[r] + i)."""
-        memo = ("ragged", n_tokens, sampler)
+        (lens[r] + i).  eos set: while_loop early exit (the ragged
+        counterpart of _make_run_while)."""
+        memo = ("ragged", n_tokens, sampler, eos)
         if memo in self._run_cache:
             return self._run_cache[memo]
         cfg = self.cfg
@@ -1343,8 +1344,7 @@ class DecodeEngine:
             b = tok0.shape[0]
             bp = max(_round_up(b, 8), 8)
 
-            def body(carry, i):
-                tok, caches = carry
+            def step(tok, caches, i):
                 pos = start_pos + i                      # physical slot
                 pos_log = lens + i                       # (b,) logical
                 angles = pos_log.astype(jnp.float32)[:, None] * freqs
@@ -1372,11 +1372,35 @@ class DecodeEngine:
                 else:
                     nxt = pick(logits[:b] * cfg.logit_scale,
                                jax.random.fold_in(key, i)).astype(tok.dtype)
-                return (nxt, new_caches), nxt
+                return nxt, new_caches
 
-            (_, _), toks = jax.lax.scan(body, (tok0, caches),
-                                        jnp.arange(n_tokens))
-            return toks.T
+            if eos is None:
+                def body(carry, i):
+                    tok, caches = carry
+                    nxt, new_caches = step(tok, caches, i)
+                    return (nxt, new_caches), nxt
+
+                (_, _), toks = jax.lax.scan(body, (tok0, caches),
+                                            jnp.arange(n_tokens))
+                return toks.T
+
+            def cond(st):
+                i, _, done, _, _ = st
+                return (i < n_tokens) & ~jnp.all(done)
+
+            def wbody(st):
+                i, tok, done, caches, buf = st
+                nxt, new_caches = step(tok, caches, i)
+                nxt = jnp.where(done, eos, nxt)
+                return (i + 1, nxt, done | (nxt == eos), new_caches,
+                        jax.lax.dynamic_update_slice(buf, nxt[:, None],
+                                                     (0, i)))
+
+            _, _, _, _, buf = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), tok0, tok0 == eos,
+                              caches, jnp.full((b, n_tokens), eos,
+                                               tok0.dtype)))
+            return buf
 
         self._run_cache[memo] = run
         return run
@@ -1384,7 +1408,8 @@ class DecodeEngine:
     def generate_ragged(self, prompts, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,
                         top_p: float = 0.0, seed: int = 0,
-                        eos_token_id: Optional[int] = None):
+                        eos_token_id: Optional[int] = None,
+                        stop_early: bool = False):
         """Serve a RAGGED batch — prompts of different lengths in one
         engine batch (the production serving shape; the reference and
         HF generate handle this with left-padding + attention masks).
@@ -1420,7 +1445,11 @@ class DecodeEngine:
                 self._last_prefill_logits,
                 jax.random.fold_in(key, 2**32 - 1)).astype(tok0.dtype)
         self._last_prefill_logits = None
-        run = self._make_run_ragged(max_new_tokens - 1, sampler)
+        if stop_early and eos_token_id is None:
+            raise ValueError("stop_early needs eos_token_id")
+        run = self._make_run_ragged(
+            max_new_tokens - 1, sampler,
+            eos=int(eos_token_id) if stop_early else None)
         toks = run(self.layers, self.embed, self.final_norm, self._head,
                    tok0, caches, jnp.int32(s), jnp.asarray(lens),
                    jnp.asarray(starts, jnp.int32), key)

@@ -929,6 +929,15 @@ def test_engine_ragged_matches_per_prompt(lm):
     with pytest.raises(NotImplementedError, match="channel"):
         DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8).generate_ragged(
             prompts, max_new_tokens=4)
+    # ragged + EOS early exit: token-identical to the ragged scan +
+    # pad-after-eos
+    base = eng.generate_ragged(prompts, max_new_tokens=8)
+    eosr = int(base[0][-5])
+    w1 = eng.generate_ragged(prompts, max_new_tokens=8, eos_token_id=eosr)
+    w2 = eng.generate_ragged(prompts, max_new_tokens=8, eos_token_id=eosr,
+                             stop_early=True)
+    for a, b in zip(w1, w2):
+        np.testing.assert_array_equal(a, b)
     # channel-static int8 KV: per-row pad-masked scales equal the
     # single-prompt scales exactly -> same greedy exactness contract
     kc = DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8,
