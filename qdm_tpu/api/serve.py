@@ -1,6 +1,6 @@
 """Megakernel decode engine for LLM serving.
 
-``DecodeEngine`` runs greedy decode with THREE pallas calls per decoder
+``DecodeEngine`` decodes with THREE pallas calls per decoder
 layer (qdm_tpu/ops/decode_kernels.py) instead of the ~15 small XLA ops
 the module-based path emits — the fix for the measured
 small-op-overhead bound at batch-32 serving (BENCH_NOTES.md round 2:
@@ -193,7 +193,9 @@ def _kv_shard_perm(hkv: int, tp: int) -> np.ndarray:
 
 
 class DecodeEngine:
-    """Extracted-weight greedy-decode engine over megakernels."""
+    """Extracted-weight decode engine over megakernels: greedy or
+    sampled, equal-length or ragged batches, EOS early exit, dp x tp
+    meshes (multi-host capable) — see the module docstring."""
 
     def __init__(self, lm, mode: str = "bf16",
                  act_stats: Optional[Dict[str, jnp.ndarray]] = None,
