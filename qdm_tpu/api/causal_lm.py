@@ -475,10 +475,19 @@ class CausalLM:
         key = jax.random.PRNGKey(seed)
         tok, caches = prefill(self.params, ids, caches, key)
         out = [np.asarray(tok)]
+        done = (out[0] == eos_token_id) if eos_token_id is not None else None
         for i in range(max_new_tokens - 1):
+            if done is not None and done.all():
+                # every row finished: the remaining tokens would be
+                # masked to EOS anyway — stop paying for the steps
+                out.extend([np.full_like(out[0], eos_token_id)]
+                           * (max_new_tokens - 1 - i))
+                break
             tok, caches = step(self.params, tok, caches, s + i,
                                jax.random.fold_in(key, i + 1))
             out.append(np.asarray(tok))
+            if done is not None:
+                done = done | (out[-1] == eos_token_id)
         new = np.stack(out, 1)
         if eos_token_id is not None:
             new = mask_after_eos(new, eos_token_id)
