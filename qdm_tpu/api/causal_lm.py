@@ -43,7 +43,12 @@ def sample_token(logits, key, temperature: float = 0.0, top_k: int = 0,
     sampling with optional top-k and/or nucleus (top-p) truncation —
     the decoding knobs the reference drives through HF ``generate``
     (evaluation/humaneval_utils.py:85-95: temperature=0.2, top_p=0.95,
-    do_sample=True)."""
+    do_sample=True).
+
+    ``key`` may be one PRNG key (batch-shaped draw) or a (B, 2) batch
+    of PER-ROW keys — the per-request form: each row's stream depends
+    only on its own key, so a request's sampled completion is
+    reproducible regardless of batch composition."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / temperature
@@ -60,7 +65,18 @@ def sample_token(logits, key, temperature: float = 0.0, top_k: int = 0,
         cutoff = jnp.min(jnp.where(keep, sort, jnp.inf), axis=-1,
                          keepdims=True)
         lg = jnp.where(lg < cutoff, -jnp.inf, lg)
+    if getattr(key, "ndim", 0) == 2:                 # per-row keys (B, 2)
+        return jax.vmap(
+            lambda k, l: jax.random.categorical(k, l))(key, lg).astype(
+                jnp.int32)
     return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+
+def fold_key(key, i):
+    """fold_in that transparently handles a (B, 2) per-row key batch."""
+    if getattr(key, "ndim", 0) == 2:
+        return jax.vmap(lambda k: jax.random.fold_in(k, i))(key)
+    return jax.random.fold_in(key, i)
 
 
 def mask_after_eos(tokens: np.ndarray, eos_token_id: int) -> np.ndarray:

@@ -1372,8 +1372,10 @@ class DecodeEngine:
                 if pick is None:
                     nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 else:
+                    from qdm_tpu.api.causal_lm import fold_key
+
                     nxt = pick(logits[:b] * cfg.logit_scale,
-                               jax.random.fold_in(key, i)).astype(tok.dtype)
+                               fold_key(key, i)).astype(tok.dtype)
                 return nxt, new_caches
 
             if eos is None:
@@ -1410,6 +1412,7 @@ class DecodeEngine:
     def generate_ragged(self, prompts, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,
                         top_p: float = 0.0, seed: int = 0,
+                        per_row_seeds=None,
                         eos_token_id: Optional[int] = None,
                         stop_early: bool = False):
         """Serve a RAGGED batch — prompts of different lengths in one
@@ -1441,11 +1444,24 @@ class DecodeEngine:
         tok0, caches, starts = self.prefill_ragged(ids, lens, max_len)
         sampler = ((float(temperature), int(top_k), float(top_p))
                    if temperature > 0.0 else ())
-        key = jax.random.PRNGKey(seed) if sampler else None
+        key = None
         if sampler:
+            if per_row_seeds is not None:
+                # PER-REQUEST reproducibility: each row's stream
+                # depends only on its own seed, so a request's sampled
+                # completion is identical whatever else shares the
+                # batch (tested: row == the same prompt served alone
+                # with the same seed)
+                seeds = jnp.asarray(per_row_seeds, jnp.uint32)
+                assert seeds.shape == (b,), (seeds.shape, b)
+                key = jax.vmap(jax.random.PRNGKey)(seeds)      # (B, 2)
+            else:
+                key = jax.random.PRNGKey(seed)
+            from qdm_tpu.api.causal_lm import fold_key
+
             tok0 = self._pick0(sampler)(
                 self._last_prefill_logits,
-                jax.random.fold_in(key, 2**32 - 1)).astype(tok0.dtype)
+                fold_key(key, 2**32 - 1)).astype(tok0.dtype)
         self._last_prefill_logits = None
         if stop_early and eos_token_id is None:
             raise ValueError("stop_early needs eos_token_id")

@@ -926,6 +926,14 @@ def test_engine_ragged_matches_per_prompt(lm):
                              seed=3)
     for a, b in zip(s1, s2):
         np.testing.assert_array_equal(a, b)
+    # per-request seeds: a row's sampled completion is reproducible
+    # REGARDLESS of batch composition (each row's stream depends only
+    # on its own key)
+    pr = eng.generate_ragged(prompts, max_new_tokens=8, temperature=2.0,
+                             per_row_seeds=[7, 8, 9, 10])
+    solo = eng.generate_ragged([prompts[1]], max_new_tokens=8,
+                               temperature=2.0, per_row_seeds=[8])
+    np.testing.assert_array_equal(pr[1], solo[0])
     with pytest.raises(NotImplementedError, match="channel"):
         DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8).generate_ragged(
             prompts, max_new_tokens=4)
