@@ -908,9 +908,11 @@ class DecodeEngine:
                     # transform — greedy argmax is invariant
                     nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 else:
+                    from qdm_tpu.api.causal_lm import fold_key
+
                     # sampling IS logit_scale/temperature sensitive
                     nxt = pick(logits[:b] * self.cfg.logit_scale,
-                               jax.random.fold_in(key, i)).astype(tok.dtype)
+                               fold_key(key, i)).astype(tok.dtype)
                 return (nxt, new_caches), nxt
 
             (_, _), toks = jax.lax.scan(body, (tok0, caches),
@@ -964,8 +966,10 @@ class DecodeEngine:
                 if pick is None:
                     nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
                 else:
+                    from qdm_tpu.api.causal_lm import fold_key
+
                     nxt = pick(logits[:b] * cfg.logit_scale,
-                               jax.random.fold_in(key, i)).astype(tok.dtype)
+                               fold_key(key, i)).astype(tok.dtype)
                 nxt = jnp.where(done, eos, nxt)
                 return (i + 1, nxt, done | (nxt == eos), new_caches,
                         jax.lax.dynamic_update_slice(buf, nxt[:, None],
@@ -1184,6 +1188,7 @@ class DecodeEngine:
     def generate(self, input_ids, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 0.0, seed: int = 0,
+                 per_row_seeds=None,
                  eos_token_id: Optional[int] = None,
                  stop_early: bool = False) -> np.ndarray:
         """Decode.  Greedy by default (works single-device, under any
@@ -1230,15 +1235,23 @@ class DecodeEngine:
         else:
             run = self._make_run(max_new_tokens - 1, sampler)
         weights = self.layers
-        key = jax.random.PRNGKey(seed) if sampler else None
+        key = None
         if sampler:
+            if per_row_seeds is not None:
+                seeds = jnp.asarray(per_row_seeds, jnp.uint32)
+                assert seeds.shape == (b,), (seeds.shape, b)
+                key = jax.vmap(jax.random.PRNGKey)(seeds)      # (B, 2)
+            else:
+                key = jax.random.PRNGKey(seed)
+            from qdm_tpu.api.causal_lm import fold_key
+
             # pick the first token with the sampler too, from the
             # prefill's last-position logits (module-path logits —
             # logit_scale is ALREADY applied there, llama.py).  One
             # memoized jitted launch, not eager per-op dispatches.
             tok0 = self._pick0(sampler)(
                 self._last_prefill_logits,
-                jax.random.fold_in(key, 2**32 - 1)).astype(tok0.dtype)
+                fold_key(key, 2**32 - 1)).astype(tok0.dtype)
         self._last_prefill_logits = None
         toks = run(weights, self.embed, self.final_norm, self._head,
                    tok0, caches, jnp.int32(s), key)

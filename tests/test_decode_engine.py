@@ -934,6 +934,13 @@ def test_engine_ragged_matches_per_prompt(lm):
     solo = eng.generate_ragged([prompts[1]], max_new_tokens=8,
                                temperature=2.0, per_row_seeds=[8])
     np.testing.assert_array_equal(pr[1], solo[0])
+    # same property on the fixed-length generate()
+    ids4 = np.tile(prompts[1][None], (2, 1))
+    g2 = eng.generate(ids4, max_new_tokens=8, temperature=2.0,
+                      per_row_seeds=[8, 9])
+    g1 = eng.generate(prompts[1][None], max_new_tokens=8, temperature=2.0,
+                      per_row_seeds=[8])
+    np.testing.assert_array_equal(g2[0], g1[0])
     with pytest.raises(NotImplementedError, match="channel"):
         DecodeEngine(lm, mode="bf16", kv_dtype=jnp.int8).generate_ragged(
             prompts, max_new_tokens=4)
