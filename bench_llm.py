@@ -230,7 +230,17 @@ def serve_main():
                 ("engine_w4a8_kv8c", {"mode": "w4a8_static",
                                       "act_stats": stats,
                                       "kv_dtype": jnp.int8,
-                                      "kv_scale_mode": "channel"}))
+                                      "kv_scale_mode": "channel"}),
+                # int4 KV (channel-static only): packed depth-channel
+                # nibble pairs — a QUARTER of the bf16 cache read, and
+                # the same zero-scale-arithmetic kernel shape as i8c
+                # plus the in-kernel nibble unpack
+                ("engine_w8a8_kv4", {"mode": "w8a8_static",
+                                     "act_stats": stats,
+                                     "kv_dtype": "int4"}),
+                ("engine_w4a8_kv4", {"mode": "w4a8_static",
+                                     "act_stats": stats,
+                                     "kv_dtype": "int4"}))
         for ename, kw in rows:
             eng = DecodeEngine(lm, **kw)
             tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)

@@ -269,12 +269,24 @@ class DecodeEngine:
         #   per-token scale arithmetic in the kernel
         #   (decode_attention_kv_i8c), so the halved cache read is pure
         #   saving.  Quality is a measured trade (quality-table row).
+        # kv_dtype='int4' packs two depth channels per cache byte
+        # (pack_kv_int4) — a QUARTER of the bf16 cache read.  int4 KV
+        # is channel-static only (per-token int4 scales would cost
+        # more arithmetic than the per-token int8 scheme that already
+        # loses), so kv_scale_mode is forced to 'channel'.
         self.kv_dtype = kv_dtype
+        if kv_dtype == "int4":
+            if cfg.head_dim % 2:
+                raise ValueError("int4 KV packs depth-channel pairs; "
+                                 f"head_dim={cfg.head_dim} must be even")
+            kv_scale_mode = "channel"
         if kv_scale_mode not in ("token", "channel"):
             raise ValueError(f"kv_scale_mode: {kv_scale_mode!r}")
-        if kv_scale_mode == "channel" and kv_dtype != jnp.int8:
+        if kv_scale_mode == "channel" and kv_dtype not in (jnp.int8, "int4"):
             raise ValueError("kv_scale_mode='channel' requires "
-                             "kv_dtype=jnp.int8")
+                             "kv_dtype=jnp.int8 or 'int4'")
+        # quantized-KV code range: int8 codes span +-127, int4 +-7
+        self._kv_qmax = 7.0 if kv_dtype == "int4" else 127.0
         self.kv_scale_mode = kv_scale_mode
         self.kv_margin = float(kv_margin)
         # attention kernel batch rows per program (measured sweep:
@@ -688,12 +700,17 @@ class DecodeEngine:
             qkv = (qf32 * cosb + qf32[:, perm] * sinb).astype(qkv.dtype)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
         kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
-        if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
+        if self.kv_scale_mode == "channel" and self.kv_dtype is not None:
             kv, csc = cache            # csc (B, 2hkv, d, 1) static
+            qmax = self._kv_qmax
             newq = jnp.clip(jnp.round(kv_new.astype(jnp.float32)
-                                      / csc[..., 0]), -127, 127)
-            kv = jax.lax.dynamic_update_slice(
-                kv, newq.astype(jnp.int8)[:, :, :, None], (0, 0, 0, pos))
+                                      / csc[..., 0]), -qmax, qmax)
+            if self.kv_dtype == "int4":
+                upd = dk.pack_kv_int4(
+                    newq.astype(jnp.int32)[:, :, :, None])
+            else:
+                upd = newq.astype(jnp.int8)[:, :, :, None]
+            kv = jax.lax.dynamic_update_slice(kv, upd, (0, 0, 0, pos))
             # K channel scales fold into q (QK contracts over d), V
             # channel scales into the output (d is free in PV) — the
             # kernel sees no scales at all
@@ -706,9 +723,11 @@ class DecodeEngine:
             bb = self.block_b if b % self.block_b == 0 else 1
             # q rides f32 into the kernel (tiny array; a bf16 fold
             # would stack rounding on top of the int8 quantization)
-            attn = dk.decode_attention_kv_i8c(
-                q.astype(jnp.float32) * kf, kv, pos, starts=attn_starts,
-                block_b=bb)
+            attn_kernel = (dk.decode_attention_kv_i4c
+                           if self.kv_dtype == "int4"
+                           else dk.decode_attention_kv_i8c)
+            attn = attn_kernel(q.astype(jnp.float32) * kf, kv, pos,
+                               starts=attn_starts, block_b=bb)
             attn = (attn.astype(jnp.float32) * vf).astype(x.dtype)
             cache = (kv, csc)
         elif self.kv_dtype == jnp.int8:
@@ -1094,6 +1113,12 @@ class DecodeEngine:
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
+        if self.kv_dtype == "int4":
+            return [(jnp.zeros(shape[:2] + (cfg.head_dim // 2, tp),
+                               jnp.int8),
+                     jnp.ones((batch, 2 * cfg.num_key_value_heads,
+                               cfg.head_dim, 1), jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
         if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
             return [(jnp.zeros(shape, jnp.int8),
                      jnp.ones((batch, 2 * cfg.num_key_value_heads,
@@ -1133,7 +1158,10 @@ class DecodeEngine:
 
         if self._prefill_fn is None:
             kv_int8 = self.kv_dtype == jnp.int8
-            kv_channel = kv_int8 and self.kv_scale_mode == "channel"
+            kv_channel = (self.kv_scale_mode == "channel"
+                          and self.kv_dtype is not None)
+            kv_int4 = self.kv_dtype == "int4"
+            qmax = self._kv_qmax
             kv_margin = self.kv_margin
             kv_perm = (jnp.asarray(_kv_shard_perm(
                 self.cfg.num_key_value_heads, self.tp))
@@ -1158,10 +1186,14 @@ class DecodeEngine:
                         kvf = kvdm.astype(jnp.float32)
                         sc = jnp.clip(jnp.max(jnp.abs(kvf), axis=3,
                                               keepdims=True),
-                                      1e-8, None) * (kv_margin / 127.0)
-                        eng.append((jnp.clip(jnp.round(kvf / sc), -127,
-                                             127).astype(jnp.int8),
-                                    sc))                     # (B,2hkv,d,1)
+                                      1e-8, None) * (kv_margin / qmax)
+                        codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
+                        if kv_int4:
+                            eng.append((dk.pack_kv_int4(
+                                codes.astype(jnp.int32)), sc))
+                        else:
+                            eng.append((codes.astype(jnp.int8),
+                                        sc))                 # (B,2hkv,d,1)
                     elif kv_int8:
                         kvf = kvdm.astype(jnp.float32)
                         ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
@@ -1294,7 +1326,9 @@ class DecodeEngine:
                   for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_ragged_fn is None:
-            kv_channel = self.kv_dtype == jnp.int8
+            kv_channel = self.kv_dtype is not None
+            kv_int4 = self.kv_dtype == "int4"
+            qmax = self._kv_qmax
             kv_margin = self.kv_margin
 
             @jax.jit
@@ -1324,9 +1358,13 @@ class DecodeEngine:
                         mag = jnp.where(valid[:, None, None, :],
                                         jnp.abs(kvf), 0.0)
                         sc = jnp.clip(jnp.max(mag, axis=3, keepdims=True),
-                                      1e-8, None) * (kv_margin / 127.0)
-                        eng.append((jnp.clip(jnp.round(kvf / sc), -127,
-                                             127).astype(jnp.int8), sc))
+                                      1e-8, None) * (kv_margin / qmax)
+                        codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
+                        if kv_int4:
+                            eng.append((dk.pack_kv_int4(
+                                codes.astype(jnp.int32)), sc))
+                        else:
+                            eng.append((codes.astype(jnp.int8), sc))
                     else:
                         eng.append((kvdm,))
                 return tok, logits, eng
@@ -1536,7 +1574,7 @@ class DecodeEngine:
 
             self._score_cache[s] = fn = run
         caches = self.init_cache(b, s)
-        if self.kv_dtype == jnp.int8 and self.kv_scale_mode == "channel":
+        if self.kv_scale_mode == "channel" and self.kv_dtype is not None:
             # channel-static scales come from a prompt prefill in
             # serving; for teacher-forced scoring, derive them from
             # the scored sequence itself (same semantics: the scales

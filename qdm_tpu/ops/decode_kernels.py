@@ -901,6 +901,128 @@ def decode_attention_kv_i8c(q, kv_i8, pos, starts=None, **kw):
     return decode_attention_kv_i8c_ref(q, kv_i8, pos, starts=starts)
 
 
+def pack_kv_int4(codes):
+    """Pack int4-valued codes (..., d, T) along the DEPTH axis into
+    bytes (..., d/2, T): channel c rides the low nibble, channel
+    c + d/2 the high nibble (the planar-weight convention,
+    pack_int4_planar).  Depth-packing keeps the per-decode-step cache
+    write one dynamic_update_slice (a full d column for the new token
+    arrives at once), unlike lane/T-packing which would need a nibble
+    read-modify-write."""
+    d = codes.shape[-2]
+    lo = codes[..., : d // 2, :]
+    hi = codes[..., d // 2:, :]
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def unpack_kv_int4(packed):
+    """Inverse of pack_kv_int4 (jnp reference): bytes (..., d/2, T) ->
+    int32 codes (..., d, T)."""
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 << 28) >> 28
+    hi = p32 >> 4
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def _decode_attn_kv_i4c_kernel(pos_ref, q_ref, kv_ref, o_ref, *,
+                               scale: float, hkv: int, bb: int,
+                               ragged: bool = False):
+    """Channel-scaled INT4 combined cache: kv_ref (bb, 2*hkv, d/2, T)
+    int8 bytes holding two depth channels per byte (pack_kv_int4), so
+    the cache read is HALF the i8c kernel's bytes and a QUARTER of
+    bf16.  Scale handling is identical to the i8c kernel (K channel
+    scales folded into q outside, V channel scales into the output
+    outside; codes span ±7).  The nibble unpack sign-extends through
+    int32 shifts (_nibbles — Mosaic has no int8 vector shift) and the
+    two (d/2, T) planes stack back along sublanes into the full
+    (d, T) operand for the same two int8 MXU dots as i8c."""
+    pos = pos_ref[0]
+    for bi in range(bb):
+        start = (pos_ref[1 + pl.program_id(0) * bb + bi] if ragged
+                 else None)
+        for h in range(hkv):
+            qf = q_ref[bi, h].astype(jnp.float32) * scale       # (g, d)
+            qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            qi = jnp.round(qf / qs).astype(jnp.int8)
+            k_lo, k_hi = _nibbles(kv_ref[bi, h])
+            k = jnp.concatenate([k_lo, k_hi], axis=0)           # (d, T)
+            acc = jax.lax.dot_general(
+                qi, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) * qs               # (g, T)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            ok = t_ids <= pos
+            if ragged:
+                ok = ok & (t_ids >= start)
+            logits = jnp.where(ok, logits, -1e9)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True),
+                          1e-8, None) / 127.0
+            pi = jnp.round(p / ps).astype(jnp.int8)
+            v_lo, v_hi = _nibbles(kv_ref[bi, hkv + h])
+            v = jnp.concatenate([v_lo, v_hi], axis=0)           # (d, T)
+            o = jax.lax.dot_general(
+                pi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[bi, h] = (o.astype(jnp.float32) * ps).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def decode_attention_kv_i4c_pallas(q, kv_p, pos, starts=None,
+                                   block_b: int = 1,
+                                   interpret: bool = False):
+    """Channel-scaled combined INT4 cache: kv_p (B, 2*hkv, d/2, T)
+    packed bytes (pack_kv_int4).  Same calling contract as the i8c
+    kernel: q arrives PRE-FOLDED with the K channel scales, the output
+    must be POST-FOLDED with the V channel scales by the caller."""
+    bp, hkv, g, d = q.shape
+    b, t = kv_p.shape[0], kv_p.shape[-1]
+    assert kv_p.shape == (b, 2 * hkv, d // 2, t), (kv_p.shape, q.shape)
+    assert t % LANE == 0 and b % block_b == 0
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if starts is not None:
+        assert starts.shape == (b,), starts.shape
+        pos_arr = jnp.concatenate([pos_arr, starts.astype(jnp.int32)])
+    bb = block_b
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kv_i4c_kernel, scale=scale, hkv=hkv,
+                          bb=bb, ragged=starts is not None),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, 2 * hkv, d // 2, t), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, hkv, g, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos_arr, q, kv_p)
+
+
+def decode_attention_kv_i4c_ref(q, kv_p, pos, starts=None):
+    """f32 reference of the int4 channel-scaled kernel: unpack the
+    nibble codes and run scale-free attention (kernel q/p quantization
+    covered by tolerance, like the i8c ref)."""
+    hkv = q.shape[1]
+    kv = unpack_kv_int4(kv_p).astype(jnp.float32)
+    return decode_attention_ref(
+        q, kv[:, :hkv], kv[:, hkv:].transpose(0, 1, 3, 2), pos,
+        starts=starts)
+
+
+def decode_attention_kv_i4c(q, kv_p, pos, starts=None, **kw):
+    if on_tpu():
+        return decode_attention_kv_i4c_pallas(q, kv_p, pos, starts, **kw)
+    return decode_attention_kv_i4c_ref(q, kv_p, pos, starts=starts)
+
+
 def decode_attention_dm(q, k_cache, v_cache, pos, **kw):
     """Depth-major attention dispatcher (both caches (B, hkv, d, T))."""
     if on_tpu():

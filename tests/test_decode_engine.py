@@ -289,6 +289,83 @@ def test_kv_i8c_ref_matches_token_scales():
     np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_pack_kv_int4_bijection():
+    """Depth-axis nibble packing round-trips every int4 code."""
+    rng = np.random.default_rng(7)
+    codes = rng.integers(-8, 8, (2, 4, 16, 64)).astype(np.int32)
+    packed = dk.pack_kv_int4(jnp.asarray(codes))
+    assert packed.shape == (2, 4, 8, 64) and packed.dtype == jnp.int8
+    back = dk.unpack_kv_int4(packed)
+    np.testing.assert_array_equal(np.asarray(back), codes)
+
+
+def test_kv_i4c_interpret_matches_ref():
+    """The i4c pallas kernel (in-kernel nibble unpack through int32
+    shifts, sublane-stacked half planes, pos masking, block_b grid,
+    bp>b padding, ragged starts) vs the unpacking f32 ref — in the
+    folded-scales regime like the i8c test."""
+    rng = np.random.default_rng(11)
+    b, hkv, g, d, t = 4, 2, 4, 64, 256
+    pos = 130
+    kvf = rng.normal(size=(b, 2 * hkv, d, t)).astype(np.float32)
+    sc = np.abs(kvf).max(axis=3, keepdims=True).clip(1e-6) / 7.0
+    codes = np.clip(np.round(kvf / sc), -7, 7).astype(np.int32)
+    kv_p = dk.pack_kv_int4(jnp.asarray(codes))
+    kf = sc[:, :hkv].transpose(0, 1, 3, 2)                 # (b,hkv,1,d)
+    starts = jnp.asarray([0, 9, 40, 100], jnp.int32)
+    for bp, bb, st in ((b, 1, None), (b, 2, None), (b + 4, 1, None),
+                       (b, 2, starts)):
+        q = rng.normal(size=(bp, hkv, g, d)).astype(np.float32)
+        qf = jnp.asarray(q * np.pad(kf, ((0, bp - b),) + ((0, 0),) * 3,
+                                    constant_values=1.0))
+        out = dk.decode_attention_kv_i4c_pallas(qf, kv_p, pos, starts=st,
+                                                block_b=bb, interpret=True)
+        ref = dk.decode_attention_kv_i4c_ref(qf, kv_p, pos, starts=st)
+        np.testing.assert_allclose(np.asarray(out)[:b], np.asarray(ref)[:b],
+                                   rtol=0, atol=2.0,
+                                   err_msg=f"bp={bp} bb={bb}")
+
+
+def test_engine_int4_kv_channel_static(lm):
+    """int4 KV cache (kv_dtype='int4'): packed depth-channel pairs,
+    channel-static scales forced (kv_scale_mode auto-set).  Tokens
+    track the bf16-cache engine on a tiny model; repeat runs are
+    deterministic (decode writes clip at the prefill-derived range)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    eng = DecodeEngine(lm, mode="bf16", kv_dtype="int4")
+    assert eng.kv_scale_mode == "channel"
+    out = eng.generate(ids, max_new_tokens=10)
+    ref = lm.generate(ids, max_new_tokens=10)
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.6, (out, ref)
+    out2 = eng.generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(out, out2)
+    sc = np.asarray(eng.score(ids))
+    assert np.isfinite(sc).all()
+    # the packed cache really is half the int8 cache's depth rows
+    caches = eng.init_cache(2, 128)
+    d = lm.config.head_dim
+    assert caches[0][0].shape[2] == d // 2
+
+
+def test_engine_int4_kv_ragged(lm):
+    """Ragged x int4 KV: the per-row pad-masked channel scales follow
+    the kv8c scheme, but the bit-identity contract does NOT transfer
+    to 4 bits — XLA computes batch-3 and batch-1 forwards with
+    different f32 reassociation (~1 ULP on the raw K/V, measured), and
+    the int4 grid is coarse enough that a sub-ULP shift can flip a
+    code where int8 absorbs it.  The honest contract: every ragged row
+    tracks its single-prompt run closely."""
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, 256, (n,)) for n in (3, 7, 5)]
+    eng = DecodeEngine(lm, mode="bf16", kv_dtype="int4")
+    out = eng.generate_ragged(prompts, max_new_tokens=8)
+    for r, p in enumerate(prompts):
+        single = eng.generate(p[None], max_new_tokens=8)[0]
+        match = (out[r] == single).mean()
+        assert match > 0.75, (r, match, out[r], single)
+
+
 def test_fused_dense_rope_interpret_matches_ref():
     """In-kernel rope epilogue (pltpu.roll partner trick) vs the jnp
     reference AND vs the canonical models/llama.py rope math."""
