@@ -71,7 +71,11 @@ def serve_main():
     lm = CausalLM.from_config(cfg, dtype=dtype)
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (batch, prefill)), jnp.int32)
-    max_len = prefill + n_new + 1
+    # 128-align the module-path cache length: XLA only flash-fuses the
+    # prefill attention on aligned seqs — the unaligned 4129 cache at
+    # ctx 4096 batch 16 materialized f32 (B,hkv,g,S,T) logits = 34.7 GB
+    # (OOM, r3l).  The engine rounds internally already.
+    max_len = -(-(prefill + n_new + 1) // 128) * 128
 
     def timed(model, params, cache_dtype):
         run = decode_loop(model, params, ids, n_new, max_len, cache_dtype)
@@ -175,7 +179,10 @@ def serve_main():
 
     out = {"metric": f"LLM 1B serve decode tok/s (batch {batch}, ctx {prefill})"}
 
-    if "--engine-only" not in sys.argv:
+    # --kv8 implies engine-only: the KV-dtype crossover is an ENGINE
+    # study, and the module rows' ctx-4096 prefill is where the r3l
+    # OOM lived
+    if "--engine-only" not in sys.argv and "--kv8" not in sys.argv:
         w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
                             quantize_act=True, act_quant="per_token")
         plan8 = QuantPlan(default=w8).with_rule("lm_head", None)
