@@ -64,48 +64,151 @@ def format_mmlu_prompt(item: Dict, choices: Sequence[str] = ("A", "B", "C", "D")
     return header + "".join(one(f, True) for f in fewshot) + one(item, False)
 
 
+# The 57 hendrycks-test subjects grouped into lm_eval's four MMLU
+# categories (the grouping `evaluator.make_table` reports when the
+# reference runs tasks=["mmlu"], eval_utils.py:117-164).  Public
+# protocol constants (hendrycks/test categories.py).
+MMLU_CATEGORIES: Dict[str, Sequence[str]] = {
+    "stem": (
+        "abstract_algebra", "astronomy", "college_biology",
+        "college_chemistry", "college_computer_science",
+        "college_mathematics", "college_physics", "computer_security",
+        "conceptual_physics", "electrical_engineering",
+        "elementary_mathematics", "high_school_biology",
+        "high_school_chemistry", "high_school_computer_science",
+        "high_school_mathematics", "high_school_physics",
+        "high_school_statistics", "machine_learning"),
+    "humanities": (
+        "formal_logic", "high_school_european_history",
+        "high_school_us_history", "high_school_world_history",
+        "international_law", "jurisprudence", "logical_fallacies",
+        "moral_disputes", "moral_scenarios", "philosophy", "prehistory",
+        "professional_law", "world_religions"),
+    "social_sciences": (
+        "econometrics", "high_school_geography",
+        "high_school_government_and_politics",
+        "high_school_macroeconomics", "high_school_microeconomics",
+        "high_school_psychology", "human_sexuality",
+        "professional_psychology", "public_relations",
+        "security_studies", "sociology", "us_foreign_policy"),
+    "other": (
+        "anatomy", "business_ethics", "clinical_knowledge",
+        "college_medicine", "global_facts", "human_aging", "management",
+        "marketing", "medical_genetics", "miscellaneous", "nutrition",
+        "professional_accounting", "professional_medicine", "virology"),
+}
+
+_SUBJECT_TO_CATEGORY = {s: c for c, subs in MMLU_CATEGORIES.items()
+                        for s in subs}
+
+
 def eval_mmlu(logits_fn: Callable, tokenizer, items: Iterable[Dict],
               choices: Sequence[str] = ("A", "B", "C", "D"),
               fewshot: Sequence[Dict] = (),
-              n_shot: int = 0) -> Dict[str, float]:
+              n_shot: int = 0,
+              dev_items: Sequence[Dict] = (),
+              batch_size: int = 8) -> Dict[str, float]:
     """items: {'question': str, 'choices': [4 x str], 'answer': int,
     'subject'?: str}.  Scores each choice by the logprob of its letter
     token appended to the prompt (the lm_eval 'mmlu' protocol's
-    loglikelihood core), with optional k-shot exemplars (MMLU standard
-    is 5-shot) and per-subject accuracy aggregation."""
+    loglikelihood core: the ' A'..' D' continuations are single
+    tokens), with k-shot exemplars and per-subject + per-category
+    accuracy aggregation (MMLU standard is 5-shot).
+
+    Protocol fidelity vs lm_eval (which the reference shells out to,
+    eval_utils.py:117-164):
+    * exemplars come from the DEV split of the item's own subject
+      (`dev_items`, first `n_shot` matching entries — lm_eval's
+      fewshot sampler); a flat `fewshot` list is the subject-agnostic
+      fallback.
+    * all four letter logprobs read ONE forward of the shared prompt
+      prefix — causally identical to four continuation forwards (the
+      letter token's logit depends only on tokens before it) — and
+      items are batched `batch_size` per dispatch, right-padded
+      (causal masking makes right padding score-neutral).
+    * aggregate accuracy is item-averaged ('acc' micro average);
+      category rows average their subjects like make_table's groups.
+    """
     import jax
     import jax.numpy as jnp
 
+    items = list(items)
+    prompts, letter_rows = [], []
+    for item in items:
+        if n_shot and dev_items:
+            subj = item.get("subject", "")
+            shots = [d for d in dev_items
+                     if d.get("subject", "") == subj][:n_shot]
+            if not shots:
+                shots = list(dev_items)[:n_shot]
+        else:
+            shots = list(fewshot)[:n_shot] if n_shot else []
+        prompts.append(format_mmlu_prompt(item, choices, shots,
+                                          item.get("subject", "")))
+
+    # tokenize once; find each letter's divergence position vs the
+    # bare prompt (robust to right-padding tokenizers)
+    rows = []                     # (base_ids, [(pos, letter_id), ...])
+    for item, prompt in zip(items, prompts):
+        base = np.asarray(tokenizer([prompt])).reshape(-1)
+        per_letter = []
+        for letter in choices[: len(item["choices"])]:
+            ids = np.asarray(tokenizer([prompt + " " + letter])).reshape(-1)
+            m = min(len(ids), len(base))
+            diff = np.nonzero(ids[:m] != base[:m])[0]
+            pos = (int(diff[0]) if len(diff)
+                   else m if len(ids) > m else len(ids) - 1)
+            per_letter.append((pos, int(ids[pos])))
+        rows.append((base, per_letter))
+
     correct = total = 0
     by_subject: Dict[str, List[int]] = {}
-    for item in items:
-        shots = tuple(fewshot)[:n_shot] if n_shot else ()
-        prompt = format_mmlu_prompt(item, choices, shots,
-                                    item.get("subject", ""))
-        base = np.asarray(tokenizer([prompt])).reshape(1, -1)
-        scores = []
-        for letter in choices[: len(item["choices"])]:
-            ids = np.asarray(tokenizer([prompt + " " + letter])).reshape(1, -1)
-            # letter-token position: first index where the tokenization
-            # diverges from the bare prompt's (robust to tokenizers
-            # that right-pad — scoring the last position would read a
-            # pad token there)
-            m = min(ids.shape[1], base.shape[1])
-            diff = np.nonzero(ids[0, :m] != base[0, :m])[0]
-            pos = (int(diff[0]) if len(diff)
-                   else m if ids.shape[1] > m else ids.shape[1] - 1)
-            logits = np.asarray(logits_fn(jnp.asarray(ids)))
-            logp = jax.nn.log_softmax(jnp.asarray(logits[0, pos - 1]))
-            scores.append(float(logp[ids[0, pos]]))
-        hit = int(np.argmax(scores) == item["answer"])
-        correct += hit
-        total += 1
-        by_subject.setdefault(item.get("subject", "all"), []).append(hit)
+    for i0 in range(0, len(rows), batch_size):
+        chunk = rows[i0: i0 + batch_size]
+        width = max(len(b) for b, _ in chunk)
+        batch = np.zeros((len(chunk), width), np.int32)
+        for r, (b, _) in enumerate(chunk):
+            batch[r, : len(b)] = b
+        logits = logits_fn(jnp.asarray(batch))
+        logp = np.asarray(jax.nn.log_softmax(
+            jnp.asarray(logits).astype(jnp.float32), axis=-1))
+        for r, (item, (_, per_letter)) in enumerate(
+                zip(items[i0: i0 + batch_size], chunk)):
+            scores = [float(logp[r, pos - 1, tid]) for pos, tid in per_letter]
+            hit = int(np.argmax(scores) == item["answer"])
+            correct += hit
+            total += 1
+            by_subject.setdefault(item.get("subject", "all"), []).append(hit)
+
     out = {"accuracy": correct / max(total, 1), "n": total}
     if len(by_subject) > 1 or "all" not in by_subject:
         out["subjects"] = {k: float(np.mean(v))
                            for k, v in sorted(by_subject.items())}
+        cats: Dict[str, List[float]] = {}
+        for s, hits in by_subject.items():
+            cat = _SUBJECT_TO_CATEGORY.get(s)
+            if cat is not None:
+                cats.setdefault(cat, []).append(float(np.mean(hits)))
+        if cats:
+            out["categories"] = {c: float(np.mean(v))
+                                 for c, v in sorted(cats.items())}
     return out
+
+
+def make_mmlu_table(results: Dict) -> str:
+    """lm_eval `make_table`-style report for eval_mmlu results: the
+    overall row, category groups, then per-subject rows."""
+    lines = ["|{:<42}|{:>8}|{:>8}|".format("Task", "acc", "n"),
+             "|" + "-" * 42 + "|" + "-" * 8 + "|" + "-" * 8 + "|",
+             "|{:<42}|{:>8.4f}|{:>8}|".format(
+                 "mmlu", results["accuracy"], results["n"])]
+    for cat, acc in results.get("categories", {}).items():
+        lines.append("|{:<42}|{:>8.4f}|{:>8}|".format(
+            " - " + cat, acc, ""))
+    for subj, acc in results.get("subjects", {}).items():
+        lines.append("|{:<42}|{:>8.4f}|{:>8}|".format(
+            "   - " + subj, acc, ""))
+    return "\n".join(lines)
 
 
 def eval_librispeech(transcribe_fn: Callable[[np.ndarray], str],

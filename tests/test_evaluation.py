@@ -204,3 +204,37 @@ def test_mmlu_fewshot_protocol():
                     fewshot=[shot], n_shot=1)
     assert out["n"] == 2 and set(out["subjects"]) == {"abstract_algebra",
                                                       "law"}
+
+
+def test_mmlu_categories_and_batching():
+    """lm_eval make_table parity: subject-matched dev-split exemplars,
+    category groups, and batched scoring == item-at-a-time scoring."""
+    from qdm_tpu.evaluation.eval_utils import (
+        eval_mmlu, make_mmlu_table, MMLU_CATEGORIES)
+    from qdm_tpu.utils.tokenizer import SimpleTokenizer
+    from qdm_tpu.api.causal_lm import CausalLM
+
+    # the 57-subject grouping is a partition
+    subs = [s for c in MMLU_CATEGORIES.values() for s in c]
+    assert len(subs) == 57 and len(set(subs)) == 57
+
+    tok = SimpleTokenizer(vocab_size=256, max_len=160)
+    lm = CausalLM.from_config(dtype=jnp.float32)
+    dev = [{"question": "1+1?", "choices": ["1", "2", "3", "4"],
+            "answer": 1, "subject": "astronomy"},
+           {"question": "2*3?", "choices": ["5", "6", "7", "8"],
+            "answer": 1, "subject": "philosophy"}]
+    items = [{"question": f"{i}+{i}?", "choices": ["3", "4", "5", "6"],
+              "answer": 1, "subject": s}
+             for i, s in enumerate(["astronomy", "philosophy",
+                                    "astronomy", "sociology"])]
+    out = eval_mmlu(lm.logits, tok, items, n_shot=1, dev_items=dev,
+                    batch_size=3)
+    assert set(out["categories"]) == {"stem", "humanities",
+                                      "social_sciences"}
+    # batching must not change scores (right padding is causal-neutral)
+    out1 = eval_mmlu(lm.logits, tok, items, n_shot=1, dev_items=dev,
+                     batch_size=1)
+    assert out["subjects"] == out1["subjects"]
+    tbl = make_mmlu_table(out)
+    assert "mmlu" in tbl and " - stem" in tbl and "astronomy" in tbl
