@@ -61,6 +61,10 @@ class BaseDiffusionPipeline:
         self.dtype = jnp.bfloat16
         self.mesh = None  # set via with_mesh() for multi-chip sampling
         self.refiner = None  # SDXL only (StableDiffusionXL.py:13-17)
+        # per-denoise-step static act-scale LUTs (QuantConfig.
+        # act_per_step_scales): component -> {layer_path: (n_steps,)}
+        self.act_scale_luts: Dict[str, dict] = {}
+        self._pending_per_step = None
 
     def with_mesh(self, mesh=None, tp: bool = False):
         """Shard sampling/calibration over a device mesh: batch over
@@ -263,6 +267,7 @@ class BaseDiffusionPipeline:
             plan = self._make_plan(cfg, comp_key)
             pre_params = self.params[name] if debugSavePath else None
             act_stats = None
+            self._pending_per_step = None
             if method in ("sq", "smooth", "smoothquant"):
                 act_stats = self._smoothquant_component(
                     name, cfg, calib_cache=calib_cache,
@@ -292,6 +297,14 @@ class BaseDiffusionPipeline:
                     self.params[name] = qapply.fill_static_act_scales(
                         self.params[name], act_stats,
                         margin=getattr(cfg, "static_act_margin", 1.0))
+                if self._pending_per_step and getattr(
+                        cfg, "act_per_step_scales", False):
+                    lut = qapply.build_act_scale_lut(
+                        self.params[name], self._pending_per_step,
+                        margin=getattr(cfg, "static_act_margin", 1.0))
+                    if lut:
+                        self.act_scale_luts[name] = lut
+                self._pending_per_step = None
             else:
                 self.params[name] = qapply.fake_quantize_params(self.params[name], plan)
             self.plans[comp_key] = plan
@@ -386,8 +399,10 @@ class BaseDiffusionPipeline:
         capture_unet = dataclasses.replace(self._unet_module(), plan=plan)
 
         run = RunningMeanMax()
+        per_step = bool(getattr(cfg, "act_per_step_scales", False))
         bs = calib.batch_size
         steps = max(1, min(calib.n_steps, 50))
+        runs = [RunningMeanMax() for _ in range(steps)] if per_step else None
         tables = schedulers.make_ddim(self.scheduler_config, steps)
         h = w = self.default_sample_size()
         for i in range(0, len(prompts), bs):
@@ -405,7 +420,15 @@ class BaseDiffusionPipeline:
             for s in range(steps):
                 lat, stats = step_fn(self.params["unet"], lat, ctx, uctx, added, s)
                 run.update(stats)
-        return run.mean()
+                if runs is not None:
+                    runs[s].update(stats)
+        mean = run.mean()
+        if runs is not None:
+            # DiTAS-style extension: keep the per-step absmax (the
+            # reference collapses it, StableDiffusion1_x.py:104-112)
+            self._pending_per_step = {
+                k: jnp.stack([r.mean()[k] for r in runs]) for k in mean}
+        return mean
 
     def _unet_module(self):
         return self.components["unet"]
@@ -432,12 +455,21 @@ class BaseDiffusionPipeline:
         if name in ("unet", "transformer"):
             from qdm_tpu.calib.stats import load_stats, save_stats
 
-            if calib_cache and os.path.exists(calib_cache):
+            per_step = bool(getattr(cfg, "act_per_step_scales", False))
+            if calib_cache and os.path.exists(calib_cache) and (
+                    not per_step
+                    or os.path.exists(calib_cache + ".per_step")):
                 stats = load_stats(calib_cache)
+                if per_step:
+                    self._pending_per_step = load_stats(
+                        calib_cache + ".per_step")
             else:
                 stats = self._calibrate_unet(cfg, calib_prompts=calib_prompts)
                 if calib_cache:
                     save_stats(stats, calib_cache)
+                    if per_step and self._pending_per_step:
+                        save_stats(self._pending_per_step,
+                                   calib_cache + ".per_step")
             groups = sd_unet_scaling_groups(self.params[name])
             alpha = cfg.alpha  # 0.80 for diffusion (quantizer_SQ.py:349)
         elif name == "vae":
@@ -456,6 +488,10 @@ class BaseDiffusionPipeline:
         # adjust the stats so the static int8 scales reflect the
         # smoothed (outlier-free) range, not the raw one
         stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
+        if self._pending_per_step:
+            self._pending_per_step = {
+                k: (v / mig[k] if k in mig else v)
+                for k, v in self._pending_per_step.items()}
         return stats
 
     def _calibrate_component_stats(self, name: str, cfg: QuantConfig,
@@ -610,18 +646,28 @@ class BaseDiffusionPipeline:
         params = self.params["unet"]
         latents, ctx, uctx = self._shard_batch(latents, ctx, uctx)
         lo, hi = step_range if step_range is not None else (0, steps)
+        lut = getattr(self, "act_scale_luts", {}).get("unet") or None
 
         def build():
             tables = schedulers.make_ddim(self.scheduler_config, steps)
 
-            def loop(params, latents, ctx, uctx, added):
+            def loop(params, latents, ctx, uctx, added, lut):
                 def body(s, lat):
+                    p = params
+                    if lut:
+                        # per-step static act scales: map schedule
+                        # position onto the calib LUT's step axis and
+                        # gather one scalar per layer (free under XLA)
+                        n_lut = next(iter(lut.values())).shape[0]
+                        idx = ((s * (n_lut - 1)) // (steps - 1)
+                               if steps > 1 else 0)
+                        p = qapply.select_step_act_scales(params, lut, idx)
                     t = tables.timesteps[s]
                     lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
                     ctx_in = jnp.concatenate([uctx, ctx], axis=0)
                     tt = jnp.broadcast_to(t, (lat_in.shape[0],))
                     args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
-                    eps = unet.apply({"params": params}, *args)
+                    eps = unet.apply({"params": p}, *args)
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance * (eps_c - eps_u)
                     return schedulers.ddim_step(tables, eps, lat, s, steps)
@@ -631,8 +677,9 @@ class BaseDiffusionPipeline:
             return jax.jit(loop)
 
         loop = self._cached_jit(
-            ("denoise", steps, float(guidance), lo, hi, id(unet)), build)
-        return loop(params, latents, ctx, uctx, added)
+            ("denoise", steps, float(guidance), lo, hi, id(unet),
+             id(lut) if lut else 0), build)
+        return loop(params, latents, ctx, uctx, added, lut)
 
     def _cached_jit(self, key, build):
         """Per-pipeline cache of jitted closures.  Rebuilding a jitted
@@ -691,6 +738,10 @@ class BaseDiffusionPipeline:
             d = os.path.join(save_dir, name)
             os.makedirs(d, exist_ok=True)
             self._save_component(d, name, params)
+            lut = getattr(self, "act_scale_luts", {}).get(name)
+            if lut:
+                qapply.save_act_scale_lut(
+                    lut, os.path.join(d, "act_scale_lut.safetensors"))
         with open(os.path.join(save_dir, "pipeline_config.json"), "w") as f:
             json.dump({n: dataclasses.asdict(c) for n, c in self.configs.items()},
                       f, indent=2, default=str)
@@ -718,6 +769,9 @@ class BaseDiffusionPipeline:
                 self.plans[comp_key] = self._make_plan(self.quant_config, comp_key)
             self.params[name] = self._load_component(os.path.join(save_dir, name))
             self.components[name] = self._module(name)
+            lp = os.path.join(save_dir, name, "act_scale_lut.safetensors")
+            if os.path.exists(lp):
+                self.act_scale_luts[name] = qapply.load_act_scale_lut(lp)
         self.tokenizer = SimpleTokenizer(
             vocab_size=self.configs["text_encoder"].vocab_size,
             max_len=self.configs["text_encoder"].max_position_embeddings)
@@ -1137,17 +1191,24 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         model = self.components["transformer"]
         params = self.params["transformer"]
         pooled = added["pooled"]
+        lut = getattr(self, "act_scale_luts", {}).get("transformer") or None
 
         def build():
             tables = schedulers.make_flow_match(steps)
 
-            def loop(params, latents, ctx, uctx, pooled):
+            def loop(params, latents, ctx, uctx, pooled, lut):
                 def body(s, lat):
+                    p = params
+                    if lut:
+                        n_lut = next(iter(lut.values())).shape[0]
+                        idx = ((s * (n_lut - 1)) // (steps - 1)
+                               if steps > 1 else 0)
+                        p = qapply.select_step_act_scales(params, lut, idx)
                     t = tables.timesteps[s]
                     lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
                     ctx_in = jnp.concatenate([uctx, ctx], axis=0)
                     tt = jnp.broadcast_to(t, (lat_in.shape[0],))
-                    v = model.apply({"params": params}, lat_in, tt, ctx_in, pooled)
+                    v = model.apply({"params": p}, lat_in, tt, ctx_in, pooled)
                     v_u, v_c = jnp.split(v, 2, axis=0)
                     v = v_u + guidance * (v_c - v_u)
                     return schedulers.flow_match_step(tables, v, lat, s)
@@ -1157,8 +1218,9 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             return jax.jit(loop)
 
         loop = self._cached_jit(
-            ("denoise", steps, float(guidance), id(model)), build)
-        return loop(params, latents, ctx, uctx, pooled)
+            ("denoise", steps, float(guidance), id(model),
+             id(lut) if lut else 0), build)
+        return loop(params, latents, ctx, uctx, pooled, lut)
 
     def _smoothquant_component(self, name: str, cfg: QuantConfig,
                                calib_cache: Optional[str] = None,
@@ -1175,6 +1237,10 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         # see the UNet variant: static int8 scales must reflect the
         # post-migration (act/s) range
         stats = {k: (v / mig[k] if k in mig else v) for k, v in stats.items()}
+        if self._pending_per_step:
+            self._pending_per_step = {
+                k: (v / mig[k] if k in mig else v)
+                for k, v in self._pending_per_step.items()}
         return stats
 
     def _calibrate_transformer(self, cfg: QuantConfig,
@@ -1209,10 +1275,18 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             return schedulers.flow_match_step(tables, v, lat, s_idx), \
                 flatten_calib(mut["calib"])
 
+        per_step = bool(getattr(cfg, "act_per_step_scales", False))
+        runs = [RunningMeanMax() for _ in range(steps)] if per_step else None
         for si in range(steps):
             lat, stats = step_fn(self.params["transformer"], lat, si)
             run.update(stats)
-        return run.mean()
+            if runs is not None:
+                runs[si].update(stats)
+        mean = run.mean()
+        if runs is not None:
+            self._pending_per_step = {
+                k: jnp.stack([r.mean()[k] for r in runs]) for k in mean}
+        return mean
 
     def _awq_component(self, name: str, cfg: QuantConfig,
                        calib_prompts: Optional[Sequence[str]] = None):

@@ -77,6 +77,13 @@ class QuantConfig:
     # round 2; reference per-channel conv acts: fake_quant.py:123-131).
     # False keeps the per-tensor scheme (ablation/bench baseline).
     vae_per_channel_acts: bool = True
+    # per-denoise-step static act scales (DiTAS-style extension,
+    # PAPERS.md): calibration keeps the per-step absmax instead of the
+    # reference's mean-over-steps collapse (mean_of_dict,
+    # StableDiffusion1_x.py:104-112); the sampler gathers one scalar
+    # per layer per step from a tiny LUT.  False = exact reference
+    # semantics (the default).
+    act_per_step_scales: bool = False
     modules_to_not_convert: Optional[List[str]] = None
     # SmoothQuant migration strength: reference uses 0.5 for LLMs
     # (quantizer_SQ.py:287) and 0.80 for diffusion (quantizer_SQ.py:349).

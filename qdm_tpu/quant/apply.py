@@ -472,6 +472,85 @@ def fill_static_act_scales(params: dict, act_stats: Dict[str, "jnp.ndarray"],
     return out
 
 
+def build_act_scale_lut(params: dict,
+                        per_step_stats: Dict[str, "jnp.ndarray"],
+                        margin: float = 1.0) -> Dict[Tuple[str, ...], "jnp.ndarray"]:
+    """Per-denoise-step static activation scales (DiTAS-style extension;
+    PAPERS.md).
+
+    The reference collapses its per-call-step absmax stats with a mean
+    over steps (mean_of_dict, StableDiffusion1_x.py:104-112) — one
+    static scale for the whole trajectory, so early high-sigma steps
+    clip and late steps waste resolution.  Here ``per_step_stats``
+    ({layer: (n_steps, C) absmax}) becomes a tiny per-layer LUT
+    ({layer_path_tuple: (n_steps,) scales}); the sampler gathers one
+    scalar per layer per step (``select_step_act_scales``) — free under
+    XLA next to the matmuls.
+
+    Only layers whose packed ``act_scale`` is the per-tensor (1,) form
+    participate (per-channel 'static_channel' conv scales are folded
+    into weights at pack time and cannot vary per step)."""
+    lut: Dict[Tuple[str, ...], jnp.ndarray] = {}
+
+    def rec(tree, prefix):
+        if isinstance(tree, dict):
+            if "act_scale" in tree and not isinstance(tree["act_scale"], dict):
+                if tree["act_scale"].size != 1:
+                    return
+                key = "/".join(prefix)
+                if key not in per_step_stats:
+                    for fused, unfused in _FUSED_STAT_FALLBACK:
+                        if prefix[-1] == fused:
+                            key = "/".join(prefix[:-1] + (unfused,))
+                            break
+                if key in per_step_stats:
+                    a = jnp.asarray(per_step_stats[key], jnp.float32)
+                    s = jnp.clip(jnp.max(a, axis=-1), 1e-5, None) / 127.0
+                    lut[prefix] = s * margin
+                return
+            for k, v in tree.items():
+                rec(v, prefix + (str(k),))
+
+    rec(params, ())
+    return lut
+
+
+def select_step_act_scales(params: dict,
+                           lut: Dict[Tuple[str, ...], "jnp.ndarray"],
+                           step_idx) -> dict:
+    """Return params with every LUT layer's ``act_scale`` set to its
+    scale for (traced) ``step_idx``.  All gathers are scalar
+    dynamic-slices of tiny (n_steps,) arrays — XLA fuses them into the
+    consuming quantize ops, so this costs nothing at runtime."""
+    out = params
+    for path, arr in lut.items():
+        i = jnp.clip(step_idx, 0, arr.shape[0] - 1)
+        s = jax.lax.dynamic_slice_in_dim(arr, i, 1)
+        out = _set_at(out, path + ("act_scale",), s)
+    return out
+
+
+def save_act_scale_lut(lut: Dict[Tuple[str, ...], "jnp.ndarray"],
+                       path: str) -> None:
+    """Persist a per-step LUT ('||'-joined path keys: layer names may
+    themselves contain '/')."""
+    from safetensors.numpy import save_file
+    import numpy as np
+
+    save_file({"||".join(k): np.ascontiguousarray(np.asarray(v))
+               for k, v in lut.items()}, path)
+
+
+def load_act_scale_lut(path: str) -> Dict[Tuple[str, ...], "jnp.ndarray"]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[tuple(k.split("||"))] = jnp.asarray(f.get_tensor(k))
+    return out
+
+
 def quantized_param_count(params: dict, plan: QuantPlan) -> Dict[str, int]:
     """Diagnostic: how many layers each mode got."""
     counts: Dict[str, int] = {}

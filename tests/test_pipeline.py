@@ -256,3 +256,56 @@ def test_sd35_with_t5_generate():
     p.components["text_encoder_3"] = m
     img = p.generate("a cube", num_inference_steps=2, seed=0)
     assert np.isfinite(img).all()
+
+
+def test_per_step_act_scales(tmp_path):
+    """DiTAS-style per-denoise-step static act scales
+    (QuantConfig.act_per_step_scales): calibration keeps the per-step
+    absmax instead of the reference's mean-over-steps collapse
+    (StableDiffusion1_x.py:104-112); the sampler gathers one scalar per
+    layer per step.  Covers LUT build, sampling, and the save/load
+    round-trip."""
+    from qdm_tpu.quant import apply as qapply
+
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    cfg = QuantConfig(w_bit=8, a_bit=8, version="real", quantize_act=True,
+                      act_quant_type="static", act_quant_conv_type="static",
+                      act_per_step_scales=True)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 3
+    p.quantize(cfg, quantType="sq")
+    lut = p.act_scale_luts.get("unet")
+    assert lut, "no per-step act-scale LUT built"
+    n_lut = next(iter(lut.values())).shape[0]
+    assert n_lut == 3
+    assert all(v.shape == (3,) for v in lut.values())
+    # LUT scales are calibrated (not placeholders) and vary per step
+    # for at least some layers (latent magnitude shrinks over the
+    # trajectory)
+    arrs = np.stack([np.asarray(v) for v in lut.values()])
+    assert np.all(arrs > 0)
+    assert np.any(np.ptp(arrs, axis=1) > 1e-9)
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.25
+
+    # select_step_act_scales picks the right slice
+    some_path = next(iter(lut))
+    p0 = qapply.select_step_act_scales(p.params["unet"], lut, 1)
+    node = p0
+    for k in some_path:
+        node = node[k]
+    np.testing.assert_allclose(np.asarray(node["act_scale"]),
+                               np.asarray(lut[some_path][1:2]))
+
+    # save/load round-trip keeps the LUT and reproduces images
+    d = str(tmp_path / "q")
+    p.save_quantized(d)
+    p2 = StableDiffusion1_x.from_quantized(d, dtype=jnp.float32)
+    assert p2.act_scale_luts.get("unet")
+    assert set(p2.act_scale_luts["unet"]) == set(lut)
+    img2 = _gen(p2)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img),
+                               atol=2e-5)

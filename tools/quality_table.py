@@ -121,6 +121,18 @@ def main():
             w_bit=8, a_bit=8, version="real", quantize_act=True,
             act_quant_type="static", act_quant_conv_type="static",
             weight_quant_type="per_channel", q_group_size=0))),
+        # per-step static scales (DiTAS-style extension,
+        # QuantConfig.act_per_step_scales): one act scale per denoise
+        # step instead of the reference's mean-over-steps collapse —
+        # early high-sigma steps stop clipping, late steps stop
+        # wasting resolution.  The one-step eps column matches the SQ
+        # row by construction (the LUT only engages in the sampler);
+        # the generation metrics are the discriminator.
+        "W8A8-static SQ + per-step scales": ("sq", calib(QuantConfig(
+            w_bit=8, a_bit=8, version="real", quantize_act=True,
+            act_quant_type="static", act_quant_conv_type="static",
+            weight_quant_type="per_channel", q_group_size=0,
+            act_per_step_scales=True))),
         # the smoothing ablation: same int8 act path, no outlier
         # migration — per-channel act outliers land on the per-tensor
         # static scales directly (the regime SmoothQuant exists for)
