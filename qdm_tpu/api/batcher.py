@@ -1,0 +1,145 @@
+"""Continuous batching on top of the DecodeEngine.
+
+The reference serves fixed batches (its fused stack decodes one batch
+to completion, models/base.py:1494-1515); production serving wants
+*continuous* batching: when one request finishes, a queued request is
+admitted into its batch row while the other rows keep decoding
+(vLLM-style scheduling, here without paged memory: the admitted
+prompt's K/V is right-aligned to the shared physical append position
+and everything before it is masked by the engine's per-row starts).
+
+Design (TPU-first):
+
+* The decode step stays ONE jitted scan over fixed (batch, cache)
+  shapes — no recompilation at admission time.  Scheduling runs on the
+  host between fixed-size chunks; the only device work per admission
+  is a single-row ragged prefill plus a masked scatter into the live
+  caches (``DecodeEngine.admit_row``).
+* Physical cache slots are append-only and shared across rows (the
+  engine kernels write each new token at one scalar position), so an
+  admitted prompt of length L occupies slots [p - L, p) where p is the
+  current append position: the evicted request's dead K/V is simply
+  overwritten/masked.  Capacity is ``p_final <= cache length`` —
+  ring-buffer reuse is a documented extension.
+* Greedy decode (the exactness contract below); per-row logical rope
+  positions and attention-start masks come from the ragged serving
+  machinery, so every request's tokens are IDENTICAL to a
+  single-prompt ``DecodeEngine.generate`` of that request (tested, f32
+  CPU bit-exact, including channel-static int8 KV).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class ContinuousBatcher:
+    """Host-side continuous-batching scheduler over a DecodeEngine.
+
+    eng: a single-device DecodeEngine (any weight mode; int8/int4 KV in
+    channel-static scale mode).  max_batch rows decode together in
+    fixed-size chunks; finished rows are refilled from the queue
+    between chunks."""
+
+    def __init__(self, engine, max_batch: int = 4, chunk: int = 8,
+                 capacity: int = 1024):
+        if engine.spmd:
+            raise NotImplementedError("continuous batching is single-device")
+        self.eng = engine
+        self.max_batch = int(max_batch)
+        self.chunk = int(chunk)
+        self.capacity = int(capacity)
+
+    def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 32,
+            eos_token_id: Optional[int] = None) -> List[np.ndarray]:
+        """Serve every prompt; returns prompt+generated per request, in
+        request order.  A request finishes on EOS (if given) or after
+        max_new_tokens; its row is immediately refilled from the queue."""
+        eng = self.eng
+        prompts = [np.asarray(p).reshape(-1).astype(np.int32)
+                   for p in prompts]
+        assert all(len(p) > 0 for p in prompts)
+        queue = list(range(len(prompts)))
+        n_rows = min(self.max_batch, len(prompts))
+        first, queue = queue[:n_rows], queue[n_rows:]
+
+        # ---- initial ragged prefill (capacity-length caches)
+        lens0 = np.asarray([len(prompts[i]) for i in first], np.int32)
+        s0 = int(lens0.max())
+        assert s0 + max_new_tokens <= self.capacity, "capacity too small"
+        ids = np.zeros((n_rows, s0), np.int32)
+        for r, i in enumerate(first):
+            ids[r, s0 - len(prompts[i]):] = prompts[i]
+        tok0, caches, starts = eng.prefill_ragged(ids, lens0, self.capacity)
+        eng._last_prefill_logits = None
+
+        p = s0                                     # shared append slot
+        cur = np.asarray(tok0, np.int32)           # last token per row
+        lens = lens0.astype(np.int64).copy()       # next logical rope pos
+        starts = np.asarray(starts, np.int32).copy()
+        req = list(first)                          # row -> request id
+        gen = [[int(cur[r])] for r in range(n_rows)]
+        active = [True] * n_rows
+        out: dict = {}
+
+        def finished(r) -> bool:
+            g = gen[r]
+            return len(g) >= max_new_tokens or (
+                eos_token_id is not None and g[-1] == eos_token_id)
+
+        def retire(r):
+            g = gen[r]
+            if eos_token_id is not None and eos_token_id in g:
+                g = g[: g.index(eos_token_id) + 1]
+            out[req[r]] = np.concatenate(
+                [prompts[req[r]], np.asarray(g, np.int32)])
+            active[r] = False
+
+        def admit(r) -> bool:
+            nonlocal caches, queue
+            if not queue or len(prompts[queue[0]]) > p:
+                return False        # no request fits yet (p grows, retry)
+            i = queue.pop(0)
+            t0, caches, st, ln = eng.admit_row(caches, r, prompts[i], p)
+            req[r], gen[r], active[r] = i, [int(t0)], True
+            cur[r], lens[r], starts[r] = t0, ln, st
+            return True
+
+        for r in range(n_rows):
+            if finished(r):
+                retire(r)
+                admit(r)
+
+        run = eng._make_run_ragged_chunk(self.chunk)
+        while any(active) or queue:
+            if not any(active):
+                # only over-long queued prompts remain: they need more
+                # physical room than p provides — advance p with a
+                # no-op chunk (rows are all retired; outputs ignored)
+                pass
+            assert p + self.chunk <= self.capacity, \
+                "cache capacity exceeded — raise `capacity`"
+            toks, last, caches = run(
+                eng.layers, eng.embed, eng.final_norm, eng._head,
+                jnp.asarray(cur), caches, jnp.int32(p),
+                jnp.asarray(lens, jnp.int32), jnp.asarray(starts))
+            toks = np.asarray(toks, np.int32)
+            cur = np.asarray(last, np.int32).copy()
+            p += self.chunk
+            lens += self.chunk
+            for r in range(n_rows):
+                if not active[r]:
+                    continue
+                for t in toks[r]:
+                    if finished(r):
+                        break
+                    gen[r].append(int(t))
+                if finished(r):
+                    retire(r)
+            for r in range(n_rows):
+                if not active[r]:
+                    admit(r)
+        return [out[i] for i in range(len(prompts))]

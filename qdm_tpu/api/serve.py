@@ -502,6 +502,7 @@ class DecodeEngine:
         self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
         self._prefill_ragged_fn = None
+        self._admit_scatter_fn = None
         self._last_prefill_logits = None
 
     def _make_pick(self, sampler):
@@ -1459,6 +1460,114 @@ class DecodeEngine:
 
         self._run_cache[memo] = run
         return run
+
+    def _make_run_ragged_chunk(self, n_tokens: int):
+        """Chunked ragged decode for continuous batching: the same
+        per-row-rope / per-row-start step as ``_make_run_ragged`` but
+        returns (tokens, final token, UPDATED caches) so the host
+        scheduler (``ContinuousBatcher``) can admit new requests into
+        finished rows between chunks.  Greedy only (the batcher's
+        exactness contract is per-row equality with single-prompt
+        generate)."""
+        memo = ("ragged_chunk", n_tokens)
+        if memo in self._run_cache:
+            return self._run_cache[memo]
+        cfg = self.cfg
+        freqs, is_rope, sign, base_idx, partner = _rope_consts(cfg)
+
+        @jax.jit
+        def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
+                lens, starts):
+            b = tok0.shape[0]
+            bp = max(_round_up(b, 8), 8)
+
+            def body(carry, i):
+                tok, caches = carry
+                pos = start_pos + i
+                pos_log = lens + i
+                angles = pos_log.astype(jnp.float32)[:, None] * freqs
+                cosb = jnp.where(is_rope[None],
+                                 jnp.cos(angles)[:, base_idx], 1.0)
+                sinb = jnp.where(is_rope[None],
+                                 sign[None] * jnp.sin(angles)[:, base_idx],
+                                 0.0)
+                if bp > b:
+                    cosb = jnp.pad(cosb, ((0, bp - b), (0, 0)),
+                                   constant_values=1.0)
+                    sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
+                x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
+                x = embed[x]
+                new_caches = []
+                for l, w in enumerate(layers):
+                    x, cache = self._layer(x, caches[l], w, pos, None,
+                                           None,
+                                           rope_xla=(cosb, sinb, partner),
+                                           attn_starts=starts)
+                    new_caches.append(cache)
+                logits = self._head_logits(x, w_head, final_norm)
+                nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                return (nxt, new_caches), nxt
+
+            (last, caches), toks = jax.lax.scan(body, (tok0, caches),
+                                                jnp.arange(n_tokens))
+            return toks.T, last, caches
+
+        self._run_cache[memo] = run
+        return run
+
+    def admit_row(self, caches, row: int, prompt, phys_end: int):
+        """Write one new request's prefilled K/V into ``row`` of live
+        engine caches, right-aligned so the prompt ENDS at the shared
+        physical append position ``phys_end`` (the continuous-batching
+        admission primitive; physical slots before it belong to the
+        evicted request and are masked out by the returned start).
+
+        Requires phys_end >= len(prompt) (the prompt needs that many
+        physical slots).  Returns (first generated token, new caches,
+        row start, prompt length)."""
+        prompt = np.asarray(prompt).reshape(-1)
+        L = int(prompt.shape[0])
+        assert phys_end >= L, (phys_end, L)
+        s = _round_up(max(L, 1), 128)
+        ids = np.zeros((1, s), np.int32)
+        ids[0, s - L:] = prompt
+        # fresh single-row ragged prefill (its own (1, s) cache)
+        tok0, mini, _ = self.prefill_ragged(ids, np.asarray([L], np.int32),
+                                            max_len=s)
+        if self._admit_scatter_fn is None:
+            @jax.jit
+            def scatter(big, mini, row, p, length):
+                # big (B, C, *, T) / mini (1, C, *, S): big column t
+                # takes mini column t - p + S inside [p - L, p)
+                t_big = big.shape[-1]
+                s_mini = mini.shape[-1]
+                tpos = jnp.arange(t_big)
+                src = jnp.clip(tpos - p + s_mini, 0, s_mini - 1)
+                shifted = jnp.take(mini[0], src, axis=-1)
+                mask = (tpos >= p - length) & (tpos < p)
+                rowm = jnp.arange(big.shape[0]) == row
+                full = rowm.reshape((-1,) + (1,) * (big.ndim - 1)) \
+                    & mask.reshape((1,) * (big.ndim - 1) + (-1,))
+                return jnp.where(full, shifted[None], big)
+
+            @jax.jit
+            def set_row(big, mini, row):
+                rowm = jnp.arange(big.shape[0]) == row
+                return jnp.where(
+                    rowm.reshape((-1,) + (1,) * (big.ndim - 1)),
+                    mini[0][None], big)
+
+            self._admit_scatter_fn = (scatter, set_row)
+        scatter, set_row = self._admit_scatter_fn
+        rw, pe, ln = (jnp.int32(row), jnp.int32(phys_end), jnp.int32(L))
+        out = []
+        for lay, m in zip(caches, mini):
+            kv = scatter(lay[0], m[0], rw, pe, ln)
+            if len(lay) > 1:      # channel-static int8/int4 KV scales
+                out.append((kv, set_row(lay[1], m[1], rw)))
+            else:
+                out.append((kv,))
+        return int(np.asarray(tok0)[0]), out, phys_end - L, L
 
     def generate_ragged(self, prompts, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,

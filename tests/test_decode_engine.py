@@ -1145,3 +1145,72 @@ def test_engine_score_matches_module_logits(lm):
     out = DecodeEngine(lm, mode="bf16").score(ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_continuous_batching_matches_per_prompt(lm):
+    """ContinuousBatcher: more requests than batch rows — finished rows
+    are refilled mid-serve (admit_row scatters the new prompt's K/V
+    right-aligned to the shared append slot).  Every request's output
+    must EQUAL its single-prompt generate (f32 CPU bit-exact), whatever
+    batch composition it decoded in."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (3, 7, 5, 9, 4, 6, 8)]
+    eng = DecodeEngine(lm, mode="bf16")
+    cb = ContinuousBatcher(eng, max_batch=3, chunk=4, capacity=256)
+    outs = cb.run(prompts, max_new_tokens=10)
+    assert len(outs) == len(prompts)
+    for i, prm in enumerate(prompts):
+        single = eng.generate(prm[None], max_new_tokens=10)[0]
+        np.testing.assert_array_equal(outs[i], single, err_msg=f"req {i}")
+
+
+def test_continuous_batching_kv8c_and_eos(lm):
+    """Admission with channel-static int8 KV (per-row scales replaced
+    at admit time) + EOS retirement mid-stream.
+
+    Quantized-KV rows assert high AGREEMENT rather than bit-equality:
+    left-padding changes XLA reduction shapes by ulps and int8
+    rounding can amplify one ulp into a code flip (measured: a 1.9e-8
+    layer-1 scale difference between the padded and single prefills —
+    generate_ragged itself shows the same flips on this seed; the bf16
+    batcher test above owns the bit-exactness proof)."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(32)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (5, 3, 8, 6, 4)]
+    stats = DecodeEngine.calibrate_scales(lm, prompts[2][None])
+    eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                       kv_dtype=jnp.int8, kv_scale_mode="channel")
+    singles = [eng.generate(p[None], max_new_tokens=10)[0] for p in prompts]
+    cb = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=256)
+    outs = cb.run(prompts, max_new_tokens=10)
+    agree = hits = 0
+    for i, prm in enumerate(prompts):
+        assert outs[i].shape == singles[i].shape
+        np.testing.assert_array_equal(outs[i][: len(prm)], prm,
+                                      err_msg=f"prompt echo req {i}")
+        agree += int((outs[i] == singles[i]).sum())
+        hits += outs[i].size
+    assert agree / hits > 0.85, f"kv8c agreement {agree}/{hits}"
+
+    # EOS retirement + refill, deterministic on the bf16 engine: pick a
+    # token that appears mid-way in request 0's greedy continuation
+    ebf = DecodeEngine(lm, mode="bf16")
+    singles = [ebf.generate(p[None], max_new_tokens=10)[0] for p in prompts]
+    gen0 = singles[0][len(prompts[0]):]
+    eos = int(gen0[4])
+    cb = ContinuousBatcher(ebf, max_batch=2, chunk=4, capacity=256)
+    outs_eos = cb.run(prompts, max_new_tokens=10, eos_token_id=eos)
+    cut = np.where(gen0 == eos)[0][0]
+    np.testing.assert_array_equal(
+        outs_eos[0], np.concatenate([prompts[0], gen0[: cut + 1]]))
+    # rows that never emit EOS keep the budget-length output
+    for i in range(1, len(prompts)):
+        geni = singles[i][len(prompts[i]):]
+        if eos not in geni:
+            np.testing.assert_array_equal(outs_eos[i], singles[i],
+                                          err_msg=f"eos req {i}")
