@@ -443,7 +443,68 @@ def speculative_main():
     print(json.dumps(out), flush=True)
 
 
+def continuous_main():
+    """--continuous: request-stream serving — N ragged requests with
+    variable completion budgets through the ContinuousBatcher vs the
+    static-batch baseline (sequential generate_ragged batches, every
+    row decoded to its batch's longest budget).  Metric: total
+    generated tok/s over the stream.  The win scales with the budget
+    spread: a static batch wastes (max - each) steps per row; the
+    batcher refills those rows from the queue."""
+    from qdm_tpu.api.serve import DecodeEngine
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    n_req, rows, chunk = (64, 16, 16) if on_tpu else (6, 2, 4)
+    lo, hi = (16, 256) if on_tpu else (2, 8)
+    plen = (64, 256) if on_tpu else (3, 8)
+    cap = 4096 if on_tpu else 256
+
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+               for n in rng.integers(plen[0], plen[1], n_req)]
+    budgets = [int(b) for b in rng.integers(lo, hi, n_req)]
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    eng = lm.serve(mode="w8a8_static" if on_tpu else "bf16",
+                   calib_ids=np.asarray(prompts[0])[None]) if on_tpu \
+        else DecodeEngine(lm, mode="bf16")
+    out = {"metric": "LLM continuous batching (request stream)",
+           "n_requests": n_req, "rows": rows,
+           "budget_range": [lo, hi], "gen_tokens": int(sum(budgets))}
+
+    cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk, capacity=cap)
+    cb.run(prompts[:rows], max_new_tokens=8)       # warm the jits
+    t0 = time.time()
+    outs = cb.run(prompts, max_new_tokens=budgets)
+    dt = time.time() - t0
+    n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
+    out["continuous_tok_s"] = round(n_gen / dt, 1)
+    out["continuous_wall_s"] = round(dt, 2)
+    print(json.dumps(out), flush=True)
+
+    # static baseline: fixed batches in arrival order, each decoded to
+    # its longest budget (the fixed-batch serving the engine had before)
+    t0 = time.time()
+    n_gen_s = 0
+    for i in range(0, n_req, rows):
+        bp = prompts[i:i + rows]
+        bb = budgets[i:i + rows]
+        outs = eng.generate_ragged(bp, max_new_tokens=max(bb))
+        n_gen_s += sum(bb)                      # useful tokens only
+    dt_s = time.time() - t0
+    out["static_tok_s"] = round(n_gen_s / dt_s, 1)
+    out["static_wall_s"] = round(dt_s, 2)
+    out["continuous_vs_static"] = round(
+        out["continuous_tok_s"] / out["static_tok_s"], 3)
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    if "--continuous" in sys.argv:
+        continuous_main()
+        return
     if "--serve" in sys.argv:
         serve_main()
         return

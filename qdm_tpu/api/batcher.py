@@ -53,15 +53,25 @@ class ContinuousBatcher:
         self.chunk = int(chunk)
         self.capacity = int(capacity)
 
-    def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 32,
+    def run(self, prompts: Sequence[np.ndarray], max_new_tokens=32,
             eos_token_id: Optional[int] = None) -> List[np.ndarray]:
         """Serve every prompt; returns prompt+generated per request, in
         request order.  A request finishes on EOS (if given) or after
-        max_new_tokens; its row is immediately refilled from the queue."""
+        its token budget; its row is immediately refilled from the
+        queue.  max_new_tokens: one global budget or a per-request
+        sequence (variable completion lengths are where continuous
+        batching beats static batches — a static batch decodes every
+        row to its longest member's budget)."""
         eng = self.eng
         prompts = [np.asarray(p).reshape(-1).astype(np.int32)
                    for p in prompts]
         assert all(len(p) > 0 for p in prompts)
+        if np.ndim(max_new_tokens) == 0:
+            budgets = [int(max_new_tokens)] * len(prompts)
+        else:
+            budgets = [int(m) for m in max_new_tokens]
+            assert len(budgets) == len(prompts)
+        assert all(m >= 1 for m in budgets)
         queue = list(range(len(prompts)))
         n_rows = min(self.max_batch, len(prompts))
         first, queue = queue[:n_rows], queue[n_rows:]
@@ -69,7 +79,7 @@ class ContinuousBatcher:
         # ---- initial ragged prefill (capacity-length caches)
         lens0 = np.asarray([len(prompts[i]) for i in first], np.int32)
         s0 = int(lens0.max())
-        assert s0 + max_new_tokens <= self.capacity, "capacity too small"
+        assert s0 + max(budgets) <= self.capacity, "capacity too small"
         ids = np.zeros((n_rows, s0), np.int32)
         for r, i in enumerate(first):
             ids[r, s0 - len(prompts[i]):] = prompts[i]
@@ -87,7 +97,7 @@ class ContinuousBatcher:
 
         def finished(r) -> bool:
             g = gen[r]
-            return len(g) >= max_new_tokens or (
+            return len(g) >= budgets[req[r]] or (
                 eos_token_id is not None and g[-1] == eos_token_id)
 
         def retire(r):

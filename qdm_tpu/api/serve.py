@@ -1150,11 +1150,19 @@ class DecodeEngine:
             lo, hi = _local_row_range(shd, (b,))
             ids = np.asarray(ids)[lo:hi]
             b = hi - lo
+        # the module prefill runs on a round_up(s, 128)-length cache so
+        # its (S, T) attention has S == T: XLA only flash-fuses the
+        # square aligned pattern — at ctx 4096 x batch 16 the T=4224
+        # cache materialized f32 (B, hkv, g, S, T) logits = 35 GB
+        # (measured OOM, r3l).  The caches are padded to the full
+        # serving length inside the jit afterwards (one cheap copy).
+        sp = _round_up(s, 128)
         tp = _round_up(max_len, 128)
+        assert tp >= sp, (max_len, s)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
-                              tp), self.dtype),)
+                              sp), self.dtype),)
                   for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_fn is None:
@@ -1168,8 +1176,12 @@ class DecodeEngine:
                 self.cfg.num_key_value_heads, self.tp))
                 if self.tp > 1 else None)
 
-            @jax.jit
-            def fwd(params, ids, caches):
+            @functools.partial(jax.jit, static_argnames=("pad",))
+            def fwd(params, ids, caches, pad):
+                def widen(kv):
+                    return (jnp.pad(kv, ((0, 0),) * 3 + ((0, pad),))
+                            if pad else kv)
+
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0,
                                              last_logits_only=True)
@@ -1190,24 +1202,28 @@ class DecodeEngine:
                                       1e-8, None) * (kv_margin / qmax)
                         codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
                         if kv_int4:
-                            eng.append((dk.pack_kv_int4(
-                                codes.astype(jnp.int32)), sc))
+                            eng.append((widen(dk.pack_kv_int4(
+                                codes.astype(jnp.int32))), sc))
                         else:
-                            eng.append((codes.astype(jnp.int8),
+                            eng.append((widen(codes.astype(jnp.int8)),
                                         sc))                 # (B,2hkv,d,1)
                     elif kv_int8:
                         kvf = kvdm.astype(jnp.float32)
                         ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
                                               keepdims=True),
                                       1e-8, None) / 127.0    # (B,2hkv,1,T)
-                        eng.append((jnp.round(kvf / ss).astype(jnp.int8),
-                                    ss))
+                        eng.append((widen(jnp.round(kvf / ss)
+                                          .astype(jnp.int8)),
+                                    jnp.pad(ss, ((0, 0),) * 3 + ((0, pad),),
+                                            constant_values=1.0)
+                                    if pad else ss))
                     else:
-                        eng.append((kvdm,))
+                        eng.append((widen(kvdm),))
                 return tok, logits, eng
 
             self._prefill_fn = fwd
-        tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches)
+        tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches,
+                                            tp - sp)
         # last-position logits stay on device; the sampling path picks
         # its first token from them (greedy ignores them)
         self._last_prefill_logits = logits
@@ -1319,11 +1335,15 @@ class DecodeEngine:
                 "ragged int8 KV runs with the channel-static scales "
                 "(kv_scale_mode='channel'); the per-token scale plane "
                 "doesn't thread the ragged masks")
+        # square-aligned prefill + post-pad (see prefill(): the (S, T)
+        # T>S attention does not flash-fuse)
+        sp = _round_up(s, 128)
         tp = _round_up(max_len, 128)
+        assert tp >= sp, (max_len, s)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
-                              tp), self.dtype),)
+                              sp), self.dtype),)
                   for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_ragged_fn is None:
@@ -1332,8 +1352,8 @@ class DecodeEngine:
             qmax = self._kv_qmax
             kv_margin = self.kv_margin
 
-            @jax.jit
-            def fwd(params, ids, lens, caches):
+            @functools.partial(jax.jit, static_argnames=("pad",))
+            def fwd(params, ids, lens, caches, pad):
                 b2, s2 = ids.shape
                 pads = s2 - lens                              # (B,)
                 positions = jnp.clip(jnp.arange(s2)[None] - pads[:, None],
@@ -1346,6 +1366,11 @@ class DecodeEngine:
                                              last_logits_only=True)
                 logits = logits[:, -1]
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                def widen(kv):
+                    return (jnp.pad(kv, ((0, 0),) * 3 + ((0, pad),))
+                            if pad else kv)
+
                 eng = []
                 for (kvdm,) in caches:
                     if kv_channel:
@@ -1362,18 +1387,18 @@ class DecodeEngine:
                                       1e-8, None) * (kv_margin / qmax)
                         codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
                         if kv_int4:
-                            eng.append((dk.pack_kv_int4(
-                                codes.astype(jnp.int32)), sc))
+                            eng.append((widen(dk.pack_kv_int4(
+                                codes.astype(jnp.int32))), sc))
                         else:
-                            eng.append((codes.astype(jnp.int8), sc))
+                            eng.append((widen(codes.astype(jnp.int8)), sc))
                     else:
-                        eng.append((kvdm,))
+                        eng.append((widen(kvdm),))
                 return tok, logits, eng
 
             self._prefill_ragged_fn = fwd
         lens = jnp.asarray(lens, jnp.int32)
         tok, logits, eng = self._prefill_ragged_fn(
-            params, jnp.asarray(ids), lens, caches)
+            params, jnp.asarray(ids), lens, caches, tp - sp)
         self._last_prefill_logits = logits
         return tok, eng, (s - lens)
 

@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -783,8 +784,13 @@ def decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, block_b: int = 1,
 
 
 def decode_attention_kv(q, kv_cache, pos, starts=None, **kw):
-    """Combined-cache dispatcher (kv (B, 2hkv, d, T) = [K | V])."""
+    """Combined-cache dispatcher (kv (B, 2hkv, d, T) = [K | V]).
+    Long contexts route to the T-blocked flash kernel (the single-pass
+    kernel's whole-row cache block busts VMEM past ~3 MB/program)."""
     if on_tpu():
+        if _kv_block_bytes(kv_cache) > _FLASH_BYTES:
+            return decode_attention_kv_flash_pallas(
+                q, kv_cache, pos, starts, mode="bf16", **kw)
         return decode_attention_kv_pallas(q, kv_cache, pos, starts, **kw)
     hkv = q.shape[1]
     return decode_attention_ref(
@@ -794,6 +800,9 @@ def decode_attention_kv(q, kv_cache, pos, starts=None, **kw):
 
 def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):
     if on_tpu():
+        if _kv_block_bytes(kv_i8) > _FLASH_BYTES:
+            return decode_attention_kv_flash_pallas(
+                q, kv_i8, pos, kv_scale=kv_scale, mode="i8", **kw)
         return decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, **kw)
     hkv = q.shape[1]
     return decode_attention_dm_i8_ref(
@@ -897,6 +906,9 @@ def decode_attention_kv_i8c_ref(q, kv_i8, pos, starts=None):
 
 def decode_attention_kv_i8c(q, kv_i8, pos, starts=None, **kw):
     if on_tpu():
+        if _kv_block_bytes(kv_i8) > _FLASH_BYTES:
+            return decode_attention_kv_flash_pallas(
+                q, kv_i8, pos, starts, mode="i8c", **kw)
         return decode_attention_kv_i8c_pallas(q, kv_i8, pos, starts, **kw)
     return decode_attention_kv_i8c_ref(q, kv_i8, pos, starts=starts)
 
@@ -1019,8 +1031,189 @@ def decode_attention_kv_i4c_ref(q, kv_p, pos, starts=None):
 
 def decode_attention_kv_i4c(q, kv_p, pos, starts=None, **kw):
     if on_tpu():
+        if _kv_block_bytes(kv_p) > _FLASH_BYTES:
+            return decode_attention_kv_flash_pallas(
+                q, kv_p, pos, starts, mode="i4c", **kw)
         return decode_attention_kv_i4c_pallas(q, kv_p, pos, starts, **kw)
     return decode_attention_kv_i4c_ref(q, kv_p, pos, starts=starts)
+
+
+# --------------------------------------------------------------- long-ctx
+# T-blocked (flash) decode attention.  The single-pass kv kernels above
+# stream the row's ENTIRE (2hkv, d, T) cache block into VMEM; at
+# ctx 4096 x batch 16 that block is 4 MB and the whole scoped window
+# busts v5e's ~16 MB VMEM (measured OOM, r3l).  This variant grids over
+# T with the standard online-softmax recurrence (running max m, sum l,
+# unnormalized accumulator acc in VMEM scratch), so VMEM use is bounded
+# by block_t regardless of context length.  One kernel body serves all
+# four cache formats ('bf16' | 'i8c' | 'i4c' | 'i8'); the dispatchers
+# below route to it when the per-program cache block would exceed
+# _FLASH_BYTES.
+
+_FLASH_BYTES = 3 * 2 ** 20
+
+
+def _pick_bt(t: int, target: int = 1024) -> int:
+    for bt in range(min(target, t), 0, -LANE):
+        if t % bt == 0:
+            return bt
+    return LANE
+
+
+def _decode_attn_kv_flash_kernel(pos_ref, q_ref, kv_ref, o_ref,
+                                 m_sc, l_sc, acc_sc, *, scale: float,
+                                 hkv: int, bb: int, bt: int, nt: int,
+                                 mode: str, ragged: bool,
+                                 kvs_ref=None):
+    tj = pl.program_id(1)
+    t0 = tj * bt
+    pos = pos_ref[0]
+
+    @pl.when(tj == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, -1e30)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    for bi in range(bb):
+        start = (pos_ref[1 + pl.program_id(0) * bb + bi] if ragged
+                 else None)
+        for h in range(hkv):
+            qf = q_ref[bi, h].astype(jnp.float32) * scale       # (g, d)
+            if mode == "bf16":
+                k = kv_ref[bi, h].astype(jnp.float32)           # (d, bt)
+                logits = jax.lax.dot_general(
+                    qf, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                qs = jnp.clip(jnp.max(jnp.abs(qf), axis=-1,
+                                      keepdims=True), 1e-8, None) / 127.0
+                qi = jnp.round(qf / qs).astype(jnp.int8)
+                if mode == "i4c":
+                    k_lo, k_hi = _nibbles(kv_ref[bi, h])
+                    k = jnp.concatenate([k_lo, k_hi], axis=0)
+                else:
+                    k = kv_ref[bi, h]
+                acc32 = jax.lax.dot_general(
+                    qi, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                logits = acc32.astype(jnp.float32) * qs
+                if mode == "i8":                  # per-token K scales
+                    logits = logits * kvs_ref[bi, h]
+            t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                  logits.shape, 1)
+            ok = t_ids <= pos
+            if ragged:
+                ok = ok & (t_ids >= start)
+            logits = jnp.where(ok, logits, -1e30)
+
+            g = logits.shape[0]
+            m_old = m_sc[bi, h][:, :1]                          # (g, 1)
+            m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1,
+                                               keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(logits - m_new)                         # (g, bt)
+            l_new = l_sc[bi, h][:, :1] * alpha \
+                + jnp.sum(p, axis=-1, keepdims=True)
+            if mode == "i8":                      # per-token V scales
+                p = p * kvs_ref[bi, hkv + h]
+            if mode == "bf16":
+                v = kv_ref[bi, hkv + h].astype(jnp.float32)
+                pv = jax.lax.dot_general(
+                    p, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                ps = jnp.clip(jnp.max(p, axis=-1, keepdims=True),
+                              1e-8, None) / 127.0
+                pi = jnp.round(p / ps).astype(jnp.int8)
+                if mode == "i4c":
+                    v_lo, v_hi = _nibbles(kv_ref[bi, hkv + h])
+                    v = jnp.concatenate([v_lo, v_hi], axis=0)
+                else:
+                    v = kv_ref[bi, hkv + h]
+                pv32 = jax.lax.dot_general(
+                    pi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                pv = pv32.astype(jnp.float32) * ps
+            acc_sc[bi, h] = acc_sc[bi, h] * alpha + pv
+            # full-lane broadcast stores (no partial-lane writes)
+            m_sc[bi, h] = jnp.broadcast_to(m_new, (g, m_sc.shape[-1]))
+            l_sc[bi, h] = jnp.broadcast_to(l_new, (g, l_sc.shape[-1]))
+
+    @pl.when(tj == nt - 1)
+    def _finish():
+        for bi in range(bb):
+            for h in range(hkv):
+                o_ref[bi, h] = (acc_sc[bi, h]
+                                / l_sc[bi, h][:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "block_b", "block_t",
+                                             "interpret"))
+def decode_attention_kv_flash_pallas(q, kv_cache, pos, starts=None,
+                                     kv_scale=None, mode: str = "bf16",
+                                     block_b: int = 1, block_t: int = 1024,
+                                     interpret: bool = False):
+    """T-blocked combined-cache decode attention (see the kernel
+    docstring).  kv_cache (B, 2*hkv, d, T) in the mode's storage format
+    ((B, 2*hkv, d//2, T) packed bytes for 'i4c'); kv_scale (B, 2*hkv,
+    1, T) per-token scales, 'i8' mode only.  Same calling contracts as
+    the single-pass kernels (i8c/i4c: q pre-folded with K channel
+    scales, output post-folded with V channel scales)."""
+    bp, hkv, g, d = q.shape
+    b, t = kv_cache.shape[0], kv_cache.shape[-1]
+    dd = d // 2 if mode == "i4c" else d
+    assert kv_cache.shape == (b, 2 * hkv, dd, t), (kv_cache.shape, mode)
+    assert (kv_scale is not None) == (mode == "i8")
+    bt = _pick_bt(t, block_t)
+    nt = t // bt
+    scale = d ** -0.5
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if starts is not None:
+        assert starts.shape == (b,), starts.shape
+        pos_arr = jnp.concatenate([pos_arr, starts.astype(jnp.int32)])
+    bb = block_b
+    assert t % LANE == 0 and b % bb == 0
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, hkv, g, d), lambda i, j: (i, 0, 0, 0)),
+        pl.BlockSpec((bb, 2 * hkv, dd, bt), lambda i, j: (i, 0, 0, j)),
+    ]
+    args = [pos_arr, q, kv_cache]
+    if mode == "i8":
+        in_specs.append(pl.BlockSpec((bb, 2 * hkv, 1, bt),
+                                     lambda i, j: (i, 0, 0, j)))
+        args.append(kv_scale)
+
+        def kern(pos_ref, q_ref, kv_ref, kvs_ref, o_ref, m_sc, l_sc,
+                 acc_sc):
+            _decode_attn_kv_flash_kernel(
+                pos_ref, q_ref, kv_ref, o_ref, m_sc, l_sc, acc_sc,
+                scale=scale, hkv=hkv, bb=bb, bt=bt, nt=nt, mode=mode,
+                ragged=starts is not None, kvs_ref=kvs_ref)
+    else:
+        kern = functools.partial(
+            _decode_attn_kv_flash_kernel, scale=scale, hkv=hkv, bb=bb,
+            bt=bt, nt=nt, mode=mode, ragged=starts is not None)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b // bb, nt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, hkv, g, d), lambda i, j: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, g, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, hkv, g, LANE), jnp.float32),
+                        pltpu.VMEM((bb, hkv, g, LANE), jnp.float32),
+                        pltpu.VMEM((bb, hkv, g, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+
+def _kv_block_bytes(kv_cache) -> int:
+    return int(np.prod(kv_cache.shape[1:])) * kv_cache.dtype.itemsize
 
 
 def decode_attention_dm(q, k_cache, v_cache, pos, **kw):

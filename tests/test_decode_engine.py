@@ -1214,3 +1214,79 @@ def test_continuous_batching_kv8c_and_eos(lm):
         if eos not in geni:
             np.testing.assert_array_equal(outs_eos[i], singles[i],
                                           err_msg=f"eos req {i}")
+
+
+def test_kv_flash_long_ctx_matches_refs():
+    """T-blocked flash decode attention (long-context variant; the
+    single-pass kernels bust VMEM past ~3 MB cache blocks — measured
+    OOM at ctx 4096 x batch 16, r3l).  All four cache formats, plain
+    and ragged starts, interpret mode vs the single-pass references."""
+    rng = np.random.default_rng(5)
+    b, hkv, g, d, t = 4, 2, 4, 64, 512
+    bt = 128                                     # force several T blocks
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)) * 0.5, jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, 2 * hkv, d, t)) * 0.5,
+                     jnp.float32)
+    pos = 300                                    # blocks beyond pos all-masked
+    starts = jnp.asarray([0, 5, 140, 260], jnp.int32)  # incl. start >= bt
+
+    for st in (None, starts):
+        out = dk.decode_attention_kv_flash_pallas(
+            q, kv, pos, st, mode="bf16", block_t=bt, interpret=True)
+        ref = dk.decode_attention_kv_pallas(q, kv, pos, st, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"bf16 ragged={st is not None}")
+
+    # int8/int4 modes quantize p PER BLOCK (the single-pass kernels
+    # quantize the normalized p once), so flash differs from them by
+    # quantization-noise structure, not math: assert flash is at least
+    # as close to the EXACT (quantization-free) reference
+    def err(x, ref):
+        return float(np.mean(np.abs(np.asarray(x) - np.asarray(ref))))
+
+    codes = jnp.clip(jnp.round(kv * 20), -127, 127).astype(jnp.int8)
+    for st in (None, starts):
+        exact = dk.decode_attention_kv_i8c_ref(q, codes, pos, starts=st)
+        out = dk.decode_attention_kv_flash_pallas(
+            q, codes, pos, st, mode="i8c", block_t=bt, interpret=True)
+        sp = dk.decode_attention_kv_i8c_pallas(q, codes, pos, st,
+                                               interpret=True)
+        assert err(out, exact) <= err(sp, exact) * 1.1, \
+            f"i8c ragged={st is not None}"
+
+    codes4 = jnp.clip(jnp.round(kv * 3), -7, 7).astype(jnp.int32)
+    packed = dk.pack_kv_int4(codes4)
+    for st in (None, starts):
+        exact = dk.decode_attention_kv_i4c_ref(q, packed, pos, starts=st)
+        out = dk.decode_attention_kv_flash_pallas(
+            q, packed, pos, st, mode="i4c", block_t=bt, interpret=True)
+        sp = dk.decode_attention_kv_i4c_pallas(q, packed, pos, st,
+                                               interpret=True)
+        assert err(out, exact) <= err(sp, exact) * 1.1, \
+            f"i4c ragged={st is not None}"
+
+    kvs = jnp.asarray(
+        np.abs(rng.standard_normal((b, 2 * hkv, 1, t))) * 0.01 + 0.005,
+        jnp.float32)
+    exact = dk.decode_attention_dm_i8_ref(
+        q, codes[:, :hkv], kvs[:, :hkv], codes[:, hkv:], kvs[:, hkv:], pos)
+    out = dk.decode_attention_kv_flash_pallas(
+        q, codes, pos, kv_scale=kvs, mode="i8", block_t=bt, interpret=True)
+    sp = dk.decode_attention_kv_i8_pallas(q, codes, kvs, pos,
+                                          interpret=True)
+    # (this ref mimics the kernel's own q/p quantization bit-for-bit,
+    # so the single-pass error is ~0; allow flash its per-block p-quant
+    # noise, bounded relative to the output scale)
+    assert err(out, exact) <= max(
+        err(sp, exact) * 1.1,
+        1e-2 * float(np.abs(np.asarray(exact)).mean())), "i8 per-token"
+
+    # block_b > 1 and bp > b padding
+    qp = jnp.pad(q, ((0, 4), (0, 0), (0, 0), (0, 0)))
+    out = dk.decode_attention_kv_flash_pallas(
+        qp, kv, pos, mode="bf16", block_b=2, block_t=bt, interpret=True)
+    ref = dk.decode_attention_kv_pallas(qp, kv, pos, block_b=2,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:b], np.asarray(ref)[:b],
+                               rtol=2e-5, atol=2e-5, err_msg="block_b=2")
