@@ -177,6 +177,52 @@ class LlamaAttention(nn.Module):
             kv_len = s
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
+        # Long prefill: route through the Pallas causal flash kernel on
+        # the LOCAL roped k/v (with cache_index == 0 the attention
+        # window is exactly the prompt, so the cache tail is never
+        # needed).  XLA materializes the f32 (B, hkv, g, S, T) logits
+        # of the grouped einsum below whatever the alignment — measured
+        # 32 GB OOM at batch 16 x ctx 4096 (r3m); at ctx 1024 the 4.8 GB
+        # block merely FIT.  Per-row attn_start masks map onto flash
+        # segment ids (pad slots get segment 0, valid slots 1 — pad
+        # queries only see pad keys, and their outputs land in slots
+        # the decode masks out anyway).  The int8 per-token module
+        # cache (len-4) keeps the einsum: its semantics attend on the
+        # DEQUANTIZED cache, not the raw local k/v.
+        import os as _os
+        flash_ok = (s > 1 and s % 128 == 0 and s >= 2048
+                    and isinstance(cache_index, int) and cache_index == 0
+                    and (kv_cache is None or len(kv_cache) < 4)
+                    and jax.default_backend() == "tpu"
+                    and not _os.environ.get("QDM_DISABLE_FLASH_PREFILL"))
+        if flash_ok:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention)
+
+            g = h // hkv
+            kr = jnp.repeat(k, g, axis=2) if hkv < h else k   # (b,s,h,d)
+            vr = jnp.repeat(v, g, axis=2) if hkv < h else v
+            seg = None
+            if attn_start is not None:
+                valid = (jnp.arange(s)[None, :]
+                         >= attn_start[:, None]).astype(jnp.int32)
+                seg = SegmentIds(q=valid, kv=valid)
+            blk = next(bb for bb in (512, 256, 128) if s % bb == 0)
+            sizes = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk, block_k_major_dq=blk,
+                block_k_dq=blk, block_q_dq=blk)
+            of = flash_attention(
+                q.transpose(0, 2, 1, 3), kr.transpose(0, 2, 1, 3),
+                vr.transpose(0, 2, 1, 3), segment_ids=seg, causal=True,
+                sm_scale=d ** -0.5, block_sizes=sizes)
+            out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
+                .astype(self.dtype)
+            out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                         plan=self.plan, name="o_proj")(out)
+            return out, new_cache
+
         kspec = "bhdk" if depth_major else "bhkd"
         if hkv < h:
             # GQA: group the query heads; K/V are contracted in their
