@@ -248,6 +248,43 @@ def main():
     results["decode_attn_kv_i4c_ragged"] = {"max_abs_diff": d, "tol": 2e-2,
                                             "pass": d <= 2e-2}
 
+    # T-blocked flash variants (the long-context path the dispatchers
+    # take past 3 MB cache blocks): force multi-block at this t via
+    # block_t and compare against the same exact references.  Covers
+    # the online-softmax scratch carry + per-block p-quant on chip.
+    out = dkk.decode_attention_kv_flash_pallas(qd, kvd, 700, starts_,
+                                               mode="bf16", block_b=2,
+                                               block_t=256)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, kvd[:, :hkv_],
+                                       kvd[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700, starts=starts_)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_flash"] = {"max_abs_diff": d, "tol": 5e-3,
+                                       "pass": d <= 5e-3}
+
+    out = dkk.decode_attention_kv_flash_pallas(qd * kfd, kv8, 700, starts_,
+                                               mode="i8c", block_b=2,
+                                               block_t=256) * vfd
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, deq[:, :hkv_],
+                                       deq[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700, starts=starts_)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_flash_i8c"] = {"max_abs_diff": d, "tol": 2e-2,
+                                           "pass": d <= 2e-2}
+
+    out = dkk.decode_attention_kv_flash_pallas(qd * kfd4, kv4, 700, starts_,
+                                               mode="i4c", block_b=2,
+                                               block_t=256) * vfd4
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.decode_attention_ref(qd, deq4[:, :hkv_],
+                                       deq4[:, hkv_:].transpose(0, 1, 3, 2),
+                                       700, starts=starts_)
+    d = _maxdiff(out, ref)
+    results["decode_attn_kv_flash_i4c"] = {"max_abs_diff": d, "tol": 2e-2,
+                                           "pass": d <= 2e-2}
+
     # merged o_proj + residual + MLP (lane-major megakernel; the
     # attention-side merge is relayout-blocked — module comment)
     hd_ = hkv_ * g_ * d_
