@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,14 +55,24 @@ class ContinuousBatcher:
         self.capacity = int(capacity)
 
     def run(self, prompts: Sequence[np.ndarray], max_new_tokens=32,
-            eos_token_id: Optional[int] = None) -> List[np.ndarray]:
+            eos_token_id: Optional[int] = None,
+            temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+            per_request_seeds: Optional[Sequence[int]] = None,
+            seed: int = 0) -> List[np.ndarray]:
         """Serve every prompt; returns prompt+generated per request, in
         request order.  A request finishes on EOS (if given) or after
         its token budget; its row is immediately refilled from the
         queue.  max_new_tokens: one global budget or a per-request
         sequence (variable completion lengths are where continuous
         batching beats static batches — a static batch decodes every
-        row to its longest member's budget)."""
+        row to its longest member's budget).
+
+        temperature > 0 samples (top_k / top_p as in generate_ragged)
+        with PER-REQUEST keys: request i draws from
+        PRNGKey(per_request_seeds[i]) (default seed + i) folding its
+        own step counter, so its sampled completion is IDENTICAL to a
+        single-prompt generate_ragged([prompt], per_row_seeds=[s])
+        whatever batch composition it decoded in (tested)."""
         eng = self.eng
         prompts = [np.asarray(p).reshape(-1).astype(np.int32)
                    for p in prompts]
@@ -72,6 +83,15 @@ class ContinuousBatcher:
             budgets = [int(m) for m in max_new_tokens]
             assert len(budgets) == len(prompts)
         assert all(m >= 1 for m in budgets)
+        if temperature <= 0.0 and (top_k or top_p):
+            raise ValueError("top_k/top_p need temperature > 0")
+        sampler = ((float(temperature), int(top_k), float(top_p))
+                   if temperature > 0.0 else ())
+        if per_request_seeds is None:
+            per_request_seeds = [seed + i for i in range(len(prompts))]
+        assert len(per_request_seeds) == len(prompts)
+        req_keys = [np.asarray(jax.random.PRNGKey(np.uint32(s)))
+                    for s in per_request_seeds] if sampler else None
         queue = list(range(len(prompts)))
         n_rows = min(self.max_batch, len(prompts))
         first, queue = queue[:n_rows], queue[n_rows:]
@@ -84,6 +104,12 @@ class ContinuousBatcher:
         for r, i in enumerate(first):
             ids[r, s0 - len(prompts[i]):] = prompts[i]
         tok0, caches, starts = eng.prefill_ragged(ids, lens0, self.capacity)
+        if sampler:
+            from qdm_tpu.api.causal_lm import fold_key
+
+            keys0 = jnp.asarray(np.stack([req_keys[i] for i in first]))
+            tok0 = eng._pick0(sampler)(eng._last_prefill_logits,
+                                       fold_key(keys0, 2 ** 32 - 1))
         eng._last_prefill_logits = None
 
         p = s0                                     # shared append slot
@@ -92,6 +118,7 @@ class ContinuousBatcher:
         starts = np.asarray(starts, np.int32).copy()
         req = list(first)                          # row -> request id
         gen = [[int(cur[r])] for r in range(n_rows)]
+        offs = np.zeros(n_rows, np.int32)          # per-row folds consumed
         active = [True] * n_rows
         out: dict = {}
 
@@ -113,9 +140,11 @@ class ContinuousBatcher:
             if not queue or len(prompts[queue[0]]) > p:
                 return False        # no request fits yet (p grows, retry)
             i = queue.pop(0)
-            t0, caches, st, ln = eng.admit_row(caches, r, prompts[i], p)
+            t0, caches, st, ln = eng.admit_row(
+                caches, r, prompts[i], p, sampler=sampler,
+                key=req_keys[i] if sampler else None)
             req[r], gen[r], active[r] = i, [int(t0)], True
-            cur[r], lens[r], starts[r] = t0, ln, st
+            cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0
             return True
 
         for r in range(n_rows):
@@ -123,7 +152,7 @@ class ContinuousBatcher:
                 retire(r)
                 admit(r)
 
-        run = eng._make_run_ragged_chunk(self.chunk)
+        run = eng._make_run_ragged_chunk(self.chunk, sampler)
         while any(active) or queue:
             if not any(active):
                 # only over-long queued prompts remain: they need more
@@ -132,14 +161,20 @@ class ContinuousBatcher:
                 pass
             assert p + self.chunk <= self.capacity, \
                 "cache capacity exceeded — raise `capacity`"
+            kw = {}
+            if sampler:
+                kw = {"offs": jnp.asarray(offs),
+                      "key": jnp.asarray(np.stack(
+                          [req_keys[req[r]] for r in range(n_rows)]))}
             toks, last, caches = run(
                 eng.layers, eng.embed, eng.final_norm, eng._head,
                 jnp.asarray(cur), caches, jnp.int32(p),
-                jnp.asarray(lens, jnp.int32), jnp.asarray(starts))
+                jnp.asarray(lens, jnp.int32), jnp.asarray(starts), **kw)
             toks = np.asarray(toks, np.int32)
             cur = np.asarray(last, np.int32).copy()
             p += self.chunk
             lens += self.chunk
+            offs += self.chunk
             for r in range(n_rows):
                 if not active[r]:
                     continue

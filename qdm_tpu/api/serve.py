@@ -1486,23 +1486,28 @@ class DecodeEngine:
         self._run_cache[memo] = run
         return run
 
-    def _make_run_ragged_chunk(self, n_tokens: int):
+    def _make_run_ragged_chunk(self, n_tokens: int, sampler=()):
         """Chunked ragged decode for continuous batching: the same
         per-row-rope / per-row-start step as ``_make_run_ragged`` but
         returns (tokens, final token, UPDATED caches) so the host
         scheduler (``ContinuousBatcher``) can admit new requests into
-        finished rows between chunks.  Greedy only (the batcher's
-        exactness contract is per-row equality with single-prompt
-        generate)."""
-        memo = ("ragged_chunk", n_tokens)
+        finished rows between chunks.
+
+        Sampling uses PER-ROW keys plus per-row fold OFFSETS (``offs``:
+        how many decode draws the row's request consumed in earlier
+        chunks) so each request's stream folds its own counter 0, 1,
+        ... regardless of chunk boundaries or batch composition — the
+        chunked analogue of generate_ragged's per_row_seeds contract."""
+        memo = ("ragged_chunk", n_tokens, sampler)
         if memo in self._run_cache:
             return self._run_cache[memo]
         cfg = self.cfg
         freqs, is_rope, sign, base_idx, partner = _rope_consts(cfg)
+        pick = self._make_pick(sampler)
 
         @jax.jit
         def run(layers, embed, final_norm, w_head, tok0, caches, start_pos,
-                lens, starts):
+                lens, starts, offs=None, key=None):
             b = tok0.shape[0]
             bp = max(_round_up(b, 8), 8)
 
@@ -1530,7 +1535,12 @@ class DecodeEngine:
                                            attn_starts=starts)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
-                nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                if pick is None:
+                    nxt = jnp.argmax(logits[:b], axis=-1).astype(tok.dtype)
+                else:
+                    keys = jax.vmap(jax.random.fold_in)(key, offs + i)
+                    nxt = pick(logits[:b] * cfg.logit_scale,
+                               keys).astype(tok.dtype)
                 return (nxt, new_caches), nxt
 
             (last, caches), toks = jax.lax.scan(body, (tok0, caches),
@@ -1540,7 +1550,8 @@ class DecodeEngine:
         self._run_cache[memo] = run
         return run
 
-    def admit_row(self, caches, row: int, prompt, phys_end: int):
+    def admit_row(self, caches, row: int, prompt, phys_end: int,
+                  sampler=(), key=None):
         """Write one new request's prefilled K/V into ``row`` of live
         engine caches, right-aligned so the prompt ENDS at the shared
         physical append position ``phys_end`` (the continuous-batching
@@ -1559,6 +1570,17 @@ class DecodeEngine:
         # fresh single-row ragged prefill (its own (1, s) cache)
         tok0, mini, _ = self.prefill_ragged(ids, np.asarray([L], np.int32),
                                             max_len=s)
+        if sampler:
+            # first token drawn with the request's OWN key, folding the
+            # same sentinel index as generate_ragged's pick0 — an
+            # admitted request's sampled stream equals its single-run
+            # stream
+            from qdm_tpu.api.causal_lm import fold_key
+
+            tok0 = self._pick0(sampler)(
+                self._last_prefill_logits,
+                fold_key(jnp.asarray(key).reshape(1, 2), 2 ** 32 - 1))
+        self._last_prefill_logits = None
         if self._admit_scatter_fn is None:
             @jax.jit
             def scatter(big, mini, row, p, length):

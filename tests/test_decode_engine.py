@@ -1290,3 +1290,26 @@ def test_kv_flash_long_ctx_matches_refs():
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(out)[:b], np.asarray(ref)[:b],
                                rtol=2e-5, atol=2e-5, err_msg="block_b=2")
+
+
+def test_continuous_batching_sampled_per_request(lm):
+    """Sampled continuous batching: each request draws from its OWN key
+    folding its OWN step counter, so a request's completion equals its
+    single-prompt generate_ragged run with per_row_seeds — whatever
+    batch it decoded in, including rows admitted mid-serve."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(41)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (4, 6, 3, 7, 5)]
+    seeds = [11, 22, 33, 44, 55]
+    eng = DecodeEngine(lm, mode="bf16")
+    singles = [eng.generate_ragged([p], max_new_tokens=9, temperature=1.5,
+                                   top_k=20, per_row_seeds=[s])[0]
+               for p, s in zip(prompts, seeds)]
+    cb = ContinuousBatcher(eng, max_batch=2, chunk=3, capacity=256)
+    outs = cb.run(prompts, max_new_tokens=9, temperature=1.5, top_k=20,
+                  per_request_seeds=seeds)
+    for i in range(len(prompts)):
+        np.testing.assert_array_equal(outs[i], singles[i],
+                                      err_msg=f"sampled req {i}")
