@@ -268,6 +268,31 @@ def main():
             "Expected ordering (reference README): W8 modes degrade least;",
             "W4A16-Smooth recovers much of the W4 error; W4-RTN is worst.",
         ]
+        if not OUTLIERS:
+            lines += [
+                "",
+                "The W8A8-static row reflects the full measured serving plan",
+                "(fused QKV, post-migration static scales, and the Pallas",
+                "GEGLU point fusion whose tanh-approx gelu — Mosaic has no",
+                "erf lowering — contributes a small drift vs exact gelu; the",
+                "+6% throughput trade is documented in BENCH_NOTES.md).",
+                "Static-scale margin sweep (same harness, real scale, TPU):",
+                "margin 1.0 is best here (MSE 0.00086 vs 0.00107 @1.15,",
+                "0.00133 @1.3) — with random weights rounding noise dominates",
+                "and nothing clips; `QuantConfig.static_act_margin` exists",
+                "for trained checkpoints where unseen-activation clipping",
+                "matters.  The per-step-scales row (DiTAS-style",
+                "`act_per_step_scales`) is within noise of the collapsed",
+                "scale HERE for the same reason — random-weight activations",
+                "barely vary across steps; the outlier regime and the tiny",
+                "table (+1.1 dB) are where it separates.",
+                "",
+                "Companion tables: `QUALITY_OUTLIERS.md` (the heavy-tailed",
+                "injection regime where SmoothQuant/AWQ separate —",
+                "reproduces the reference's W4 Smooth-vs-RTN ordering) and",
+                "the LLM KL tables (tools/llm_quality_table.json + the",
+                "outlier variant).",
+            ]
         if OUTLIERS:
             lines += [
                 "",
