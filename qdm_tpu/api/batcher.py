@@ -135,22 +135,32 @@ class ContinuousBatcher:
                 [prompts[req[r]], np.asarray(g, np.int32)])
             active[r] = False
 
-        def admit(r) -> bool:
+        def admit_free_rows():
+            """Refill ALL free rows that have admissible requests with
+            one batched mini-prefill + scatter (per-admission device
+            round-trips were the measured cost on the tunnel)."""
             nonlocal caches, queue
-            if not queue or len(prompts[queue[0]]) > p:
-                return False        # no request fits yet (p grows, retry)
-            i = queue.pop(0)
-            t0, caches, st, ln = eng.admit_row(
-                caches, r, prompts[i], p, sampler=sampler,
-                key=req_keys[i] if sampler else None)
-            req[r], gen[r], active[r] = i, [int(t0)], True
-            cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0
-            return True
+            free = [r for r in range(n_rows) if not active[r]]
+            take = []
+            while queue and len(take) < len(free) \
+                    and len(prompts[queue[0]]) <= p:
+                take.append(queue.pop(0))   # arrival order; a too-long
+                # head prompt blocks until p grows (no reordering)
+            if not take:
+                return
+            rows_ = free[: len(take)]
+            toks, caches, sts, lns = eng.admit_rows(
+                caches, rows_, [prompts[i] for i in take], p,
+                sampler=sampler,
+                keys=[req_keys[i] for i in take] if sampler else None)
+            for r, i, t0, st, ln in zip(rows_, take, toks, sts, lns):
+                req[r], gen[r], active[r] = i, [int(t0)], True
+                cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0
 
         for r in range(n_rows):
             if finished(r):
                 retire(r)
-                admit(r)
+        admit_free_rows()
 
         run = eng._make_run_ragged_chunk(self.chunk, sampler)
         while any(active) or queue:
@@ -184,7 +194,5 @@ class ContinuousBatcher:
                     gen[r].append(int(t))
                 if finished(r):
                     retire(r)
-            for r in range(n_rows):
-                if not active[r]:
-                    admit(r)
+            admit_free_rows()
         return [out[i] for i in range(len(prompts))]

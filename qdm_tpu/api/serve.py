@@ -1552,69 +1552,93 @@ class DecodeEngine:
 
     def admit_row(self, caches, row: int, prompt, phys_end: int,
                   sampler=(), key=None):
-        """Write one new request's prefilled K/V into ``row`` of live
-        engine caches, right-aligned so the prompt ENDS at the shared
-        physical append position ``phys_end`` (the continuous-batching
-        admission primitive; physical slots before it belong to the
-        evicted request and are masked out by the returned start).
+        """Single-request admission — see :meth:`admit_rows`."""
+        toks, caches, starts, lens = self.admit_rows(
+            caches, [row], [prompt], phys_end, sampler=sampler,
+            keys=None if key is None else [key])
+        return toks[0], caches, starts[0], lens[0]
 
-        Requires phys_end >= len(prompt) (the prompt needs that many
-        physical slots).  Returns (first generated token, new caches,
-        row start, prompt length)."""
-        prompt = np.asarray(prompt).reshape(-1)
-        L = int(prompt.shape[0])
-        assert phys_end >= L, (phys_end, L)
-        s = _round_up(max(L, 1), 128)
-        ids = np.zeros((1, s), np.int32)
-        ids[0, s - L:] = prompt
-        # fresh single-row ragged prefill (its own (1, s) cache)
-        tok0, mini, _ = self.prefill_ragged(ids, np.asarray([L], np.int32),
-                                            max_len=s)
+    def admit_rows(self, caches, rows, prompts, phys_end: int,
+                   sampler=(), keys=None):
+        """Write new requests' prefilled K/V into batch ``rows`` of
+        live engine caches, each right-aligned so its prompt ENDS at
+        the shared physical append position ``phys_end`` (the
+        continuous-batching admission primitive; physical slots before
+        a row's start belong to the evicted request and are masked
+        out).  All admissions share ONE ragged mini-prefill and ONE
+        masked scatter per layer — per-request device round-trips were
+        the measured admission cost on the tunnel.
+
+        Requires phys_end >= max prompt length.  Returns (first
+        generated tokens [one per row], new caches, row starts, prompt
+        lengths)."""
+        prompts = [np.asarray(pr).reshape(-1) for pr in prompts]
+        lens = np.asarray([len(pr) for pr in prompts], np.int32)
+        m = len(prompts)
+        assert m == len(rows) >= 1
+        assert phys_end >= int(lens.max()), (phys_end, lens)
+        s = _round_up(max(int(lens.max()), 1), 128)
+        ids = np.zeros((m, s), np.int32)
+        for j, pr in enumerate(prompts):
+            ids[j, s - len(pr):] = pr
+        tok0, mini, _ = self.prefill_ragged(ids, lens, max_len=s)
         if sampler:
-            # first token drawn with the request's OWN key, folding the
-            # same sentinel index as generate_ragged's pick0 — an
+            # first tokens drawn with each request's OWN key, folding
+            # the same sentinel index as generate_ragged's pick0 — an
             # admitted request's sampled stream equals its single-run
             # stream
             from qdm_tpu.api.causal_lm import fold_key
 
             tok0 = self._pick0(sampler)(
                 self._last_prefill_logits,
-                fold_key(jnp.asarray(key).reshape(1, 2), 2 ** 32 - 1))
+                fold_key(jnp.asarray(np.stack(keys)), 2 ** 32 - 1))
         self._last_prefill_logits = None
         if self._admit_scatter_fn is None:
             @jax.jit
-            def scatter(big, mini, row, p, length):
-                # big (B, C, *, T) / mini (1, C, *, S): big column t
-                # takes mini column t - p + S inside [p - L, p)
-                t_big = big.shape[-1]
+            def scatter(big, mini, rows_, p, lens_):
+                # big (B, C, *, T) / mini (m, C, *, S): batch row
+                # rows_[j] takes mini row j, column t <- t - p + S
+                # inside [p - lens_[j], p)
+                bsz, t_big = big.shape[0], big.shape[-1]
                 s_mini = mini.shape[-1]
+                hit = rows_[None, :] == jnp.arange(bsz)[:, None]  # (B, m)
+                sel = jnp.argmax(hit, axis=1)                     # (B,)
+                has = jnp.any(hit, axis=1)                        # (B,)
+                minib = mini[sel]                                 # (B,C,*,S)
                 tpos = jnp.arange(t_big)
                 src = jnp.clip(tpos - p + s_mini, 0, s_mini - 1)
-                shifted = jnp.take(mini[0], src, axis=-1)
-                mask = (tpos >= p - length) & (tpos < p)
-                rowm = jnp.arange(big.shape[0]) == row
-                full = rowm.reshape((-1,) + (1,) * (big.ndim - 1)) \
-                    & mask.reshape((1,) * (big.ndim - 1) + (-1,))
-                return jnp.where(full, shifted[None], big)
+                shifted = jnp.take(minib, src, axis=-1)
+                maskc = ((tpos[None] >= p - lens_[sel][:, None])
+                         & (tpos[None] < p))                      # (B, T)
+                full = (has[:, None]
+                        & maskc).reshape((bsz,) + (1,) * (big.ndim - 2)
+                                         + (t_big,))
+                return jnp.where(full, shifted, big)
 
             @jax.jit
-            def set_row(big, mini, row):
-                rowm = jnp.arange(big.shape[0]) == row
+            def set_rows(big, mini, rows_):
+                bsz = big.shape[0]
+                hit = rows_[None, :] == jnp.arange(bsz)[:, None]
+                sel = jnp.argmax(hit, axis=1)
+                has = jnp.any(hit, axis=1)
                 return jnp.where(
-                    rowm.reshape((-1,) + (1,) * (big.ndim - 1)),
-                    mini[0][None], big)
+                    has.reshape((-1,) + (1,) * (big.ndim - 1)),
+                    mini[sel], big)
 
-            self._admit_scatter_fn = (scatter, set_row)
-        scatter, set_row = self._admit_scatter_fn
-        rw, pe, ln = (jnp.int32(row), jnp.int32(phys_end), jnp.int32(L))
+            self._admit_scatter_fn = (scatter, set_rows)
+        scatter, set_rows = self._admit_scatter_fn
+        rw = jnp.asarray(np.asarray(rows, np.int32))
+        pe, ln = jnp.int32(phys_end), jnp.asarray(lens)
         out = []
-        for lay, m in zip(caches, mini):
-            kv = scatter(lay[0], m[0], rw, pe, ln)
+        for lay, mn in zip(caches, mini):
+            kv = scatter(lay[0], mn[0], rw, pe, ln)
             if len(lay) > 1:      # channel-static int8/int4 KV scales
-                out.append((kv, set_row(lay[1], m[1], rw)))
+                out.append((kv, set_rows(lay[1], mn[1], rw)))
             else:
                 out.append((kv,))
-        return int(np.asarray(tok0)[0]), out, phys_end - L, L
+        toks = [int(t) for t in np.asarray(tok0).reshape(-1)]
+        return toks, out, [phys_end - int(n) for n in lens], \
+            [int(n) for n in lens]
 
     def generate_ragged(self, prompts, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,
