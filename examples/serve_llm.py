@@ -109,6 +109,21 @@ def main():
         assert (rag[r] == single).all()
     print("ragged rows == single-prompt generates: OK")
 
+    # continuous batching: a request stream through a fixed row pool —
+    # finished rows refill from the queue mid-serve; every request's
+    # output equals its single-prompt generate
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    stream = [rng2.integers(0, lm.config.vocab_size, (n,))
+              for n in (4, 6, 3, 7, 5)]
+    cb = ContinuousBatcher(bf_eng, max_batch=2, chunk=4, capacity=256)
+    outs = cb.run(stream, max_new_tokens=[6, 12, 4, 9, 8])
+    for i, p in enumerate(stream):
+        single = bf_eng.generate(np.asarray(p)[None],
+                                 max_new_tokens=len(outs[i]) - len(p))[0]
+        assert (outs[i] == single).all()
+    print("continuous batching (5 requests / 2 rows) == singles: OK")
+
     draft = CausalLM.from_config(
         llama_lib.LlamaConfig(vocab_size=lm.config.vocab_size, hidden_size=32,
                               intermediate_size=64, num_hidden_layers=1,
