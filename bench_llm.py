@@ -460,7 +460,11 @@ def continuous_main():
     n_req, rows, chunk = (64, 16, 16) if on_tpu else (6, 2, 4)
     lo, hi = (16, 256) if on_tpu else (2, 8)
     plen = (64, 256) if on_tpu else (3, 8)
-    cap = 4096 if on_tpu else 256
+    # capacity sizes the cache the WHOLE stream shares: keep it at the
+    # worst-case append position, not bigger (an oversized cache pushes
+    # the decode attention into the long-context flash regime for no
+    # reason)
+    cap = 2048 if on_tpu else 256
 
     rng = np.random.default_rng(7)
     prompts = [rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
@@ -475,7 +479,10 @@ def continuous_main():
            "budget_range": [lo, hi], "gen_tokens": int(sum(budgets))}
 
     cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk, capacity=cap)
-    cb.run(prompts[:rows], max_new_tokens=8)       # warm the jits
+    # warm ALL the jits the timed run hits, including the admission
+    # path (2x rows requests force refills) — remote compiles inside
+    # the timed region dominated an unwarmed run
+    cb.run(prompts[: 2 * rows], max_new_tokens=4)
     t0 = time.time()
     outs = cb.run(prompts, max_new_tokens=budgets)
     dt = time.time() - t0

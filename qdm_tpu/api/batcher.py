@@ -96,9 +96,11 @@ class ContinuousBatcher:
         n_rows = min(self.max_batch, len(prompts))
         first, queue = queue[:n_rows], queue[n_rows:]
 
-        # ---- initial ragged prefill (capacity-length caches)
+        # ---- initial ragged prefill (capacity-length caches), padded
+        # to the run-wide 128-aligned prompt width (one jit shape for
+        # the whole run; also the width admissions use)
         lens0 = np.asarray([len(prompts[i]) for i in first], np.int32)
-        s0 = int(lens0.max())
+        s0 = -(-max(len(pr) for pr in prompts) // 128) * 128
         assert s0 + max(budgets) <= self.capacity, "capacity too small"
         ids = np.zeros((n_rows, s0), np.int32)
         for r, i in enumerate(first):
@@ -113,7 +115,7 @@ class ContinuousBatcher:
         eng._last_prefill_logits = None
 
         p = s0                                     # shared append slot
-        cur = np.asarray(tok0, np.int32)           # last token per row
+        cur = np.array(np.asarray(tok0), np.int32)  # last token per row
         lens = lens0.astype(np.int64).copy()       # next logical rope pos
         starts = np.asarray(starts, np.int32).copy()
         req = list(first)                          # row -> request id
@@ -135,6 +137,15 @@ class ContinuousBatcher:
                 [prompts[req[r]], np.asarray(g, np.int32)])
             active[r] = False
 
+        # fixed admission shapes: every admission round pads to the
+        # full row count and to one prompt width, so the mini-prefill
+        # and scatter jit ONCE per run — per-(m, width) retraces were
+        # remote compiles inside the serving loop on the tunnel
+        # (measured: they inverted the continuous-vs-static result)
+        s_adm = s0
+        dummy = np.zeros(1, np.int32)
+        dummy_key = req_keys[0] if sampler else None
+
         def admit_free_rows():
             """Refill ALL free rows that have admissible requests with
             one batched mini-prefill + scatter (per-admission device
@@ -148,11 +159,15 @@ class ContinuousBatcher:
                 # head prompt blocks until p grows (no reordering)
             if not take:
                 return
-            rows_ = free[: len(take)]
+            rows_ = free[: len(take)] + [-1] * (n_rows - len(take))
+            pr_ = [prompts[i] for i in take] \
+                + [dummy] * (n_rows - len(take))
+            keys_ = ([req_keys[i] for i in take]
+                     + [dummy_key] * (n_rows - len(take))) \
+                if sampler else None
             toks, caches, sts, lns = eng.admit_rows(
-                caches, rows_, [prompts[i] for i in take], p,
-                sampler=sampler,
-                keys=[req_keys[i] for i in take] if sampler else None)
+                caches, rows_, pr_, p, sampler=sampler, keys=keys_,
+                pad_s=s_adm)
             for r, i, t0, st, ln in zip(rows_, take, toks, sts, lns):
                 req[r], gen[r], active[r] = i, [int(t0)], True
                 cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0

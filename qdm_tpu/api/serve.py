@@ -1559,7 +1559,7 @@ class DecodeEngine:
         return toks[0], caches, starts[0], lens[0]
 
     def admit_rows(self, caches, rows, prompts, phys_end: int,
-                   sampler=(), keys=None):
+                   sampler=(), keys=None, pad_s: int = 0):
         """Write new requests' prefilled K/V into batch ``rows`` of
         live engine caches, each right-aligned so its prompt ENDS at
         the shared physical append position ``phys_end`` (the
@@ -1571,13 +1571,22 @@ class DecodeEngine:
 
         Requires phys_end >= max prompt length.  Returns (first
         generated tokens [one per row], new caches, row starts, prompt
-        lengths)."""
+        lengths).
+
+        Shape stability on the remote-compile tunnel: every distinct
+        (m, padded-prompt-width) retraces the mini-prefill and scatter
+        — callers admitting repeatedly (the ContinuousBatcher) should
+        pad ``rows`` to a FIXED count with sentinel row -1 (dummy
+        entries write nowhere) and pass a fixed ``pad_s`` width."""
         prompts = [np.asarray(pr).reshape(-1) for pr in prompts]
         lens = np.asarray([len(pr) for pr in prompts], np.int32)
         m = len(prompts)
         assert m == len(rows) >= 1
-        assert phys_end >= int(lens.max()), (phys_end, lens)
-        s = _round_up(max(int(lens.max()), 1), 128)
+        real = [j for j, r in enumerate(rows) if r >= 0]
+        assert real, "all rows are sentinels"
+        assert phys_end >= int(lens[real].max()), (phys_end, lens)
+        s = max(_round_up(max(int(lens.max()), 1), 128),
+                _round_up(pad_s, 128) if pad_s else 0)
         ids = np.zeros((m, s), np.int32)
         for j, pr in enumerate(prompts):
             ids[j, s - len(pr):] = pr
