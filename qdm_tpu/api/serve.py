@@ -192,6 +192,18 @@ def _kv_shard_perm(hkv: int, tp: int) -> np.ndarray:
     return np.concatenate(idx)
 
 
+def recommended_kv(ctx_len: int):
+    """Measured KV-cache policy for the DecodeEngine (BENCH_NOTES
+    r3l/r3n, 1.1B GQA on v5e): below ~2k context bf16 KV wins — the
+    VPU dequant/unpack overhead exceeds the cache-read saving while
+    the cache is a minority of step traffic (ctx 1024: bf16-KV 8431
+    tok/s > kv4 7497).  At long context the read dominates and
+    channel-static int4 KV wins big (ctx 4096: kv4 5594 > bf16-KV
+    2590, 2.16x).  Returns (kv_dtype, kv_scale_mode) for the expected
+    serving context length."""
+    return ("int4", "channel") if ctx_len >= 2048 else (None, "token")
+
+
 class DecodeEngine:
     """Extracted-weight decode engine over megakernels: greedy or
     sampled, equal-length or ragged batches, EOS early exit, dp x tp
@@ -274,6 +286,11 @@ class DecodeEngine:
         # is channel-static only (per-token int4 scales would cost
         # more arithmetic than the per-token int8 scheme that already
         # loses), so kv_scale_mode is forced to 'channel'.
+        if kv_dtype == "auto":
+            raise ValueError(
+                "kv_dtype='auto' needs the serving context length: use "
+                "recommended_kv(ctx_len) -> (kv_dtype, kv_scale_mode) "
+                "(measured policy, BENCH_NOTES)")
         self.kv_dtype = kv_dtype
         if kv_dtype == "int4":
             if cfg.head_dim % 2:

@@ -1197,6 +1197,30 @@ def test_continuous_batching_kv8c_and_eos(lm):
         hits += outs[i].size
     assert agree / hits > 0.85, f"kv8c agreement {agree}/{hits}"
 
+    # int4 KV rides the same admission scatter (packed (B,C,d/2,T)
+    # codes + per-row channel scales).  The 4-bit grid flips codes at
+    # sub-ULP batch-shape shifts (test_engine_int4_kv_ragged's
+    # documented sensitivity) and one flip cascades, so the contract
+    # is per-row tracking, not bit-equality; no admission-specific
+    # divergence (admitted rows track as well as initial rows —
+    # measured per-row [.87, .62, .56, 1.0, .43] on this seed).
+    e4 = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                      kv_dtype="int4")
+    singles4 = [e4.generate(p[None], max_new_tokens=10)[0] for p in prompts]
+    outs4 = ContinuousBatcher(e4, max_batch=2, chunk=4,
+                              capacity=256).run(prompts, max_new_tokens=10)
+    per_row = []
+    for i in range(len(prompts)):
+        assert outs4[i].shape == singles4[i].shape
+        np.testing.assert_array_equal(outs4[i][: len(prompts[i])],
+                                      prompts[i])
+        per_row.append(float((outs4[i] == singles4[i]).mean()))
+    assert min(per_row) > 0.35 and np.mean(per_row) > 0.55, per_row
+
+    from qdm_tpu.api.serve import recommended_kv
+    assert recommended_kv(1024) == (None, "token")
+    assert recommended_kv(4096) == ("int4", "channel")
+
     # EOS retirement + refill, deterministic on the bf16 engine: pick a
     # token that appears mid-way in request 0's greedy continuation
     ebf = DecodeEngine(lm, mode="bf16")
