@@ -19,8 +19,10 @@ Design (TPU-first):
   engine kernels write each new token at one scalar position), so an
   admitted prompt of length L occupies slots [p - L, p) where p is the
   current append position: the evicted request's dead K/V is simply
-  overwritten/masked.  Capacity is ``p_final <= cache length`` —
-  ring-buffer reuse is a documented extension.
+  overwritten/masked.  When the shared append slot nears capacity the
+  scheduler REBASES: every live window shifts left by the common dead
+  prefix (one jitted roll per layer, fixed shapes), so a BOUNDED cache
+  serves unbounded request streams (bit-exact, tested).
 * Greedy decode (the exactness contract below); per-row logical rope
   positions and attention-start masks come from the ragged serving
   machinery, so every request's tokens are IDENTICAL to a
@@ -184,8 +186,19 @@ class ContinuousBatcher:
                 # physical room than p provides — advance p with a
                 # no-op chunk (rows are all retired; outputs ignored)
                 pass
-            assert p + self.chunk <= self.capacity, \
-                "cache capacity exceeded — raise `capacity`"
+            if p + self.chunk > self.capacity:
+                # rebase: every row's dead prefix (below its attention
+                # start) is reclaimable — shift all live windows left
+                # by the common dead width and keep serving in the
+                # bounded cache (unbounded request streams)
+                delta = min((int(starts[r]) for r in range(n_rows)
+                             if active[r]), default=p)
+                assert delta > 0, \
+                    "cache capacity exceeded — live rows fill the " \
+                    "cache; raise `capacity`"
+                caches = eng.rebase_caches(caches, delta)
+                p -= delta
+                starts = np.maximum(starts - delta, 0)
             kw = {}
             if sampler:
                 kw = {"offs": jnp.asarray(offs),

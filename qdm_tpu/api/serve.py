@@ -520,6 +520,7 @@ class DecodeEngine:
         self._prefill_fn = None
         self._prefill_ragged_fn = None
         self._admit_scatter_fn = None
+        self._rebase_fn = None
         self._last_prefill_logits = None
 
     def _make_pick(self, sampler):
@@ -1574,6 +1575,43 @@ class DecodeEngine:
             caches, [row], [prompt], phys_end, sampler=sampler,
             keys=None if key is None else [key])
         return toks[0], caches, starts[0], lens[0]
+
+    def rebase_caches(self, caches, delta: int):
+        """Shift every row's cache columns left by ``delta`` (the
+        common dead prefix below all rows' attention starts): column
+        t takes column t + delta, the tail zero-fills.  Keeps
+        continuous batching inside a BOUNDED cache — when the shared
+        append slot nears capacity the scheduler rebases instead of
+        failing.  One jitted roll per layer, shapes unchanged (no
+        retrace).  Codes/kv shift; per-channel scales are T-independent
+        and per-token scale planes shift alongside."""
+        if delta <= 0:
+            return caches
+        if self._rebase_fn is None:
+            @functools.partial(jax.jit, static_argnames=())
+            def shift(arr, d):
+                t = arr.shape[-1]
+                src = jnp.clip(jnp.arange(t) + d, 0, t - 1)
+                out = jnp.take(arr, src, axis=-1)
+                keep = (jnp.arange(t) < t - d)
+                return jnp.where(keep.reshape((1,) * (arr.ndim - 1) + (-1,)),
+                                 out, jnp.zeros_like(out))
+
+            self._rebase_fn = shift
+        shift = self._rebase_fn
+        d = jnp.int32(delta)
+        out = []
+        for lay in caches:
+            kv = shift(lay[0], d)
+            if len(lay) > 1:
+                sc = lay[1]
+                # per-token scale planes carry a T axis; channel scales
+                # ((..., 1) trailing) do not
+                sc = shift(sc, d) if sc.shape[-1] == lay[0].shape[-1] else sc
+                out.append((kv, sc))
+            else:
+                out.append((kv,))
+        return out
 
     def admit_rows(self, caches, rows, prompts, phys_end: int,
                    sampler=(), keys=None, pad_s: int = 0):

@@ -1337,3 +1337,33 @@ def test_continuous_batching_sampled_per_request(lm):
     for i in range(len(prompts)):
         np.testing.assert_array_equal(outs[i], singles[i],
                                       err_msg=f"sampled req {i}")
+
+
+def test_continuous_batching_rebase(lm):
+    """Bounded-cache serving: a capacity too small for the whole
+    stream forces mid-serve rebases (live windows shifted to the cache
+    start); greedy outputs stay bit-identical to single-prompt runs."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(51)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (6, 4, 7, 3, 5, 8)]
+    eng = DecodeEngine(lm, mode="bf16")
+    # capacity 192 with a 128-padded prompt width: the append slot
+    # passes 192 mid-stream (6 requests x 12 tokens on 2 rows), so the
+    # run MUST rebase to finish (the capacity assert fires otherwise)
+    cb = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=192)
+    outs = cb.run(prompts, max_new_tokens=12)
+    for i, prm in enumerate(prompts):
+        single = eng.generate(prm[None], max_new_tokens=12)[0]
+        np.testing.assert_array_equal(outs[i], single,
+                                      err_msg=f"rebase req {i}")
+
+    # quantized KV through the same rebase (channel scales T-free,
+    # codes shift)
+    stats = DecodeEngine.calibrate_scales(lm, prompts[0][None])
+    e8 = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                      kv_dtype=jnp.int8, kv_scale_mode="channel")
+    outs8 = ContinuousBatcher(e8, max_batch=2, chunk=4,
+                              capacity=192).run(prompts, max_new_tokens=12)
+    assert all(len(o) == len(p) + 12 for o, p in zip(outs8, prompts))
