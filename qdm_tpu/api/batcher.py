@@ -60,7 +60,7 @@ class ContinuousBatcher:
             eos_token_id: Optional[int] = None,
             temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
             per_request_seeds: Optional[Sequence[int]] = None,
-            seed: int = 0) -> List[np.ndarray]:
+            seed: int = 0, prefix=None) -> List[np.ndarray]:
         """Serve every prompt; returns prompt+generated per request, in
         request order.  A request finishes on EOS (if given) or after
         its token budget; its row is immediately refilled from the
@@ -74,10 +74,23 @@ class ContinuousBatcher:
         PRNGKey(per_request_seeds[i]) (default seed + i) folding its
         own step counter, so its sampled completion is IDENTICAL to a
         single-prompt generate_ragged([prompt], per_row_seeds=[s])
-        whatever batch composition it decoded in (tested)."""
+        whatever batch composition it decoded in (tested).
+
+        prefix: a shared system-prompt token array (or a
+        ``DecodeEngine.precompute_prefix`` handle) every request sits
+        on top of; ``prompts`` are then the per-request SUFFIXES, and
+        each returned array is suffix+generated.  The prefix forward
+        runs ONCE for the whole stream — admissions paste its KV and
+        prefill only the suffix (greedy rows stay bit-identical to a
+        single-prompt generate of [prefix|suffix], tested)."""
         eng = self.eng
         prompts = [np.asarray(p).reshape(-1).astype(np.int32)
                    for p in prompts]
+        pc = None
+        if prefix is not None:
+            pc = (prefix if (isinstance(prefix, tuple) and len(prefix) == 2)
+                  else eng.precompute_prefix(np.asarray(prefix)))
+        p0 = pc[0] if pc is not None else 0
         assert all(len(p) > 0 for p in prompts)
         if np.ndim(max_new_tokens) == 0:
             budgets = [int(max_new_tokens)] * len(prompts)
@@ -96,35 +109,52 @@ class ContinuousBatcher:
                     for s in per_request_seeds] if sampler else None
         queue = list(range(len(prompts)))
         n_rows = min(self.max_batch, len(prompts))
-        first, queue = queue[:n_rows], queue[n_rows:]
 
-        # ---- initial ragged prefill (capacity-length caches), padded
-        # to the run-wide 128-aligned prompt width (one jit shape for
-        # the whole run; also the width admissions use)
-        lens0 = np.asarray([len(prompts[i]) for i in first], np.int32)
-        s0 = -(-max(len(pr) for pr in prompts) // 128) * 128
+        # ---- initial fill.  Without a prefix: one ragged prefill over
+        # the first batch (capacity-length caches), padded to the
+        # run-wide 128-aligned prompt width (one jit shape for the
+        # whole run; also the width admissions use).  With a prefix:
+        # start from EMPTY caches and admit the first batch through
+        # the same prefixed-admission path every later refill uses
+        # (one code path, one jit shape).
+        s_sfx = -(-max(len(pr) for pr in prompts) // 128) * 128
+        s0 = -(-(p0 + max(len(pr) for pr in prompts)) // 128) * 128
         assert s0 + max(budgets) <= self.capacity, "capacity too small"
-        ids = np.zeros((n_rows, s0), np.int32)
-        for r, i in enumerate(first):
-            ids[r, s0 - len(prompts[i]):] = prompts[i]
-        tok0, caches, starts = eng.prefill_ragged(ids, lens0, self.capacity)
-        if sampler:
-            from qdm_tpu.api.causal_lm import fold_key
-
-            keys0 = jnp.asarray(np.stack([req_keys[i] for i in first]))
-            tok0 = eng._pick0(sampler)(eng._last_prefill_logits,
-                                       fold_key(keys0, 2 ** 32 - 1))
-        eng._last_prefill_logits = None
-
-        p = s0                                     # shared append slot
-        cur = np.array(np.asarray(tok0), np.int32)  # last token per row
-        lens = lens0.astype(np.int64).copy()       # next logical rope pos
-        starts = np.asarray(starts, np.int32).copy()
-        req = list(first)                          # row -> request id
-        gen = [[int(cur[r])] for r in range(n_rows)]
-        offs = np.zeros(n_rows, np.int32)          # per-row folds consumed
-        active = [True] * n_rows
         out: dict = {}
+        if pc is None:
+            first, queue = queue[:n_rows], queue[n_rows:]
+            lens0 = np.asarray([len(prompts[i]) for i in first], np.int32)
+            ids = np.zeros((n_rows, s0), np.int32)
+            for r, i in enumerate(first):
+                ids[r, s0 - len(prompts[i]):] = prompts[i]
+            tok0, caches, starts = eng.prefill_ragged(ids, lens0,
+                                                      self.capacity)
+            if sampler:
+                from qdm_tpu.api.causal_lm import fold_key
+
+                keys0 = jnp.asarray(np.stack([req_keys[i] for i in first]))
+                tok0 = eng._pick0(sampler)(eng._last_prefill_logits,
+                                           fold_key(keys0, 2 ** 32 - 1))
+            eng._last_prefill_logits = None
+
+            p = s0                                     # shared append slot
+            cur = np.array(np.asarray(tok0), np.int32)  # last token/row
+            lens = lens0.astype(np.int64).copy()   # next logical rope pos
+            starts = np.asarray(starts, np.int32).copy()
+            req = list(first)                          # row -> request id
+            gen = [[int(cur[r])] for r in range(n_rows)]
+            offs = np.zeros(n_rows, np.int32)      # per-row folds consumed
+            active = [True] * n_rows
+        else:
+            caches = eng.init_cache(n_rows, self.capacity)
+            p = s0
+            cur = np.zeros(n_rows, np.int32)
+            lens = np.zeros(n_rows, np.int64)
+            starts = np.full(n_rows, s0, np.int32)
+            req = [-1] * n_rows
+            gen = [[] for _ in range(n_rows)]
+            offs = np.zeros(n_rows, np.int32)
+            active = [False] * n_rows
 
         def finished(r) -> bool:
             g = gen[r]
@@ -144,7 +174,7 @@ class ContinuousBatcher:
         # and scatter jit ONCE per run — per-(m, width) retraces were
         # remote compiles inside the serving loop on the tunnel
         # (measured: they inverted the continuous-vs-static result)
-        s_adm = s0
+        s_adm = s_sfx if pc is not None else s0
         dummy = np.zeros(1, np.int32)
         dummy_key = req_keys[0] if sampler else None
 
@@ -156,7 +186,7 @@ class ContinuousBatcher:
             free = [r for r in range(n_rows) if not active[r]]
             take = []
             while queue and len(take) < len(free) \
-                    and len(prompts[queue[0]]) <= p:
+                    and p0 + len(prompts[queue[0]]) <= p:
                 take.append(queue.pop(0))   # arrival order; a too-long
                 # head prompt blocks until p grows (no reordering)
             if not take:
@@ -169,13 +199,13 @@ class ContinuousBatcher:
                 if sampler else None
             toks, caches, sts, lns = eng.admit_rows(
                 caches, rows_, pr_, p, sampler=sampler, keys=keys_,
-                pad_s=s_adm)
+                pad_s=s_adm, prefix=pc)
             for r, i, t0, st, ln in zip(rows_, take, toks, sts, lns):
                 req[r], gen[r], active[r] = i, [int(t0)], True
                 cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0
 
         for r in range(n_rows):
-            if finished(r):
+            if active[r] and finished(r):
                 retire(r)
         admit_free_rows()
 

@@ -486,17 +486,26 @@ class DecodeEngine:
             self.final_norm = self._put(self.final_norm, P())
             self.w_head = self._put(self.w_head, P(None, "model"))
             self._head = self.w_head
-        # opt-in int8 prefill: the (B, S) prefill forward is MXU-bound,
-        # so the w8a8_xla dynamic-per-token module path runs it ~1.7x
-        # faster than bf16 (BENCH_NOTES round 2); default stays bf16
-        # prefill for maximum prompt-encoding quality
+        # opt-in int8 prefill: the (B, S) prefill forward is MXU-bound.
+        # prefill_quant="dynamic" (old path) quantizes acts per-token at
+        # runtime — measured NEUTRAL at (32, 1024): the dynamic-quant
+        # elementwise passes cost what the int8 MXU saves (BENCH_NOTES
+        # round 3 "int8 prefill is neutral").  prefill_quant=True /
+        # "static" reuses the engine's calibrated act_stats as STATIC
+        # per-tensor scales (the same scheme as the SD1.5 w8a8_xla
+        # winner — no runtime quant pass, just one multiply folded into
+        # the matmul epilogue); falls back to dynamic without act_stats.
         self.prefill_quant = prefill_quant and mode != "bf16"
         if self.prefill_quant:
-            from qdm_tpu.quant.apply import pack_params
+            from qdm_tpu.quant.apply import (fill_static_act_scales,
+                                             pack_params)
             from qdm_tpu.quant.plan import LayerQuantSpec, QuantPlan
 
-            w8 = LayerQuantSpec(mode="w8a8_xla", w_bits=8, a_bits=8,
-                                quantize_act=True, act_quant="per_token")
+            static = (prefill_quant != "dynamic"
+                      and act_stats is not None)
+            w8 = LayerQuantSpec(
+                mode="w8a8_xla", w_bits=8, a_bits=8, quantize_act=True,
+                act_quant="static" if static else "per_token")
             pplan = QuantPlan(default=w8).with_rule("lm_head", None)
             self._prefill_model = type(lm.model)(config=cfg,
                                                  dtype=self.dtype,
@@ -504,7 +513,11 @@ class DecodeEngine:
             # pack from `p` (the fp kernels), not lm.params — on a
             # from_quantized model lm.params is already packed and
             # pack_params would silently no-op on it
-            self._prefill_params = pack_params(p, pplan)
+            pp = pack_params(p, pplan)
+            if static:
+                pp = fill_static_act_scales(pp, act_stats,
+                                            margin=act_margin)
+            self._prefill_params = pp
         else:
             # SNAPSHOT the module + params at construction: prefill
             # must keep working even if the caller later mutates the
@@ -518,6 +531,9 @@ class DecodeEngine:
         self._run_cache: Dict = {}
         self._score_cache: Dict[int, callable] = {}
         self._prefill_fn = None
+        self._prefix_fn = None
+        self._prefixed_fn = None
+        self._prefixed_ragged_fn = None
         self._prefill_ragged_fn = None
         self._admit_scatter_fn = None
         self._rebase_fn = None
@@ -1151,6 +1167,58 @@ class DecodeEngine:
         return [(jnp.zeros(shape, self.dtype),)
                 for _ in range(cfg.num_hidden_layers)]
 
+    def _kv_finalize(self, caches, pad):
+        """Engine-format cache post-pass shared by the prefill flavors
+        (traced inside their jits): optional tp shard-major head perm,
+        optional int8/int4 KV quantization (per-token or channel-static
+        scales), then pad each cache to the serving length."""
+        kv_int8 = self.kv_dtype == jnp.int8
+        kv_channel = (self.kv_scale_mode == "channel"
+                      and self.kv_dtype is not None)
+        kv_int4 = self.kv_dtype == "int4"
+        qmax = self._kv_qmax
+        kv_margin = self.kv_margin
+        kv_perm = (jnp.asarray(_kv_shard_perm(
+            self.cfg.num_key_value_heads, self.tp))
+            if self.tp > 1 else None)
+
+        def widen(kv):
+            return (jnp.pad(kv, ((0, 0),) * 3 + ((0, pad),))
+                    if pad else kv)
+
+        eng = []
+        for (kvdm,) in caches:                           # (B, 2hkv, d, T)
+            if kv_perm is not None:
+                # shard-major [k_s | v_s] head order (tp cache
+                # layout; see _kv_shard_perm)
+                kvdm = jnp.take(kvdm, kv_perm, axis=1)
+            if kv_channel:
+                # static per-(head, channel) scales from the
+                # prompt range x margin; decode writes clip
+                kvf = kvdm.astype(jnp.float32)
+                sc = jnp.clip(jnp.max(jnp.abs(kvf), axis=3,
+                                      keepdims=True),
+                              1e-8, None) * (kv_margin / qmax)
+                codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
+                if kv_int4:
+                    eng.append((widen(dk.pack_kv_int4(
+                        codes.astype(jnp.int32))), sc))
+                else:
+                    eng.append((widen(codes.astype(jnp.int8)),
+                                sc))                     # (B,2hkv,d,1)
+            elif kv_int8:
+                kvf = kvdm.astype(jnp.float32)
+                ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
+                                      keepdims=True),
+                              1e-8, None) / 127.0        # (B,2hkv,1,T)
+                eng.append((widen(jnp.round(kvf / ss).astype(jnp.int8)),
+                            jnp.pad(ss, ((0, 0),) * 3 + ((0, pad),),
+                                    constant_values=1.0)
+                            if pad else ss))
+            else:
+                eng.append((widen(kvdm),))
+        return eng
+
     def prefill(self, ids, max_len: int):
         """Module-path prefill writing the engine's combined [K|V]
         depth-major cache layout DIRECTLY (the llama attention's
@@ -1184,60 +1252,16 @@ class DecodeEngine:
                   for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_fn is None:
-            kv_int8 = self.kv_dtype == jnp.int8
-            kv_channel = (self.kv_scale_mode == "channel"
-                          and self.kv_dtype is not None)
-            kv_int4 = self.kv_dtype == "int4"
-            qmax = self._kv_qmax
-            kv_margin = self.kv_margin
-            kv_perm = (jnp.asarray(_kv_shard_perm(
-                self.cfg.num_key_value_heads, self.tp))
-                if self.tp > 1 else None)
+            finalize = self._kv_finalize
 
             @functools.partial(jax.jit, static_argnames=("pad",))
             def fwd(params, ids, caches, pad):
-                def widen(kv):
-                    return (jnp.pad(kv, ((0, 0),) * 3 + ((0, pad),))
-                            if pad else kv)
-
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0,
                                              last_logits_only=True)
                 logits = logits[:, -1]
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                eng = []
-                for (kvdm,) in caches:                       # (B, 2hkv, d, T)
-                    if kv_perm is not None:
-                        # shard-major [k_s | v_s] head order (tp cache
-                        # layout; see _kv_shard_perm)
-                        kvdm = jnp.take(kvdm, kv_perm, axis=1)
-                    if kv_channel:
-                        # static per-(head, channel) scales from the
-                        # prompt range x margin; decode writes clip
-                        kvf = kvdm.astype(jnp.float32)
-                        sc = jnp.clip(jnp.max(jnp.abs(kvf), axis=3,
-                                              keepdims=True),
-                                      1e-8, None) * (kv_margin / qmax)
-                        codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
-                        if kv_int4:
-                            eng.append((widen(dk.pack_kv_int4(
-                                codes.astype(jnp.int32))), sc))
-                        else:
-                            eng.append((widen(codes.astype(jnp.int8)),
-                                        sc))                 # (B,2hkv,d,1)
-                    elif kv_int8:
-                        kvf = kvdm.astype(jnp.float32)
-                        ss = jnp.clip(jnp.max(jnp.abs(kvf), axis=2,
-                                              keepdims=True),
-                                      1e-8, None) / 127.0    # (B,2hkv,1,T)
-                        eng.append((widen(jnp.round(kvf / ss)
-                                          .astype(jnp.int8)),
-                                    jnp.pad(ss, ((0, 0),) * 3 + ((0, pad),),
-                                            constant_values=1.0)
-                                    if pad else ss))
-                    else:
-                        eng.append((widen(kvdm),))
-                return tok, logits, eng
+                return tok, logits, finalize(caches, pad)
 
             self._prefill_fn = fwd
         tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches,
@@ -1257,7 +1281,8 @@ class DecodeEngine:
                  top_p: float = 0.0, seed: int = 0,
                  per_row_seeds=None,
                  eos_token_id: Optional[int] = None,
-                 stop_early: bool = False) -> np.ndarray:
+                 stop_early: bool = False,
+                 prefix=None) -> np.ndarray:
         """Decode.  Greedy by default (works single-device, under any
         single-host dp x tp mesh, and on multi-host meshes); sampled
         when temperature > 0 — same knobs as CausalLM.generate / HF
@@ -1294,8 +1319,16 @@ class DecodeEngine:
                     "predicate is a cross-shard reduction)")
         ids = np.asarray(input_ids)
         b, s = ids.shape
-        max_len = s + max_new_tokens
-        tok0, caches = self.prefill(ids, max_len)
+        if prefix is not None:
+            # shared-prompt serving: input_ids are the SUFFIX rows on
+            # top of a precompute_prefix handle (see prefill_prefixed)
+            p0 = prefix[0]
+            max_len = p0 + s + max_new_tokens
+            tok0, caches = self.prefill_prefixed(prefix, ids, max_len)
+            s = p0 + s
+        else:
+            max_len = s + max_new_tokens
+            tok0, caches = self.prefill(ids, max_len)
         if stop_early:
             run = self._make_run_while(max_new_tokens - 1, sampler,
                                        int(eos_token_id))
@@ -1335,6 +1368,185 @@ class DecodeEngine:
 
             out = mask_after_eos(out, eos_token_id)
         return np.concatenate([ids, out], axis=1)
+
+    # ----------------------------------------------------------- prefix cache
+    #
+    # Shared-prompt KV reuse (the vLLM-style system-prompt lever,
+    # expressed TPU-first with fixed shapes): compute the common
+    # prefix's KV ONCE with a single-row module prefill, then every
+    # batch prefill broadcasts those columns into the batch cache and
+    # runs the forward over the SUFFIX tokens only (cache_index=P
+    # multi-token append — the llama attention's causal mask
+    # `k_pos <= cache_index + arange(s)` already covers it).  Because
+    # attention is causal and the prefix is row-independent, the
+    # result is mathematically identical to prefilling the full
+    # [prefix|suffix] prompt; greedy continuations are bit-equal on
+    # the f32 CPU path (tested).  The reference has no serving layer
+    # at all — the closest ancestor is its rolling KV cache in fused
+    # modules (utils/fused_utils.py:45-142), which never shares
+    # prefixes across requests.
+
+    def precompute_prefix(self, prefix_ids):
+        """One-time KV computation for a shared prompt prefix.
+
+        Returns an opaque ``(P, kv)`` handle for ``generate(...,
+        prefix=)`` / ``prefill_prefixed``: P is the prefix token count
+        and kv a per-layer list of raw-dtype (1, 2hkv, d,
+        round_up(P, 128)) combined depth-major caches (UNquantized —
+        quantization happens after the suffix prefill so the
+        channel-static scales span prefix+suffix exactly like a full
+        prefill's would)."""
+        if self.spmd:
+            raise NotImplementedError("prefix caching is single-device")
+        ids = np.asarray(prefix_ids)
+        if ids.ndim == 1:
+            ids = ids[None]
+        if ids.shape[0] != 1:
+            raise ValueError("a prefix is one shared row; got "
+                             f"batch {ids.shape[0]}")
+        p = ids.shape[1]
+        pp = _round_up(p, 128)
+        model, params = self._prefill_model, self._prefill_params
+        cfg = self.cfg
+        caches = [(jnp.zeros((1, 2 * cfg.num_key_value_heads,
+                              cfg.head_dim, pp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+        if self._prefix_fn is None:
+
+            @jax.jit
+            def fwd(params, ids, caches):
+                _, caches = model.apply({"params": params}, ids,
+                                        kv_caches=caches, cache_index=0,
+                                        last_logits_only=True)
+                return [c for (c,) in caches]
+
+            self._prefix_fn = fwd
+        return p, self._prefix_fn(params, jnp.asarray(ids), caches)
+
+    def prefill_prefixed(self, prefix, ids, max_len: int):
+        """Prefill suffix rows on top of a precomputed shared prefix:
+        ids (B, S) holds ONLY each request's suffix tokens.  One
+        forward over S tokens per row instead of P+S — at a typical
+        system-prompt workload (P >> S) this removes nearly the whole
+        per-request prefill cost.  Returns (first tokens, engine
+        caches); decode then starts at position P+S."""
+        p, kv = prefix
+        b, s = ids.shape
+        if self.spmd:
+            raise NotImplementedError("prefix caching is single-device")
+        sp = _round_up(p + s, 128)
+        tp = _round_up(max_len, 128)
+        assert tp >= sp, (max_len, p, s)
+        model, params = self._prefill_model, self._prefill_params
+        cfg = self.cfg
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
+                              cfg.head_dim, sp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+        if self._prefixed_fn is None:
+            finalize = self._kv_finalize
+
+            @functools.partial(jax.jit, static_argnames=("p", "pad"))
+            def fwd(params, ids, kvpre, caches, p, pad):
+                b2 = ids.shape[0]
+                full = []
+                for (c,), k in zip(caches, kvpre):
+                    pre = jnp.broadcast_to(k[..., :p],
+                                           (b2,) + k.shape[1:3] + (p,))
+                    full.append((jax.lax.dynamic_update_slice(
+                        c, pre.astype(c.dtype), (0, 0, 0, 0)),))
+                logits, full = model.apply({"params": params}, ids,
+                                           kv_caches=full, cache_index=p,
+                                           last_logits_only=True)
+                logits = logits[:, -1]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return tok, logits, finalize(full, pad)
+
+            self._prefixed_fn = fwd
+        tok, logits, eng = self._prefixed_fn(params, jnp.asarray(ids), kv,
+                                             caches, p, tp - sp)
+        self._last_prefill_logits = logits
+        return tok, eng
+
+    def prefill_ragged_prefixed(self, prefix, ids, lens):
+        """Ragged mini-prefill on top of a shared precomputed prefix —
+        the continuous-batching admission primitive for prefix-cached
+        serving.  ids (B, S) holds LEFT-padded suffix rows (row r's
+        tokens in columns [S - lens[r], S)).  The mini cache is laid
+        out [prefix | pad | suffix] of width P+S: the prefix KV is
+        pasted below the pad region and stays visible to every real
+        query through the model's ``attn_prefix`` mask, while pad
+        slots stay invisible.  Suffix positions/rope start at P.
+        Channel-static KV scales span prefix+suffix valid slots — the
+        same scales a full [prefix|suffix] prefill would produce.
+        Returns (first tokens, mini caches); ``admit_rows(prefix=)``
+        re-packs the two pieces contiguously into the live caches."""
+        p0, kvpre = prefix
+        b, s = ids.shape
+        if self.spmd:
+            raise NotImplementedError("ragged serving is single-device")
+        if self.kv_dtype == jnp.int8 and self.kv_scale_mode != "channel":
+            raise NotImplementedError(
+                "ragged int8 KV runs with kv_scale_mode='channel'")
+        model, params = self._prefill_model, self._prefill_params
+        cfg = self.cfg
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
+                              cfg.head_dim, p0 + s), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+        if self._prefixed_ragged_fn is None:
+            kv_channel = self.kv_dtype is not None
+            kv_int4 = self.kv_dtype == "int4"
+            qmax = self._kv_qmax
+            kv_margin = self.kv_margin
+
+            @functools.partial(jax.jit, static_argnames=("p0",))
+            def fwd(params, ids, lens, kvpre, caches, p0):
+                b2, s2 = ids.shape
+                pads = s2 - lens                              # (B,)
+                full = []
+                for (c,), k in zip(caches, kvpre):
+                    pre = jnp.broadcast_to(k[..., :p0],
+                                           (b2,) + k.shape[1:3] + (p0,))
+                    full.append((jax.lax.dynamic_update_slice(
+                        c, pre.astype(c.dtype), (0, 0, 0, 0)),))
+                positions = p0 + jnp.clip(
+                    jnp.arange(s2)[None] - pads[:, None], 0, None)
+                logits, full = model.apply(
+                    {"params": params}, ids, positions=positions,
+                    kv_caches=full, cache_index=p0,
+                    attn_start=p0 + pads, attn_prefix=p0,
+                    last_logits_only=True)
+                logits = logits[:, -1]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                eng = []
+                for (kvdm,) in full:
+                    if kv_channel:
+                        # scales from the prefix + valid suffix slots
+                        # (pad columns hold garbage K/V the masks hide)
+                        tpos = jnp.arange(kvdm.shape[-1])
+                        valid = ((tpos[None] < p0)
+                                 | ((tpos[None] >= (p0 + pads)[:, None])
+                                    & (tpos[None] < p0 + s2)))
+                        kvf = kvdm.astype(jnp.float32)
+                        mag = jnp.where(valid[:, None, None, :],
+                                        jnp.abs(kvf), 0.0)
+                        sc = jnp.clip(jnp.max(mag, axis=3, keepdims=True),
+                                      1e-8, None) * (kv_margin / qmax)
+                        codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
+                        if kv_int4:
+                            eng.append((dk.pack_kv_int4(
+                                codes.astype(jnp.int32)), sc))
+                        else:
+                            eng.append((codes.astype(jnp.int8), sc))
+                    else:
+                        eng.append((kvdm,))
+                return tok, logits, eng
+
+            self._prefixed_ragged_fn = fwd
+        lens = jnp.asarray(lens, jnp.int32)
+        tok, logits, eng = self._prefixed_ragged_fn(
+            params, jnp.asarray(ids), lens, kvpre, caches, p0)
+        self._last_prefill_logits = logits
+        return tok, eng
 
     # --------------------------------------------------------- ragged batches
 
@@ -1614,7 +1826,7 @@ class DecodeEngine:
         return out
 
     def admit_rows(self, caches, rows, prompts, phys_end: int,
-                   sampler=(), keys=None, pad_s: int = 0):
+                   sampler=(), keys=None, pad_s: int = 0, prefix=None):
         """Write new requests' prefilled K/V into batch ``rows`` of
         live engine caches, each right-aligned so its prompt ENDS at
         the shared physical append position ``phys_end`` (the
@@ -1639,13 +1851,21 @@ class DecodeEngine:
         assert m == len(rows) >= 1
         real = [j for j, r in enumerate(rows) if r >= 0]
         assert real, "all rows are sentinels"
-        assert phys_end >= int(lens[real].max()), (phys_end, lens)
+        p0 = prefix[0] if prefix is not None else 0
+        assert phys_end >= int(lens[real].max()) + p0, (phys_end, p0, lens)
         s = max(_round_up(max(int(lens.max()), 1), 128),
                 _round_up(pad_s, 128) if pad_s else 0)
         ids = np.zeros((m, s), np.int32)
         for j, pr in enumerate(prompts):
             ids[j, s - len(pr):] = pr
-        tok0, mini, _ = self.prefill_ragged(ids, lens, max_len=s)
+        if prefix is not None:
+            # prompts are SUFFIX rows on a shared prefix: mini layout
+            # [prefix | pad | suffix]; the scatter below re-packs each
+            # admitted row contiguously as [prefix | suffix] ending at
+            # phys_end
+            tok0, mini = self.prefill_ragged_prefixed(prefix, ids, lens)
+        else:
+            tok0, mini, _ = self.prefill_ragged(ids, lens, max_len=s)
         if sampler:
             # first tokens drawn with each request's OWN key, folding
             # the same sentinel index as generate_ragged's pick0 — an
@@ -1689,20 +1909,45 @@ class DecodeEngine:
                     has.reshape((-1,) + (1,) * (big.ndim - 1)),
                     mini[sel], big)
 
-            self._admit_scatter_fn = (scatter, set_rows)
-        scatter, set_rows = self._admit_scatter_fn
+            @functools.partial(jax.jit, static_argnames=("p0",))
+            def scatter_prefix(big, mini, rows_, p, lens_, p0):
+                # the shared-prefix block: batch row rows_[j] takes
+                # mini columns [0, p0) into [p - lens_[j] - p0,
+                # p - lens_[j]) — right-adjacent to the suffix block
+                # the plain scatter wrote, so the admitted window is
+                # one contiguous [prefix | suffix] run ending at p
+                bsz, t_big = big.shape[0], big.shape[-1]
+                hit = rows_[None, :] == jnp.arange(bsz)[:, None]
+                sel = jnp.argmax(hit, axis=1)
+                has = jnp.any(hit, axis=1)
+                minib = mini[sel]
+                tpos = jnp.arange(t_big)
+                d0 = (p - lens_[sel])[:, None]            # (B, 1) dest end
+                src = jnp.clip(tpos[None] - d0 + p0, 0, p0 - 1)
+                shifted = jnp.take_along_axis(
+                    minib, src[:, None, None, :].astype(jnp.int32), axis=-1)
+                maskc = ((tpos[None] >= d0 - p0) & (tpos[None] < d0)
+                         & has[:, None])
+                full = maskc.reshape((bsz,) + (1,) * (big.ndim - 2)
+                                     + (t_big,))
+                return jnp.where(full, shifted, big)
+
+            self._admit_scatter_fn = (scatter, set_rows, scatter_prefix)
+        scatter, set_rows, scatter_prefix = self._admit_scatter_fn
         rw = jnp.asarray(np.asarray(rows, np.int32))
         pe, ln = jnp.int32(phys_end), jnp.asarray(lens)
         out = []
         for lay, mn in zip(caches, mini):
             kv = scatter(lay[0], mn[0], rw, pe, ln)
+            if prefix is not None:
+                kv = scatter_prefix(kv, mn[0], rw, pe, ln, p0)
             if len(lay) > 1:      # channel-static int8/int4 KV scales
                 out.append((kv, set_rows(lay[1], mn[1], rw)))
             else:
                 out.append((kv,))
         toks = [int(t) for t in np.asarray(tok0).reshape(-1)]
-        return toks, out, [phys_end - int(n) for n in lens], \
-            [int(n) for n in lens]
+        return toks, out, [phys_end - int(n) - p0 for n in lens], \
+            [int(n) + p0 for n in lens]
 
     def generate_ragged(self, prompts, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,

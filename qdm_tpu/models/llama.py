@@ -82,7 +82,7 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_start=None):
+                 attn_start=None, attn_prefix=None):
         cfg = self.config
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -136,8 +136,14 @@ class LlamaAttention(nn.Module):
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
             if attn_start is not None:
                 # ragged left-padded batch: slots [0, start) hold pad
-                # tokens that must be invisible to every real query
-                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
+                # tokens that must be invisible to every real query —
+                # except a shared prefix [0, attn_prefix), whose K/V a
+                # prefixed mini-prefill pastes below the pad region
+                # (prefix-cached serving, api/serve.py)
+                keep = k_pos >= attn_start[:, None]
+                if attn_prefix is not None:
+                    keep = keep | (k_pos < attn_prefix)
+                mask = mask & keep[:, None, None, :]
         elif kv_cache is not None and len(kv_cache) == 4:
             # int8 KV cache: per-token per-head absmax scales.  Halves
             # the cache HBM traffic that dominates large-batch /
@@ -161,7 +167,10 @@ class LlamaAttention(nn.Module):
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
             if attn_start is not None:
-                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
+                keep = k_pos >= attn_start[:, None]
+                if attn_prefix is not None:
+                    keep = keep | (k_pos < attn_prefix)
+                mask = mask & keep[:, None, None, :]
         elif kv_cache is not None:
             ck, cv = kv_cache                       # (B, hkv, T, d)
             ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_index, 0))
@@ -172,7 +181,10 @@ class LlamaAttention(nn.Module):
             k_pos = jnp.arange(kv_len)[None, :]
             mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
             if attn_start is not None:
-                mask = mask & (k_pos >= attn_start[:, None])[:, None, None, :]
+                keep = k_pos >= attn_start[:, None]
+                if attn_prefix is not None:
+                    keep = keep | (k_pos < attn_prefix)
+                mask = mask & keep[:, None, None, :]
         else:
             kv_len = s
             mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
@@ -191,6 +203,7 @@ class LlamaAttention(nn.Module):
         # DEQUANTIZED cache, not the raw local k/v.
         import os as _os
         flash_ok = (s > 1 and s % 128 == 0 and s >= 2048
+                    and attn_prefix is None
                     and isinstance(cache_index, int) and cache_index == 0
                     and (kv_cache is None or len(kv_cache) < 4)
                     and jax.default_backend() == "tpu"
@@ -285,21 +298,21 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_start=None):
+                 attn_start=None, attn_prefix=None):
         if self.config.parallel_residual:
             # cohere-style: one norm feeds attention AND the MLP
             h = self._norm("input_layernorm")(x)
             attn, new_cache = LlamaAttention(
                 self.config, dtype=self.dtype, plan=self.plan,
                 name="self_attn")(h, positions, kv_cache, cache_index,
-                                  attn_start)
+                                  attn_start, attn_prefix)
             mlp = LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
                            name="mlp")(h)
             return x + attn + mlp, new_cache
         h, new_cache = LlamaAttention(
             self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
             self._norm("input_layernorm")(x), positions, kv_cache,
-            cache_index, attn_start)
+            cache_index, attn_start, attn_prefix)
         x = x + h
         x = x + LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
                          name="mlp")(self._norm("post_attention_layernorm")(x))
@@ -314,7 +327,8 @@ class LlamaForCausalLM(nn.Module):
     @nn.compact
     def __call__(self, input_ids=None, positions=None, kv_caches=None,
                  cache_index=None, input_embeds=None,
-                 last_logits_only: bool = False, attn_start=None):
+                 last_logits_only: bool = False, attn_start=None,
+                 attn_prefix=None):
         cfg = self.config
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                          name="embed_tokens")
@@ -334,7 +348,8 @@ class LlamaForCausalLM(nn.Module):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = LlamaDecoderLayer(cfg, dtype=self.dtype, plan=self.plan,
                                       name=f"layers_{i}")(
-                x, positions, cache_i, cache_index, attn_start)
+                x, positions, cache_i, cache_index, attn_start,
+                attn_prefix)
             new_caches.append(nc)
         if last_logits_only:
             # prefill wants only the last position's logits: at ctx

@@ -724,20 +724,39 @@ def test_engine_tp_w4a8_exact_when_groups_align():
 
 
 def test_engine_prefill_quant(lm):
-    """prefill_quant runs the prompt forward through the packed
-    w8a8_xla module path; the decode tokens shift slightly (int8 KV
+    """prefill_quant=True runs the prompt forward through the packed
+    STATIC-scale w8a8_xla module path (the engine's calibrated
+    act_stats fill every act_scale — no 1.0 placeholders, asserted via
+    warnings-as-errors); the decode tokens shift slightly (int8 KV
     from prefill) but stay mostly aligned on a tiny random model."""
+    import warnings
+
     ids = RNG.integers(0, 256, (4, 7))
     stats = DecodeEngine.calibrate_scales(lm, ids)
     base = DecodeEngine(lm, mode="w8a8_static", act_stats=stats)
-    qp = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
-                      prefill_quant=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        qp = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                          prefill_quant=True)
     assert qp.prefill_quant
+    assert qp._prefill_model.plan.default.act_quant == "static"
     a = base.generate(ids, max_new_tokens=10)
     b = qp.generate(ids, max_new_tokens=10)
     assert b.shape == a.shape
     assert np.isfinite(b).all()
     assert (a == b).mean() > 0.5
+
+
+def test_engine_prefill_quant_dynamic(lm):
+    """prefill_quant='dynamic' keeps the per-token runtime act-quant
+    path (no act_scale params in the prefill model's plan)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    qp = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                      prefill_quant="dynamic")
+    assert qp._prefill_model.plan.default.act_quant == "per_token"
+    b = qp.generate(ids, max_new_tokens=6)
+    assert np.isfinite(b).all()
 
 
 def test_engine_merged_o_with_int8_kv(lm):
@@ -1367,3 +1386,136 @@ def test_continuous_batching_rebase(lm):
     outs8 = ContinuousBatcher(e8, max_batch=2, chunk=4,
                               capacity=192).run(prompts, max_new_tokens=12)
     assert all(len(o) == len(p) + 12 for o, p in zip(outs8, prompts))
+
+
+# ------------------------------------------------------------- prefix caching
+
+
+def test_prefix_cache_greedy_exact(lm):
+    """Shared-prefix serving is a pure re-use of the causal math: the
+    generated continuation with a precomputed prefix KV must equal the
+    full [prefix|suffix] prefill's, bit-for-bit (f32 CPU)."""
+    prefix = RNG.integers(0, 256, (11,))
+    sufs = RNG.integers(0, 256, (3, 6))
+    eng = DecodeEngine(lm, mode="bf16")
+    pc = eng.precompute_prefix(prefix)
+    assert pc[0] == 11
+    got = eng.generate(sufs, max_new_tokens=10, prefix=pc)
+    full = eng.generate(
+        np.concatenate([np.tile(prefix[None], (3, 1)), sufs], axis=1),
+        max_new_tokens=10)
+    np.testing.assert_array_equal(got[:, 6:], full[:, 17:])
+
+
+@pytest.mark.parametrize("kv", [("kv8c", jnp.int8, "channel"),
+                                ("kv4", "int4", "channel")])
+def test_prefix_cache_quantized_kv(lm, kv):
+    """Prefix reuse composes with the quantized KV cache: the prefix
+    KV is kept raw and quantized together with the suffix, so scales
+    and codes match the full-prefill path exactly."""
+    _, kv_dtype, mode = kv
+    prefix = RNG.integers(0, 256, (9,))
+    sufs = RNG.integers(0, 256, (2, 5))
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                       kv_dtype=kv_dtype, kv_scale_mode=mode)
+    pc = eng.precompute_prefix(prefix)
+    got = eng.generate(sufs, max_new_tokens=8, prefix=pc)
+    full = eng.generate(
+        np.concatenate([np.tile(prefix[None], (2, 1)), sufs], axis=1),
+        max_new_tokens=8)
+    np.testing.assert_array_equal(got[:, 5:], full[:, 14:])
+
+
+def test_prefix_cache_sampled(lm):
+    """Sampling picks the first token from the prefixed prefill's
+    last-position logits; seed-deterministic and equal to the full
+    prefill's sampled run."""
+    prefix = RNG.integers(0, 256, (8,))
+    sufs = RNG.integers(0, 256, (2, 4))
+    eng = DecodeEngine(lm, mode="bf16")
+    pc = eng.precompute_prefix(prefix)
+    a = eng.generate(sufs, max_new_tokens=6, temperature=0.7, top_k=8,
+                     seed=3, prefix=pc)
+    b = eng.generate(
+        np.concatenate([np.tile(prefix[None], (2, 1)), sufs], axis=1),
+        max_new_tokens=6, temperature=0.7, top_k=8, seed=3)
+    np.testing.assert_array_equal(a[:, 4:], b[:, 12:])
+
+
+def test_continuous_batching_prefix(lm):
+    """Prefix-cached continuous batching: every request decodes on a
+    pasted copy of the shared prefix KV; greedy rows stay bit-identical
+    to a single-prompt generate of [prefix|suffix] (f32 CPU)."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    prefix = RNG.integers(0, 256, (10,))
+    sufs = [RNG.integers(0, 256, (n,)) for n in (5, 3, 7, 4, 6)]
+    eng = DecodeEngine(lm, mode="bf16")
+    outs = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=256).run(
+        sufs, max_new_tokens=9, prefix=prefix)
+    for o, sfx in zip(outs, sufs):
+        np.testing.assert_array_equal(o[:len(sfx)], sfx)
+        full = eng.generate(np.concatenate([prefix, sfx])[None],
+                            max_new_tokens=9)
+        np.testing.assert_array_equal(o[len(sfx):],
+                                      full[0, len(prefix) + len(sfx):])
+
+
+def test_continuous_batching_prefix_rebase_exact(lm):
+    """Prefix admissions compose with cache rebasing: capacity sized
+    to force at least one rebase mid-stream (shifting pasted prefix
+    windows with everything else); bf16 rows stay bit-identical to
+    single-prompt [prefix|suffix] runs — the exactness proof for the
+    prefix+rebase composition."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    prefix = RNG.integers(0, 256, (9,))
+    sufs = [RNG.integers(0, 256, (n,)) for n in (4, 6, 3, 5, 4, 6)]
+    eng = DecodeEngine(lm, mode="bf16")
+    outs = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=160).run(
+        sufs, max_new_tokens=10, prefix=prefix)
+    for o, sfx in zip(outs, sufs):
+        full = eng.generate(np.concatenate([prefix, sfx])[None],
+                            max_new_tokens=10)
+        np.testing.assert_array_equal(o[len(sfx):],
+                                      full[0, len(prefix) + len(sfx):])
+
+
+def test_continuous_batching_prefix_quantized_kv_agreement(lm):
+    """Prefix admissions with the quantized KV caches.  The prefixed
+    mini-prefill reduces over a different softmax width than the
+    single-prompt prefill, so sub-ULP differences flip codes at
+    rounding boundaries and one flip cascades through greedy decode
+    (the same documented sensitivity as
+    test_continuous_batching_kv8c_and_eos — bit-level check: admitted
+    prefix-region codes ARE exactly equal to prefill_prefixed's, and
+    scales agree to ~1e-7 relative; only suffix codes flip by +/-1
+    step).  Contract: per-row tracking/agreement on generated tokens;
+    the bf16 tests above own the bit-exactness proof."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    prefix = RNG.integers(0, 256, (9,))
+    sufs = [RNG.integers(0, 256, (n,)) for n in (4, 6, 3, 5, 4, 6)]
+    ids = RNG.integers(0, 256, (4, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    for kv_dtype, floor in ((jnp.int8, 0.5), ("int4", 0.2)):
+        eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                           kv_dtype=kv_dtype, kv_scale_mode="channel")
+        outs = ContinuousBatcher(eng, max_batch=2, chunk=4,
+                                 capacity=192).run(
+            sufs, max_new_tokens=10, prefix=prefix)
+        agree = hits = 0
+        for o, sfx in zip(outs, sufs):
+            np.testing.assert_array_equal(o[: len(sfx)], sfx)
+            assert len(o) == len(sfx) + 10
+            full = eng.generate(np.concatenate([prefix, sfx])[None],
+                                max_new_tokens=10)
+            agree += int((o[len(sfx):]
+                          == full[0, len(prefix) + len(sfx):]).sum())
+            hits += 10
+        # measured on this seed: int8 ~0.83, int4 ~0.35 (gen-only —
+        # the int4 grid cascades from the first flip)
+        assert agree / hits > floor, \
+            f"{kv_dtype} prefix agreement {agree}/{hits}"
