@@ -1276,13 +1276,86 @@ class DecodeEngine:
             tok = self._put(tok, P("data"), local=self.multihost)
         return tok, eng
 
+    def prefill_chunked(self, ids, max_len: int, chunk: int = 512):
+        """Bounded-memory prefill: the prompt forwards in fixed-size
+        chunks under ONE jitted lax.scan, cache_index advancing — each
+        chunk's attention is (C, T) instead of (S, S), so the peak
+        attention-logits block is C/S of the square prefill's and ANY
+        context length prefills in O(C * T) memory, including shapes
+        where the flash path cannot engage (unaligned, non-TPU, int8
+        per-token module caches).  This is the TPU answer to chunked/
+        incremental prefill in production serving stacks: fixed shapes,
+        one compile, no host round-trips between chunks.
+
+        Tokens beyond the prompt (the pad tail of the last chunk)
+        write garbage K/V above position S; decode appends overwrite
+        slot S first and every attention masks positions beyond the
+        current one, so the garbage is never visible (same invariant
+        the continuous batcher relies on).  Channel-static KV scales
+        mask the garbage columns out.  Returns (first generated token,
+        engine caches)."""
+        b, s = ids.shape
+        if self.spmd:
+            raise NotImplementedError("chunked prefill is single-device")
+        chunk = min(int(chunk), _round_up(s, 128))
+        n = -(-s // chunk)
+        sp = n * chunk
+        tp = _round_up(max_len, 128)
+        assert tp >= sp, (max_len, s, chunk)
+        model, params = self._prefill_model, self._prefill_params
+        cfg = self.cfg
+        ids_p = np.zeros((b, sp), np.int32)
+        ids_p[:, :s] = np.asarray(ids)
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
+                              cfg.head_dim, tp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+        key = ("prefill_chunked", chunk, n, sp, tp, b)
+        fwd = self._run_cache.get(key)
+        if fwd is None:
+            finalize = self._kv_finalize
+
+            @jax.jit
+            def fwd(params, ids_c, caches, s_real):
+                # ids_c (n, B, C); scan chunks, caches as carry
+                def body(carry, inp):
+                    caches, i = carry
+                    idx_last = jnp.clip(s_real - 1 - i * chunk,
+                                        0, chunk - 1)
+                    logits, caches = model.apply(
+                        {"params": params}, inp, kv_caches=caches,
+                        cache_index=i * chunk,
+                        last_logits_only=idx_last)
+                    return (caches, i + 1), logits[:, -1]
+
+                (caches, _), all_logits = jax.lax.scan(
+                    body, (caches, jnp.int32(0)), ids_c)
+                logits = all_logits[(s_real - 1) // chunk]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # mask the pad-tail garbage out of the quantization
+                # scales (positions >= s_real); the codes there are
+                # junk but invisible (see docstring)
+                masked = []
+                tpos = jnp.arange(tp)
+                keep = (tpos < s_real).reshape(1, 1, 1, -1)
+                for (kvdm,) in caches:
+                    masked.append((jnp.where(keep, kvdm, 0),))
+                return tok, logits, finalize(masked, 0)
+
+            self._run_cache[key] = fwd
+        ids_c = jnp.asarray(ids_p.reshape(b, n, chunk)
+                            .transpose(1, 0, 2))
+        tok, logits, eng = fwd(params, ids_c, caches, jnp.int32(s))
+        self._last_prefill_logits = logits
+        return tok, eng
+
     def generate(self, input_ids, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 0.0, seed: int = 0,
                  per_row_seeds=None,
                  eos_token_id: Optional[int] = None,
                  stop_early: bool = False,
-                 prefix=None) -> np.ndarray:
+                 prefix=None,
+                 prefill_chunk: Optional[int] = None) -> np.ndarray:
         """Decode.  Greedy by default (works single-device, under any
         single-host dp x tp mesh, and on multi-host meshes); sampled
         when temperature > 0 — same knobs as CausalLM.generate / HF
@@ -1326,6 +1399,10 @@ class DecodeEngine:
             max_len = p0 + s + max_new_tokens
             tok0, caches = self.prefill_prefixed(prefix, ids, max_len)
             s = p0 + s
+        elif prefill_chunk:
+            max_len = s + max_new_tokens
+            tok0, caches = self.prefill_chunked(ids, max_len,
+                                                chunk=prefill_chunk)
         else:
             max_len = s + max_new_tokens
             tok0, caches = self.prefill(ids, max_len)
@@ -1954,7 +2031,7 @@ class DecodeEngine:
                         top_p: float = 0.0, seed: int = 0,
                         per_row_seeds=None,
                         eos_token_id: Optional[int] = None,
-                        stop_early: bool = False):
+                        stop_early: bool = False, prefix=None):
         """Serve a RAGGED batch — prompts of different lengths in one
         engine batch (the production serving shape; the reference and
         HF generate handle this with left-padding + attention masks).
@@ -1977,13 +2054,48 @@ class DecodeEngine:
         lens = np.asarray([len(p) for p in prompts], np.int32)
         assert (lens > 0).all()
         b, s = len(prompts), int(lens.max())
+        sampler = ((float(temperature), int(top_k), float(top_p))
+                   if temperature > 0.0 else ())
+        if prefix is not None:
+            # shared-prefix ragged batch: prompts are SUFFIX rows —
+            # admit them into empty serving caches through the same
+            # two-piece contiguous scatter the ContinuousBatcher uses
+            # (each row's window is [prefix | suffix] ending at sp0)
+            if sampler:
+                raise NotImplementedError(
+                    "sampled ragged decoding with a prefix: serve "
+                    "through ContinuousBatcher.run(prefix=), which "
+                    "threads per-request keys")
+            p0 = prefix[0]
+            sp0 = _round_up(p0 + s, 128)
+            max_len = sp0 + max_new_tokens
+            caches = self.init_cache(b, max_len)
+            toks0, caches, starts, lens2 = self.admit_rows(
+                caches, list(range(b)), prompts, sp0, prefix=prefix)
+            tok0 = jnp.asarray(toks0, jnp.int32)
+            if stop_early and eos_token_id is None:
+                raise ValueError("stop_early needs eos_token_id")
+            run = self._make_run_ragged(
+                max_new_tokens - 1, (),
+                eos=int(eos_token_id) if stop_early else None)
+            toks = run(self.layers, self.embed, self.final_norm,
+                       self._head, tok0, caches, jnp.int32(sp0),
+                       jnp.asarray(lens2, jnp.int32),
+                       jnp.asarray(starts, jnp.int32), None)
+            gen = np.concatenate([np.asarray(tok0)[:, None],
+                                  np.asarray(toks)],
+                                 axis=1)[:, :max_new_tokens]
+            if eos_token_id is not None:
+                from qdm_tpu.api.causal_lm import mask_after_eos
+
+                gen = mask_after_eos(gen, eos_token_id)
+            return [np.concatenate([prompts[r], gen[r]])
+                    for r in range(b)]
         ids = np.zeros((b, s), np.int32)
         for r, p in enumerate(prompts):
             ids[r, s - len(p):] = p
         max_len = s + max_new_tokens
         tok0, caches, starts = self.prefill_ragged(ids, lens, max_len)
-        sampler = ((float(temperature), int(top_k), float(top_p))
-                   if temperature > 0.0 else ())
         key = None
         if sampler:
             if per_row_seeds is not None:

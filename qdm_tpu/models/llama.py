@@ -351,12 +351,16 @@ class LlamaForCausalLM(nn.Module):
                 x, positions, cache_i, cache_index, attn_start,
                 attn_prefix)
             new_caches.append(nc)
-        if last_logits_only:
-            # prefill wants only the last position's logits: at ctx
-            # 4096 batch 16 the full (B, S, vocab) head output is
-            # 4.2 GB bf16 of pure waste (and an OOM risk) — slice
-            # BEFORE the lm_head matmul
-            x = x[:, -1:]
+        if last_logits_only is not False and last_logits_only is not None:
+            # prefill wants only one position's logits: at ctx 4096
+            # batch 16 the full (B, S, vocab) head output is 4.2 GB
+            # bf16 of pure waste (and an OOM risk) — slice BEFORE the
+            # lm_head matmul.  True = the last position; an int (or
+            # traced scalar) selects that position instead — chunked
+            # prefill needs the last REAL token's logits, which sit
+            # mid-chunk when the prompt length is not a chunk multiple
+            idx = s - 1 if last_logits_only is True else last_logits_only
+            x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
         if cfg.norm_type == "layernorm":
             x = LayerNorm(dtype=self.dtype, name="norm")(x)
         else:
