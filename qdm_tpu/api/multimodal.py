@@ -231,12 +231,48 @@ class LlavaModel:
         ids = jnp.asarray(input_ids)
         if pixel_values is None:
             return self.lm.logits(ids)
-        img_emb = self.encode_image(pixel_values)
-        tok_emb = self.lm.params["embed_tokens"]["embedding"][ids]
-        embeds = jnp.concatenate([img_emb, tok_emb.astype(img_emb.dtype)], axis=1)
+        embeds = self._joint_embeds(ids, pixel_values)
         out, _ = self.lm.model.apply({"params": self.lm.params},
                                      input_embeds=embeds)
         return out
+
+    def _joint_embeds(self, ids, pixel_values):
+        img_emb = self.encode_image(pixel_values)
+        tok_emb = self.lm.params["embed_tokens"]["embedding"][jnp.asarray(ids)]
+        return jnp.concatenate([img_emb, tok_emb.astype(img_emb.dtype)],
+                               axis=1)
+
+    def serve(self, **kw):
+        """Megakernel serving engine over the LM backbone — the
+        engine-path counterpart of the reference's LlavaFuser
+        (models/llava.py:103-148): the vision tower + projector run
+        once per request (jitted module path), the LLM decodes through
+        the DecodeEngine.  Accepts CausalLM.serve kwargs (mode,
+        calib_ids, kv_dtype, ...)."""
+        return self.lm.serve(**kw)
+
+    def generate(self, input_ids, pixel_values=None, max_new_tokens=32,
+                 engine=None, **kw):
+        """Greedy/sampled generation for image+text prompts: image
+        patch embeds prefix the token embeds (LLaVA protocol), the
+        joint prompt prefills through ``engine.prefill_embeds`` and
+        decodes through the megakernels.  Returns the generated
+        tokens (B, max_new_tokens).  ``engine`` defaults to a bf16
+        DecodeEngine over the LM (built once and cached)."""
+        if pixel_values is None:
+            out = (engine or self._engine()).generate(
+                np.asarray(input_ids), max_new_tokens=max_new_tokens, **kw)
+            return out[:, np.asarray(input_ids).shape[1]:]
+        embeds = self._joint_embeds(jnp.asarray(input_ids), pixel_values)
+        return (engine or self._engine()).generate_embeds(
+            embeds, max_new_tokens=max_new_tokens, **kw)
+
+    def _engine(self):
+        if getattr(self, "_cached_engine", None) is None:
+            from qdm_tpu.api.serve import DecodeEngine
+
+            self._cached_engine = DecodeEngine(self.lm, mode="bf16")
+        return self._cached_engine
 
 
 class Qwen2VLModel:

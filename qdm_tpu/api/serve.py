@@ -1276,6 +1276,82 @@ class DecodeEngine:
             tok = self._put(tok, P("data"), local=self.multihost)
         return tok, eng
 
+    def prefill_embeds(self, embeds, max_len: int):
+        """VLM prefill: the prompt arrives as LM-space EMBEDDINGS
+        (image patch embeds + token embeds concatenated by the caller,
+        the LLaVA protocol) instead of token ids — the engine-path
+        counterpart of the reference's fused VLM generation
+        (models/llava.py:103-148 LlavaFuser.fuse_transformer: vision
+        tower stays eager, the LLM backbone decodes through the fused
+        stack).  Decode steps after this are ordinary token steps
+        through the megakernels.  Returns (first generated token,
+        engine caches)."""
+        b, s, _ = embeds.shape
+        if self.spmd:
+            raise NotImplementedError("embeds prefill is single-device")
+        sp = _round_up(s, 128)
+        tp = _round_up(max_len, 128)
+        assert tp >= sp, (max_len, s)
+        model, params = self._prefill_model, self._prefill_params
+        cfg = self.cfg
+        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
+                              cfg.head_dim, sp), self.dtype),)
+                  for _ in range(cfg.num_hidden_layers)]
+        key = ("prefill_embeds", b, s, sp, tp)
+        fwd = self._run_cache.get(key)
+        if fwd is None:
+            finalize = self._kv_finalize
+
+            @functools.partial(jax.jit, static_argnames=("pad",))
+            def fwd(params, embeds, caches, pad):
+                logits, caches = model.apply(
+                    {"params": params}, input_embeds=embeds,
+                    kv_caches=caches, cache_index=0,
+                    last_logits_only=True)
+                logits = logits[:, -1]
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return tok, logits, finalize(caches, pad)
+
+            self._run_cache[key] = fwd
+        tok, logits, eng = fwd(params, jnp.asarray(embeds), caches,
+                               tp - sp)
+        self._last_prefill_logits = logits
+        return tok, eng
+
+    def generate_embeds(self, embeds, max_new_tokens: int = 32,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 0.0, seed: int = 0,
+                        eos_token_id: Optional[int] = None) -> np.ndarray:
+        """Decode from an embeddings prompt (see prefill_embeds).
+        Returns ONLY the generated tokens (B, max_new_tokens) — the
+        prompt has no token-id representation to echo."""
+        if temperature <= 0.0 and (top_k or top_p):
+            raise ValueError("top_k/top_p need temperature > 0")
+        sampler = ((float(temperature), int(top_k), float(top_p))
+                   if temperature > 0.0 else ())
+        b, s, _ = np.asarray(embeds).shape
+        max_len = s + max_new_tokens
+        tok0, caches = self.prefill_embeds(embeds, max_len)
+        run = self._make_run(max_new_tokens - 1, sampler)
+        key = None
+        if sampler:
+            key = jax.random.PRNGKey(seed)
+            from qdm_tpu.api.causal_lm import fold_key
+
+            tok0 = self._pick0(sampler)(
+                self._last_prefill_logits,
+                fold_key(key, 2**32 - 1)).astype(tok0.dtype)
+        self._last_prefill_logits = None
+        toks = run(self.layers, self.embed, self.final_norm, self._head,
+                   tok0, caches, jnp.int32(s), key)
+        out = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
+                             axis=1)[:, :max_new_tokens]
+        if eos_token_id is not None:
+            from qdm_tpu.api.causal_lm import mask_after_eos
+
+            out = mask_after_eos(out, eos_token_id)
+        return out
+
     def prefill_chunked(self, ids, max_len: int, chunk: int = 512):
         """Bounded-memory prefill: the prompt forwards in fixed-size
         chunks under ONE jitted lax.scan, cache_index advancing — each

@@ -98,3 +98,49 @@ def test_qwen2vl_consumes_vl_preprocess():
                quantType="rtn")
     out2 = m.logits(ids, messages=messages)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_llava_engine_generation_matches_naive():
+    """VLM serving through the DecodeEngine (prefill_embeds): greedy
+    generation on an image+text prompt equals a naive per-step full
+    forward through LlavaModel.logits — the engine-path counterpart of
+    the reference's LlavaFuser (models/llava.py:103-148)."""
+    import numpy as np
+
+    m = LlavaModel.from_config(dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, m.lm.config.vocab_size, (2, 5))
+    px = rng.normal(size=(2, m.vision_config.image_size,
+                          m.vision_config.image_size, 3)).astype(np.float32)
+    got = m.generate(ids, px, max_new_tokens=6)
+    assert got.shape == (2, 6)
+
+    # naive reference: re-run the joint forward per step, append argmax
+    cur = jnp.asarray(ids)
+    out = []
+    for _ in range(6):
+        lg = m.logits(cur, px)
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        out.append(np.asarray(nxt))
+        cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(got, np.stack(out, axis=1))
+
+
+def test_llava_serve_quantized_engine():
+    """LlavaModel.serve builds a quantized megakernel engine over the
+    LM backbone; image+text generation runs through it end-to-end."""
+    import numpy as np
+
+    m = LlavaModel.from_config(dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, m.lm.config.vocab_size, (2, 5))
+    px = rng.normal(size=(2, m.vision_config.image_size,
+                          m.vision_config.image_size, 3)).astype(np.float32)
+    eng = m.serve(mode="w8a8_static", calib_ids=ids)
+    out = eng.generate_embeds(m._joint_embeds(jnp.asarray(ids), px),
+                              max_new_tokens=5)
+    assert out.shape == (2, 5)
+    assert np.isfinite(out).all()
+    # the convenience wrapper routes through the same engine
+    out2 = m.generate(ids, px, max_new_tokens=5, engine=eng)
+    np.testing.assert_array_equal(out, out2)
