@@ -489,6 +489,10 @@ def continuous_main():
     n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
     out["continuous_tok_s"] = round(n_gen / dt, 1)
     out["continuous_wall_s"] = round(dt, 2)
+    st = cb.last_stats
+    out["p50_ttft_s"] = round(st["p50_ttft"], 3)
+    out["p95_ttft_s"] = round(st["p95_ttft"], 3)
+    out["max_stall_s"] = round(st["max_stall_s"], 3)
     print(json.dumps(out), flush=True)
 
     # static baseline: fixed batches in arrival order, each decoded to
@@ -552,6 +556,25 @@ def prefix_main():
     n_gen = sum(len(o) - len(sfx) for o, sfx in zip(outs, sufs))
     out["prefix_cached_tok_s"] = round(n_gen / dt, 1)
     out["prefix_cached_wall_s"] = round(dt, 2)
+    st = cb.last_stats
+    out["prefix_p95_ttft_s"] = round(st["p95_ttft"], 3)
+    out["prefix_max_stall_s"] = round(st["max_stall_s"], 3)
+    print(json.dumps(out), flush=True)
+
+    # interleaved admissions: admission mini-prefill in 128-token
+    # slices between decode chunks — same throughput class, bounded
+    # per-chunk stall (the latency story)
+    cbi = ContinuousBatcher(eng, max_batch=rows, chunk=chunk, capacity=cap,
+                            admit_chunk=128)
+    cbi.run(sufs[: 2 * rows], max_new_tokens=4, prefix=pc)
+    t0 = time.time()
+    outs = cbi.run(sufs, max_new_tokens=budgets, prefix=pc)
+    dt = time.time() - t0
+    n_gen = sum(len(o) - len(sfx) for o, sfx in zip(outs, sufs))
+    st = cbi.last_stats
+    out["interleaved_tok_s"] = round(n_gen / dt, 1)
+    out["interleaved_p95_ttft_s"] = round(st["p95_ttft"], 3)
+    out["interleaved_max_stall_s"] = round(st["max_stall_s"], 3)
     print(json.dumps(out), flush=True)
 
     # baseline: same stream, full [prefix|suffix] prompts, no reuse
@@ -563,6 +586,9 @@ def prefix_main():
     n_gen = sum(len(o) - len(p) for o, p in zip(outs, full))
     out["full_prefill_tok_s"] = round(n_gen / dt, 1)
     out["full_prefill_wall_s"] = round(dt, 2)
+    st = cb.last_stats
+    out["full_p95_ttft_s"] = round(st["p95_ttft"], 3)
+    out["full_max_stall_s"] = round(st["max_stall_s"], 3)
     out["prefix_vs_full"] = round(
         out["prefix_cached_tok_s"] / out["full_prefill_tok_s"], 3)
     print(json.dumps(out), flush=True)

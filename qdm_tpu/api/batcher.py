@@ -32,6 +32,7 @@ Design (TPU-first):
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence
 
 import jax
@@ -48,13 +49,21 @@ class ContinuousBatcher:
     between chunks."""
 
     def __init__(self, engine, max_batch: int = 4, chunk: int = 8,
-                 capacity: int = 1024):
+                 capacity: int = 1024, admit_chunk: int = 0):
         if engine.spmd:
             raise NotImplementedError("continuous batching is single-device")
         self.eng = engine
         self.max_batch = int(max_batch)
         self.chunk = int(chunk)
         self.capacity = int(capacity)
+        # admit_chunk > 0 INTERLEAVES admissions with decode: the
+        # admission mini-prefill runs in admit_chunk-token slices, one
+        # slice per decode chunk, so running requests never stall
+        # longer than one slice (a full mini-prefill between decode
+        # chunks is the measured max_stall_s source).  0 = admit in
+        # one shot (lowest total admission cost, biggest stall).
+        self.admit_chunk = int(admit_chunk)
+        self.last_stats = None       # per-request latency metrics (run())
 
     def run(self, prompts: Sequence[np.ndarray], max_new_tokens=32,
             eos_token_id: Optional[int] = None,
@@ -82,8 +91,20 @@ class ContinuousBatcher:
         each returned array is suffix+generated.  The prefix forward
         runs ONCE for the whole stream — admissions paste its KV and
         prefill only the suffix (greedy rows stay bit-identical to a
-        single-prompt generate of [prefix|suffix], tested)."""
+        single-prompt generate of [prefix|suffix], tested).
+
+        After a run, ``self.last_stats`` holds per-request latency
+        metrics (host-clock): ``ttft`` (time to each request's FIRST
+        generated token — produced by its admission prefill),
+        ``done`` (request completion time), ``p50_ttft``/``p95_ttft``,
+        ``max_stall_s`` (the longest gap between consecutive decode
+        chunks any running request experienced — admission prefills
+        between chunks are the main contributor), and ``wall_s``."""
         eng = self.eng
+        t_run0 = time.time()
+        ttft = [None] * len(prompts)
+        done = [None] * len(prompts)
+        stalls = []
         prompts = [np.asarray(p).reshape(-1).astype(np.int32)
                    for p in prompts]
         pc = None
@@ -145,6 +166,9 @@ class ContinuousBatcher:
             gen = [[int(cur[r])] for r in range(n_rows)]
             offs = np.zeros(n_rows, np.int32)      # per-row folds consumed
             active = [True] * n_rows
+            now = time.time() - t_run0
+            for i in first:
+                ttft[i] = now
         else:
             caches = eng.init_cache(n_rows, self.capacity)
             p = s0
@@ -167,6 +191,7 @@ class ContinuousBatcher:
                 g = g[: g.index(eos_token_id) + 1]
             out[req[r]] = np.concatenate(
                 [prompts[req[r]], np.asarray(g, np.int32)])
+            done[req[r]] = time.time() - t_run0
             active[r] = False
 
         # fixed admission shapes: every admission round pads to the
@@ -177,18 +202,90 @@ class ContinuousBatcher:
         s_adm = s_sfx if pc is not None else s0
         dummy = np.zeros(1, np.int32)
         dummy_key = req_keys[0] if sampler else None
+        job = {}                       # in-flight chunked admission
 
-        def admit_free_rows():
-            """Refill ALL free rows that have admissible requests with
-            one batched mini-prefill + scatter (per-admission device
-            round-trips were the measured cost on the tunnel)."""
-            nonlocal caches, queue
+        def take_admissible():
             free = [r for r in range(n_rows) if not active[r]]
             take = []
             while queue and len(take) < len(free) \
                     and p0 + len(prompts[queue[0]]) <= p:
                 take.append(queue.pop(0))   # arrival order; a too-long
                 # head prompt blocks until p grows (no reordering)
+            return free, take
+
+        def start_admission():
+            """Begin a chunked admission job over all currently
+            admissible requests (interleaved mode): the mini-prefill
+            advances one admit_chunk slice per decode chunk."""
+            free, take = take_admissible()
+            if not take:
+                return
+            rows_ = free[: len(take)] + [-1] * (n_rows - len(take))
+            lens_ = np.asarray(
+                [len(prompts[i]) for i in take]
+                + [1] * (n_rows - len(take)), np.int32)
+            ids = np.zeros((n_rows, s_adm), np.int32)
+            for j, i in enumerate(take):
+                ids[j, s_adm - len(prompts[i]):] = prompts[i]
+            cfg = eng.cfg
+            mini = [(jnp.zeros((n_rows, 2 * cfg.num_key_value_heads,
+                                cfg.head_dim, p0 + s_adm), eng.dtype),)
+                    for _ in range(cfg.num_hidden_layers)]
+            job.update(rows=rows_, take=take, ids=ids,
+                       pads=jnp.asarray(s_adm - lens_), lens=lens_,
+                       ci=0, mini=mini, logits=None)
+
+        def step_admission():
+            """Advance the in-flight admission by one slice; admit the
+            rows when the mini-prefill completes."""
+            nonlocal caches
+            c = self.admit_chunk
+            ids_c = job["ids"][:, job["ci"]: job["ci"] + c]
+            logits, job["mini"] = eng.admission_chunk_step(
+                job["mini"], ids_c, job["pads"], job["ci"], p0,
+                kvpre=pc[1] if pc is not None else None)
+            job["ci"] += c
+            if job["ci"] < s_adm:
+                job["logits"] = logits
+                return
+            mini_eng = eng.admission_finalize(job["mini"], job["pads"],
+                                              s_adm, p0)
+            caches = eng.admit_scatter(caches, mini_eng, job["rows"], p,
+                                       job["lens"], p0)
+            if sampler:
+                from qdm_tpu.api.causal_lm import fold_key
+
+                keys_ = jnp.asarray(np.stack(
+                    [req_keys[i] for i in job["take"]]
+                    + [dummy_key] * (n_rows - len(job["take"]))))
+                toks = eng._pick0(sampler)(logits,
+                                           fold_key(keys_, 2 ** 32 - 1))
+            else:
+                toks = jnp.argmax(logits, axis=-1)
+            toks = np.asarray(toks, np.int32)
+            now = time.time() - t_run0
+            for j, (r, i) in enumerate(zip(job["rows"], job["take"])):
+                ln = int(job["lens"][j])
+                req[r], gen[r], active[r] = i, [int(toks[j])], True
+                cur[r], lens[r] = toks[j], p0 + ln
+                starts[r], offs[r] = p - p0 - ln, 0
+                ttft[i] = now
+            job.clear()
+
+        def admit_free_rows():
+            """Refill ALL free rows that have admissible requests with
+            one batched mini-prefill + scatter (per-admission device
+            round-trips were the measured cost on the tunnel).  In
+            interleaved mode (admit_chunk > 0) this instead advances /
+            starts the chunked admission job."""
+            nonlocal caches, queue
+            if self.admit_chunk:
+                if job:
+                    step_admission()
+                if not job:
+                    start_admission()
+                return
+            free, take = take_admissible()
             if not take:
                 return
             rows_ = free[: len(take)] + [-1] * (n_rows - len(take))
@@ -200,9 +297,11 @@ class ContinuousBatcher:
             toks, caches, sts, lns = eng.admit_rows(
                 caches, rows_, pr_, p, sampler=sampler, keys=keys_,
                 pad_s=s_adm, prefix=pc)
+            now = time.time() - t_run0
             for r, i, t0, st, ln in zip(rows_, take, toks, sts, lns):
                 req[r], gen[r], active[r] = i, [int(t0)], True
                 cur[r], lens[r], starts[r], offs[r] = t0, ln, st, 0
+                ttft[i] = now
 
         for r in range(n_rows):
             if active[r] and finished(r):
@@ -210,12 +309,20 @@ class ContinuousBatcher:
         admit_free_rows()
 
         run = eng._make_run_ragged_chunk(self.chunk, sampler)
-        while any(active) or queue:
+        last_chunk_t = time.time()
+        while any(active) or queue or job:
             if not any(active):
+                if self.admit_chunk:
+                    # nothing decoding: drive the admission forward
+                    # without burning no-op decode chunks
+                    if not job:
+                        start_admission()
+                    if job:
+                        step_admission()
+                        continue
                 # only over-long queued prompts remain: they need more
                 # physical room than p provides — advance p with a
                 # no-op chunk (rows are all retired; outputs ignored)
-                pass
             if p + self.chunk > self.capacity:
                 # rebase: every row's dead prefix (below its attention
                 # start) is reclaimable — shift all live windows left
@@ -239,6 +346,9 @@ class ContinuousBatcher:
                 jnp.asarray(cur), caches, jnp.int32(p),
                 jnp.asarray(lens, jnp.int32), jnp.asarray(starts), **kw)
             toks = np.asarray(toks, np.int32)
+            if any(active):
+                stalls.append(time.time() - last_chunk_t)
+            last_chunk_t = time.time()
             cur = np.asarray(last, np.int32).copy()
             p += self.chunk
             lens += self.chunk
@@ -253,4 +363,12 @@ class ContinuousBatcher:
                 if finished(r):
                     retire(r)
             admit_free_rows()
+        tt = np.asarray([t for t in ttft if t is not None])
+        self.last_stats = {
+            "ttft": ttft, "done": done,
+            "p50_ttft": float(np.percentile(tt, 50)) if tt.size else None,
+            "p95_ttft": float(np.percentile(tt, 95)) if tt.size else None,
+            "max_stall_s": float(max(stalls)) if stalls else None,
+            "wall_s": time.time() - t_run0,
+        }
         return [out[i] for i in range(len(prompts))]

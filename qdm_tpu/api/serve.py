@@ -1933,6 +1933,115 @@ class DecodeEngine:
         self._run_cache[memo] = run
         return run
 
+    # ------------------------------------------- chunked (interleaved) admission
+    #
+    # Splitting an admission's mini-prefill into fixed C-token chunks
+    # lets the ContinuousBatcher INTERLEAVE admission work with decode
+    # chunks: running requests never stall longer than one admission
+    # chunk (the measured stall source is the full mini-prefill between
+    # decode chunks).  Same math as prefill_ragged(_prefixed), same
+    # scatter; only the schedule changes.
+
+    def admission_chunk_step(self, mini, ids_c, pads, ci, p0, kvpre=None):
+        """One C-token chunk of a ragged admission mini-prefill.
+        mini: the admission caches ([prefix | pad | suffix] layout,
+        width p0+s).  ids_c (m, C): columns [ci, ci+C) of the
+        left-padded suffix batch.  On the first chunk (ci == 0) with a
+        prefix, paste the prefix KV first.  Returns (last-position
+        logits of this chunk, updated mini caches)."""
+        model, params = self._prefill_model, self._prefill_params
+        if kvpre is not None and ci == 0:
+            paste = self._run_cache.get("admit_paste")
+            if paste is None:
+                @functools.partial(jax.jit, static_argnames=("p0",))
+                def paste(mini, kvpre, p0):
+                    out = []
+                    for (c,), k in zip(mini, kvpre):
+                        pre = jnp.broadcast_to(
+                            k[..., :p0],
+                            (c.shape[0],) + k.shape[1:3] + (p0,))
+                        out.append((jax.lax.dynamic_update_slice(
+                            c, pre.astype(c.dtype), (0, 0, 0, 0)),))
+                    return out
+
+                self._run_cache["admit_paste"] = paste
+            mini = paste(mini, kvpre, p0)
+        fwd = self._run_cache.get("admit_chunk_fwd")
+        if fwd is None:
+
+            @jax.jit
+            def fwd(params, ids_c, pads, mini, ci, p0):
+                m, c = ids_c.shape
+                positions = p0 + jnp.clip(
+                    ci + jnp.arange(c)[None] - pads[:, None], 0, None)
+                logits, mini = model.apply(
+                    {"params": params}, ids_c, positions=positions,
+                    kv_caches=mini, cache_index=p0 + ci,
+                    attn_start=p0 + pads, attn_prefix=p0,
+                    last_logits_only=True)
+                return logits[:, -1], mini
+
+            self._run_cache["admit_chunk_fwd"] = fwd
+        return fwd(params, jnp.asarray(ids_c), pads, mini,
+                   jnp.int32(ci), jnp.int32(p0))
+
+    def admission_finalize(self, mini, pads, s, p0):
+        """Quantize/format a finished chunked admission's mini caches
+        (valid slots = prefix + each row's real suffix columns) —
+        the _kv_finalize counterpart for the ragged admission layout."""
+        fin = self._run_cache.get("admit_finalize")
+        if fin is None:
+            kv_channel = self.kv_dtype is not None
+            kv_int4 = self.kv_dtype == "int4"
+            qmax = self._kv_qmax
+            kv_margin = self.kv_margin
+
+            @functools.partial(jax.jit, static_argnames=("s", "p0"))
+            def fin(mini, pads, s, p0):
+                eng = []
+                for (kvdm,) in mini:
+                    if kv_channel:
+                        tpos = jnp.arange(kvdm.shape[-1])
+                        valid = ((tpos[None] < p0)
+                                 | ((tpos[None] >= (p0 + pads)[:, None])
+                                    & (tpos[None] < p0 + s)))
+                        kvf = kvdm.astype(jnp.float32)
+                        mag = jnp.where(valid[:, None, None, :],
+                                        jnp.abs(kvf), 0.0)
+                        sc = jnp.clip(jnp.max(mag, axis=3, keepdims=True),
+                                      1e-8, None) * (kv_margin / qmax)
+                        codes = jnp.clip(jnp.round(kvf / sc), -qmax, qmax)
+                        if kv_int4:
+                            eng.append((dk.pack_kv_int4(
+                                codes.astype(jnp.int32)), sc))
+                        else:
+                            eng.append((codes.astype(jnp.int8), sc))
+                    else:
+                        eng.append((kvdm,))
+                return eng
+
+            self._run_cache["admit_finalize"] = fin
+        return fin(mini, pads, s, p0)
+
+    def admit_scatter(self, caches, mini_eng, rows, phys_end, lens, p0):
+        """Scatter a finished admission's engine-format mini caches
+        into the live caches (the same two-piece contiguous re-pack
+        admit_rows uses)."""
+        self._ensure_scatter_fns()
+        scatter, set_rows, scatter_prefix = self._admit_scatter_fn
+        rw = jnp.asarray(np.asarray(rows, np.int32))
+        pe, ln = jnp.int32(phys_end), jnp.asarray(lens)
+        out = []
+        for lay, mn in zip(caches, mini_eng):
+            kv = scatter(lay[0], mn[0], rw, pe, ln)
+            if p0:
+                kv = scatter_prefix(kv, mn[0], rw, pe, ln, p0)
+            if len(lay) > 1:
+                out.append((kv, set_rows(lay[1], mn[1], rw)))
+            else:
+                out.append((kv,))
+        return out
+
     def admit_row(self, caches, row: int, prompt, phys_end: int,
                   sampler=(), key=None):
         """Single-request admission — see :meth:`admit_rows`."""
@@ -1978,58 +2087,7 @@ class DecodeEngine:
                 out.append((kv,))
         return out
 
-    def admit_rows(self, caches, rows, prompts, phys_end: int,
-                   sampler=(), keys=None, pad_s: int = 0, prefix=None):
-        """Write new requests' prefilled K/V into batch ``rows`` of
-        live engine caches, each right-aligned so its prompt ENDS at
-        the shared physical append position ``phys_end`` (the
-        continuous-batching admission primitive; physical slots before
-        a row's start belong to the evicted request and are masked
-        out).  All admissions share ONE ragged mini-prefill and ONE
-        masked scatter per layer — per-request device round-trips were
-        the measured admission cost on the tunnel.
-
-        Requires phys_end >= max prompt length.  Returns (first
-        generated tokens [one per row], new caches, row starts, prompt
-        lengths).
-
-        Shape stability on the remote-compile tunnel: every distinct
-        (m, padded-prompt-width) retraces the mini-prefill and scatter
-        — callers admitting repeatedly (the ContinuousBatcher) should
-        pad ``rows`` to a FIXED count with sentinel row -1 (dummy
-        entries write nowhere) and pass a fixed ``pad_s`` width."""
-        prompts = [np.asarray(pr).reshape(-1) for pr in prompts]
-        lens = np.asarray([len(pr) for pr in prompts], np.int32)
-        m = len(prompts)
-        assert m == len(rows) >= 1
-        real = [j for j, r in enumerate(rows) if r >= 0]
-        assert real, "all rows are sentinels"
-        p0 = prefix[0] if prefix is not None else 0
-        assert phys_end >= int(lens[real].max()) + p0, (phys_end, p0, lens)
-        s = max(_round_up(max(int(lens.max()), 1), 128),
-                _round_up(pad_s, 128) if pad_s else 0)
-        ids = np.zeros((m, s), np.int32)
-        for j, pr in enumerate(prompts):
-            ids[j, s - len(pr):] = pr
-        if prefix is not None:
-            # prompts are SUFFIX rows on a shared prefix: mini layout
-            # [prefix | pad | suffix]; the scatter below re-packs each
-            # admitted row contiguously as [prefix | suffix] ending at
-            # phys_end
-            tok0, mini = self.prefill_ragged_prefixed(prefix, ids, lens)
-        else:
-            tok0, mini, _ = self.prefill_ragged(ids, lens, max_len=s)
-        if sampler:
-            # first tokens drawn with each request's OWN key, folding
-            # the same sentinel index as generate_ragged's pick0 — an
-            # admitted request's sampled stream equals its single-run
-            # stream
-            from qdm_tpu.api.causal_lm import fold_key
-
-            tok0 = self._pick0(sampler)(
-                self._last_prefill_logits,
-                fold_key(jnp.asarray(np.stack(keys)), 2 ** 32 - 1))
-        self._last_prefill_logits = None
+    def _ensure_scatter_fns(self):
         if self._admit_scatter_fn is None:
             @jax.jit
             def scatter(big, mini, rows_, p, lens_):
@@ -2086,6 +2144,60 @@ class DecodeEngine:
                 return jnp.where(full, shifted, big)
 
             self._admit_scatter_fn = (scatter, set_rows, scatter_prefix)
+
+    def admit_rows(self, caches, rows, prompts, phys_end: int,
+                   sampler=(), keys=None, pad_s: int = 0, prefix=None):
+        """Write new requests' prefilled K/V into batch ``rows`` of
+        live engine caches, each right-aligned so its prompt ENDS at
+        the shared physical append position ``phys_end`` (the
+        continuous-batching admission primitive; physical slots before
+        a row's start belong to the evicted request and are masked
+        out).  All admissions share ONE ragged mini-prefill and ONE
+        masked scatter per layer — per-request device round-trips were
+        the measured admission cost on the tunnel.
+
+        Requires phys_end >= max prompt length.  Returns (first
+        generated tokens [one per row], new caches, row starts, prompt
+        lengths).
+
+        Shape stability on the remote-compile tunnel: every distinct
+        (m, padded-prompt-width) retraces the mini-prefill and scatter
+        — callers admitting repeatedly (the ContinuousBatcher) should
+        pad ``rows`` to a FIXED count with sentinel row -1 (dummy
+        entries write nowhere) and pass a fixed ``pad_s`` width."""
+        prompts = [np.asarray(pr).reshape(-1) for pr in prompts]
+        lens = np.asarray([len(pr) for pr in prompts], np.int32)
+        m = len(prompts)
+        assert m == len(rows) >= 1
+        real = [j for j, r in enumerate(rows) if r >= 0]
+        assert real, "all rows are sentinels"
+        p0 = prefix[0] if prefix is not None else 0
+        assert phys_end >= int(lens[real].max()) + p0, (phys_end, p0, lens)
+        s = max(_round_up(max(int(lens.max()), 1), 128),
+                _round_up(pad_s, 128) if pad_s else 0)
+        ids = np.zeros((m, s), np.int32)
+        for j, pr in enumerate(prompts):
+            ids[j, s - len(pr):] = pr
+        if prefix is not None:
+            # prompts are SUFFIX rows on a shared prefix: mini layout
+            # [prefix | pad | suffix]; the scatter below re-packs each
+            # admitted row contiguously as [prefix | suffix] ending at
+            # phys_end
+            tok0, mini = self.prefill_ragged_prefixed(prefix, ids, lens)
+        else:
+            tok0, mini, _ = self.prefill_ragged(ids, lens, max_len=s)
+        if sampler:
+            # first tokens drawn with each request's OWN key, folding
+            # the same sentinel index as generate_ragged's pick0 — an
+            # admitted request's sampled stream equals its single-run
+            # stream
+            from qdm_tpu.api.causal_lm import fold_key
+
+            tok0 = self._pick0(sampler)(
+                self._last_prefill_logits,
+                fold_key(jnp.asarray(np.stack(keys)), 2 ** 32 - 1))
+        self._last_prefill_logits = None
+        self._ensure_scatter_fns()
         scatter, set_rows, scatter_prefix = self._admit_scatter_fn
         rw = jnp.asarray(np.asarray(rows, np.int32))
         pe, ln = jnp.int32(phys_end), jnp.asarray(lens)

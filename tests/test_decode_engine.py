@@ -1570,3 +1570,50 @@ def test_prefill_chunked_quantized_kv(lm):
         # program-shape ULP sensitivity (documented for the quantized
         # grids) — require strong agreement rather than bit-equality
         assert (got == ref).mean() > 0.75, (kv, (got == ref).mean())
+
+
+def test_continuous_batching_interleaved_admissions(lm):
+    """admit_chunk > 0 interleaves the admission mini-prefill with
+    decode chunks (bounded per-chunk stall).  Same math, different
+    schedule: greedy bf16 outputs stay bit-identical to single-prompt
+    generates, with and without a shared prefix."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    prompts = [RNG.integers(0, 256, (n,)) for n in (5, 3, 8, 6, 4)]
+    eng = DecodeEngine(lm, mode="bf16")
+    cb = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=256,
+                           admit_chunk=64)
+    outs = cb.run(prompts, max_new_tokens=10)
+    for o, pr in zip(outs, prompts):
+        full = eng.generate(pr[None], max_new_tokens=10)
+        np.testing.assert_array_equal(o, full[0])
+    assert cb.last_stats["p95_ttft"] is not None
+
+    prefix = RNG.integers(0, 256, (9,))
+    sufs = [RNG.integers(0, 256, (n,)) for n in (4, 6, 3)]
+    cb2 = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=256,
+                            admit_chunk=64)
+    outs2 = cb2.run(sufs, max_new_tokens=8, prefix=prefix)
+    for o, sfx in zip(outs2, sufs):
+        full = eng.generate(np.concatenate([prefix, sfx])[None],
+                            max_new_tokens=8)
+        np.testing.assert_array_equal(o[len(sfx):],
+                                      full[0, len(prefix) + len(sfx):])
+
+
+def test_continuous_batching_interleaved_kv8c_smoke(lm):
+    """Interleaved admissions compose with the channel-static int8 KV
+    cache (admission_finalize quantizes prefix+suffix valid slots)."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(9)
+    prefix = rng.integers(0, 256, (9,))
+    sufs = [rng.integers(0, 256, (n,)) for n in (4, 6, 3, 5)]
+    stats = DecodeEngine.calibrate_scales(lm, rng.integers(0, 256, (4, 7)))
+    eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                       kv_dtype=jnp.int8, kv_scale_mode="channel")
+    cb = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=256,
+                           admit_chunk=64)
+    outs = cb.run(sufs, max_new_tokens=8, prefix=prefix)
+    assert all(len(o) == len(s) + 8 for o, s in zip(outs, sufs))
+    assert all(np.isfinite(o).all() for o in outs)

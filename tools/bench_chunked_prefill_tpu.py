@@ -42,8 +42,7 @@ def time_prefill(fn, reps=5):
 
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
-    shapes = ([(32, 1024, (256, 512)), (16, 4096, (512,))]
-              if on_tpu else [(2, 16, (8,))])
+    shapes = ([(16, 4096, (128,))] if on_tpu else [(2, 16, (8,))])
     cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
     lm = CausalLM.from_config(cfg, dtype=jnp.bfloat16 if on_tpu
                               else jnp.float32)
