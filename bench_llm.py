@@ -512,6 +512,57 @@ def continuous_main():
     print(json.dumps(out), flush=True)
 
 
+def stall_main():
+    """--stall: admission-stall anatomy on cold LONG prompts — the
+    regime interleaved admissions (``admit_chunk``) exists for.  With
+    ~1k-token prompts, a one-shot admission runs a (rows, 1024) ragged
+    mini-prefill between two decode chunks: every running request
+    stalls for that whole prefill.  admit_chunk=C slices the same work
+    into C-token steps, one per decode chunk — bounded per-chunk
+    stall.  (The --prefix workload showed the converse: at <=128-token
+    suffix admissions interleaving only adds scheduling overhead.)
+    Metric per leg: stream tok/s, p95 TTFT, p95/max inter-chunk
+    stall."""
+    from qdm_tpu.api.serve import DecodeEngine
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    n_req, rows, chunk = (32, 16, 16) if on_tpu else (6, 2, 4)
+    plen = (900, 1024) if on_tpu else (3, 8)
+    budget = (32, 128) if on_tpu else (2, 6)
+    cap = 2048 if on_tpu else 256
+
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+               for n in rng.integers(plen[0], plen[1], n_req)]
+    budgets = [int(b) for b in rng.integers(budget[0], budget[1], n_req)]
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    eng = lm.serve(mode="w8a8_static",
+                   calib_ids=np.asarray(prompts[0])[None]) \
+        if on_tpu else DecodeEngine(lm, mode="bf16")
+    out = {"metric": "LLM admission stalls (cold ~1k-token prompts)",
+           "n_requests": n_req, "rows": rows, "prompt_range": list(plen),
+           "gen_tokens": int(sum(budgets))}
+    for ac in ((0, 128, 256) if on_tpu else (0, 4)):
+        cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk,
+                               capacity=cap, admit_chunk=ac)
+        # warm every jit the timed run hits, admissions included
+        cb.run(prompts[: rows + 2], max_new_tokens=4)
+        t0 = time.time()
+        outs = cb.run(prompts, max_new_tokens=budgets)
+        dt = time.time() - t0
+        n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
+        st = cb.last_stats
+        tag = f"ac{ac}"
+        out[f"{tag}_tok_s"] = round(n_gen / dt, 1)
+        out[f"{tag}_p95_ttft_s"] = round(st["p95_ttft"], 3)
+        out[f"{tag}_p95_stall_s"] = round(st["p95_stall_s"], 3)
+        out[f"{tag}_max_stall_s"] = round(st["max_stall_s"], 3)
+        print(json.dumps(out), flush=True)
+
+
 def prefix_main():
     """--prefix: shared-system-prompt serving — N requests that all sit
     on one long common prefix, served through the ContinuousBatcher
@@ -595,6 +646,9 @@ def prefix_main():
 
 
 def main():
+    if "--stall" in sys.argv:
+        stall_main()
+        return
     if "--prefix" in sys.argv:
         prefix_main()
         return

@@ -369,6 +369,8 @@ class ContinuousBatcher:
             "p50_ttft": float(np.percentile(tt, 50)) if tt.size else None,
             "p95_ttft": float(np.percentile(tt, 95)) if tt.size else None,
             "max_stall_s": float(max(stalls)) if stalls else None,
+            "p95_stall_s": (float(np.percentile(np.asarray(stalls), 95))
+                            if stalls else None),
             "wall_s": time.time() - t_run0,
         }
         return [out[i] for i in range(len(prompts))]
