@@ -186,6 +186,9 @@ class CausalLM:
             attention_bias=hf.get("attention_bias",
                                   hf.get("model_type") == "qwen2"),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # Mixtral-family sparse MoE (models/moe.py)
+            num_experts=hf.get("num_local_experts", 0),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
         )
         shapes = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0),
@@ -208,6 +211,10 @@ class CausalLM:
         plan = plan.with_rule("lm_head", None)
         for pat in (cfg.modules_to_not_convert or []):
             plan = plan.with_rule(pat, None)
+        if self.config is not None and self.config.num_experts > 0:
+            # MoE router stays fp (AutoAWQ mixtral modules_to_not_convert
+            # = ["gate"]): a handful of FLOPs that steer every token
+            plan = plan.with_rule("block_sparse_moe/gate", None)
         return plan
 
     def _calibrate(self, cfg: QuantConfig, calib_ids: np.ndarray,

@@ -222,6 +222,11 @@ class DecodeEngine:
             raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
         cfg = lm.config
+        if getattr(cfg, "num_experts", 0) > 0:
+            raise NotImplementedError(
+                "DecodeEngine's megakernels assume a dense MLP; MoE "
+                "models serve through CausalLM.generate/generate_ragged "
+                "(dense-exact expert path) or parallel.mesh.moe_ep_forward")
         # SPMD serving (module docstring): tp = size of the mesh's
         # 'model' axis, dp = size of its 'data' axis (batch sharding,
         # weights replicated).  No mesh (or a 1x1 mesh) = the

@@ -44,6 +44,10 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     parallel_residual: bool = False   # cohere: x + attn(ln x) + mlp(ln x)
     logit_scale: float = 1.0          # cohere: e.g. 0.0625
+    # sparse MoE (Mixtral family; models/moe.py): 0 = dense MLP
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_capacity_factor: float = 0.0  # 0 = dense-exact; >0 = dispatch
 
     @property
     def head_dim(self) -> int:
@@ -61,6 +65,13 @@ def tiny_llama_config() -> LlamaConfig:
     return LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
                        num_hidden_layers=2, num_attention_heads=4,
                        num_key_value_heads=2, max_position_embeddings=128)
+
+
+def tiny_mixtral_config(**kw) -> LlamaConfig:
+    return LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=96,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=128,
+                       num_experts=4, num_experts_per_tok=2, **kw)
 
 
 def rope(x, positions, theta: float):
@@ -296,6 +307,15 @@ class LlamaDecoderLayer(nn.Module):
             return LayerNorm(dtype=self.dtype, name=name)
         return RMSNorm(epsilon=self.config.rms_norm_eps, dtype=self.dtype, name=name)
 
+    def _mlp(self):
+        if self.config.num_experts > 0:
+            from qdm_tpu.models.moe import MoeMLP
+
+            return MoeMLP(self.config, dtype=self.dtype, plan=self.plan,
+                          name="block_sparse_moe")
+        return LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
+                        name="mlp")
+
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
                  attn_start=None, attn_prefix=None):
@@ -306,16 +326,14 @@ class LlamaDecoderLayer(nn.Module):
                 self.config, dtype=self.dtype, plan=self.plan,
                 name="self_attn")(h, positions, kv_cache, cache_index,
                                   attn_start, attn_prefix)
-            mlp = LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
-                           name="mlp")(h)
+            mlp = self._mlp()(h)
             return x + attn + mlp, new_cache
         h, new_cache = LlamaAttention(
             self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
             self._norm("input_layernorm")(x), positions, kv_cache,
             cache_index, attn_start, attn_prefix)
         x = x + h
-        x = x + LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
-                         name="mlp")(self._norm("post_attention_layernorm")(x))
+        x = x + self._mlp()(self._norm("post_attention_layernorm")(x))
         return x, new_cache
 
 

@@ -40,6 +40,14 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
     "qwen": llama_lib.LlamaConfig(attention_bias=True),
     "stablelm": llama_lib.LlamaConfig(norm_type="layernorm"),
     "tiny": llama_lib.tiny_llama_config(),
+    # Mixtral-family sparse MoE (reference quantizer.py:1106-1111 MoE
+    # input capture; models/moe.py): 8 experts, top-2 routing
+    "mixtral": llama_lib.LlamaConfig(
+        hidden_size=4096, intermediate_size=14336, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=1000000.0, max_position_embeddings=32768,
+        num_experts=8, num_experts_per_tok=2),
+    "tiny-mixtral": llama_lib.tiny_mixtral_config(),
 }
 
 # cohere: parallel attention+FFN residual, tied embeddings, logit scale

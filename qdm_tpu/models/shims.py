@@ -78,7 +78,13 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
 def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[ScalingGroup]:
     """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
     input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
-    -> gate/up, up_proj -> down_proj."""
+    -> gate/up, up_proj -> down_proj.
+
+    MoE blocks (Mixtral; the reference's quantizer captures the whole
+    block_sparse_moe input for this group, quantizer.py:1106-1111):
+    post_attention_layernorm -> w1+w3 of EVERY expert (one shared scale
+    — all experts see the same normed input), with the router gate in
+    extra_scaled so routing stays bit-invariant; per expert, w3 -> w2."""
     groups = []
     for path, sub in _walk(params):
         if path and re.fullmatch(r"layers_\d+", path[-1]) and "self_attn" in sub:
@@ -88,6 +94,32 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[S
                              path + ("self_attn", "k_proj"),
                              path + ("self_attn", "v_proj")),
             ))
+            if "block_sparse_moe" in sub:
+                moe = path + ("block_sparse_moe",)
+                experts = sorted(
+                    (k for k in sub["block_sparse_moe"]
+                     if re.fullmatch(r"experts_\d+", k)),
+                    key=lambda k: int(k.split("_")[1]))
+                groups.append(ScalingGroup(
+                    prev_path=path + ("post_attention_layernorm",),
+                    layer_paths=tuple(moe + (e, w) for e in experts
+                                      for w in ("w1", "w3")),
+                    extra_scaled=(moe + ("gate",),),
+                ))
+                if include_fc_groups:
+                    for e in experts:
+                        groups.append(ScalingGroup(
+                            prev_path=moe + (e, "w3"),
+                            layer_paths=(moe + (e, "w2"),),
+                        ))
+                    v_out = sub["self_attn"]["v_proj"]["kernel"].shape[1]
+                    o_in = sub["self_attn"]["o_proj"]["kernel"].shape[0]
+                    if v_out == o_in:
+                        groups.append(ScalingGroup(
+                            prev_path=path + ("self_attn", "v_proj"),
+                            layer_paths=(path + ("self_attn", "o_proj"),),
+                        ))
+                continue
             groups.append(ScalingGroup(
                 prev_path=path + ("post_attention_layernorm",),
                 layer_paths=(path + ("mlp", "gate_proj"),

@@ -83,3 +83,70 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ----------------------------------------------------------------- expert par
+
+def stack_moe_experts(moe_params: dict):
+    """Stack a block_sparse_moe param subtree's per-expert kernels into
+    (E, in, out) arrays — the shardable layout for expert parallelism
+    (per-expert dict arrays cannot be partitioned over devices; one
+    stacked axis can).  Returns (w1, w3, w2, gate_kernel)."""
+    import re as _re
+
+    names = sorted((k for k in moe_params if _re.fullmatch(r"experts_\d+", k)),
+                   key=lambda k: int(k.split("_")[1]))
+    import jax.numpy as jnp
+
+    w1 = jnp.stack([moe_params[e]["w1"]["kernel"] for e in names])
+    w3 = jnp.stack([moe_params[e]["w3"]["kernel"] for e in names])
+    w2 = jnp.stack([moe_params[e]["w2"]["kernel"] for e in names])
+    return w1, w3, w2, moe_params["gate"]["kernel"]
+
+
+def moe_ep_forward(x, stacked, mesh: Mesh, top_k: int = 2,
+                   axis: str = "model"):
+    """Expert-parallel MoE MLP over a device mesh.
+
+    Decode-shape strategy (tokens are few, expert weights are the HBM
+    story — Mixtral: 45 GB of experts vs KBs of tokens): expert weights
+    shard over `axis` (each device holds E/n_axis experts), tokens
+    replicate, every device computes the weighted sum of ITS experts for
+    all tokens, one psum combines.  No all-to-all: at decode batch sizes
+    the token traffic is trivial next to the weight-read saving, and the
+    psum rides ICI.  Router math (softmax -> top-k -> renormalize)
+    matches models/moe.py exactly; outputs equal the single-device dense
+    path (tested on the 8-device CPU mesh, tests/test_moe.py).
+
+    x: (n_tokens, d) float.  stacked: from stack_moe_experts.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    w1, w3, w2, gate = stacked
+    num_e = w1.shape[0]
+    n_shards = mesh.shape[axis]
+    assert num_e % n_shards == 0, (num_e, n_shards)
+
+    def body(x_l, w1_l, w3_l, w2_l, gate_l):
+        # replicated router (gate replicates; logits over ALL experts)
+        logits = x_l @ gate_l.astype(x_l.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, top_k)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        e0 = jax.lax.axis_index(axis) * (num_e // n_shards)
+        out = jnp.zeros((x_l.shape[0], w2_l.shape[-1]), jnp.float32)
+        for j in range(num_e // n_shards):
+            w_e = jnp.sum(jnp.where(top_i == e0 + j, top_w, 0.0), axis=-1)
+            h = jax.nn.silu(x_l @ w1_l[j]) * (x_l @ w3_l[j])
+            out = out + w_e[:, None] * (h @ w2_l[j]).astype(jnp.float32)
+        return jax.lax.psum(out, axis)
+
+    espec = P(axis)       # stacked expert axis sharded
+    rspec = P()           # tokens + router replicated
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(rspec, espec, espec, espec, rspec),
+                   out_specs=rspec)
+    return fn(x, w1, w3, w2, gate).astype(x.dtype)

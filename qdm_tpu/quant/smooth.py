@@ -39,11 +39,20 @@ class ScalingGroup:
     adaln = (shift_chunk_idx, scale_chunk_idx, n_chunks).  The modulated
     output is h*(1+scale)+shift, so dividing it by s requires
     scale' = (1+scale)/s - 1 (weight cols /= s, bias' = (bias+1)/s - 1)
-    and shift' = shift/s."""
+    and shift' = shift/s.
+
+    extra_scaled: additional linear paths that SHARE the prev op's
+    output but take no part in the smoothing math — their kernels are
+    multiplied by s purely to keep the migration output-invariant,
+    without contributing to weight_scales or being registered as
+    smoothed layers.  Used for the MoE router: post_attention_layernorm
+    feeds the (unquantized) gate alongside every expert's w1/w3; scaling
+    the gate kernel too keeps routing bit-invariant under migration."""
 
     prev_path: Tuple[str, ...]
     layer_paths: Tuple[Tuple[str, ...], ...]
     adaln: Optional[Tuple[int, int, int]] = None
+    extra_scaled: Tuple[Tuple[str, ...], ...] = ()
 
 
 def _get_at(tree, path):
@@ -109,7 +118,7 @@ def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> di
         if "bias" in prev:
             out = _set_at(out, group.prev_path + ("bias",),
                           (prev["bias"].astype(jnp.float32) / s).astype(prev["bias"].dtype))
-    for lp in group.layer_paths:
+    for lp in tuple(group.layer_paths) + tuple(group.extra_scaled):
         layer = _get_at(out, lp)
         kernel = layer["kernel"]
         newk = (kernel.astype(jnp.float32) * s[:, None]).astype(kernel.dtype)
