@@ -132,6 +132,9 @@ class CausalLM:
                     rng.standard_normal(leaf.shape, np.float32) / np.sqrt(fan_in),
                     leaf.dtype)
             if name == "scale":
+                # gemma (1+w) norms store a zero-centered offset
+                if self.config.norm_plus_one:
+                    return jnp.zeros(leaf.shape, leaf.dtype)
                 return jnp.ones(leaf.shape, leaf.dtype)
             return jnp.zeros(leaf.shape, leaf.dtype)
 
@@ -172,6 +175,9 @@ class CausalLM:
                 raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
             self.params = params
             return self
+        # gemma family: (1+w) norms, sqrt(hidden)-scaled embeddings,
+        # decoupled head_dim, tied embeddings by default
+        is_gemma = str(hf.get("model_type", "")).startswith("gemma")
         self.config = llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -185,7 +191,13 @@ class CausalLM:
             rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
             attention_bias=hf.get("attention_bias",
                                   hf.get("model_type") == "qwen2"),
-            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            tie_word_embeddings=hf.get("tie_word_embeddings", is_gemma),
+            mlp_act="gelu" if str(hf.get("hidden_act",
+                                         hf.get("hidden_activation", "silu"))
+                                  ).startswith("gelu") else "silu",
+            norm_plus_one=is_gemma,
+            scale_embeddings=is_gemma,
+            head_dim_override=hf.get("head_dim"),
             # Mixtral-family sparse MoE (models/moe.py)
             num_experts=hf.get("num_local_experts", 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
@@ -261,7 +273,9 @@ class CausalLM:
         plan_cap = self.plan.with_capture(True, inputs=True)
         for lname in layer_names:
             layer_params = self.params[lname]
-            groups_full = llama_scaling_groups({lname: layer_params})
+            groups_full = llama_scaling_groups(
+                {lname: layer_params},
+                norm_plus_one=self.config.norm_plus_one)
             groups = [dataclasses.replace(g, prev_path=g.prev_path[1:],
                                           layer_paths=tuple(p[1:] for p in g.layer_paths))
                       for g in groups_full]
@@ -339,8 +353,9 @@ class CausalLM:
                     if "layers_0" in key and "q_proj" in key:
                         attn_x = np.asarray(rows)
                         break
-            groups = llama_scaling_groups(self.params,
-                                          include_fc_groups=(method == "awq"))
+            groups = llama_scaling_groups(
+                self.params, include_fc_groups=(method == "awq"),
+                norm_plus_one=self.config.norm_plus_one)
             if method == "awq":
                 self.params = awq_lib.awq_search_and_apply(
                     self.params, groups, feats, cfg)

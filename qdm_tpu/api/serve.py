@@ -436,6 +436,20 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        if getattr(cfg, "norm_plus_one", False):
+            # gemma (1+w) norms: fold the +1 into the snapshotted scales
+            # so every kernel keeps standard rmsnorm semantics
+            for entry in self.layers:
+                entry["ln1"] = entry["ln1"] + 1.0
+                if "ln2" in entry:
+                    entry["ln2"] = entry["ln2"] + 1.0
+            self.final_norm = self.final_norm + 1.0
+        if getattr(cfg, "scale_embeddings", False):
+            # gemma sqrt(hidden) embed scaling — folded into the
+            # engine's embedding table (w_head above stays unscaled;
+            # the tied head reads raw embeddings)
+            self.embed = self.embed * jnp.asarray(
+                cfg.hidden_size ** 0.5, self.embed.dtype)
         # opt-in quantized lm_head: per-out-channel int8 codes or
         # group-128 planar int4, plus the calibrated static scale of
         # the final-norm output.  The head is the single largest
@@ -617,7 +631,8 @@ class DecodeEngine:
         cfg = QuantConfig(w_bit=8, a_bit=8)
         stats, _ = lm._calibrate(cfg, np.asarray(calib_ids),
                                  capture_inputs=False)
-        groups = llama_scaling_groups(lm.params, include_fc_groups=False)
+        groups = llama_scaling_groups(lm.params, include_fc_groups=False,
+                                      norm_plus_one=lm.config.norm_plus_one)
         lm.params = smooth_lib.smooth_params(lm.params, groups, stats,
                                              alpha=alpha)
         return lm
@@ -652,7 +667,8 @@ class DecodeEngine:
                           zero_point=zero_point)
         _, feats = lm._calibrate(cfg, np.asarray(calib_ids),
                                  capture_inputs=True)
-        groups = llama_scaling_groups(lm.params, include_fc_groups=True)
+        groups = llama_scaling_groups(lm.params, include_fc_groups=True,
+                                      norm_plus_one=lm.config.norm_plus_one)
         lm.params = awq_lib.awq_search_and_apply(lm.params, groups, feats,
                                                  cfg)
         return lm

@@ -432,17 +432,24 @@ class LayerNorm(nn.Module):
 
 
 class RMSNorm(nn.Module):
+    """plus_one selects the Gemma convention: the stored weight is a
+    zero-centered offset and the output multiplies (1 + w) — the case
+    the reference's scale_ln_fcs special-cases (scale.py:96-99)."""
+
     epsilon: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    plus_one: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        init = (nn.initializers.zeros_init() if self.plus_one
+                else nn.initializers.ones_init())
+        scale = self.param("scale", init, (c,), self.param_dtype)
         xf = x.astype(jnp.float32)
         y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.epsilon)
-        return (y * scale).astype(self.dtype)
+        return (y * (scale + 1.0 if self.plus_one else scale)).astype(self.dtype)
 
 
 class ScaledActivation(nn.Module):

@@ -48,9 +48,16 @@ class LlamaConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     moe_capacity_factor: float = 0.0  # 0 = dense-exact; >0 = dispatch
+    # gemma family: (1+w) RMSNorm offset (reference scale.py:96-99),
+    # sqrt(hidden)-scaled embeddings, head_dim decoupled from hidden/heads
+    norm_plus_one: bool = False
+    scale_embeddings: bool = False
+    head_dim_override: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
 
@@ -305,7 +312,8 @@ class LlamaDecoderLayer(nn.Module):
     def _norm(self, name):
         if self.config.norm_type == "layernorm":
             return LayerNorm(dtype=self.dtype, name=name)
-        return RMSNorm(epsilon=self.config.rms_norm_eps, dtype=self.dtype, name=name)
+        return RMSNorm(epsilon=self.config.rms_norm_eps, dtype=self.dtype,
+                       plus_one=self.config.norm_plus_one, name=name)
 
     def _mlp(self):
         if self.config.num_experts > 0:
@@ -356,6 +364,8 @@ class LlamaForCausalLM(nn.Module):
             x = input_embeds.astype(self.dtype)
         else:
             x = embed(input_ids)
+            if cfg.scale_embeddings:          # gemma: x * sqrt(hidden)
+                x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         b, s = x.shape[:2]
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -382,7 +392,8 @@ class LlamaForCausalLM(nn.Module):
         if cfg.norm_type == "layernorm":
             x = LayerNorm(dtype=self.dtype, name="norm")(x)
         else:
-            x = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype, name="norm")(x)
+            x = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
+                        plus_one=cfg.norm_plus_one, name="norm")(x)
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["embed_tokens"]["embedding"]
             logits = x @ embed.T.astype(self.dtype)

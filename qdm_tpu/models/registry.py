@@ -40,6 +40,15 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
     "qwen": llama_lib.LlamaConfig(attention_bias=True),
     "stablelm": llama_lib.LlamaConfig(norm_type="layernorm"),
     "tiny": llama_lib.tiny_llama_config(),
+    # gemma (reference scale.py:96-99 special-cases its (1+w) norm):
+    # gemma-2b geometry — (1+w) RMSNorm, sqrt(hidden)-scaled embeds,
+    # head_dim 256 decoupled from hidden/heads, GELU MLP, tied embeds
+    "gemma": llama_lib.LlamaConfig(
+        vocab_size=256000, hidden_size=2048, intermediate_size=16384,
+        num_hidden_layers=18, num_attention_heads=8,
+        num_key_value_heads=1, head_dim_override=256, mlp_act="gelu",
+        norm_plus_one=True, scale_embeddings=True,
+        tie_word_embeddings=True, max_position_embeddings=8192),
     # Mixtral-family sparse MoE (reference quantizer.py:1106-1111 MoE
     # input capture; models/moe.py): 8 experts, top-2 routing
     "mixtral": llama_lib.LlamaConfig(

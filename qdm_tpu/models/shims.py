@@ -75,10 +75,15 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
     return groups
 
 
-def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[ScalingGroup]:
+def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
+                         norm_plus_one: bool = False) -> List[ScalingGroup]:
     """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
     input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
     -> gate/up, up_proj -> down_proj.
+
+    norm_plus_one: the model's RMSNorms use the Gemma (1+w) convention
+    (set from LlamaConfig.norm_plus_one) — norm-prev groups migrate as
+    w' = (1+w)/s - 1 (reference scale.py:96-99).
 
     MoE blocks (Mixtral; the reference's quantizer captures the whole
     block_sparse_moe input for this group, quantizer.py:1106-1111):
@@ -93,6 +98,7 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[S
                 layer_paths=(path + ("self_attn", "q_proj"),
                              path + ("self_attn", "k_proj"),
                              path + ("self_attn", "v_proj")),
+                prev_plus_one=norm_plus_one,
             ))
             if "block_sparse_moe" in sub:
                 moe = path + ("block_sparse_moe",)
@@ -105,6 +111,7 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[S
                     layer_paths=tuple(moe + (e, w) for e in experts
                                       for w in ("w1", "w3")),
                     extra_scaled=(moe + ("gate",),),
+                    prev_plus_one=norm_plus_one,
                 ))
                 if include_fc_groups:
                     for e in experts:
@@ -124,6 +131,7 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True) -> List[S
                 prev_path=path + ("post_attention_layernorm",),
                 layer_paths=(path + ("mlp", "gate_proj"),
                              path + ("mlp", "up_proj")),
+                prev_plus_one=norm_plus_one,
             ))
             if include_fc_groups:
                 v_out = sub["self_attn"]["v_proj"]["kernel"].shape[1]

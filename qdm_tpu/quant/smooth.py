@@ -53,6 +53,11 @@ class ScalingGroup:
     layer_paths: Tuple[Tuple[str, ...], ...]
     adaln: Optional[Tuple[int, int, int]] = None
     extra_scaled: Tuple[Tuple[str, ...], ...] = ()
+    # Gemma-convention norm prev: stored weight w is an offset, output
+    # multiplies (1+w) — dividing the output by s needs
+    # w' = (1+w)/s - 1 (reference scale_ln_fcs special case,
+    # scale.py:96-99)
+    prev_plus_one: bool = False
 
 
 def _get_at(tree, path):
@@ -113,8 +118,10 @@ def apply_smooth_scales(params: dict, group: ScalingGroup, s: jnp.ndarray) -> di
         out = _set_at(out, group.prev_path + ("scales",), new)
     else:
         if "scale" in prev:
+            w = prev["scale"].astype(jnp.float32)
+            w = ((w + 1.0) / s - 1.0) if group.prev_plus_one else (w / s)
             out = _set_at(out, group.prev_path + ("scale",),
-                          (prev["scale"].astype(jnp.float32) / s).astype(prev["scale"].dtype))
+                          w.astype(prev["scale"].dtype))
         if "bias" in prev:
             out = _set_at(out, group.prev_path + ("bias",),
                           (prev["bias"].astype(jnp.float32) / s).astype(prev["bias"].dtype))
