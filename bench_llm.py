@@ -645,7 +645,80 @@ def prefix_main():
     print(json.dumps(out), flush=True)
 
 
+def swa_main():
+    """--swa: sliding-window serving at long context.  A mistral-style
+    window turns the decode cache read from O(ctx) into O(window) —
+    the engine serves a ROLLING window-slot cache (api/serve.py), so
+    at ctx 4096 / window 1024 the attention streams a quarter of the
+    cache bytes.  Decode-only marginal, same methodology as --kv8
+    (min-of-reps, (t(40)-t(8))/32).  Run with --ctx 4096 --batch 16 to
+    match the r3n crossover rows."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    base = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    batch, ctx, window = (16, 4096, 1024) if on_tpu else (2, 32, 8)
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--ctx" in sys.argv:
+        ctx = int(sys.argv[sys.argv.index("--ctx") + 1])
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    prefill = 128 if on_tpu else 8
+    out = {"metric": f"SWA decode tok/s (batch {batch}, ctx {ctx}, "
+                     f"window {window})"}
+
+    cfg_full = _dc.replace(base, max_position_embeddings=2 * ctx)
+    cfg_win = _dc.replace(cfg_full, sliding_window=window)
+    ids = np.random.default_rng(0).integers(
+        0, base.vocab_size, (batch, prefill))
+
+    for cname, cfg in (("full", cfg_full), ("win", cfg_win)):
+        lm = CausalLM.from_config(cfg, dtype=dtype)
+        stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
+        rows = [("bf16", {"mode": "bf16"}),
+                ("w8a8", {"mode": "w8a8_static", "act_stats": stats}),
+                ("w8a8_kv8c", {"mode": "w8a8_static", "act_stats": stats,
+                               "kv_dtype": jnp.int8,
+                               "kv_scale_mode": "channel"}),
+                ("w4a8_kv4", {"mode": "w4a8_static", "act_stats": stats,
+                              "kv_dtype": "int4"})]
+        for ename, kw in rows:
+            eng = DecodeEngine(lm, **kw)
+            # max_len past the window -> the 'win' engine serves the
+            # rolling window-length cache; 'full' a ctx-length one.
+            # start_pos = ctx puts both in long-context steady state
+            # (slots beyond the prompt hold zeros — same traffic).
+            tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
+            jax.block_until_ready(caches[0][0])
+            args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+            def t(n):
+                run = eng._make_run(n)
+                best = 1e9
+                run(*args, tok0, caches, jnp.int32(ctx))
+                for _ in range(5):
+                    t0 = time.time()
+                    float(jnp.sum(run(*args, tok0, caches,
+                                      jnp.int32(ctx))))
+                    best = min(best, time.time() - t0)
+                return best
+
+            dt = (t(40) - t(8)) / 32
+            out[f"{cname}_{ename}_decode_tok_s"] = round(batch / dt, 1)
+            out[f"{cname}_{ename}_cache_T"] = int(caches[0][0].shape[-1])
+            print(json.dumps(out), flush=True)
+            del eng, caches
+        del lm, stats
+
+
 def main():
+    if "--swa" in sys.argv:
+        swa_main()
+        return
     if "--stall" in sys.argv:
         stall_main()
         return

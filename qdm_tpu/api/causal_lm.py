@@ -198,6 +198,11 @@ class CausalLM:
             norm_plus_one=is_gemma,
             scale_embeddings=is_gemma,
             head_dim_override=hf.get("head_dim"),
+            # mistral/qwen2 sliding-window attention (qwen2 checkpoints
+            # carry the field but gate it off via use_sliding_window)
+            sliding_window=(hf.get("sliding_window")
+                            if hf.get("use_sliding_window", True)
+                            else None),
             # Mixtral-family sparse MoE (models/moe.py)
             num_experts=hf.get("num_local_experts", 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),

@@ -44,6 +44,15 @@ each device launches its own pallas megakernels on local shards.
 Counterpart of the reference's multi-GPU device-map placement
 (utils/parallel.py) — re-designed as SPMD rather than per-layer
 placement.
+
+Sliding-window models (mistral/qwen2: ``config.sliding_window``)
+serve with a ROLLING window-slot cache once the serving length exceeds
+the window: decode writes slot ``pos % window`` and the kernels'
+``t_ids <= pos`` mask is already exact on it, so long-context decode
+reads ``window`` cache columns instead of ``ctx`` (bench_llm.py
+--swa).  Mixtral-class sparse MoE serves dense-exact through
+stacked-expert batched einsums (``_moe_mlp``); attention keeps the
+megakernels.
 """
 
 from __future__ import annotations
@@ -78,6 +87,15 @@ def _quant_w(w, dtype=jnp.int8):
     """Per-out-channel symmetric int8: w (K, N) -> (codes, scales (1,N))."""
     wf = w.astype(jnp.float32)
     s = jnp.clip(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-8, None) / 127.0
+    return jnp.clip(jnp.round(wf / s), -127, 127).astype(dtype), s
+
+
+def _quant_w_stacked(w, dtype=jnp.int8):
+    """Per-(expert, out-channel) symmetric int8 for stacked MoE expert
+    tensors: w (E, K, N) -> (codes, scales (E, 1, N))."""
+    wf = w.astype(jnp.float32)
+    s = jnp.clip(jnp.max(jnp.abs(wf), axis=1, keepdims=True),
+                 1e-8, None) / 127.0
     return jnp.clip(jnp.round(wf / s), -127, 127).astype(dtype), s
 
 
@@ -222,11 +240,31 @@ class DecodeEngine:
             raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
         cfg = lm.config
-        if getattr(cfg, "num_experts", 0) > 0:
-            raise NotImplementedError(
-                "DecodeEngine's megakernels assume a dense MLP; MoE "
-                "models serve through CausalLM.generate/generate_ragged "
-                "(dense-exact expert path) or parallel.mesh.moe_ep_forward")
+        # Mixtral-family sparse MoE: the attention half serves through
+        # the same megakernels; the expert MLP runs as stacked-expert
+        # XLA einsums ('bk,ekf->ebf' batched over E — dense-exact, the
+        # same math the module path uses for decode).  At serve batch
+        # sizes most experts are hit every step anyway, so reading all
+        # E expert weights is near the gathered-dispatch traffic with
+        # none of the dynamic-shape cost.
+        self.moe = getattr(cfg, "num_experts", 0) > 0
+        if self.moe:
+            if mode == "w4a8_static":
+                raise NotImplementedError(
+                    "MoE engine serving covers bf16 and w8a8_static "
+                    "(stacked-expert int8 einsums); w4a8's planar i4 "
+                    "kernels carry no expert axis")
+            if mesh is not None and (
+                    "model" in getattr(mesh, "axis_names", ()) and
+                    int(mesh.shape["model"]) > 1):
+                raise NotImplementedError(
+                    "MoE engine serving is dp-only under a mesh; for "
+                    "expert parallelism use parallel.mesh.moe_ep_forward "
+                    "(module path)")
+            if merge_o:
+                raise NotImplementedError(
+                    "merge_o fuses o_proj into the dense MLP kernel; "
+                    "MoE has no dense MLP kernel to merge into")
         # SPMD serving (module docstring): tp = size of the mesh's
         # 'model' axis, dp = size of its 'data' axis (batch sharding,
         # weights replicated).  No mesh (or a 1x1 mesh) = the
@@ -311,6 +349,22 @@ class DecodeEngine:
         self._kv_qmax = 7.0 if kv_dtype == "int4" else 127.0
         self.kv_scale_mode = kv_scale_mode
         self.kv_margin = float(kv_margin)
+        # mistral/qwen2 sliding-window attention: the engine serves a
+        # ROLLING window-slot cache — decode writes slot pos % W, the
+        # kernels' `t_ids <= pos` mask is already exact on it (pre-wrap
+        # the slot order IS position order; post-wrap every slot is in
+        # the window), so long-context decode reads W cache columns
+        # instead of ctx with zero kernel changes.  Rolling engages
+        # only when the serving length exceeds the window (prefill
+        # re-lays the last-W prompt positions into slot order).
+        self.window = getattr(cfg, "sliding_window", None)
+        if self.window is not None:
+            self.window = int(self.window)
+            if jax.default_backend() == "tpu" and self.window % 128:
+                raise ValueError(
+                    f"sliding_window={self.window} must be a multiple "
+                    "of 128 on TPU (the rolling cache's T axis rides "
+                    "the 128 lanes)")
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
@@ -358,16 +412,31 @@ class DecodeEngine:
         layers = []
         for l in range(cfg.num_hidden_layers):
             lp = p[f"layers_{l}"]
-            at, mp_ = lp["self_attn"], lp["mlp"]
+            at = lp["self_attn"]
             w_qkv = jnp.concatenate(
                 [at["q_proj"]["kernel"], at["k_proj"]["kernel"],
                  at["v_proj"]["kernel"]], axis=1).astype(self.dtype)
             if qkv_perm is not None:
                 w_qkv = w_qkv[:, qkv_perm]
             w_o = at["o_proj"]["kernel"].astype(self.dtype)
-            wg = mp_["gate_proj"]["kernel"].astype(self.dtype)
-            wu = mp_["up_proj"]["kernel"].astype(self.dtype)
-            wd = mp_["down_proj"]["kernel"].astype(self.dtype)
+            if self.moe:
+                # stacked-expert tensors (E, K, F)/(E, F, K): one
+                # batched einsum per projection replaces E separate
+                # matmuls (HF-Mixtral param names, models/moe.py)
+                moe_p = lp["block_sparse_moe"]
+                n_e = cfg.num_experts
+                router = moe_p["gate"]["kernel"].astype(self.dtype)
+                W1 = jnp.stack([moe_p[f"experts_{e}"]["w1"]["kernel"]
+                                for e in range(n_e)]).astype(self.dtype)
+                W3 = jnp.stack([moe_p[f"experts_{e}"]["w3"]["kernel"]
+                                for e in range(n_e)]).astype(self.dtype)
+                W2 = jnp.stack([moe_p[f"experts_{e}"]["w2"]["kernel"]
+                                for e in range(n_e)]).astype(self.dtype)
+            else:
+                mp_ = lp["mlp"]
+                wg = mp_["gate_proj"]["kernel"].astype(self.dtype)
+                wu = mp_["up_proj"]["kernel"].astype(self.dtype)
+                wd = mp_["down_proj"]["kernel"].astype(self.dtype)
             entry = {
                 "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
             }
@@ -387,7 +456,30 @@ class DecodeEngine:
                 if qkv_perm is not None:
                     b_qkv = b_qkv[qkv_perm]
                 entry["b_qkv"] = b_qkv
-            if mode == "bf16":
+            if self.moe and mode == "bf16":
+                entry.update(w_qkv=w_qkv, w_o=w_o, router=router,
+                             W1=W1, W3=W3, W2=W2)
+            elif self.moe:                        # w8a8_static MoE
+                pre = f"layers_{l}/block_sparse_moe"
+                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
+                entry["w_o"], entry["s_o"] = _quant_w(w_o)
+                entry["router"] = router          # fp router (reference
+                # modules_to_not_convert semantics: routing stays exact)
+                entry["W1"], entry["sW1"] = _quant_w_stacked(W1)
+                entry["W3"], entry["sW3"] = _quant_w_stacked(W3)
+                entry["W2"], entry["sW2"] = _quant_w_stacked(W2)
+                entry["a_qkv"] = scale_of(
+                    f"layers_{l}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(
+                    f"layers_{l}/self_attn/o_proj").reshape(1)
+                # shared expert input scale (every expert sees the same
+                # normed activations on the dense-exact path) + the
+                # per-expert down-projection input scales
+                entry["a_moe"] = scale_of(f"{pre}/experts_0/w1").reshape(1)
+                entry["a_w2"] = jnp.stack(
+                    [scale_of(f"{pre}/experts_{e}/w2")
+                     for e in range(cfg.num_experts)])        # (E,)
+            elif mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
             elif mode == "w8a8_static":
                 pre = f"layers_{l}"
@@ -695,7 +787,7 @@ class DecodeEngine:
     # ------------------------------------------------------------------ layers
 
     def _layer(self, x, cache, w, pos, cosv, sinv, h=None, hkv=None,
-               tp_axis=None, rope_xla=None, attn_starts=None):
+               tp_axis=None, rope_xla=None, attn_starts=None, slot=None):
         """One decoder layer.  h/hkv default to the model's head counts;
         under shard_map (tp_axis set) they are the LOCAL per-shard
         counts and the row-split o_proj/down partials psum over
@@ -706,7 +798,9 @@ class DecodeEngine:
         kernel trig vectors cannot carry — pass cosv=sinv=None and the
         rotation runs here in XLA with the exact kernel formula
         (y*cos + partner*sin).  attn_starts (B,): first valid cache
-        slot per row (left-padded ragged batches)."""
+        slot per row (left-padded ragged batches).  slot: cache write
+        index when it differs from pos (rolling sliding-window cache:
+        slot = pos % window; the attention mask stays on pos)."""
         cfg = self.cfg
         h = cfg.num_attention_heads if h is None else h
         hkv = cfg.num_key_value_heads if hkv is None else hkv
@@ -715,6 +809,7 @@ class DecodeEngine:
         bp = x.shape[0]
         b = cache[0].shape[0]
         eps = cfg.rms_norm_eps
+        slot = pos if slot is None else slot
 
         nt = cfg.norm_type
         parallel = cfg.parallel_residual
@@ -766,7 +861,7 @@ class DecodeEngine:
                     newq.astype(jnp.int32)[:, :, :, None])
             else:
                 upd = newq.astype(jnp.int8)[:, :, :, None]
-            kv = jax.lax.dynamic_update_slice(kv, upd, (0, 0, 0, pos))
+            kv = jax.lax.dynamic_update_slice(kv, upd, (0, 0, 0, slot))
             # K channel scales fold into q (QK contracts over d), V
             # channel scales into the output (d is free in PV) — the
             # kernel sees no scales at all
@@ -794,21 +889,30 @@ class DecodeEngine:
             sn = jnp.clip(jnp.max(jnp.abs(newf), axis=-1), 1e-8, None) / 127.0
             kv = jax.lax.dynamic_update_slice(
                 kv, jnp.round(newf / sn[..., None]).astype(
-                    jnp.int8)[:, :, :, None], (0, 0, 0, pos))
+                    jnp.int8)[:, :, :, None], (0, 0, 0, slot))
             kvs = jax.lax.dynamic_update_slice(
-                kvs, sn[:, :, None, None], (0, 0, 0, pos))
+                kvs, sn[:, :, None, None], (0, 0, 0, slot))
             bb = self.block_b if b % self.block_b == 0 else 1
             attn = dk.decode_attention_kv_i8(q, kv, kvs, pos, block_b=bb)
             cache = (kv, kvs)
         else:
             (kv,) = cache
             newc = kv_new.astype(kv.dtype)[:, :, :, None]
-            kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, pos))
+            kv = jax.lax.dynamic_update_slice(kv, newc, (0, 0, 0, slot))
             bb = self.block_b if b % self.block_b == 0 else 1
             cache = (kv,)
             attn = dk.decode_attention_kv(q, kv, pos, starts=attn_starts,
                                           block_b=bb)
         attn = attn.reshape(bp, h * d)
+        if self.moe:
+            # o_proj + residual through the dense megakernel, then the
+            # stacked-expert MoE MLP in XLA (dense-exact top-k routing)
+            if self.mode == "bf16":
+                x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
+            else:
+                x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
+                                             w["a_o"], residual=x)
+            return self._moe_mlp(x, w), cache
         if self.merge_o and tp_axis is None:
             if self.mode == "w4a8_static":
                 x = dk.fused_o_mlp_decode_i4(
@@ -914,6 +1018,52 @@ class DecodeEngine:
                                        act=cfg.mlp_act, group=self.i4_group)
         return x, cache
 
+    def _moe_mlp(self, x, w):
+        """Dense-exact sparse-MoE decode MLP: router top-k weights gate
+        ONE stacked-expert batched einsum per projection (all E experts
+        computed — at serve batch sizes nearly every expert is hit each
+        step, so the full expert weight read approximates gathered
+        dispatch with zero dynamic-shape cost).  Token-exact vs the
+        module path (models/moe.py dense-exact branch; the reference
+        captures the whole block_sparse_moe input for quantization,
+        quantizer.py:1106-1111).  w8a8_static: int8 stacked einsums
+        with the shared expert-input scale (every expert sees the same
+        normed activations) and per-expert down-projection scales."""
+        cfg = self.cfg
+        act = jax.nn.silu if cfg.mlp_act == "silu" else jax.nn.gelu
+        xin = _xla_norm(x, w["ln2"], None, cfg.norm_type,
+                        cfg.rms_norm_eps).astype(x.dtype)
+        logits = (xin @ w["router"]).astype(jnp.float32)      # (B, E)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        w_be = jnp.sum(jax.nn.one_hot(top_i, cfg.num_experts,
+                                      dtype=jnp.float32)
+                       * top_w[..., None], axis=1)            # (B, E)
+        if self.mode == "bf16":
+            g = jnp.einsum("bk,ekf->ebf", xin, w["W1"])
+            u = jnp.einsum("bk,ekf->ebf", xin, w["W3"])
+            y = jnp.einsum("ebf,efk->ebk", act(g) * u,
+                           w["W2"]).astype(jnp.float32)
+        else:
+            a = w["a_moe"]                                    # (1,)
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a),
+                          -127, 127).astype(jnp.int8)
+            g = jnp.einsum("bk,ekf->ebf", xq, w["W1"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sW1"] * a)
+            u = jnp.einsum("bk,ekf->ebf", xq, w["W3"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sW3"] * a)
+            h = act(g) * u                                    # (E, B, F)
+            a2 = w["a_w2"][:, None, None]                     # (E, 1, 1)
+            hq = jnp.clip(jnp.round(h / a2), -127, 127).astype(jnp.int8)
+            y = jnp.einsum("ebf,efk->ebk", hq, w["W2"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sW2"] * a2)
+        out = jnp.einsum("ebk,be->bk", y, w_be)
+        return (x.astype(jnp.float32) + out).astype(x.dtype)
+
     def _head_logits(self, x, w_head, final_norm):
         """final norm + lm_head as one fused launch.  w_head is either
         the bf16 (K, V) matrix or, under head_quant='int8', the
@@ -967,6 +1117,11 @@ class DecodeEngine:
             def body(carry, i):
                 tok, caches = carry
                 pos = start_pos + i
+                # rolling sliding-window cache: write slot wraps mod T
+                # (T == window once the serving length exceeds it; when
+                # it doesn't, pos < T and the mod is the identity)
+                slot = (jnp.mod(pos, caches[0][0].shape[-1])
+                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs     # (d/2,)
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -975,7 +1130,8 @@ class DecodeEngine:
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
-                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
+                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
+                                           slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:
@@ -1027,6 +1183,8 @@ class DecodeEngine:
             def body(st):
                 i, tok, done, caches, buf = st
                 pos = start_pos + i
+                slot = (jnp.mod(pos, caches[0][0].shape[-1])
+                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -1035,7 +1193,8 @@ class DecodeEngine:
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
-                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv)
+                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
+                                           slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:
@@ -1098,6 +1257,8 @@ class DecodeEngine:
             def body(carry, i):
                 tok, caches = carry
                 pos = start_pos + i
+                slot = (jnp.mod(pos, caches[0][0].shape[-1])
+                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -1108,7 +1269,7 @@ class DecodeEngine:
                 for l, w in enumerate(layers):
                     x, cache = self._layer(x, caches[l], w, pos, cosv,
                                            sinv, h=h_l, hkv=hkv_l,
-                                           tp_axis="model")
+                                           tp_axis="model", slot=slot)
                     new_caches.append(cache)
                 logits = dk.fused_dense_decode(
                     x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
@@ -1163,9 +1324,22 @@ class DecodeEngine:
 
         return run
 
+    def _window_guard(self, max_len, feature: str):
+        """Entry points that keep LINEAR caches (ragged batches, prefix
+        reuse, chunked prefill, the continuous batcher) reject serving
+        lengths that would need the rolling sliding-window cache —
+        their slot bookkeeping assumes slot == position."""
+        if self.window is not None and max_len > self.window:
+            raise NotImplementedError(
+                f"{feature} does not support a rolling sliding-window "
+                f"cache (serving length {max_len} > window "
+                f"{self.window}); use generate()'s plain prefill path, "
+                "or keep prompt+new tokens within the window")
+
     def init_cache(self, batch: int, max_len: int):
         """Combined [K | V] cache (B, 2*hkv, d, T): one array per layer
         so the per-step write is a single dynamic_update_slice."""
+        self._window_guard(max_len, "init_cache (ragged/batcher serving)")
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
@@ -1188,11 +1362,25 @@ class DecodeEngine:
         return [(jnp.zeros(shape, self.dtype),)
                 for _ in range(cfg.num_hidden_layers)]
 
-    def _kv_finalize(self, caches, pad):
+    def _kv_finalize(self, caches, pad, roll_s=None):
         """Engine-format cache post-pass shared by the prefill flavors
         (traced inside their jits): optional tp shard-major head perm,
         optional int8/int4 KV quantization (per-token or channel-static
-        scales), then pad each cache to the serving length."""
+        scales), then pad each cache to the serving length.
+
+        roll_s (static): true prompt length when the prompt exceeds the
+        sliding window — re-lays the LAST window positions into rolling
+        slot order (position p -> slot p % window) so decode's
+        slot = pos % window writes land exactly where the window
+        semantics need them.  Slots that never held a real position
+        (prompt shorter than the window) keep clamped junk the
+        `t_ids <= pos` kernel mask never reads."""
+        gather = None
+        if roll_s is not None:
+            win = self.window
+            j = np.arange(win)
+            src = roll_s - 1 - ((roll_s - 1 - j) % win)
+            gather = jnp.asarray(np.clip(src, 0, None), jnp.int32)
         kv_int8 = self.kv_dtype == jnp.int8
         kv_channel = (self.kv_scale_mode == "channel"
                       and self.kv_dtype is not None)
@@ -1209,6 +1397,8 @@ class DecodeEngine:
 
         eng = []
         for (kvdm,) in caches:                           # (B, 2hkv, d, T)
+            if gather is not None:
+                kvdm = jnp.take(kvdm, gather, axis=3)
             if kv_perm is not None:
                 # shard-major [k_s | v_s] head order (tp cache
                 # layout; see _kv_shard_perm)
@@ -1265,7 +1455,16 @@ class DecodeEngine:
         # serving length inside the jit afterwards (one cheap copy).
         sp = _round_up(s, 128)
         tp = _round_up(max_len, 128)
-        assert tp >= sp, (max_len, s)
+        # sliding-window serving: once the serving length exceeds the
+        # window, the engine cache is a window-slot ROLLING buffer —
+        # tp caps at the window and a prompt longer than it gets its
+        # last-window positions re-laid into slot order (roll_s)
+        roll_s = None
+        if self.window is not None and max_len > self.window:
+            tp = self.window
+            if sp > tp:
+                roll_s = s
+        assert tp >= sp or roll_s is not None, (max_len, s)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
@@ -1275,18 +1474,19 @@ class DecodeEngine:
         if self._prefill_fn is None:
             finalize = self._kv_finalize
 
-            @functools.partial(jax.jit, static_argnames=("pad",))
-            def fwd(params, ids, caches, pad):
+            @functools.partial(jax.jit,
+                               static_argnames=("pad", "roll_s"))
+            def fwd(params, ids, caches, pad, roll_s=None):
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0,
                                              last_logits_only=True)
                 logits = logits[:, -1]
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return tok, logits, finalize(caches, pad)
+                return tok, logits, finalize(caches, pad, roll_s)
 
             self._prefill_fn = fwd
         tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches,
-                                            tp - sp)
+                                            max(tp - sp, 0), roll_s=roll_s)
         # last-position logits stay on device; the sampling path picks
         # its first token from them (greedy ignores them)
         self._last_prefill_logits = logits
@@ -1307,6 +1507,7 @@ class DecodeEngine:
         stack).  Decode steps after this are ordinary token steps
         through the megakernels.  Returns (first generated token,
         engine caches)."""
+        self._window_guard(max_len, "prefill_embeds (VLM serving)")
         b, s, _ = embeds.shape
         if self.spmd:
             raise NotImplementedError("embeds prefill is single-device")
@@ -1391,6 +1592,7 @@ class DecodeEngine:
         the continuous batcher relies on).  Channel-static KV scales
         mask the garbage columns out.  Returns (first generated token,
         engine caches)."""
+        self._window_guard(max_len, "prefill_chunked")
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("chunked prefill is single-device")
@@ -1604,6 +1806,7 @@ class DecodeEngine:
         system-prompt workload (P >> S) this removes nearly the whole
         per-request prefill cost.  Returns (first tokens, engine
         caches); decode then starts at position P+S."""
+        self._window_guard(max_len, "prefix-cached serving")
         p, kv = prefix
         b, s = ids.shape
         if self.spmd:
@@ -1731,6 +1934,7 @@ class DecodeEngine:
         out of every attention (the model's ``attn_start``).  Returns
         (first tokens, engine caches, starts) — starts (B,) are the
         per-row first valid cache slots the decode attention needs."""
+        self._window_guard(max_len, "ragged serving")
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")

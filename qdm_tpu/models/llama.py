@@ -53,6 +53,12 @@ class LlamaConfig:
     norm_plus_one: bool = False
     scale_embeddings: bool = False
     head_dim_override: Optional[int] = None
+    # mistral/qwen2 sliding-window attention: position p attends only
+    # keys in (p - W, p].  The module keeps full-length caches and
+    # bands the mask (correctness/calibration path); the DecodeEngine
+    # serves with a ROLLING W-slot cache (api/serve.py) so long-context
+    # decode reads W cache columns instead of ctx
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -131,6 +137,31 @@ class LlamaAttention(nn.Module):
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
 
+        def _causal_mask(kv_len):
+            """Causal mask over a LINEAR cache (slot == absolute
+            position), optionally banded to cfg.sliding_window
+            (mistral/qwen2: position p sees keys in (p-W, p]) and
+            left-trimmed for ragged batches (attn_start) with a
+            shared-prefix carve-out (attn_prefix)."""
+            k_pos = jnp.arange(kv_len)[None, :]
+            q_pos = (0 if cache_index is None else cache_index) \
+                + jnp.arange(s)[:, None]
+            m = k_pos <= q_pos
+            if cfg.sliding_window:
+                m = m & (k_pos > q_pos - cfg.sliding_window)
+            m = m[None, None]
+            if attn_start is not None:
+                # ragged left-padded batch: slots [0, start) hold pad
+                # tokens that must be invisible to every real query —
+                # except a shared prefix [0, attn_prefix), whose K/V a
+                # prefixed mini-prefill pastes below the pad region
+                # (prefix-cached serving, api/serve.py)
+                keep = k_pos >= attn_start[:, None]
+                if attn_prefix is not None:
+                    keep = keep | (k_pos < attn_prefix)
+                m = m & keep[:, None, None, :]
+            return m
+
         new_cache = None
         depth_major = False
         if kv_cache is not None and len(kv_cache) == 1:
@@ -149,19 +180,7 @@ class LlamaAttention(nn.Module):
             new_cache = (ckv,)
             kt, vt = ckv[:, :hkv], ckv[:, hkv:]       # (B, hkv, d, T)
             depth_major = True
-            kv_len = ckv.shape[3]
-            k_pos = jnp.arange(kv_len)[None, :]
-            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
-            if attn_start is not None:
-                # ragged left-padded batch: slots [0, start) hold pad
-                # tokens that must be invisible to every real query —
-                # except a shared prefix [0, attn_prefix), whose K/V a
-                # prefixed mini-prefill pastes below the pad region
-                # (prefix-cached serving, api/serve.py)
-                keep = k_pos >= attn_start[:, None]
-                if attn_prefix is not None:
-                    keep = keep | (k_pos < attn_prefix)
-                mask = mask & keep[:, None, None, :]
+            mask = _causal_mask(ckv.shape[3])
         elif kv_cache is not None and len(kv_cache) == 4:
             # int8 KV cache: per-token per-head absmax scales.  Halves
             # the cache HBM traffic that dominates large-batch /
@@ -181,31 +200,19 @@ class LlamaAttention(nn.Module):
             new_cache = (ck, cks, cv, cvs)
             kt = (ck.astype(jnp.float32) * cks[..., None]).astype(self.dtype)
             vt = (cv.astype(jnp.float32) * cvs[..., None]).astype(self.dtype)
-            kv_len = ck.shape[2]
-            k_pos = jnp.arange(kv_len)[None, :]
-            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
-            if attn_start is not None:
-                keep = k_pos >= attn_start[:, None]
-                if attn_prefix is not None:
-                    keep = keep | (k_pos < attn_prefix)
-                mask = mask & keep[:, None, None, :]
+            mask = _causal_mask(ck.shape[2])
         elif kv_cache is not None:
             ck, cv = kv_cache                       # (B, hkv, T, d)
             ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_index, 0))
             new_cache = (ck, cv)
             kt, vt = ck, cv
-            kv_len = ck.shape[2]
-            k_pos = jnp.arange(kv_len)[None, :]
-            mask = (k_pos <= (cache_index + jnp.arange(s)[:, None]))[None, None]
-            if attn_start is not None:
-                keep = k_pos >= attn_start[:, None]
-                if attn_prefix is not None:
-                    keep = keep | (k_pos < attn_prefix)
-                mask = mask & keep[:, None, None, :]
+            mask = _causal_mask(ck.shape[2])
         else:
-            kv_len = s
-            mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+            if cfg.sliding_window:
+                mask = _causal_mask(s)
+            else:
+                mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
         # Long prefill: route through the Pallas causal flash kernel on
         # the LOCAL roped k/v (with cache_index == 0 the attention
@@ -222,6 +229,7 @@ class LlamaAttention(nn.Module):
         import os as _os
         flash_ok = (s > 1 and s % 128 == 0 and s >= 2048
                     and attn_prefix is None
+                    and (not cfg.sliding_window or s <= cfg.sliding_window)
                     and isinstance(cache_index, int) and cache_index == 0
                     and (kv_cache is None or len(kv_cache) < 4)
                     and jax.default_backend() == "tpu"

@@ -38,6 +38,14 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
     # Qwen-1 (reference models/qwen.py): fused c_attn with bias ->
     # attention_bias=True after the loader splits c_attn into q/k/v
     "qwen": llama_lib.LlamaConfig(attention_bias=True),
+    # mistral-7B geometry: GQA + 4096-token sliding-window attention
+    # (the DecodeEngine serves it with a rolling window-slot cache —
+    # long-context decode reads 4096 cache columns instead of ctx)
+    "mistral": llama_lib.LlamaConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=8, sliding_window=4096,
+        max_position_embeddings=32768),
     "stablelm": llama_lib.LlamaConfig(norm_type="layernorm"),
     "tiny": llama_lib.tiny_llama_config(),
     # gemma (reference scale.py:96-99 special-cases its (1+w) norm):

@@ -212,3 +212,41 @@ def test_save_load_roundtrip():
         lm2 = CausalLM.from_quantized(d)
         out = lm2.generate(ids[:1, :8], max_new_tokens=3)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+# ---------------------------------------------------------------- engine
+
+
+def test_engine_bf16_moe_matches_module():
+    """DecodeEngine MoE serving (stacked-expert einsums) is token-exact
+    vs the module dense-exact path."""
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = CausalLM.from_config(llama_lib.tiny_mixtral_config(),
+                              dtype=jnp.float32, seed=4)
+    ids = np.random.default_rng(5).integers(0, lm.config.vocab_size, (2, 9))
+    ref = lm.generate(ids, max_new_tokens=8)
+    out = DecodeEngine(lm, mode="bf16").generate(ids, max_new_tokens=8)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_engine_w8a8_moe_and_guards():
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = CausalLM.from_config(llama_lib.tiny_mixtral_config(),
+                              dtype=jnp.float32, seed=4)
+    ids = np.random.default_rng(5).integers(0, lm.config.vocab_size, (2, 9))
+    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids))
+    out = DecodeEngine(lm, mode="w8a8_static",
+                       act_stats=stats).generate(ids, max_new_tokens=6)
+    assert out.shape == (2, 15)
+    # int8 KV composes with the MoE step (attention is expert-free)
+    out = DecodeEngine(lm, kv_dtype=jnp.int8,
+                       kv_scale_mode="channel").generate(
+        ids, max_new_tokens=6)
+    assert out.shape == (2, 15)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    with _pytest.raises(NotImplementedError):
+        DecodeEngine(lm, mode="bf16", merge_o=True)

@@ -1,0 +1,168 @@
+"""Sliding-window attention (mistral/qwen2): the module bands its
+masks over LINEAR full-length caches (correctness/calibration path),
+while the DecodeEngine serves a ROLLING window-slot cache (decode
+writes slot pos % W; the kernels' ``t_ids <= pos`` mask is already
+exact on it).  Reference parity anchor: the reference serves these
+families through HF's full-length caches (models/qwen2.py) — the
+rolling engine cache is the TPU-serving extension, token-exact vs the
+module path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qdm_tpu.api.causal_lm import CausalLM
+from qdm_tpu.api.serve import DecodeEngine
+from qdm_tpu.models import llama as llama_lib
+
+RNG = np.random.default_rng(13)
+WIN = 8
+
+
+def swa_config(window=WIN):
+    return dataclasses.replace(llama_lib.tiny_llama_config(),
+                               sliding_window=window)
+
+
+def _lm(window=WIN, seed=2):
+    return CausalLM.from_config(swa_config(window), dtype=jnp.float32,
+                                seed=seed)
+
+
+def test_module_banding_consistent_across_branches():
+    """No-cache forward == cached decode, and the window actually
+    changes late positions while leaving early ones untouched."""
+    lm = _lm()
+    cfg_full = dataclasses.replace(lm.config, sliding_window=None)
+    m_full = llama_lib.LlamaForCausalLM(cfg_full, dtype=jnp.float32)
+    ids = jnp.asarray(RNG.integers(0, 256, (2, 12)).astype(np.int32))
+    lw, _ = lm.model.apply({"params": lm.params}, ids)
+    lf, _ = m_full.apply({"params": lm.params}, ids)
+    assert not np.allclose(np.asarray(lw[:, -1]), np.asarray(lf[:, -1]))
+    np.testing.assert_allclose(np.asarray(lw[:, :WIN // 2]),
+                               np.asarray(lf[:, :WIN // 2]), rtol=1e-6)
+    caches = lm.model.init_cache(2, 16)
+    lg, caches = lm.model.apply({"params": lm.params}, ids[:, :5],
+                                kv_caches=caches, cache_index=0)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lw[:, :5]),
+                               rtol=1e-5, atol=1e-5)
+    for t in range(5, 12):
+        lg, caches = lm.model.apply({"params": lm.params}, ids[:, t:t + 1],
+                                    kv_caches=caches, cache_index=t)
+        np.testing.assert_allclose(np.asarray(lg[:, 0]),
+                                   np.asarray(lw[:, t]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("s,n", [(5, 4),     # window never fills
+                                 (5, 12),    # decode crosses the wrap
+                                 (12, 10),   # prompt > window (roll gather)
+                                 (20, 16)])  # deep wrap
+def test_engine_rolling_matches_module(s, n):
+    lm = _lm()
+    ids = RNG.integers(0, 256, (2, s))
+    ref = lm.generate(ids, max_new_tokens=n)
+    out = DecodeEngine(lm, mode="bf16").generate(ids, max_new_tokens=n)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_nonbinding_window_bitwise_equals_unwindowed():
+    """A window the serving length never exceeds must not change a
+    single bit (the rolling mod is the identity there)."""
+    ids = RNG.integers(0, 256, (2, 12))
+    lw = _lm(window=64)
+    ln = CausalLM.from_config(
+        dataclasses.replace(lw.config, sliding_window=None),
+        dtype=jnp.float32, seed=2)
+    for kw in ({}, {"kv_dtype": jnp.int8, "kv_scale_mode": "channel"}):
+        ow = DecodeEngine(lw, **kw).generate(ids, max_new_tokens=8)
+        on = DecodeEngine(ln, **kw).generate(ids, max_new_tokens=8)
+        np.testing.assert_array_equal(ow, on)
+
+
+def test_rolling_quantized_kv_runs():
+    """All three quantized KV formats accept the rolling cache (the
+    slot mod applies to codes and scale planes alike)."""
+    lm = _lm()
+    ids = RNG.integers(0, 256, (2, 12))
+    for kw in ({"kv_dtype": jnp.int8},
+               {"kv_dtype": jnp.int8, "kv_scale_mode": "channel"},
+               {"kv_dtype": "int4"}):
+        out = DecodeEngine(lm, **kw).generate(ids, max_new_tokens=10)
+        assert out.shape == (2, 22)
+
+
+def test_stop_early_and_sampling_on_rolling():
+    lm = _lm()
+    ids = RNG.integers(0, 256, (2, 12))
+    eng = DecodeEngine(lm, mode="bf16")
+    ref = lm.generate(ids, max_new_tokens=10)
+    out = eng.generate(ids, max_new_tokens=10, eos_token_id=3,
+                       stop_early=True)
+    from qdm_tpu.api.causal_lm import mask_after_eos
+
+    refm = mask_after_eos(np.asarray(ref[:, 12:]), 3)
+    np.testing.assert_array_equal(out[:, 12:], refm)
+    outs = eng.generate(ids, max_new_tokens=8, temperature=0.8, top_k=5,
+                        seed=1)
+    assert outs.shape == (2, 20)
+
+
+def test_linear_cache_entry_points_guarded():
+    """Ragged/chunked/prefix serving keeps slot == position; they must
+    reject rolling-window serving lengths instead of mis-serving."""
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    ids = RNG.integers(0, 256, (2, 12))
+    with pytest.raises(NotImplementedError):
+        eng.generate_ragged([list(range(5)), list(range(9))],
+                            max_new_tokens=20)
+    with pytest.raises(NotImplementedError):
+        eng.generate(ids, max_new_tokens=10, prefill_chunk=4)
+    with pytest.raises(NotImplementedError):
+        eng.precompute_prefix(np.arange(6)[None])
+        eng.generate(ids, max_new_tokens=10,
+                     prefix=eng.precompute_prefix(np.arange(6)[None]))
+    # within the window they all still work
+    lm64 = _lm(window=64)
+    eng64 = DecodeEngine(lm64, mode="bf16")
+    out = eng64.generate_ragged([list(range(5)), list(range(9))],
+                                max_new_tokens=4)
+    assert len(out) == 2
+
+
+def test_engine_rolling_under_mesh():
+    """dp x tp decode writes rolling slots too (_make_run_tp)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    lm = _lm()
+    ids = RNG.integers(0, 256, (4, 12))
+    ref = DecodeEngine(lm, mode="bf16").generate(ids, max_new_tokens=10)
+    mesh = make_mesh(2, 2)
+    out = DecodeEngine(lm, mode="bf16", mesh=mesh).generate(
+        ids, max_new_tokens=10)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_calibrate_and_quantize_with_window():
+    """Calibration/smoothing run through the banded module path; the
+    quantized model still generates."""
+    lm = _lm()
+    ids = np.asarray(RNG.integers(0, 256, (2, 16)))
+    lm.quantize(quant_config={"w_bit": 8, "q_group_size": 16},
+                quantType="sq", calib_data=ids)
+    out = lm.generate(ids[:1, :8], max_new_tokens=4)
+    assert out.shape == (1, 12)
+
+
+def test_mistral_preset_and_hf_config():
+    from qdm_tpu.models.registry import LLM_CONFIG_PRESETS
+
+    cfg = LLM_CONFIG_PRESETS["mistral"]
+    assert cfg.sliding_window == 4096 and cfg.num_key_value_heads == 8
