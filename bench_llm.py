@@ -715,7 +715,72 @@ def swa_main():
         del lm, stats
 
 
+def moe_main():
+    """--moe: Mixtral-class sparse MoE decode.  Engine stacked-expert
+    einsums vs the module path's per-expert QDense calls (dense-exact
+    routing both ways — same math, different launch structure).
+    Decode-only marginal, --kv8 methodology."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = _dc.replace(BENCH_1B, num_experts=8, num_experts_per_tok=2)
+        batch, prefill = 32, 128
+    else:
+        cfg = llama_lib.tiny_mixtral_config()
+        batch, prefill = 2, 8
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    out = {"metric": f"MoE 8x1B-expert decode tok/s (batch {batch})"}
+
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (batch, prefill))
+    n_new = 32 if on_tpu else 4
+    max_len = -(-(prefill + n_new + 1) // 128) * 128
+
+    # module path (per-expert QDense calls inside the jitted scan)
+    run = decode_loop(lm.model, lm.params, jnp.asarray(ids), n_new, max_len)
+    float(jnp.sum(run(lm.params, jnp.asarray(ids))))
+    t0 = time.time()
+    for _ in range(3):
+        float(jnp.sum(run(lm.params, jnp.asarray(ids))))
+    dt = (time.time() - t0) / 3
+    out["module_bf16_tok_s"] = round(batch * n_new / dt, 1)
+    print(json.dumps(out), flush=True)
+
+    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
+    for ename, kw in (("engine_bf16", {"mode": "bf16"}),
+                      ("engine_w8a8", {"mode": "w8a8_static",
+                                       "act_stats": stats})):
+        eng = DecodeEngine(lm, **kw)
+        tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)
+        jax.block_until_ready(caches[0][0])
+        args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+        def t(n):
+            r = eng._make_run(n)
+            best = 1e9
+            r(*args, tok0, caches, jnp.int32(prefill))
+            for _ in range(5):
+                t0 = time.time()
+                float(jnp.sum(r(*args, tok0, caches, jnp.int32(prefill))))
+                best = min(best, time.time() - t0)
+            return best
+
+        dt = (t(40) - t(8)) / 32
+        out[f"{ename}_decode_tok_s"] = round(batch / dt, 1)
+        print(json.dumps(out), flush=True)
+        del eng, caches
+
+
 def main():
+    if "--moe" in sys.argv:
+        moe_main()
+        return
     if "--swa" in sys.argv:
         swa_main()
         return
