@@ -1368,19 +1368,19 @@ class DecodeEngine:
         optional int8/int4 KV quantization (per-token or channel-static
         scales), then pad each cache to the serving length.
 
-        roll_s (static): true prompt length when the prompt exceeds the
-        sliding window — re-lays the LAST window positions into rolling
-        slot order (position p -> slot p % window) so decode's
-        slot = pos % window writes land exactly where the window
-        semantics need them.  Slots that never held a real position
-        (prompt shorter than the window) keep clamped junk the
-        `t_ids <= pos` kernel mask never reads."""
+        roll_s (static int or traced scalar): true prompt length when
+        the prompt exceeds the sliding window — re-lays the LAST window
+        positions into rolling slot order (position p -> slot
+        p % window) so decode's slot = pos % window writes land exactly
+        where the window semantics need them.  Slots that never held a
+        real position (prompt shorter than the window) keep clamped
+        junk the `t_ids <= pos` kernel mask never reads."""
         gather = None
         if roll_s is not None:
             win = self.window
-            j = np.arange(win)
-            src = roll_s - 1 - ((roll_s - 1 - j) % win)
-            gather = jnp.asarray(np.clip(src, 0, None), jnp.int32)
+            j = jnp.arange(win)
+            gather = jnp.clip(roll_s - 1 - ((roll_s - 1 - j) % win),
+                              0, None).astype(jnp.int32)
         kv_int8 = self.kv_dtype == jnp.int8
         kv_channel = (self.kv_scale_mode == "channel"
                       and self.kv_dtype is not None)
@@ -1591,8 +1591,13 @@ class DecodeEngine:
         current one, so the garbage is never visible (same invariant
         the continuous batcher relies on).  Channel-static KV scales
         mask the garbage columns out.  Returns (first generated token,
-        engine caches)."""
-        self._window_guard(max_len, "prefill_chunked")
+        engine caches).
+
+        Sliding-window models: this is THE long-prompt prefill path —
+        the banded mask keeps the flash kernel out of the square
+        prefill, so an S x S einsum would materialize f32 logits; the
+        chunked scan bounds that at C x S, and the finalize re-lays the
+        last-window positions into the rolling cache."""
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("chunked prefill is single-device")
@@ -1600,15 +1605,24 @@ class DecodeEngine:
         n = -(-s // chunk)
         sp = n * chunk
         tp = _round_up(max_len, 128)
-        assert tp >= sp, (max_len, s, chunk)
+        rolling = self.window is not None and max_len > self.window
+        if rolling:
+            # scan over a LINEAR cache wide enough for the whole
+            # prompt, then roll-gather the last window positions
+            scw = _round_up(sp, 128)
+            use_roll = scw > self.window
+            pad_f = 0 if use_roll else self.window - scw
+        else:
+            scw, use_roll, pad_f = tp, False, 0
+            assert tp >= sp, (max_len, s, chunk)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         ids_p = np.zeros((b, sp), np.int32)
         ids_p[:, :s] = np.asarray(ids)
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
-                              cfg.head_dim, tp), self.dtype),)
+                              cfg.head_dim, scw), self.dtype),)
                   for _ in range(cfg.num_hidden_layers)]
-        key = ("prefill_chunked", chunk, n, sp, tp, b)
+        key = ("prefill_chunked", chunk, n, sp, scw, b, use_roll, pad_f)
         fwd = self._run_cache.get(key)
         if fwd is None:
             finalize = self._kv_finalize
@@ -1634,11 +1648,12 @@ class DecodeEngine:
                 # scales (positions >= s_real); the codes there are
                 # junk but invisible (see docstring)
                 masked = []
-                tpos = jnp.arange(tp)
+                tpos = jnp.arange(caches[0][0].shape[-1])
                 keep = (tpos < s_real).reshape(1, 1, 1, -1)
                 for (kvdm,) in caches:
                     masked.append((jnp.where(keep, kvdm, 0),))
-                return tok, logits, finalize(masked, 0)
+                return tok, logits, finalize(
+                    masked, pad_f, s_real if use_roll else None)
 
             self._run_cache[key] = fwd
         ids_c = jnp.asarray(ids_p.reshape(b, n, chunk)

@@ -122,8 +122,6 @@ def test_linear_cache_entry_points_guarded():
         eng.generate_ragged([list(range(5)), list(range(9))],
                             max_new_tokens=20)
     with pytest.raises(NotImplementedError):
-        eng.generate(ids, max_new_tokens=10, prefill_chunk=4)
-    with pytest.raises(NotImplementedError):
         eng.precompute_prefix(np.arange(6)[None])
         eng.generate(ids, max_new_tokens=10,
                      prefix=eng.precompute_prefix(np.arange(6)[None]))
@@ -133,6 +131,19 @@ def test_linear_cache_entry_points_guarded():
     out = eng64.generate_ragged([list(range(5)), list(range(9))],
                                 max_new_tokens=4)
     assert len(out) == 2
+
+
+@pytest.mark.parametrize("s,n", [(5, 12), (12, 10), (20, 16)])
+def test_chunked_prefill_rolls_the_window(s, n):
+    """prefill_chunked is THE long-prompt SWA path (the banded mask
+    keeps flash out of the square prefill); its rolled caches must
+    produce the same greedy tokens as the plain prefill."""
+    lm = _lm()
+    ids = RNG.integers(0, 256, (2, s))
+    ref = lm.generate(ids, max_new_tokens=n)
+    out = DecodeEngine(lm, mode="bf16").generate(ids, max_new_tokens=n,
+                                                 prefill_chunk=4)
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_engine_rolling_under_mesh():
