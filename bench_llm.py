@@ -684,6 +684,7 @@ def swa_main():
                 ("w8a8_kv8c", {"mode": "w8a8_static", "act_stats": stats,
                                "kv_dtype": jnp.int8,
                                "kv_scale_mode": "channel"}),
+                ("w4a8", {"mode": "w4a8_static", "act_stats": stats}),
                 ("w4a8_kv4", {"mode": "w4a8_static", "act_stats": stats,
                               "kv_dtype": "int4"})]
         for ename, kw in rows:

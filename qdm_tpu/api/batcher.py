@@ -105,6 +105,7 @@ class ContinuousBatcher:
         ttft = [None] * len(prompts)
         done = [None] * len(prompts)
         stalls = []
+        n_rebases = 0
         prompts = [np.asarray(p).reshape(-1).astype(np.int32)
                    for p in prompts]
         pc = None
@@ -336,6 +337,7 @@ class ContinuousBatcher:
                 caches = eng.rebase_caches(caches, delta)
                 p -= delta
                 starts = np.maximum(starts - delta, 0)
+                n_rebases += 1
             kw = {}
             if sampler:
                 kw = {"offs": jnp.asarray(offs),
@@ -353,6 +355,15 @@ class ContinuousBatcher:
             p += self.chunk
             lens += self.chunk
             offs += self.chunk
+            if eng.window:
+                # sliding-window serving: every slot below p - W + 1 is
+                # outside every row's window (the engine floors its
+                # attention starts per step already) — advance the host
+                # starts too so the rebase above reclaims the dead
+                # pre-window tail and the bounded cache serves
+                # unbounded streams at O(window) memory per row
+                starts = np.maximum(
+                    starts, max(p - eng.window + 1, 0)).astype(np.int32)
             for r in range(n_rows):
                 if not active[r]:
                     continue
@@ -372,5 +383,6 @@ class ContinuousBatcher:
             "p95_stall_s": (float(np.percentile(np.asarray(stalls), 95))
                             if stalls else None),
             "wall_s": time.time() - t_run0,
+            "rebases": n_rebases,
         }
         return [out[i] for i in range(len(prompts))]

@@ -1325,21 +1325,23 @@ class DecodeEngine:
         return run
 
     def _window_guard(self, max_len, feature: str):
-        """Entry points that keep LINEAR caches (ragged batches, prefix
-        reuse, chunked prefill, the continuous batcher) reject serving
-        lengths that would need the rolling sliding-window cache —
-        their slot bookkeeping assumes slot == position."""
+        """Prefix-reuse and VLM-embeds serving keep semantics the
+        rolling/floored window paths don't cover (a shared prefix must
+        stay visible forever; window semantics evict it) — reject
+        serving lengths where the window would bind.  Ragged batches
+        and the continuous batcher DO support windows: linear caches +
+        a per-step floor on the start masks (+ batcher rebasing, which
+        reclaims the dead pre-window tail)."""
         if self.window is not None and max_len > self.window:
             raise NotImplementedError(
-                f"{feature} does not support a rolling sliding-window "
-                f"cache (serving length {max_len} > window "
-                f"{self.window}); use generate()'s plain prefill path, "
-                "or keep prompt+new tokens within the window")
+                f"{feature} does not support sliding-window serving "
+                f"(serving length {max_len} > window {self.window}); "
+                "use generate()/generate_ragged/ContinuousBatcher, or "
+                "keep prompt+new tokens within the window")
 
     def init_cache(self, batch: int, max_len: int):
         """Combined [K | V] cache (B, 2*hkv, d, T): one array per layer
         so the per-step write is a single dynamic_update_slice."""
-        self._window_guard(max_len, "init_cache (ragged/batcher serving)")
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
@@ -1949,7 +1951,6 @@ class DecodeEngine:
         out of every attention (the model's ``attn_start``).  Returns
         (first tokens, engine caches, starts) — starts (B,) are the
         per-row first valid cache slots the decode attention needs."""
-        self._window_guard(max_len, "ragged serving")
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")
@@ -2061,12 +2062,19 @@ class DecodeEngine:
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
+                # sliding window on LINEAR ragged caches: a key is in
+                # row r's window iff k_slot > pos - W (the per-row
+                # physical offsets cancel: slot - start == logical
+                # position), so the window is just a per-step FLOOR on
+                # the start masks
+                starts_eff = (jnp.maximum(starts, pos - (self.window - 1))
+                              if self.window else starts)
                 new_caches = []
                 for l, w in enumerate(layers):
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
                                            rope_xla=(cosb, sinb, partner),
-                                           attn_starts=starts)
+                                           attn_starts=starts_eff)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:
@@ -2150,12 +2158,19 @@ class DecodeEngine:
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
+                # sliding window on LINEAR ragged caches: a key is in
+                # row r's window iff k_slot > pos - W (the per-row
+                # physical offsets cancel: slot - start == logical
+                # position), so the window is just a per-step FLOOR on
+                # the start masks
+                starts_eff = (jnp.maximum(starts, pos - (self.window - 1))
+                              if self.window else starts)
                 new_caches = []
                 for l, w in enumerate(layers):
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
                                            rope_xla=(cosb, sinb, partner),
-                                           attn_starts=starts)
+                                           attn_starts=starts_eff)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:

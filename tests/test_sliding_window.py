@@ -112,25 +112,54 @@ def test_stop_early_and_sampling_on_rolling():
     assert outs.shape == (2, 20)
 
 
-def test_linear_cache_entry_points_guarded():
-    """Ragged/chunked/prefix serving keeps slot == position; they must
-    reject rolling-window serving lengths instead of mis-serving."""
+def test_prefix_serving_guarded():
+    """Prefix reuse conflicts with window semantics (a shared prefix
+    must stay visible forever; the window evicts it) — it must reject
+    binding-window serving lengths instead of mis-serving."""
     lm = _lm()
     eng = DecodeEngine(lm, mode="bf16")
     ids = RNG.integers(0, 256, (2, 12))
     with pytest.raises(NotImplementedError):
-        eng.generate_ragged([list(range(5)), list(range(9))],
-                            max_new_tokens=20)
-    with pytest.raises(NotImplementedError):
-        eng.precompute_prefix(np.arange(6)[None])
         eng.generate(ids, max_new_tokens=10,
                      prefix=eng.precompute_prefix(np.arange(6)[None]))
-    # within the window they all still work
-    lm64 = _lm(window=64)
-    eng64 = DecodeEngine(lm64, mode="bf16")
-    out = eng64.generate_ragged([list(range(5)), list(range(9))],
-                                max_new_tokens=4)
-    assert len(out) == 2
+
+
+def test_windowed_ragged_serving():
+    """generate_ragged serves window models on LINEAR caches with a
+    per-step floor on the start masks — batch-composition independent
+    AND equal to the module path's windowed greedy runs."""
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    prompts = [RNG.integers(0, 256, n).tolist() for n in (5, 12, 9)]
+    outs = eng.generate_ragged(prompts, max_new_tokens=14)
+    for i, pr in enumerate(prompts):
+        solo = eng.generate_ragged([pr], max_new_tokens=14)
+        np.testing.assert_array_equal(np.asarray(outs[i]),
+                                      np.asarray(solo[0]))
+        ref = lm.generate(np.asarray(pr)[None], max_new_tokens=14)
+        np.testing.assert_array_equal(np.asarray(outs[i])[len(pr):],
+                                      np.asarray(ref[0, len(pr):]))
+
+
+def test_windowed_continuous_batching_bounded():
+    """The batcher serves window models in a bounded cache: the window
+    floor advances the host starts, so rebasing reclaims the dead
+    pre-window tail continuously — every request's output equals its
+    single-prompt module run."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    prompts = [RNG.integers(0, 256, int(n))
+               for n in RNG.integers(3, 10, 12)]
+    bat = ContinuousBatcher(eng, max_batch=3, chunk=4, capacity=144)
+    outs = bat.run(prompts, max_new_tokens=12)
+    for pr, got in zip(prompts, outs):
+        ref = lm.generate(np.asarray(pr)[None], max_new_tokens=12)
+        np.testing.assert_array_equal(np.asarray(got)[len(pr):],
+                                      np.asarray(ref[0, len(pr):]))
+    assert bat.last_stats["rebases"] > 0, \
+        "stream never rebased — the bounded-cache claim is untested"
 
 
 @pytest.mark.parametrize("s,n", [(5, 12), (12, 10), (20, 16)])
