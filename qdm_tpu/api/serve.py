@@ -210,7 +210,7 @@ def _kv_shard_perm(hkv: int, tp: int) -> np.ndarray:
     return np.concatenate(idx)
 
 
-def recommended_kv(ctx_len: int):
+def recommended_kv(ctx_len: int, sliding_window: Optional[int] = None):
     """Measured KV-cache policy for the DecodeEngine (BENCH_NOTES
     r3l/r3n, 1.1B GQA on v5e): below ~2k context bf16 KV wins — the
     VPU dequant/unpack overhead exceeds the cache-read saving while
@@ -218,7 +218,14 @@ def recommended_kv(ctx_len: int):
     tok/s > kv4 7497).  At long context the read dominates and
     channel-static int4 KV wins big (ctx 4096: kv4 5594 > bf16-KV
     2590, 2.16x).  Returns (kv_dtype, kv_scale_mode) for the expected
-    serving context length."""
+    serving context length.
+
+    Sliding-window models read at most `window` cache columns (the
+    rolling cache / floored ragged starts), so the operating point is
+    min(ctx, window) — at ctx 4096 window 1024 the rolling bf16-KV
+    engine beat rolling kv8c 5592 vs 5298 (r3s)."""
+    if sliding_window:
+        ctx_len = min(ctx_len, sliding_window)
     return ("int4", "channel") if ctx_len >= 2048 else (None, "token")
 
 

@@ -1239,6 +1239,8 @@ def test_continuous_batching_kv8c_and_eos(lm):
     from qdm_tpu.api.serve import recommended_kv
     assert recommended_kv(1024) == (None, "token")
     assert recommended_kv(4096) == ("int4", "channel")
+    # sliding-window models operate at min(ctx, window) (r3s)
+    assert recommended_kv(4096, sliding_window=1024) == (None, "token")
 
     # EOS retirement + refill, deterministic on the bf16 engine: pick a
     # token that appears mid-way in request 0's greedy continuation
