@@ -778,7 +778,69 @@ def moe_main():
         del eng, caches
 
 
+def swa_stream_main():
+    """--swa-stream: long-generation request streams through the
+    ContinuousBatcher.  A sliding-window model serves in a cache of
+    capacity ~ window + admission width (the floored starts let
+    rebasing reclaim the dead pre-window tail every few chunks), while
+    a full-attention model must size capacity to the longest request's
+    whole span — and since the ragged decode kernels stream the whole
+    capacity-wide cache every step, capacity IS the per-step cache
+    read.  Same stream, both models, each at its minimal capacity."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.batcher import ContinuousBatcher
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    base = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    window = 1024 if on_tpu else 8
+    if on_tpu:
+        n_req, rows, chunk = 32, 16, 16
+        plen, budget = (128, 256), (1536, 2048)
+        cap_win, cap_full = 1536, 2432
+    else:
+        n_req, rows, chunk = 6, 2, 4
+        plen, budget = (3, 8), (12, 20)
+        cap_win, cap_full = 160, 160
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, base.vocab_size, (int(n),)).astype(np.int32)
+               for n in rng.integers(plen[0], plen[1], n_req)]
+    budgets = [int(b) for b in rng.integers(budget[0], budget[1], n_req)]
+    out = {"metric": "SWA long-generation stream tok/s",
+           "n_requests": n_req, "rows": rows, "window": window,
+           "gen_tokens": int(sum(budgets))}
+
+    for name, cfg, cap in (
+            ("win", _dc.replace(base, sliding_window=window,
+                                max_position_embeddings=8192), cap_win),
+            ("full", _dc.replace(base, max_position_embeddings=8192),
+             cap_full)):
+        lm = CausalLM.from_config(cfg, dtype=dtype)
+        if on_tpu:
+            eng = lm.serve(mode="w8a8_static",
+                           calib_ids=np.asarray(prompts[0])[None])
+        else:
+            eng = DecodeEngine(lm, mode="bf16")
+        cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk,
+                               capacity=cap)
+        cb.run(prompts[: 2 * rows], max_new_tokens=chunk)  # warm jits
+        t0 = time.time()
+        outs = cb.run(prompts, max_new_tokens=budgets)
+        dt = time.time() - t0
+        n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
+        out[f"{name}_capacity"] = cap
+        out[f"{name}_tok_s"] = round(n_gen / dt, 1)
+        out[f"{name}_rebases"] = cb.last_stats["rebases"]
+        print(json.dumps(out), flush=True)
+        del eng, cb, lm
+
+
 def main():
+    if "--swa-stream" in sys.argv:
+        swa_stream_main()
+        return
     if "--moe" in sys.argv:
         moe_main()
         return
