@@ -727,7 +727,12 @@ def moe_main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        cfg = _dc.replace(BENCH_1B, num_experts=8, num_experts_per_tok=2)
+        # 12 layers (not 22): params init f32 on the chip before the
+        # bf16 cast, so peak HBM is 1.5x the f32 tree — 12 layers is
+        # 6.7 GB f32 + 3.3 GB bf16, comfortably inside 16 GB (16
+        # layers measured RESOURCE_EXHAUSTED)
+        cfg = _dc.replace(BENCH_1B, num_experts=8, num_experts_per_tok=2,
+                          num_hidden_layers=12)
         batch, prefill = 32, 128
     else:
         cfg = llama_lib.tiny_mixtral_config()
@@ -735,9 +740,12 @@ def moe_main():
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    out = {"metric": f"MoE 8x1B-expert decode tok/s (batch {batch})"}
+    out = {"metric": f"MoE 8-expert 12L decode tok/s (batch {batch})"}
 
     lm = CausalLM.from_config(cfg, dtype=dtype)
+    if on_tpu:
+        lm.params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), lm.params)
     ids = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (batch, prefill))
     n_new = 32 if on_tpu else 4

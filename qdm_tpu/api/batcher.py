@@ -355,13 +355,18 @@ class ContinuousBatcher:
             p += self.chunk
             lens += self.chunk
             offs += self.chunk
-            if eng.window:
-                # sliding-window serving: every slot below p - W + 1 is
-                # outside every row's window (the engine floors its
-                # attention starts per step already) — advance the host
-                # starts too so the rebase above reclaims the dead
-                # pre-window tail and the bounded cache serves
-                # unbounded streams at O(window) memory per row
+            if eng.window and all(w is not None
+                                  for w in eng._layer_windows):
+                # sliding-window serving (ALL layers windowed —
+                # mistral-class): every slot below p - W + 1 is outside
+                # every row's window (the engine floors its attention
+                # starts per step already) — advance the host starts
+                # too so the rebase above reclaims the dead pre-window
+                # tail and the bounded cache serves unbounded streams
+                # at O(window) memory per row.  Models with GLOBAL
+                # layers (gemma2/3 alternation) must keep raw starts:
+                # their global layers attend the whole history, so only
+                # retired-row space is reclaimable.
                 starts = np.maximum(
                     starts, max(p - eng.window + 1, 0)).astype(np.int32)
             for r in range(n_rows):

@@ -203,6 +203,15 @@ class CausalLM:
             sliding_window=(hf.get("sliding_window")
                             if hf.get("use_sliding_window", True)
                             else None),
+            # gemma2: alternating local/global layers (pattern 2),
+            # sandwich norms, attn/final logit soft-caps, query scale
+            sliding_window_pattern=hf.get(
+                "sliding_window_pattern",
+                2 if hf.get("model_type") == "gemma2" else 1),
+            attn_logit_softcapping=hf.get("attn_logit_softcapping"),
+            final_logit_softcapping=hf.get("final_logit_softcapping"),
+            sandwich_norms=hf.get("model_type") == "gemma2",
+            query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
             # Mixtral-family sparse MoE (models/moe.py)
             num_experts=hf.get("num_local_experts", 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),

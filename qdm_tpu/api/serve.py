@@ -372,6 +372,43 @@ class DecodeEngine:
                     f"sliding_window={self.window} must be a multiple "
                     "of 128 on TPU (the rolling cache's T axis rides "
                     "the 128 lanes)")
+        # gemma2/3: per-layer local/global alternation — windowed
+        # layers get rolling/floored caches, global layers full ones
+        self._layer_windows = [
+            cfg.layer_window(l) if hasattr(cfg, "layer_window") else
+            self.window for l in range(cfg.num_hidden_layers)]
+        # gemma2 soft-caps + sandwich norms (engine support: bf16 /
+        # w8a8_static, single device, bf16 KV for the capped attention)
+        self.sandwich = bool(getattr(cfg, "sandwich_norms", False))
+        self.attn_softcap = float(
+            getattr(cfg, "attn_logit_softcapping", None) or 0.0)
+        self.final_softcap = float(
+            getattr(cfg, "final_logit_softcapping", None) or 0.0)
+        # attention scale override rides on q (logits = (q*r) k / sqrt(d)
+        # == q k * attn_scale), so every KV-format kernel inherits it
+        self._q_scale_ratio = float(
+            getattr(cfg, "attn_scale", cfg.head_dim ** -0.5)
+            * cfg.head_dim ** 0.5)
+        if abs(self._q_scale_ratio - 1.0) < 1e-9:
+            # float noise from the -0.5/+0.5 power round-trip must not
+            # inject a needless (and bf16-lossy) q multiply
+            self._q_scale_ratio = 1.0
+        if self.sandwich or self.attn_softcap:
+            if mode == "w4a8_static":
+                raise NotImplementedError(
+                    "gemma2-class serving (sandwich norms / attention "
+                    "soft-cap) covers bf16 and w8a8_static")
+            if self.spmd:
+                raise NotImplementedError(
+                    "gemma2-class serving is single-device for now")
+            if merge_o:
+                raise NotImplementedError(
+                    "merge_o fuses the residual the sandwich norms "
+                    "re-order; serve gemma2 without merge_o")
+        if self.attn_softcap and kv_dtype is not None:
+            raise NotImplementedError(
+                "attention soft-capping runs on the bf16 KV kernels "
+                "(quantized-KV variants carry no tanh epilogue)")
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
@@ -447,7 +484,16 @@ class DecodeEngine:
             entry = {
                 "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
             }
-            if not cfg.parallel_residual:
+            if self.sandwich:
+                # gemma2: ln2 is the MLP-kernel prologue norm (the
+                # pre-feedforward one); the two POST norms run in XLA
+                entry["ln2"] = lp["pre_feedforward_layernorm"][
+                    "scale"].astype(jnp.float32)
+                entry["ln_pa"] = lp["post_attention_layernorm"][
+                    "scale"].astype(jnp.float32)
+                entry["ln_pf"] = lp["post_feedforward_layernorm"][
+                    "scale"].astype(jnp.float32)
+            elif not cfg.parallel_residual:
                 entry["ln2"] = lp["post_attention_layernorm"][
                     "scale"].astype(jnp.float32)
             if cfg.norm_type == "layernorm":
@@ -539,9 +585,9 @@ class DecodeEngine:
             # gemma (1+w) norms: fold the +1 into the snapshotted scales
             # so every kernel keeps standard rmsnorm semantics
             for entry in self.layers:
-                entry["ln1"] = entry["ln1"] + 1.0
-                if "ln2" in entry:
-                    entry["ln2"] = entry["ln2"] + 1.0
+                for k in ("ln1", "ln2", "ln_pa", "ln_pf"):
+                    if k in entry:
+                        entry[k] = entry[k] + 1.0
             self.final_norm = self.final_norm + 1.0
         if getattr(cfg, "scale_embeddings", False):
             # gemma sqrt(hidden) embed scaling — folded into the
@@ -657,21 +703,32 @@ class DecodeEngine:
         self._rebase_fn = None
         self._last_prefill_logits = None
 
-    def _make_pick(self, sampler):
+    def _make_pick(self, sampler, cap_logits: bool = True):
         if not sampler:
             return None
         from qdm_tpu.api.causal_lm import sample_token
 
         temperature, top_k, top_p = sampler
-        return functools.partial(sample_token, temperature=temperature,
+        base = functools.partial(sample_token, temperature=temperature,
                                  top_k=top_k, top_p=top_p)
+        cap = self.final_softcap
+        if not cap or not cap_logits:
+            return base
+
+        def capped(logits, key):
+            # gemma2 final soft-cap before SAMPLING (greedy argmax is
+            # invariant under the monotone tanh cap and skips it)
+            return base(cap * jnp.tanh(logits / cap), key)
+
+        return capped
 
     def _pick0(self, sampler):
         """Memoized jitted first-token sampler (over the prefill's
-        last-position logits)."""
+        last-position logits — the MODULE path, which already applies
+        the gemma2 final soft-cap, so no cap here)."""
         pick0 = self._run_cache.get(("pick0", sampler))
         if pick0 is None:
-            pick0 = jax.jit(self._make_pick(sampler))
+            pick0 = jax.jit(self._make_pick(sampler, cap_logits=False))
             self._run_cache[("pick0", sampler)] = pick0
         return pick0
 
@@ -857,6 +914,11 @@ class DecodeEngine:
             qf32 = qkv.astype(jnp.float32)
             qkv = (qf32 * cosb + qf32[:, perm] * sinb).astype(qkv.dtype)
         q = qkv[:, : h * d].reshape(bp, hkv, g, d)
+        if self._q_scale_ratio != 1.0:
+            # gemma2 query_pre_attn_scalar: fold the scale override
+            # into q so every KV-format kernel (which divides by
+            # sqrt(head_dim)) inherits it
+            q = (q.astype(jnp.float32) * self._q_scale_ratio).astype(q.dtype)
         kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
         if self.kv_scale_mode == "channel" and self.kv_dtype is not None:
             kv, csc = cache            # csc (B, 2hkv, d, 1) static
@@ -909,7 +971,8 @@ class DecodeEngine:
             bb = self.block_b if b % self.block_b == 0 else 1
             cache = (kv,)
             attn = dk.decode_attention_kv(q, kv, pos, starts=attn_starts,
-                                          block_b=bb)
+                                          block_b=bb,
+                                          softcap=self.attn_softcap)
         attn = attn.reshape(bp, h * d)
         if self.moe:
             # o_proj + residual through the dense megakernel, then the
@@ -920,6 +983,33 @@ class DecodeEngine:
                 x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                              w["a_o"], residual=x)
             return self._moe_mlp(x, w), cache
+        if self.sandwich:
+            # gemma2 sandwich: x += norm_pa(o_proj(attn));
+            # x += norm_pf(mlp(norm_pre_ff(x))) — the post-norms run in
+            # XLA (f32), the pre-ff norm stays the MLP kernel prologue
+            if self.mode == "bf16":
+                o = dk.fused_dense_decode(attn, w["w_o"],
+                                          out_dtype=jnp.float32)
+            else:
+                o = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
+                                             w["a_o"],
+                                             out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32)
+                 + _xla_norm(o, w["ln_pa"], None, nt, eps)).astype(x.dtype)
+            if self.mode == "bf16":
+                m = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"],
+                                        w["ln2"], eps=eps,
+                                        act=cfg.mlp_act, residual=False,
+                                        out_dtype=jnp.float32)
+            else:
+                m = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
+                                           (w["sg"], w["su"], w["sd"]),
+                                           w["a_mlp"], w["ln2"], eps=eps,
+                                           act=cfg.mlp_act, residual=False,
+                                           out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32)
+                 + _xla_norm(m, w["ln_pf"], None, nt, eps)).astype(x.dtype)
+            return x, cache
         if self.merge_o and tp_axis is None:
             if self.mode == "w4a8_static":
                 x = dk.fused_o_mlp_decode_i4(
@@ -1124,11 +1214,6 @@ class DecodeEngine:
             def body(carry, i):
                 tok, caches = carry
                 pos = start_pos + i
-                # rolling sliding-window cache: write slot wraps mod T
-                # (T == window once the serving length exceeds it; when
-                # it doesn't, pos < T and the mod is the identity)
-                slot = (jnp.mod(pos, caches[0][0].shape[-1])
-                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs     # (d/2,)
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -1137,6 +1222,12 @@ class DecodeEngine:
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
+                    # rolling sliding-window cache: write slot wraps
+                    # mod the LAYER's cache width (== window on local
+                    # layers once serving exceeds it; global/short
+                    # layers have width > pos, so the mod is identity)
+                    slot = (jnp.mod(pos, caches[l][0].shape[-1])
+                            if self.window else None)
                     x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
                                            slot=slot)
                     new_caches.append(cache)
@@ -1190,8 +1281,6 @@ class DecodeEngine:
             def body(st):
                 i, tok, done, caches, buf = st
                 pos = start_pos + i
-                slot = (jnp.mod(pos, caches[0][0].shape[-1])
-                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -1200,6 +1289,8 @@ class DecodeEngine:
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
+                    slot = (jnp.mod(pos, caches[l][0].shape[-1])
+                            if self.window else None)
                     x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
                                            slot=slot)
                     new_caches.append(cache)
@@ -1264,8 +1355,6 @@ class DecodeEngine:
             def body(carry, i):
                 tok, caches = carry
                 pos = start_pos + i
-                slot = (jnp.mod(pos, caches[0][0].shape[-1])
-                        if self.window else None)
                 angles = pos.astype(jnp.float32) * freqs
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
@@ -1274,6 +1363,8 @@ class DecodeEngine:
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
+                    slot = (jnp.mod(pos, caches[l][0].shape[-1])
+                            if self.window else None)
                     x, cache = self._layer(x, caches[l], w, pos, cosv,
                                            sinv, h=h_l, hkv=hkv_l,
                                            tp_axis="model", slot=slot)
@@ -1371,7 +1462,7 @@ class DecodeEngine:
         return [(jnp.zeros(shape, self.dtype),)
                 for _ in range(cfg.num_hidden_layers)]
 
-    def _kv_finalize(self, caches, pad, roll_s=None):
+    def _kv_finalize(self, caches, pad, roll_s=None, roll=False):
         """Engine-format cache post-pass shared by the prefill flavors
         (traced inside their jits): optional tp shard-major head perm,
         optional int8/int4 KV quantization (per-token or channel-static
@@ -1383,7 +1474,14 @@ class DecodeEngine:
         p % window) so decode's slot = pos % window writes land exactly
         where the window semantics need them.  Slots that never held a
         real position (prompt shorter than the window) keep clamped
-        junk the `t_ids <= pos` kernel mask never reads."""
+        junk the `t_ids <= pos` kernel mask never reads.
+
+        roll (static bool): sliding-window serving is active (serving
+        length exceeds the window).  Per-LAYER geometry: windowed
+        layers re-lay/pad to the window; global layers (gemma2/3
+        alternation) pad by `pad` to the full serving length."""
+        if roll_s is not None:
+            roll = True
         gather = None
         if roll_s is not None:
             win = self.window
@@ -1400,14 +1498,27 @@ class DecodeEngine:
             self.cfg.num_key_value_heads, self.tp))
             if self.tp > 1 else None)
 
-        def widen(kv):
-            return (jnp.pad(kv, ((0, 0),) * 3 + ((0, pad),))
-                    if pad else kv)
-
         eng = []
-        for (kvdm,) in caches:                           # (B, 2hkv, d, T)
-            if gather is not None:
-                kvdm = jnp.take(kvdm, gather, axis=3)
+        for l, (kvdm,) in enumerate(caches):             # (B, 2hkv, d, T)
+            wl = self._layer_windows[l] if roll else None
+            if wl:
+                if gather is not None and kvdm.shape[-1] > wl:
+                    kvdm = jnp.take(kvdm, gather, axis=3)
+                    lpad = 0
+                else:
+                    lpad = wl - kvdm.shape[-1]
+                    assert lpad >= 0, (l, wl, kvdm.shape)
+            else:
+                lpad = pad
+
+            def widen(kv, lpad=lpad, fill=0.0):
+                if lpad > 0:
+                    return jnp.pad(kv, ((0, 0),) * 3 + ((0, lpad),),
+                                   constant_values=fill)
+                if lpad < 0:       # chunked-scan cache wider than the
+                    return kv[..., : kv.shape[-1] + lpad]  # serving len
+                return kv
+
             if kv_perm is not None:
                 # shard-major [k_s | v_s] head order (tp cache
                 # layout; see _kv_shard_perm)
@@ -1432,9 +1543,7 @@ class DecodeEngine:
                                       keepdims=True),
                               1e-8, None) / 127.0        # (B,2hkv,1,T)
                 eng.append((widen(jnp.round(kvf / ss).astype(jnp.int8)),
-                            jnp.pad(ss, ((0, 0),) * 3 + ((0, pad),),
-                                    constant_values=1.0)
-                            if pad else ss))
+                            widen(ss, fill=1.0)))
             else:
                 eng.append((widen(kvdm),))
         return eng
@@ -1465,15 +1574,14 @@ class DecodeEngine:
         sp = _round_up(s, 128)
         tp = _round_up(max_len, 128)
         # sliding-window serving: once the serving length exceeds the
-        # window, the engine cache is a window-slot ROLLING buffer —
-        # tp caps at the window and a prompt longer than it gets its
-        # last-window positions re-laid into slot order (roll_s)
-        roll_s = None
-        if self.window is not None and max_len > self.window:
-            tp = self.window
-            if sp > tp:
-                roll_s = s
-        assert tp >= sp or roll_s is not None, (max_len, s)
+        # window, windowed layers' engine caches are window-slot
+        # ROLLING buffers — the finalize caps them at the window and
+        # re-lays a longer prompt's last-window positions into slot
+        # order (roll_s); global layers (gemma2/3 alternation) keep
+        # the full tp-length cache
+        roll = self.window is not None and max_len > self.window
+        roll_s = s if (roll and sp > self.window) else None
+        assert tp >= sp, (max_len, s)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
@@ -1484,18 +1592,19 @@ class DecodeEngine:
             finalize = self._kv_finalize
 
             @functools.partial(jax.jit,
-                               static_argnames=("pad", "roll_s"))
-            def fwd(params, ids, caches, pad, roll_s=None):
+                               static_argnames=("pad", "roll_s", "roll"))
+            def fwd(params, ids, caches, pad, roll_s=None, roll=False):
                 logits, caches = model.apply({"params": params}, ids,
                                              kv_caches=caches, cache_index=0,
                                              last_logits_only=True)
                 logits = logits[:, -1]
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return tok, logits, finalize(caches, pad, roll_s)
+                return tok, logits, finalize(caches, pad, roll_s, roll)
 
             self._prefill_fn = fwd
         tok, logits, eng = self._prefill_fn(params, jnp.asarray(ids), caches,
-                                            max(tp - sp, 0), roll_s=roll_s)
+                                            tp - sp, roll_s=roll_s,
+                                            roll=roll)
         # last-position logits stay on device; the sampling path picks
         # its first token from them (greedy ignores them)
         self._last_prefill_logits = logits
@@ -1617,13 +1726,17 @@ class DecodeEngine:
         rolling = self.window is not None and max_len > self.window
         if rolling:
             # scan over a LINEAR cache wide enough for the whole
-            # prompt, then roll-gather the last window positions
-            scw = _round_up(sp, 128)
+            # prompt; the finalize re-lays windowed layers to their
+            # window and pads/clips global layers (gemma2/3) to tp.
+            # All-windowed models (mistral) keep the prompt-width scan
+            # cache — the window bounds their decode length anyway.
+            has_global = any(w is None for w in self._layer_windows)
+            scw = max(_round_up(sp, 128), tp if has_global else 0)
             use_roll = scw > self.window
-            pad_f = 0 if use_roll else self.window - scw
         else:
-            scw, use_roll, pad_f = tp, False, 0
+            scw, use_roll = tp, False
             assert tp >= sp, (max_len, s, chunk)
+        pad_f = tp - scw            # <=0: finalize clips global layers
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
         ids_p = np.zeros((b, sp), np.int32)
@@ -1631,7 +1744,8 @@ class DecodeEngine:
         caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
                               cfg.head_dim, scw), self.dtype),)
                   for _ in range(cfg.num_hidden_layers)]
-        key = ("prefill_chunked", chunk, n, sp, scw, b, use_roll, pad_f)
+        key = ("prefill_chunked", chunk, n, sp, scw, b, use_roll, pad_f,
+               rolling)
         fwd = self._run_cache.get(key)
         if fwd is None:
             finalize = self._kv_finalize
@@ -1662,7 +1776,8 @@ class DecodeEngine:
                 for (kvdm,) in caches:
                     masked.append((jnp.where(keep, kvdm, 0),))
                 return tok, logits, finalize(
-                    masked, pad_f, s_real if use_roll else None)
+                    masked, pad_f, s_real if use_roll else None,
+                    roll=use_roll or rolling)
 
             self._run_cache[key] = fwd
         ids_c = jnp.asarray(ids_p.reshape(b, n, chunk)
@@ -2069,19 +2184,21 @@ class DecodeEngine:
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
-                # sliding window on LINEAR ragged caches: a key is in
-                # row r's window iff k_slot > pos - W (the per-row
-                # physical offsets cancel: slot - start == logical
-                # position), so the window is just a per-step FLOOR on
-                # the start masks
-                starts_eff = (jnp.maximum(starts, pos - (self.window - 1))
-                              if self.window else starts)
                 new_caches = []
                 for l, w in enumerate(layers):
+                    # sliding window on LINEAR ragged caches: a key is
+                    # in row r's window iff k_slot > pos - W_l (the
+                    # per-row physical offsets cancel: slot - start ==
+                    # logical position) — a per-step, per-layer FLOOR
+                    # on the start masks (gemma2/3 global layers keep
+                    # the raw starts)
+                    wl = self._layer_windows[l]
+                    se = (jnp.maximum(starts, pos - (wl - 1)) if wl
+                          else starts)
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
                                            rope_xla=(cosb, sinb, partner),
-                                           attn_starts=starts_eff)
+                                           attn_starts=se)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:
@@ -2165,19 +2282,21 @@ class DecodeEngine:
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
-                # sliding window on LINEAR ragged caches: a key is in
-                # row r's window iff k_slot > pos - W (the per-row
-                # physical offsets cancel: slot - start == logical
-                # position), so the window is just a per-step FLOOR on
-                # the start masks
-                starts_eff = (jnp.maximum(starts, pos - (self.window - 1))
-                              if self.window else starts)
                 new_caches = []
                 for l, w in enumerate(layers):
+                    # sliding window on LINEAR ragged caches: a key is
+                    # in row r's window iff k_slot > pos - W_l (the
+                    # per-row physical offsets cancel: slot - start ==
+                    # logical position) — a per-step, per-layer FLOOR
+                    # on the start masks (gemma2/3 global layers keep
+                    # the raw starts)
+                    wl = self._layer_windows[l]
+                    se = (jnp.maximum(starts, pos - (wl - 1)) if wl
+                          else starts)
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
                                            rope_xla=(cosb, sinb, partner),
-                                           attn_starts=starts_eff)
+                                           attn_starts=se)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:

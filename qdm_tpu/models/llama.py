@@ -59,12 +59,43 @@ class LlamaConfig:
     # serves with a ROLLING W-slot cache (api/serve.py) so long-context
     # decode reads W cache columns instead of ctx
     sliding_window: Optional[int] = None
+    # gemma2/3 alternating local/global attention: layer i is GLOBAL
+    # (no window) iff i % pattern == pattern - 1, windowed otherwise.
+    # pattern=1 (default) windows every layer (mistral); gemma2 uses 2
+    # (even layers local), gemma3 uses 6 (5 local : 1 global)
+    sliding_window_pattern: int = 1
+    # gemma2 logit soft-capping: x -> cap * tanh(x / cap) on attention
+    # logits (pre-mask) and on the final lm_head logits
+    attn_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
+    # gemma2 sandwich norms: post_attention_layernorm norms the ATTN
+    # OUTPUT (before the residual add) and the MLP gets its own
+    # pre_feedforward/post_feedforward pair
+    sandwich_norms: bool = False
+    # gemma2 attention scale: softmax(q k / sqrt(query_pre_attn_scalar))
+    # instead of sqrt(head_dim) (27b sets it to hidden/heads != head_dim)
+    query_pre_attn_scalar: Optional[float] = None
 
     @property
     def head_dim(self) -> int:
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    def layer_window(self, layer_idx: int) -> Optional[int]:
+        """Effective sliding window of one decoder layer (None=global)."""
+        if self.sliding_window is None:
+            return None
+        p = max(int(self.sliding_window_pattern), 1)
+        if p > 1 and layer_idx % p == p - 1:
+            return None
+        return self.sliding_window
+
+    @property
+    def attn_scale(self) -> float:
+        base = (self.query_pre_attn_scalar
+                if self.query_pre_attn_scalar is not None else self.head_dim)
+        return float(base) ** -0.5
 
 
 QWEN2_7B = LlamaConfig(vocab_size=152064, hidden_size=3584,
@@ -103,6 +134,9 @@ class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: Dtype = jnp.bfloat16
     plan: QuantPlan = NO_PLAN
+    # effective sliding window of THIS layer (config.layer_window(i):
+    # gemma2/3 alternate local/global layers)
+    window: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
@@ -147,8 +181,8 @@ class LlamaAttention(nn.Module):
             q_pos = (0 if cache_index is None else cache_index) \
                 + jnp.arange(s)[:, None]
             m = k_pos <= q_pos
-            if cfg.sliding_window:
-                m = m & (k_pos > q_pos - cfg.sliding_window)
+            if self.window:
+                m = m & (k_pos > q_pos - self.window)
             m = m[None, None]
             if attn_start is not None:
                 # ragged left-padded batch: slots [0, start) hold pad
@@ -209,7 +243,7 @@ class LlamaAttention(nn.Module):
             kt, vt = ck, cv
             mask = _causal_mask(ck.shape[2])
         else:
-            if cfg.sliding_window:
+            if self.window:
                 mask = _causal_mask(s)
             else:
                 mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
@@ -229,7 +263,8 @@ class LlamaAttention(nn.Module):
         import os as _os
         flash_ok = (s > 1 and s % 128 == 0 and s >= 2048
                     and attn_prefix is None
-                    and (not cfg.sliding_window or s <= cfg.sliding_window)
+                    and (not self.window or s <= self.window)
+                    and cfg.attn_logit_softcapping is None
                     and isinstance(cache_index, int) and cache_index == 0
                     and (kv_cache is None or len(kv_cache) < 4)
                     and jax.default_backend() == "tpu"
@@ -255,7 +290,7 @@ class LlamaAttention(nn.Module):
             of = flash_attention(
                 q.transpose(0, 2, 1, 3), kr.transpose(0, 2, 1, 3),
                 vr.transpose(0, 2, 1, 3), segment_ids=seg, causal=True,
-                sm_scale=d ** -0.5, block_sizes=sizes)
+                sm_scale=cfg.attn_scale, block_sizes=sizes)
             out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
                 .astype(self.dtype)
             out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
@@ -271,14 +306,20 @@ class LlamaAttention(nn.Module):
             g = h // hkv
             qg = q.reshape(b, s, hkv, g, d)
             logits = jnp.einsum(f"bqhgd,{kspec}->bhgqk", qg, kt).astype(
-                jnp.float32) * (d ** -0.5)
+                jnp.float32) * cfg.attn_scale
+            if cfg.attn_logit_softcapping:
+                c = cfg.attn_logit_softcapping
+                logits = c * jnp.tanh(logits / c)
             logits = jnp.where(mask[:, :, None], logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum(f"bhgqk,{kspec}->bqhgd", probs, vt).reshape(
                 b, s, h * d)
         else:
             logits = jnp.einsum(f"bqhd,{kspec}->bhqk", q, kt).astype(
-                jnp.float32) * (d ** -0.5)
+                jnp.float32) * cfg.attn_scale
+            if cfg.attn_logit_softcapping:
+                c = cfg.attn_logit_softcapping
+                logits = c * jnp.tanh(logits / c)
             logits = jnp.where(mask, logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum(f"bhqk,{kspec}->bqhd", probs, vt).reshape(
@@ -316,6 +357,7 @@ class LlamaDecoderLayer(nn.Module):
     config: LlamaConfig
     dtype: Dtype = jnp.bfloat16
     plan: QuantPlan = NO_PLAN
+    layer_idx: int = 0     # selects the layer's window (gemma2/3 alternation)
 
     def _norm(self, name):
         if self.config.norm_type == "layernorm":
@@ -335,19 +377,29 @@ class LlamaDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
                  attn_start=None, attn_prefix=None):
-        if self.config.parallel_residual:
+        cfg = self.config
+        win = cfg.layer_window(self.layer_idx)
+        if cfg.parallel_residual:
             # cohere-style: one norm feeds attention AND the MLP
             h = self._norm("input_layernorm")(x)
             attn, new_cache = LlamaAttention(
-                self.config, dtype=self.dtype, plan=self.plan,
+                cfg, dtype=self.dtype, plan=self.plan, window=win,
                 name="self_attn")(h, positions, kv_cache, cache_index,
                                   attn_start, attn_prefix)
             mlp = self._mlp()(h)
             return x + attn + mlp, new_cache
         h, new_cache = LlamaAttention(
-            self.config, dtype=self.dtype, plan=self.plan, name="self_attn")(
+            cfg, dtype=self.dtype, plan=self.plan, window=win,
+            name="self_attn")(
             self._norm("input_layernorm")(x), positions, kv_cache,
             cache_index, attn_start, attn_prefix)
+        if cfg.sandwich_norms:
+            # gemma2: post-attn norm on the attention OUTPUT, then an
+            # independent pre/post pair around the MLP (all residual
+            # adds on the un-normed stream)
+            x = x + self._norm("post_attention_layernorm")(h)
+            m = self._mlp()(self._norm("pre_feedforward_layernorm")(x))
+            return x + self._norm("post_feedforward_layernorm")(m), new_cache
         x = x + h
         x = x + self._mlp()(self._norm("post_attention_layernorm")(x))
         return x, new_cache
@@ -383,7 +435,7 @@ class LlamaForCausalLM(nn.Module):
         for i in range(cfg.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = LlamaDecoderLayer(cfg, dtype=self.dtype, plan=self.plan,
-                                      name=f"layers_{i}")(
+                                      layer_idx=i, name=f"layers_{i}")(
                 x, positions, cache_i, cache_index, attn_start,
                 attn_prefix)
             new_caches.append(nc)
@@ -409,6 +461,9 @@ class LlamaForCausalLM(nn.Module):
             logits = QDense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
                             plan=self.plan, name="lm_head")(x)
         logits = logits.astype(jnp.float32) * cfg.logit_scale
+        if cfg.final_logit_softcapping:
+            c = cfg.final_logit_softcapping
+            logits = c * jnp.tanh(logits / c)
         return logits, (new_caches if kv_caches is not None else None)
 
     def init_cache(self, batch: int, max_len: int, cache_dtype=None):

@@ -57,6 +57,18 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         num_key_value_heads=1, head_dim_override=256, mlp_act="gelu",
         norm_plus_one=True, scale_embeddings=True,
         tie_word_embeddings=True, max_position_embeddings=8192),
+    # gemma2-2b geometry: alternating local/global attention (pattern
+    # 2, window 4096), sandwich norms, logit soft-caps 50/30, (1+w)
+    # norms + scaled embeds like gemma-1, query scale = head_dim 256
+    "gemma2": llama_lib.LlamaConfig(
+        vocab_size=256000, hidden_size=2304, intermediate_size=9216,
+        num_hidden_layers=26, num_attention_heads=8,
+        num_key_value_heads=4, head_dim_override=256, mlp_act="gelu",
+        norm_plus_one=True, scale_embeddings=True,
+        tie_word_embeddings=True, max_position_embeddings=8192,
+        sliding_window=4096, sliding_window_pattern=2,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sandwich_norms=True, query_pre_attn_scalar=256.0),
     # Mixtral-family sparse MoE (reference quantizer.py:1106-1111 MoE
     # input capture; models/moe.py): 8 experts, top-2 routing
     "mixtral": llama_lib.LlamaConfig(

@@ -444,11 +444,15 @@ def decode_attention_pallas(q, k_cache, v_cache, pos, interpret: bool = False):
     )(pos_arr, q, k_cache, v_cache)
 
 
-def decode_attention_ref(q, k_cache, v_cache, pos, starts=None):
+def decode_attention_ref(q, k_cache, v_cache, pos, starts=None,
+                         sm_scale=None, softcap: float = 0.0):
     bp, hkv, g, d = q.shape
     b, t = k_cache.shape[0], k_cache.shape[-1]
-    qf = q[:b].astype(jnp.float32) * (d ** -0.5)
+    qf = q[:b].astype(jnp.float32) * (d ** -0.5 if sm_scale is None
+                                      else sm_scale)
     logits = jnp.einsum("bhgd,bhdt->bhgt", qf, k_cache.astype(jnp.float32))
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
     mask = jnp.arange(t)[None, None, None, :] <= pos
     if starts is not None:
         mask = mask & (jnp.arange(t)[None, :]
@@ -653,7 +657,8 @@ def decode_attention_dm_i8_ref(q, k_i8, k_scale, v_i8, v_scale, pos):
 
 
 def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
-                           hkv: int, bb: int, ragged: bool = False):
+                           hkv: int, bb: int, ragged: bool = False,
+                           softcap: float = 0.0):
     """Combined-cache variant: kv (bb, 2*hkv, d, T) holds K rows then V
     rows — ONE cache array, so the per-step cache update is a single
     dynamic_update_slice and the kernel streams one block per program.
@@ -672,6 +677,9 @@ def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if softcap:
+                # gemma2 attention soft-capping (post-scale, pre-mask)
+                logits = softcap * jnp.tanh(logits / softcap)
             t_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             ok = t_ids <= pos
             if ragged:
@@ -687,9 +695,11 @@ def _decode_attn_kv_kernel(pos_ref, q_ref, kv_ref, o_ref, *, scale: float,
             o_ref[bi, h] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "sm_scale", "softcap"))
 def decode_attention_kv_pallas(q, kv_cache, pos, starts=None,
-                               block_b: int = 1, interpret: bool = False):
+                               block_b: int = 1, interpret: bool = False,
+                               sm_scale=None, softcap: float = 0.0):
     """Combined depth-major cache attention: kv_cache (B, 2*hkv, d, T)
     = [K | V] along axis 1.  starts (B,) optional per-row first valid
     cache slot (ragged left-padded batches)."""
@@ -697,7 +707,7 @@ def decode_attention_kv_pallas(q, kv_cache, pos, starts=None,
     b, t = kv_cache.shape[0], kv_cache.shape[-1]
     assert kv_cache.shape == (b, 2 * hkv, d, t)
     assert t % LANE == 0 and b % block_b == 0, (t, b, block_b)
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else float(sm_scale)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if starts is not None:
         assert starts.shape == (b,), starts.shape
@@ -706,7 +716,8 @@ def decode_attention_kv_pallas(q, kv_cache, pos, starts=None,
 
     return pl.pallas_call(
         functools.partial(_decode_attn_kv_kernel, scale=scale, hkv=hkv,
-                          bb=bb, ragged=starts is not None),
+                          bb=bb, ragged=starts is not None,
+                          softcap=softcap),
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -783,19 +794,26 @@ def decode_attention_kv_i8_pallas(q, kv_i8, kv_scale, pos, block_b: int = 1,
     )(pos_arr, q, kv_i8, kv_scale)
 
 
-def decode_attention_kv(q, kv_cache, pos, starts=None, **kw):
+def decode_attention_kv(q, kv_cache, pos, starts=None, sm_scale=None,
+                        softcap: float = 0.0, **kw):
     """Combined-cache dispatcher (kv (B, 2hkv, d, T) = [K | V]).
     Long contexts route to the T-blocked flash kernel (the single-pass
-    kernel's whole-row cache block busts VMEM past ~3 MB/program)."""
+    kernel's whole-row cache block busts VMEM past ~3 MB/program).
+    sm_scale/softcap: gemma2 attention scale override + logit
+    soft-capping (all bf16-KV variants)."""
     if on_tpu():
         if _kv_block_bytes(kv_cache) > _FLASH_BYTES:
             return decode_attention_kv_flash_pallas(
-                q, kv_cache, pos, starts, mode="bf16", **kw)
-        return decode_attention_kv_pallas(q, kv_cache, pos, starts, **kw)
+                q, kv_cache, pos, starts, mode="bf16", sm_scale=sm_scale,
+                softcap=softcap, **kw)
+        return decode_attention_kv_pallas(q, kv_cache, pos, starts,
+                                          sm_scale=sm_scale,
+                                          softcap=softcap, **kw)
     hkv = q.shape[1]
     return decode_attention_ref(
         q, kv_cache[:, :hkv],
-        kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos, starts=starts)
+        kv_cache[:, hkv:].transpose(0, 1, 3, 2), pos, starts=starts,
+        sm_scale=sm_scale, softcap=softcap)
 
 
 def decode_attention_kv_i8(q, kv_i8, kv_scale, pos, **kw):
@@ -1064,7 +1082,7 @@ def _decode_attn_kv_flash_kernel(pos_ref, q_ref, kv_ref, o_ref,
                                  m_sc, l_sc, acc_sc, *, scale: float,
                                  hkv: int, bb: int, bt: int, nt: int,
                                  mode: str, ragged: bool,
-                                 kvs_ref=None):
+                                 kvs_ref=None, softcap: float = 0.0):
     tj = pl.program_id(1)
     t0 = tj * bt
     pos = pos_ref[0]
@@ -1100,6 +1118,9 @@ def _decode_attn_kv_flash_kernel(pos_ref, q_ref, kv_ref, o_ref,
                 logits = acc32.astype(jnp.float32) * qs
                 if mode == "i8":                  # per-token K scales
                     logits = logits * kvs_ref[bi, h]
+            if softcap:
+                # gemma2 attention soft-capping (post-scale, pre-mask)
+                logits = softcap * jnp.tanh(logits / softcap)
             t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
                                                   logits.shape, 1)
             ok = t_ids <= pos
@@ -1149,11 +1170,13 @@ def _decode_attn_kv_flash_kernel(pos_ref, q_ref, kv_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "block_b", "block_t",
-                                             "interpret"))
+                                             "interpret", "sm_scale",
+                                             "softcap"))
 def decode_attention_kv_flash_pallas(q, kv_cache, pos, starts=None,
                                      kv_scale=None, mode: str = "bf16",
                                      block_b: int = 1, block_t: int = 1024,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     sm_scale=None, softcap: float = 0.0):
     """T-blocked combined-cache decode attention (see the kernel
     docstring).  kv_cache (B, 2*hkv, d, T) in the mode's storage format
     ((B, 2*hkv, d//2, T) packed bytes for 'i4c'); kv_scale (B, 2*hkv,
@@ -1167,7 +1190,7 @@ def decode_attention_kv_flash_pallas(q, kv_cache, pos, starts=None,
     assert (kv_scale is not None) == (mode == "i8")
     bt = _pick_bt(t, block_t)
     nt = t // bt
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else float(sm_scale)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if starts is not None:
         assert starts.shape == (b,), starts.shape
@@ -1191,11 +1214,13 @@ def decode_attention_kv_flash_pallas(q, kv_cache, pos, starts=None,
             _decode_attn_kv_flash_kernel(
                 pos_ref, q_ref, kv_ref, o_ref, m_sc, l_sc, acc_sc,
                 scale=scale, hkv=hkv, bb=bb, bt=bt, nt=nt, mode=mode,
-                ragged=starts is not None, kvs_ref=kvs_ref)
+                ragged=starts is not None, kvs_ref=kvs_ref,
+                softcap=softcap)
     else:
         kern = functools.partial(
             _decode_attn_kv_flash_kernel, scale=scale, hkv=hkv, bb=bb,
-            bt=bt, nt=nt, mode=mode, ragged=starts is not None)
+            bt=bt, nt=nt, mode=mode, ragged=starts is not None,
+            softcap=softcap)
 
     return pl.pallas_call(
         kern,
