@@ -178,6 +178,9 @@ class CausalLM:
         # gemma family: (1+w) norms, sqrt(hidden)-scaled embeddings,
         # decoupled head_dim, tied embeddings by default
         is_gemma = str(hf.get("model_type", "")).startswith("gemma")
+        # phi family: parallel residual off one layernorm, ungated
+        # fc1->act->fc2 MLP, biases on every linear, partial rotary
+        is_phi = str(hf.get("model_type", "")).startswith("phi")
         self.config = llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -188,13 +191,20 @@ class CausalLM:
                                        hf["num_attention_heads"]),
             max_position_embeddings=hf.get("max_position_embeddings", 4096),
             rope_theta=hf.get("rope_theta", 10000.0),
-            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rms_norm_eps=hf.get("rms_norm_eps",
+                                hf.get("layer_norm_eps", 1e-6)),
             attention_bias=hf.get("attention_bias",
-                                  hf.get("model_type") == "qwen2"),
+                                  hf.get("model_type") == "qwen2"
+                                  or is_phi),
             tie_word_embeddings=hf.get("tie_word_embeddings", is_gemma),
             mlp_act="gelu" if str(hf.get("hidden_act",
                                          hf.get("hidden_activation", "silu"))
                                   ).startswith("gelu") else "silu",
+            norm_type="layernorm" if is_phi else "rmsnorm",
+            parallel_residual=is_phi,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
+            mlp_gated=not is_phi,
+            all_bias=is_phi,
             norm_plus_one=is_gemma,
             scale_embeddings=is_gemma,
             head_dim_override=hf.get("head_dim"),
@@ -220,6 +230,8 @@ class CausalLM:
             lambda: self.model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 8), jnp.int32)))["params"]
         sd = loader.load_safetensors_dir(path)
+        if is_phi:
+            sd = loader.phi_to_llama_state_dict(sd)
         params, missing, _ = loader.convert_torch_state_dict(
             sd, shapes, strip_prefixes=("model.",))
         if missing:

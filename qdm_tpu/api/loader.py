@@ -251,6 +251,19 @@ def vae_config_from_diffusers(cfg: dict):
     )
 
 
+def phi_to_llama_state_dict(sd):
+    """Rename a phi-family checkpoint into the canonical LLaMA-family
+    naming: self_attn.dense -> o_proj, final_layernorm -> norm.  The
+    mlp fc1/fc2 and per-linear biases already match the module's
+    ungated-MLP naming (models/llama.py LlamaMLP, mlp_gated=False)."""
+    out = {}
+    for key, v in sd.items():
+        key = key.replace("self_attn.dense.", "self_attn.o_proj.")
+        key = key.replace("model.final_layernorm.", "model.norm.")
+        out[key] = v
+    return out
+
+
 def qwen1_to_llama_state_dict(sd):
     """Rename a Qwen-1 checkpoint (fused c_attn architecture, reference
     models/qwen.py:1-55) into the canonical LLaMA-family naming this

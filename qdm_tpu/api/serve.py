@@ -409,6 +409,14 @@ class DecodeEngine:
             raise NotImplementedError(
                 "attention soft-capping runs on the bf16 KV kernels "
                 "(quantized-KV variants carry no tanh epilogue)")
+        if (not getattr(cfg, "mlp_gated", True)
+                or getattr(cfg, "all_bias", False)
+                or getattr(cfg, "partial_rotary_factor", 1.0) < 1.0):
+            raise NotImplementedError(
+                "phi-class models (ungated MLP / all-bias / partial "
+                "rotary) serve through CausalLM.generate — the decode "
+                "kernels carry no fc1/fc2 or partial-rotary epilogues "
+                "yet")
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2

@@ -75,6 +75,18 @@ class LlamaConfig:
     # gemma2 attention scale: softmax(q k / sqrt(query_pre_attn_scalar))
     # instead of sqrt(head_dim) (27b sets it to hidden/heads != head_dim)
     query_pre_attn_scalar: Optional[float] = None
+    # phi family: rotary embedding covers only the first
+    # factor*head_dim dims of each head (the rest pass through)
+    partial_rotary_factor: float = 1.0
+    # phi MLP: plain fc1 -> act -> fc2 (no gate); biases on every
+    # linear incl. o_proj / mlp / lm_head
+    mlp_gated: bool = True
+    all_bias: bool = False
+
+    @property
+    def rotary_dim(self) -> int:
+        r = int(self.head_dim * self.partial_rotary_factor)
+        return r - (r % 2)
 
     @property
     def head_dim(self) -> int:
@@ -118,9 +130,14 @@ def tiny_mixtral_config(**kw) -> LlamaConfig:
                        num_experts=4, num_experts_per_tok=2, **kw)
 
 
-def rope(x, positions, theta: float):
-    """Rotary embedding; x (B, S, H, D)."""
+def rope(x, positions, theta: float, rotary_dim: int = 0):
+    """Rotary embedding; x (B, S, H, D).  rotary_dim > 0 rotates only
+    the first rotary_dim dims of each head (phi partial rotary); the
+    remaining dims pass through untouched."""
     d = x.shape[-1]
+    if rotary_dim and rotary_dim < d:
+        rot = rope(x[..., :rotary_dim], positions, theta)
+        return jnp.concatenate([rot, x[..., rotary_dim:]], axis=-1)
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     angles = positions.astype(jnp.float32)[..., None] * freqs      # (B,S,D/2)
     cos = jnp.cos(angles)[:, :, None, :]
@@ -163,8 +180,9 @@ class LlamaAttention(nn.Module):
                        plan=self.plan, name="k_proj")(x).reshape(b, s, hkv, d)
             v = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
                        plan=self.plan, name="v_proj")(x).reshape(b, s, hkv, d)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
+        q = rope(q, positions, cfg.rope_theta, rd)
+        k = rope(k, positions, cfg.rope_theta, rd)
 
         # cache-native layout (B, hkv, S, d): K/V live head-major so
         # cached decode contracts them with zero per-step relayout
@@ -293,8 +311,9 @@ class LlamaAttention(nn.Module):
                 sm_scale=cfg.attn_scale, block_sizes=sizes)
             out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
                 .astype(self.dtype)
-            out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                         plan=self.plan, name="o_proj")(out)
+            out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,
+                         dtype=self.dtype, plan=self.plan,
+                         name="o_proj")(out)
             return out, new_cache
 
         kspec = "bhdk" if depth_major else "bhkd"
@@ -324,8 +343,8 @@ class LlamaAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum(f"bhqk,{kspec}->bqhd", probs, vt).reshape(
                 b, s, h * d)
-        out = QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                     plan=self.plan, name="o_proj")(out)
+        out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,
+                     dtype=self.dtype, plan=self.plan, name="o_proj")(out)
         return out, new_cache
 
 
@@ -337,6 +356,13 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        if not cfg.mlp_gated:
+            # phi: plain fc1 -> act -> fc2 (no gating branch)
+            h = QDense(cfg.intermediate_size, use_bias=cfg.all_bias,
+                       dtype=self.dtype, plan=self.plan, name="fc1")(x)
+            h = nn.silu(h) if cfg.mlp_act == "silu" else nn.gelu(h)
+            return QDense(cfg.hidden_size, use_bias=cfg.all_bias,
+                          dtype=self.dtype, plan=self.plan, name="fc2")(h)
         if self.plan.fuse_qkv:
             # gate/up share their input: one 2x-wide matmul
             gu = QDense(2 * cfg.intermediate_size, use_bias=False,
@@ -458,8 +484,9 @@ class LlamaForCausalLM(nn.Module):
             embed = self.variables["params"]["embed_tokens"]["embedding"]
             logits = x @ embed.T.astype(self.dtype)
         else:
-            logits = QDense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
-                            plan=self.plan, name="lm_head")(x)
+            logits = QDense(cfg.vocab_size, use_bias=cfg.all_bias,
+                            dtype=self.dtype, plan=self.plan,
+                            name="lm_head")(x)
         logits = logits.astype(jnp.float32) * cfg.logit_scale
         if cfg.final_logit_softcapping:
             c = cfg.final_logit_softcapping

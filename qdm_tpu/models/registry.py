@@ -57,6 +57,16 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         num_key_value_heads=1, head_dim_override=256, mlp_act="gelu",
         norm_plus_one=True, scale_embeddings=True,
         tie_word_embeddings=True, max_position_embeddings=8192),
+    # phi-2 geometry: parallel residual off ONE layernorm, ungated
+    # fc1->gelu->fc2 MLP, biases on every linear, partial rotary (0.4
+    # of head_dim), layernorm, untied biased lm_head
+    "phi": llama_lib.LlamaConfig(
+        vocab_size=51200, hidden_size=2560, intermediate_size=10240,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, max_position_embeddings=2048,
+        norm_type="layernorm", parallel_residual=True, mlp_act="gelu",
+        attention_bias=True, all_bias=True, mlp_gated=False,
+        partial_rotary_factor=0.4),
     # gemma2-2b geometry: alternating local/global attention (pattern
     # 2, window 4096), sandwich norms, logit soft-caps 50/30, (1+w)
     # norms + scaled embeds like gemma-1, query scale = head_dim 256

@@ -93,11 +93,23 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
     groups = []
     for path, sub in _walk(params):
         if path and re.fullmatch(r"layers_\d+", path[-1]) and "self_attn" in sub:
+            mlp = sub.get("mlp", {})
+            has_post_ln = ("post_attention_layernorm" in sub
+                           or "pre_feedforward_layernorm" in sub)
+            qkv_paths = [path + ("self_attn", "q_proj"),
+                         path + ("self_attn", "k_proj"),
+                         path + ("self_attn", "v_proj")]
+            if not has_post_ln:
+                # parallel-residual blocks (cohere gated / phi ungated)
+                # feed the MLP from the SAME norm — one joint group
+                if "fc1" in mlp:
+                    qkv_paths.append(path + ("mlp", "fc1"))
+                elif "gate_proj" in mlp:
+                    qkv_paths += [path + ("mlp", "gate_proj"),
+                                  path + ("mlp", "up_proj")]
             groups.append(ScalingGroup(
                 prev_path=path + ("input_layernorm",),
-                layer_paths=(path + ("self_attn", "q_proj"),
-                             path + ("self_attn", "k_proj"),
-                             path + ("self_attn", "v_proj")),
+                layer_paths=tuple(qkv_paths),
                 prev_plus_one=norm_plus_one,
             ))
             if "block_sparse_moe" in sub:
@@ -127,12 +139,16 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                             layer_paths=(path + ("self_attn", "o_proj"),),
                         ))
                 continue
-            groups.append(ScalingGroup(
-                prev_path=path + ("post_attention_layernorm",),
-                layer_paths=(path + ("mlp", "gate_proj"),
-                             path + ("mlp", "up_proj")),
-                prev_plus_one=norm_plus_one,
-            ))
+            if "gate_proj" in mlp and has_post_ln:
+                prev_ln = ("pre_feedforward_layernorm"
+                           if "pre_feedforward_layernorm" in sub
+                           else "post_attention_layernorm")
+                groups.append(ScalingGroup(
+                    prev_path=path + (prev_ln,),
+                    layer_paths=(path + ("mlp", "gate_proj"),
+                                 path + ("mlp", "up_proj")),
+                    prev_plus_one=norm_plus_one,
+                ))
             if include_fc_groups:
                 v_out = sub["self_attn"]["v_proj"]["kernel"].shape[1]
                 o_in = sub["self_attn"]["o_proj"]["kernel"].shape[0]
@@ -143,10 +159,11 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                         prev_path=path + ("self_attn", "v_proj"),
                         layer_paths=(path + ("self_attn", "o_proj"),),
                     ))
-                groups.append(ScalingGroup(
-                    prev_path=path + ("mlp", "up_proj"),
-                    layer_paths=(path + ("mlp", "down_proj"),),
-                ))
+                if "up_proj" in mlp:
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("mlp", "up_proj"),
+                        layer_paths=(path + ("mlp", "down_proj"),),
+                    ))
     return groups
 
 
