@@ -149,3 +149,25 @@ def test_gemma2_preset():
     cfg = LLM_CONFIG_PRESETS["gemma2"]
     assert cfg.sandwich_norms and cfg.sliding_window_pattern == 2
     assert cfg.attn_logit_softcapping == 50.0
+
+
+def test_smooth_invariance_sandwich():
+    """Sandwich models migrate the MLP group through
+    pre_feedforward_layernorm (post_attention_layernorm norms the
+    ATTENTION OUTPUT there — scaling it would break function
+    preservation)."""
+    from qdm_tpu.config import QuantConfig
+    from qdm_tpu.models.shims import llama_scaling_groups
+    from qdm_tpu.quant.smooth import smooth_params
+
+    lm = _lm(seed=12)
+    ids = np.asarray(RNG.integers(0, 256, (2, 12)))
+    base, _ = lm.model.apply({"params": lm.params}, jnp.asarray(ids))
+    stats, _ = lm._calibrate(QuantConfig.from_dict({}), ids,
+                             capture_inputs=False)
+    groups = llama_scaling_groups(lm.params, norm_plus_one=True)
+    assert any("pre_feedforward" in "/".join(g.prev_path) for g in groups)
+    sm = smooth_params(lm.params, groups, stats, alpha=0.5)
+    after, _ = lm.model.apply({"params": sm}, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(after),
+                               rtol=2e-4, atol=2e-4)
