@@ -845,7 +845,64 @@ def swa_stream_main():
         del eng, cb, lm
 
 
+def gemma2_main():
+    """--gemma2: cost of the gemma2 serving features at the 1B serve
+    shape — same geometry with and without (softcaps + sandwich norms
+    + alternating windows), engine decode-only marginal.  The windowed
+    half of the layers reads a quarter of the cache at ctx 4096, the
+    tanh epilogue adds VPU work, the sandwich post-norms add two XLA
+    dispatches per layer; this row nets them out."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    base = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    batch, ctx, window = (16, 4096, 1024) if on_tpu else (2, 32, 8)
+    prefill = 128 if on_tpu else 8
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    base = _dc.replace(base, max_position_embeddings=2 * ctx)
+    g2 = _dc.replace(base, sliding_window=window, sliding_window_pattern=2,
+                     attn_logit_softcapping=50.0,
+                     final_logit_softcapping=30.0, sandwich_norms=True,
+                     norm_plus_one=True)
+    ids = np.random.default_rng(0).integers(0, base.vocab_size,
+                                            (batch, prefill))
+    out = {"metric": f"gemma2-features decode tok/s (batch {batch}, "
+                     f"ctx {ctx}, window {window})"}
+    for cname, cfg in (("plain", base), ("gemma2", g2)):
+        lm = CausalLM.from_config(cfg, dtype=dtype)
+        stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
+        for ename, kw in (("bf16", {"mode": "bf16"}),
+                          ("w8a8", {"mode": "w8a8_static",
+                                    "act_stats": stats})):
+            eng = DecodeEngine(lm, **kw)
+            tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
+            jax.block_until_ready(caches[0][0])
+            args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+            def t(n):
+                run = eng._make_run(n)
+                best = 1e9
+                run(*args, tok0, caches, jnp.int32(ctx))
+                for _ in range(5):
+                    t0 = time.time()
+                    float(jnp.sum(run(*args, tok0, caches,
+                                      jnp.int32(ctx))))
+                    best = min(best, time.time() - t0)
+                return best
+
+            dt = (t(40) - t(8)) / 32
+            out[f"{cname}_{ename}_decode_tok_s"] = round(batch / dt, 1)
+            print(json.dumps(out), flush=True)
+            del eng, caches
+        del lm, stats
+
+
 def main():
+    if "--gemma2" in sys.argv:
+        gemma2_main()
+        return
     if "--swa-stream" in sys.argv:
         swa_stream_main()
         return
