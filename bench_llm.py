@@ -727,12 +727,14 @@ def moe_main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # 12 layers (not 22): params init f32 on the chip before the
-        # bf16 cast, so peak HBM is 1.5x the f32 tree — 12 layers is
-        # 6.7 GB f32 + 3.3 GB bf16, comfortably inside 16 GB (16
-        # layers measured RESOURCE_EXHAUSTED)
+        # 8 layers: params init f32 on the chip before the bf16 cast
+        # (1.5x the f32 tree peak) and the module-path jit needs its
+        # own workspace on top — 12 layers still RESOURCE_EXHAUSTED at
+        # run time; 8 layers = 4.5 GB f32 peak + 2.2 GB bf16.  The
+        # engine-vs-module launch-structure comparison is per-layer
+        # marginal, so the depth doesn't change the verdict.
         cfg = _dc.replace(BENCH_1B, num_experts=8, num_experts_per_tok=2,
-                          num_hidden_layers=12)
+                          num_hidden_layers=8)
         batch, prefill = 32, 128
     else:
         cfg = llama_lib.tiny_mixtral_config()
@@ -740,7 +742,7 @@ def moe_main():
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    out = {"metric": f"MoE 8-expert 12L decode tok/s (batch {batch})"}
+    out = {"metric": f"MoE 8-expert 8L decode tok/s (batch {batch})"}
 
     lm = CausalLM.from_config(cfg, dtype=dtype)
     if on_tpu:
