@@ -141,7 +141,21 @@ class ContinuousBatcher:
         # (one code path, one jit shape).
         s_sfx = -(-max(len(pr) for pr in prompts) // 128) * 128
         s0 = -(-(p0 + max(len(pr) for pr in prompts)) // 128) * 128
-        assert s0 + max(budgets) <= self.capacity, "capacity too small"
+        fully_windowed = bool(eng.window) and all(
+            w is not None for w in eng._layer_windows)
+        if fully_windowed:
+            # rebasing + the per-chunk start floor bound every live
+            # row's span at O(window): capacity only has to hold the
+            # window (or one admission width) plus one decode chunk,
+            # regardless of the generation budgets — this is what lets
+            # a bounded cache serve unbounded windowed streams.
+            need = max(s0, eng.window, s_sfx) + self.chunk
+            assert need <= self.capacity, (
+                f"capacity too small: windowed serving needs "
+                f"max(prefill {s0}, window {eng.window}, admission "
+                f"{s_sfx}) + chunk {self.chunk} = {need}")
+        else:
+            assert s0 + max(budgets) <= self.capacity, "capacity too small"
         out: dict = {}
         if pc is None:
             first, queue = queue[:n_rows], queue[n_rows:]
@@ -355,8 +369,7 @@ class ContinuousBatcher:
             p += self.chunk
             lens += self.chunk
             offs += self.chunk
-            if eng.window and all(w is not None
-                                  for w in eng._layer_windows):
+            if fully_windowed:
                 # sliding-window serving (ALL layers windowed —
                 # mistral-class): every slot below p - W + 1 is outside
                 # every row's window (the engine floors its attention

@@ -162,6 +162,26 @@ def test_windowed_continuous_batching_bounded():
         "stream never rebased — the bounded-cache claim is untested"
 
 
+def test_windowed_budgets_exceed_capacity():
+    """Long-generation windowed streams: budgets may exceed what the
+    full-attention precondition (s0 + max_budget <= capacity) allows —
+    for fully-windowed engines the live span is O(window), so the
+    batcher must accept the run and stay token-exact across the many
+    rebases it takes."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    prompts = [RNG.integers(0, 256, int(n)) for n in (5, 9, 7, 11)]
+    bat = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=144)
+    outs = bat.run(prompts, max_new_tokens=40)  # 128 + 40 > 144
+    for pr, got in zip(prompts, outs):
+        ref = lm.generate(np.asarray(pr)[None], max_new_tokens=40)
+        np.testing.assert_array_equal(np.asarray(got)[len(pr):],
+                                      np.asarray(ref[0, len(pr):]))
+    assert bat.last_stats["rebases"] >= 1
+
+
 @pytest.mark.parametrize("s,n", [(5, 12), (12, 10), (20, 16)])
 def test_chunked_prefill_rolls_the_window(s, n):
     """prefill_chunked is THE long-prompt SWA path (the banded mask
