@@ -156,23 +156,29 @@ def _i4_layout(cfg, tp: int = 1):
 
 def _rope_consts(cfg, h=None, hkv=None):
     """Per-column rope tables over the fused [q | k | v] layout:
-    (freqs (d/2,), is_rope, sign, base_idx, partner) — partner is the
-    lane-roll pair index (j +/- d/2 within each head; v columns
-    self-pair, their sin is 0).  h/hkv override for LOCAL (tp-shard)
-    head counts."""
+    (freqs (r/2,), is_rope, sign, base_idx, partner) — partner is the
+    lane-roll pair index (j +/- r/2 within each head; v columns
+    self-pair, their sin is 0).  r is the rotated width per head:
+    head_dim normally, cfg.rotary_dim under phi partial rotary (the
+    trailing d-r dims of each q/k head pass through like v columns —
+    is_rope=0 there, so cos=1/sin=0).  h/hkv override for LOCAL
+    (tp-shard) head counts."""
     h = cfg.num_attention_heads if h is None else h
     hkv = cfg.num_key_value_heads if hkv is None else hkv
     d = cfg.head_dim
-    half = d // 2
+    r = (cfg.rotary_dim
+         if getattr(cfg, "partial_rotary_factor", 1.0) < 1.0 else d)
+    half = r // 2
     freqs = 1.0 / (cfg.rope_theta
-                   ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+                   ** (jnp.arange(0, r, 2, dtype=jnp.float32) / r))
     n_qkv = (h + 2 * hkv) * d
     w_rope = (h + hkv) * d
     col = np.arange(n_qkv)
     col_j = col % d
-    partner = np.where(col < w_rope,
+    rotated = (col < w_rope) & (col_j < r)
+    partner = np.where(rotated,
                        np.where(col_j < half, col + half, col - half), col)
-    return (freqs, jnp.asarray(col < w_rope),
+    return (freqs, jnp.asarray(rotated),
             jnp.asarray(np.where(col_j < half, -1.0, 1.0), jnp.float32),
             jnp.asarray(col_j % half), jnp.asarray(partner))
 
@@ -409,14 +415,25 @@ class DecodeEngine:
             raise NotImplementedError(
                 "attention soft-capping runs on the bf16 KV kernels "
                 "(quantized-KV variants carry no tanh epilogue)")
-        if (not getattr(cfg, "mlp_gated", True)
-                or getattr(cfg, "all_bias", False)
-                or getattr(cfg, "partial_rotary_factor", 1.0) < 1.0):
-            raise NotImplementedError(
-                "phi-class models (ungated MLP / all-bias / partial "
-                "rotary) serve through CausalLM.generate — the decode "
-                "kernels carry no fc1/fc2 or partial-rotary epilogues "
-                "yet")
+        # phi-class features: ungated fc1->act->fc2 MLP (runs as XLA
+        # einsums off the parallel-residual branch, like _moe_mlp),
+        # biases on every linear (the dense kernels' bias epilogue +
+        # XLA adds), partial rotary (the generalized _rope_consts
+        # tables applied XLA-side — the kernels' lane-roll partner is
+        # head_dim/2, not rotary_dim/2)
+        self.ungated = not getattr(cfg, "mlp_gated", True)
+        self.all_bias = getattr(cfg, "all_bias", False)
+        self.rope_in_xla = getattr(cfg, "partial_rotary_factor", 1.0) < 1.0
+        if self.ungated or self.all_bias or self.rope_in_xla:
+            if mode not in ("bf16", "w8a8_static"):
+                raise NotImplementedError(
+                    "phi-class serving (ungated MLP / all-bias / "
+                    "partial rotary) covers bf16 and w8a8_static")
+            if self.spmd:
+                raise NotImplementedError(
+                    "phi-class serving is single-device for now")
+        self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
+                         else None)
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
@@ -484,6 +501,10 @@ class DecodeEngine:
                                 for e in range(n_e)]).astype(self.dtype)
                 W2 = jnp.stack([moe_p[f"experts_{e}"]["w2"]["kernel"]
                                 for e in range(n_e)]).astype(self.dtype)
+            elif self.ungated:
+                mp_ = lp["mlp"]
+                w1 = mp_["fc1"]["kernel"].astype(self.dtype)
+                w2 = mp_["fc2"]["kernel"].astype(self.dtype)
             else:
                 mp_ = lp["mlp"]
                 wg = mp_["gate_proj"]["kernel"].astype(self.dtype)
@@ -517,6 +538,13 @@ class DecodeEngine:
                 if qkv_perm is not None:
                     b_qkv = b_qkv[qkv_perm]
                 entry["b_qkv"] = b_qkv
+            if self.all_bias:
+                entry["b_o"] = at["o_proj"]["bias"].astype(jnp.float32)
+                if self.ungated:
+                    entry["b_fc1"] = lp["mlp"]["fc1"]["bias"].astype(
+                        jnp.float32)
+                    entry["b_fc2"] = lp["mlp"]["fc2"]["bias"].astype(
+                        jnp.float32)
             if self.moe and mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, router=router,
                              W1=W1, W3=W3, W2=W2)
@@ -540,6 +568,20 @@ class DecodeEngine:
                 entry["a_w2"] = jnp.stack(
                     [scale_of(f"{pre}/experts_{e}/w2")
                      for e in range(cfg.num_experts)])        # (E,)
+            elif self.ungated and mode == "bf16":
+                entry.update(w_qkv=w_qkv, w_o=w_o, w1=w1, w2=w2)
+            elif self.ungated:                    # w8a8_static phi
+                pre = f"layers_{l}"
+                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
+                entry["w_o"], entry["s_o"] = _quant_w(w_o)
+                entry["w1"], entry["s1"] = _quant_w(w1)
+                entry["w2"], entry["s2"] = _quant_w(w2)
+                entry["a_qkv"] = scale_of(
+                    f"{pre}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
+                entry["a_fc"] = jnp.stack(
+                    [scale_of(f"{pre}/mlp/fc1"),
+                     scale_of(f"{pre}/mlp/fc2")])
             elif mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
             elif mode == "w8a8_static":
@@ -589,6 +631,9 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        self.head_bias = (p["lm_head"]["bias"].astype(jnp.float32)
+                          if self.all_bias and not cfg.tie_word_embeddings
+                          else None)
         if getattr(cfg, "norm_plus_one", False):
             # gemma (1+w) norms: fold the +1 into the snapshotted scales
             # so every kernel keeps standard rmsnorm semantics
@@ -884,6 +929,13 @@ class DecodeEngine:
         slot = pos if slot is None else slot
 
         nt = cfg.norm_type
+        if cosv is not None and self.rope_in_xla:
+            # partial rotary (phi): the kernels' lane-roll partner sits
+            # d/2 apart but the rotated pairs are rotary_dim/2 apart —
+            # run the rotation here with the generalized tables'
+            # partner perm (same y*cos + partner*sin formula)
+            rope_xla = (cosv[None], sinv[None], self._partner)
+            cosv = sinv = None
         parallel = cfg.parallel_residual
         if parallel:
             # cohere-style: ONE norm feeds attention AND the MLP.  The
@@ -1036,23 +1088,26 @@ class DecodeEngine:
             # under tp each branch is a row-split partial -> psum
             if self.mode == "bf16":
                 o_part = dk.fused_dense_decode(attn, w["w_o"],
+                                               bias=w.get("b_o"),
                                                out_dtype=jnp.float32)
-                m_part = dk.fused_mlp_decode(xin, w["wg"], w["wu"],
-                                             w["wd"], None, eps=eps,
-                                             act=cfg.mlp_act,
-                                             residual=False,
-                                             out_dtype=jnp.float32)
+                m_part = (self._ungated_mlp(xin, w) if self.ungated
+                          else dk.fused_mlp_decode(xin, w["wg"], w["wu"],
+                                                   w["wd"], None, eps=eps,
+                                                   act=cfg.mlp_act,
+                                                   residual=False,
+                                                   out_dtype=jnp.float32))
             else:
                 o_part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                                   w["a_o"],
+                                                  bias=w.get("b_o"),
                                                   out_dtype=jnp.float32)
-                m_part = dk.fused_mlp_decode_i8(xin, w["wg"], w["wu"],
-                                                w["wd"],
-                                                (w["sg"], w["su"], w["sd"]),
-                                                w["a_mlp"], None, eps=eps,
-                                                act=cfg.mlp_act,
-                                                residual=False,
-                                                out_dtype=jnp.float32)
+                m_part = (self._ungated_mlp(xin, w) if self.ungated
+                          else dk.fused_mlp_decode_i8(
+                              xin, w["wg"], w["wu"], w["wd"],
+                              (w["sg"], w["su"], w["sd"]),
+                              w["a_mlp"], None, eps=eps,
+                              act=cfg.mlp_act, residual=False,
+                              out_dtype=jnp.float32))
             if tp_axis is not None:
                 o_part = jax.lax.psum(o_part, tp_axis)
                 m_part = jax.lax.psum(m_part, tp_axis)
@@ -1169,6 +1224,35 @@ class DecodeEngine:
         out = jnp.einsum("ebk,be->bk", y, w_be)
         return (x.astype(jnp.float32) + out).astype(x.dtype)
 
+    def _ungated_mlp(self, xin, w):
+        """phi MLP branch: fc1 -> act -> fc2 as XLA matmuls (f32 out),
+        off the shared parallel-residual norm output — the fused MLP
+        kernels are gated-only, and phi's biases land here in f32.
+        w8a8_static: static-scale int8 matmuls (per-out-channel int8
+        weights, the engine's calibrated fc1/fc2 input scales), the
+        same scheme as the gated kernel path."""
+        cfg = self.cfg
+        act = jax.nn.silu if cfg.mlp_act == "silu" else jax.nn.gelu
+        if self.mode == "bf16":
+            h = (xin @ w["w1"]).astype(jnp.float32)
+            if "b_fc1" in w:
+                h = h + w["b_fc1"]
+            m = (act(h).astype(xin.dtype) @ w["w2"]).astype(jnp.float32)
+        else:
+            a1, a2 = w["a_fc"][0], w["a_fc"][1]
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a1),
+                          -127, 127).astype(jnp.int8)
+            h = jnp.dot(xq, w["w1"], preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * (w["s1"] * a1)
+            if "b_fc1" in w:
+                h = h + w["b_fc1"]
+            hq = jnp.clip(jnp.round(act(h) / a2), -127, 127).astype(jnp.int8)
+            m = jnp.dot(hq, w["w2"], preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * (w["s2"] * a2)
+        if "b_fc2" in w:
+            m = m + w["b_fc2"]
+        return m
+
     def _head_logits(self, x, w_head, final_norm):
         """final norm + lm_head as one fused launch.  w_head is either
         the bf16 (K, V) matrix or, under head_quant='int8', the
@@ -1179,18 +1263,20 @@ class DecodeEngine:
             return dk.fused_dense_decode_i8(
                 x, wh, whs, ah, norm_scale=final_norm,
                 eps=cfg.rms_norm_eps, norm_bias=self.final_norm_b,
-                norm_type=cfg.norm_type, out_dtype=jnp.float32,
-                block_n=1280)
+                norm_type=cfg.norm_type, bias=self.head_bias,
+                out_dtype=jnp.float32, block_n=1280)
         if self.head_quant == "int4":
             wh, whs, ah = w_head
-            return dk.fused_dense_decode_i4(
+            out = dk.fused_dense_decode_i4(
                 x, wh, whs, ah, norm_scale=final_norm,
                 eps=cfg.rms_norm_eps, group=self._head_group,
                 out_dtype=jnp.float32, block_n=1280)
+            # the i4 kernel carries no bias epilogue (phi head bias)
+            return out if self.head_bias is None else out + self.head_bias
         return dk.fused_dense_decode(
             x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
             norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
-            out_dtype=jnp.float32, block_n=1280)
+            bias=self.head_bias, out_dtype=jnp.float32, block_n=1280)
 
     # ------------------------------------------------------------------ decode
 

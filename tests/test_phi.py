@@ -104,11 +104,54 @@ def test_quantize_and_generate():
     assert out.shape == (1, 12)
 
 
-def test_engine_guard():
+def test_engine_bf16_matches_module():
+    """DecodeEngine serves phi: partial rotary runs XLA-side off the
+    generalized _rope_consts tables, the ungated biased MLP as XLA
+    matmuls off the parallel-residual norm, o_proj/lm_head biases in
+    the dense kernels' bias epilogue."""
     from qdm_tpu.api.serve import DecodeEngine
 
+    lm = _lm()
+    for s, n in ((5, 4), (10, 12)):
+        ids = RNG.integers(0, 256, (2, s))
+        ref = lm.generate(ids, max_new_tokens=n)
+        out = DecodeEngine(lm, mode="bf16").generate(ids, max_new_tokens=n)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_engine_ragged_and_kv_formats():
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    prompts = [RNG.integers(0, 256, n).tolist() for n in (5, 9, 7)]
+    outs = eng.generate_ragged(prompts, max_new_tokens=8)
+    for i, pr in enumerate(prompts):
+        ref = lm.generate(np.asarray(pr)[None], max_new_tokens=8)
+        np.testing.assert_array_equal(np.asarray(outs[i])[len(pr):],
+                                      np.asarray(ref[0, len(pr):]))
+    ids = RNG.integers(0, 256, (2, 6))
+    for kw in ({"kv_dtype": jnp.int8},
+               {"kv_dtype": jnp.int8, "kv_scale_mode": "channel"}):
+        out = DecodeEngine(lm, **kw).generate(ids, max_new_tokens=6)
+        assert out.shape == (2, 12)
+
+
+def test_engine_w8a8_and_guards():
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = _lm()
+    ids = RNG.integers(0, 256, (2, 10))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    out = DecodeEngine(lm, mode="w8a8_static",
+                       act_stats=stats).generate(ids, max_new_tokens=6)
+    ref = lm.generate(ids, max_new_tokens=6)
+    # int8 is lossy; the first greedy token should still agree on a
+    # tiny well-conditioned model
+    np.testing.assert_array_equal(np.asarray(out[:, 10]),
+                                  np.asarray(ref[:, 10]))
     with pytest.raises(NotImplementedError):
-        DecodeEngine(_lm(), mode="bf16")
+        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
 
 
 def test_phi_preset_and_loader_rename():
