@@ -256,28 +256,40 @@ class CausalLM:
         return plan
 
     def _calibrate(self, cfg: QuantConfig, calib_ids: np.ndarray,
-                   capture_inputs: bool):
-        plan = self.plan.with_capture(True, inputs=capture_inputs)
+                   capture_inputs: bool, capture_gram: bool = False):
+        """capture_inputs: sampled input rows (AWQ).  capture_gram:
+        per-layer X^T X Gram matrices summed over ALL calibration
+        tokens (GPTQ Hessians — full-data, bounded (C, C) memory);
+        returned in the same feats dict, keyed by layer path."""
+        plan = self.plan.with_capture(True, inputs=capture_inputs,
+                                      gram=capture_gram)
         model = llama_lib.LlamaForCausalLM(config=self.config, dtype=self.dtype,
                                            plan=plan)
         run = RunningMeanMax()
         feats: Dict[str, list] = {}
-        mutable = ["calib"] + (["calib_x"] if capture_inputs else [])
+        grams: Dict[str, jnp.ndarray] = {}
+        mutable = (["calib"] + (["calib_x"] if capture_inputs else [])
+                   + (["calib_h"] if capture_gram else []))
 
         @jax.jit
         def fwd(params, ids):
             _, mut = model.apply({"params": params}, ids, mutable=mutable)
             stats = flatten_calib(mut["calib"])
             xs = flatten_calib(mut["calib_x"], leaf="x") if capture_inputs else {}
-            return stats, xs
+            hs = (flatten_calib(mut["calib_h"], leaf="h")
+                  if capture_gram else {})
+            return stats, xs, hs
 
         bs = cfg.calib.batch_size
         for i in range(0, calib_ids.shape[0], bs):
-            stats, xs = fwd(self.params, jnp.asarray(calib_ids[i:i + bs]))
+            stats, xs, hs = fwd(self.params, jnp.asarray(calib_ids[i:i + bs]))
             run.update(stats)
             for k, v in xs.items():
                 feats.setdefault(k, []).append(v)
+            for k, v in hs.items():
+                grams[k] = grams[k] + v if k in grams else v
         input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feats.items()}
+        input_feats.update(grams)
         return run.mean(), input_feats
 
     def _awq_sequential(self, cfg: QuantConfig, calib_ids: np.ndarray):
@@ -361,6 +373,39 @@ class CausalLM:
             self._awq_sequential(cfg, np.asarray(calib_data))
             # non-layer params (embeddings/norms) stay fp; lm_head excluded
             if plan.fuse_qkv:
+                self.params = qapply.fuse_qkv_params(self.params)
+            self.plan = plan
+            self.is_quantized = True
+            return self
+        if method == "gptq":
+            # beyond-reference extension (quant/gptq.py): Hessian-aware
+            # error-compensated placement on the SAME grids as RTN/AWQ.
+            # GPTQ's output IS the quantized weight — the shared RTN
+            # fake/pack transforms would re-round it, so this branch
+            # finishes on its own.
+            if cfg.version == "real":
+                raise NotImplementedError(
+                    "gptq packing needs the search's own codes/scales "
+                    "(the pack transform re-derives an RTN grid that "
+                    "would discard the error compensation); use "
+                    "version='fake'/'fake_act'")
+            from qdm_tpu.quant import gptq as gptq_lib
+
+            if calib_data is None:
+                from qdm_tpu.calib.data import get_calib_dataset
+
+                calib_data = get_calib_dataset(
+                    tokenizer=tokenizer,
+                    n_samples=min(cfg.calib.n_samples, 32),
+                    max_seq_len=cfg.calib.max_seq_len)
+            _, feats = self._calibrate(cfg, np.asarray(calib_data),
+                                       capture_inputs=False,
+                                       capture_gram=True)
+            self.params = gptq_lib.gptq_quantize_params(self.params, plan,
+                                                        feats)
+            if plan.fuse_qkv:
+                # fusing after quantization keeps per-projection grids
+                # (each of q/k/v GPTQ'd against its own Hessian)
                 self.params = qapply.fuse_qkv_params(self.params)
             self.plan = plan
             self.is_quantized = True

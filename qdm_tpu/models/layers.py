@@ -115,6 +115,15 @@ class QDense(nn.Module):
                      init_fn=lambda: jnp.zeros((rows, in_features), jnp.float32),
                      reduce_fn=lambda a, b: b)
 
+        if self.plan.capture_gram:
+            # exact input second moments over ALL calibration tokens in
+            # bounded (C, C) memory — the GPTQ Hessian (quant/gptq.py)
+            xf = x2.astype(jnp.float32)
+            self.sow("calib_h", "h", xf.T @ xf,
+                     init_fn=lambda: jnp.zeros((in_features, in_features),
+                                               jnp.float32),
+                     reduce_fn=lambda a, b: a + b)
+
         if spec.mode in ("w4a16", "w4a8"):
             # effective group size: same resolution as pack_params
             # (reference shrink-by-32 quirk, fake_quant.py:33-40)

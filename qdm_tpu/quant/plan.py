@@ -73,6 +73,12 @@ class QuantPlan:
     capture_stats: bool = False    # sow per-layer input absmax ('calib' col)
     capture_inputs: bool = False   # sow sampled input rows ('calib_x' col, AWQ)
     capture_rows: int = 64
+    # sow per-layer input Gram matrices X^T X ('calib_h' col, GPTQ):
+    # fixed (C, C) size summed across calls/batches — the EXACT
+    # full-calibration Hessian in bounded memory (row capture at 64
+    # rows starves H: rank << C makes error compensation point into
+    # unsampled directions and LOSE to RTN — measured)
+    capture_gram: bool = False
     fuse_qkv: bool = False         # fused q/k/v projections (fused_utils.py:45-142)
     fuse_ln: bool = False          # fold LayerNorms into the following packed matmul
     # run self-attention BMMs on the int8 MXU (real-kernel version of
@@ -90,9 +96,11 @@ class QuantPlan:
         return dataclasses.replace(
             self, rules=self.rules + ((pattern, spec if spec is not None else NO_QUANT),))
 
-    def with_capture(self, capture: bool = True, inputs: bool = False) -> "QuantPlan":
+    def with_capture(self, capture: bool = True, inputs: bool = False,
+                     gram: bool = False) -> "QuantPlan":
         return dataclasses.replace(self, capture_stats=capture,
-                                   capture_inputs=inputs)
+                                   capture_inputs=inputs,
+                                   capture_gram=gram)
 
     def with_default(self, spec: LayerQuantSpec) -> "QuantPlan":
         return dataclasses.replace(self, default=spec)
