@@ -274,6 +274,18 @@ class BaseDiffusionPipeline:
                     calib_prompts=calib_prompts)
             elif method == "awq":
                 self._awq_component(name, cfg, calib_prompts=calib_prompts)
+            elif method == "gptq" and name in ("unet", "transformer"):
+                # beyond-reference (quant/gptq.py): Hessian-aware
+                # error-compensated placement for the denoiser's dense
+                # layers (convs fall back to the shared RTN grids).
+                # GPTQ's output IS the quantized weight, so this
+                # component skips the fake-quant transform below.
+                if cfg.version == "real":
+                    raise NotImplementedError(
+                        "gptq packs need the search's own codes/scales; "
+                        "use version='fake'/'fake_act'")
+                self._gptq_component(name, cfg, plan,
+                                     calib_prompts=calib_prompts)
             elif method == "rtn" and cfg.version == "real" \
                     and cfg.quantize_act and "static" in (
                         cfg.act_quant_type, cfg.act_quant_conv_type):
@@ -305,7 +317,7 @@ class BaseDiffusionPipeline:
                     if lut:
                         self.act_scale_luts[name] = lut
                 self._pending_per_step = None
-            else:
+            elif not (method == "gptq" and name in ("unet", "transformer")):
                 self.params[name] = qapply.fake_quantize_params(self.params[name], plan)
             self.plans[comp_key] = plan
             self.components[name] = self._module(name)
@@ -533,18 +545,36 @@ class BaseDiffusionPipeline:
         self.params[name] = awq_lib.awq_search_and_apply(
             self.params[name], groups, input_feats, cfg)
 
+    def _gptq_component(self, name: str, cfg: QuantConfig, plan,
+                        calib_prompts: Optional[Sequence[str]] = None):
+        """GPTQ the component's dense layers from Gram-matrix Hessians
+        captured over denoise steps (convs fall back to RTN inside
+        gptq_quantize_params).  SD3.5 overrides with its MMDiT
+        capture."""
+        from qdm_tpu.quant import gptq as gptq_lib
+
+        _, grams = self._calibrate_unet_with_inputs(
+            cfg, name=name, calib_prompts=calib_prompts, gram=True)
+        self.params[name] = gptq_lib.gptq_quantize_params(
+            self.params[name], plan, grams)
+
     def _calibrate_unet_with_inputs(self, cfg: QuantConfig, name: str = "unet",
-                                    calib_prompts: Optional[Sequence[str]] = None):
+                                    calib_prompts: Optional[Sequence[str]] = None,
+                                    gram: bool = False):
         """AWQ needs sampled layer inputs, not just absmax: run a few
         denoise steps with 'calib_x' capture and concat the sampled rows
-        (the jnp analogue of _get_input_feat, quantizer.py:1093-1141)."""
+        (the jnp analogue of _get_input_feat, quantizer.py:1093-1141).
+        gram=True captures per-layer X^T X Gram matrices instead (GPTQ
+        Hessians — full-data over every denoise step/token, bounded
+        (C, C) memory)."""
         from qdm_tpu.calib.data import get_calib_prompts
 
         calib = cfg.calib
         prompts = (list(calib_prompts)[: max(2, min(calib.n_samples, 8))]
                    if calib_prompts
                    else get_calib_prompts(calib.dataset, min(calib.n_samples, 8)))
-        plan = self.plans[name].with_capture(True, inputs=True)
+        plan = self.plans[name].with_capture(True, inputs=not gram,
+                                             gram=gram)
         capture_unet = dataclasses.replace(self.components[name], plan=plan)
         steps = max(1, min(calib.n_steps, 4))
         tables = schedulers.make_ddim(self.scheduler_config, steps)
@@ -555,6 +585,8 @@ class BaseDiffusionPipeline:
                                     (len(prompts), h, w, self.latent_channels()),
                                     jnp.float32)
 
+        mutable = ["calib", "calib_h" if gram else "calib_x"]
+
         @jax.jit
         def step_fn(params, lat, ctx, uctx, added, s):
             t = tables.timesteps[s]
@@ -563,20 +595,27 @@ class BaseDiffusionPipeline:
             tt = jnp.broadcast_to(t, (lat_in.shape[0],))
             args = (lat_in, tt, ctx_in) + ((added,) if added is not None else ())
             out, mut = capture_unet.apply({"params": params}, *args,
-                                          mutable=["calib", "calib_x"])
+                                          mutable=mutable)
             eps_u, eps_c = jnp.split(out, 2, axis=0)
             eps = eps_u + calib.guidance_scale * (eps_c - eps_u)
             new_lat = schedulers.ddim_step(tables, eps, lat, s, steps)
-            return new_lat, flatten_calib(mut["calib"]), \
-                flatten_calib(mut["calib_x"], leaf="x")
+            feats = (flatten_calib(mut["calib_h"], leaf="h") if gram
+                     else flatten_calib(mut["calib_x"], leaf="x"))
+            return new_lat, flatten_calib(mut["calib"]), feats
 
         lat = latents
         feat_lists: Dict[str, list] = {}
+        grams: Dict[str, jnp.ndarray] = {}
         for s in range(steps):
             lat, stats, feats = step_fn(self.params[name], lat, ctx, uctx, added, s)
             run.update(stats)
             for k, v in feats.items():
-                feat_lists.setdefault(k, []).append(v)
+                if gram:
+                    grams[k] = grams[k] + v if k in grams else v
+                else:
+                    feat_lists.setdefault(k, []).append(v)
+        if gram:
+            return run.mean(), grams
         input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feat_lists.items()}
         return run.mean(), input_feats
 
@@ -1333,3 +1372,48 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
         groups = sd3_scaling_groups(self.params["transformer"])
         self.params["transformer"] = awq_lib.awq_search_and_apply(
             self.params["transformer"], groups, input_feats, cfg)
+
+    def _gptq_component(self, name: str, cfg: QuantConfig, plan,
+                        calib_prompts: Optional[Sequence[str]] = None):
+        """MMDiT GPTQ: Gram-matrix Hessians captured over flow-match
+        denoise steps (the base override uses the unet apply
+        signature)."""
+        from qdm_tpu.calib.data import get_calib_prompts
+        from qdm_tpu.quant import gptq as gptq_lib
+
+        calib = cfg.calib
+        prompts = (list(calib_prompts)[: max(2, min(calib.n_samples, 8))]
+                   if calib_prompts
+                   else get_calib_prompts(calib.dataset, min(calib.n_samples, 8)))
+        cplan = self.plans["transformer"].with_capture(True, gram=True)
+        capture = dataclasses.replace(self.components["transformer"],
+                                      plan=cplan)
+        steps = max(1, min(calib.n_steps, 4))
+        tables = schedulers.make_flow_match(steps)
+        ctx, uctx, added = self._encode_prompts(prompts, None)
+        s = self.default_sample_size()
+        lat = jax.random.normal(jax.random.PRNGKey(calib.seed),
+                                (len(prompts), s, s, self.latent_channels()),
+                                jnp.float32)
+
+        @jax.jit
+        def step_fn(params, lat, s_idx):
+            t = tables.timesteps[s_idx]
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+            ctx_in = jnp.concatenate([uctx, ctx], axis=0)
+            tt = jnp.broadcast_to(t, (lat_in.shape[0],))
+            v, mut = capture.apply({"params": params}, lat_in, tt, ctx_in,
+                                   added["pooled"],
+                                   mutable=["calib", "calib_h"])
+            v_u, v_c = jnp.split(v, 2, axis=0)
+            v = v_u + cfg.calib.guidance_scale * (v_c - v_u)
+            return schedulers.flow_match_step(tables, v, lat, s_idx), \
+                flatten_calib(mut["calib_h"], leaf="h")
+
+        grams: Dict[str, jnp.ndarray] = {}
+        for si in range(steps):
+            lat, hs = step_fn(self.params["transformer"], lat, si)
+            for k, v in hs.items():
+                grams[k] = grams[k] + v if k in grams else v
+        self.params["transformer"] = gptq_lib.gptq_quantize_params(
+            self.params["transformer"], plan, grams)
