@@ -337,7 +337,8 @@ class CausalLM:
     def quantize(self, tokenizer=None, quant_config: Optional[dict] = None,
                  quantType: str = "awq", calib_data: Optional[np.ndarray] = None,
                  sequential: bool = False,
-                 debug_attention_path: Optional[str] = None):
+                 debug_attention_path: Optional[str] = None,
+                 smooth: bool = False):
         """calib_data: (n, seq) int32 token blocks; if None, built from
         qdm_tpu.calib.data.get_calib_dataset (pileval semantics).
         sequential=True runs the reference's per-layer AWQ propagation
@@ -345,7 +346,10 @@ class CausalLM:
         debug_attention_path: directory for the attention-delta
         diagnostic (reference debugAttentionMap,
         quantizer.py:305-317,358-373): layer-0 attention-prob deltas
-        before-scale/after-scale vs after-quant, JSON + optional PNG."""
+        before-scale/after-scale vs after-quant, JSON + optional PNG.
+        smooth=True (quantType='gptq' only) runs a SmoothQuant
+        pre-migration before the Hessian capture — the composed
+        smooth+gptq quantizer."""
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
             else QuantConfig.from_dict(quant_config)
         cfg.quant_method = quantType.lower()
@@ -363,6 +367,9 @@ class CausalLM:
         attn_x = None
 
         method = cfg.quant_method
+        if smooth and method != "gptq":
+            raise ValueError("smooth=True composes with quantType='gptq' "
+                             "only; plain smoothing is quantType='sq'")
         if method == "awq" and sequential and cfg.version != "real":
             if calib_data is None:
                 from qdm_tpu.calib.data import get_calib_dataset
@@ -382,13 +389,8 @@ class CausalLM:
             # error-compensated placement on the SAME grids as RTN/AWQ.
             # GPTQ's output IS the quantized weight — the shared RTN
             # fake/pack transforms would re-round it, so this branch
-            # finishes on its own.
-            if cfg.version == "real":
-                raise NotImplementedError(
-                    "gptq packing needs the search's own codes/scales "
-                    "(the pack transform re-derives an RTN grid that "
-                    "would discard the error compensation); use "
-                    "version='fake'/'fake_act'")
+            # finishes on its own (incl. version='real': packs carry
+            # the search's own codes/scales/zeros, gptq_pack_params).
             from qdm_tpu.quant import gptq as gptq_lib
 
             if calib_data is None:
@@ -398,15 +400,38 @@ class CausalLM:
                     tokenizer=tokenizer,
                     n_samples=min(cfg.calib.n_samples, 32),
                     max_seq_len=cfg.calib.max_seq_len)
+            if smooth:
+                # SmoothQuant pre-migration (composes: smoothing moves
+                # the outliers, GPTQ then compensates the rounding on
+                # the migrated weights — Hessians MUST be captured
+                # after migration, the inputs change by 1/s)
+                stats, _ = self._calibrate(cfg, np.asarray(calib_data),
+                                           capture_inputs=False)
+                groups = llama_scaling_groups(
+                    self.params, include_fc_groups=False,
+                    norm_plus_one=self.config.norm_plus_one)
+                self.params = smooth_lib.smooth_params(
+                    self.params, groups, stats,
+                    alpha=cfg.alpha if cfg.alpha != 0.80 else 0.5)
             _, feats = self._calibrate(cfg, np.asarray(calib_data),
                                        capture_inputs=False,
                                        capture_gram=True)
-            self.params = gptq_lib.gptq_quantize_params(self.params, plan,
+            if cfg.version == "real":
+                if plan.fuse_qkv:
+                    # fused projections share their input, so the fused
+                    # kernel's Hessian is the constituents' Gram —
+                    # fuse fp weights first, GPTQ the fused kernels
+                    self.params = qapply.fuse_qkv_params(self.params)
+                    feats = gptq_lib.remap_fused_grams(feats)
+                self.params = gptq_lib.gptq_pack_params(self.params, plan,
                                                         feats)
-            if plan.fuse_qkv:
-                # fusing after quantization keeps per-projection grids
-                # (each of q/k/v GPTQ'd against its own Hessian)
-                self.params = qapply.fuse_qkv_params(self.params)
+            else:
+                self.params = gptq_lib.gptq_quantize_params(
+                    self.params, plan, feats)
+                if plan.fuse_qkv:
+                    # fusing after quantization keeps per-projection
+                    # grids (each GPTQ'd against its own Hessian)
+                    self.params = qapply.fuse_qkv_params(self.params)
             self.plan = plan
             self.is_quantized = True
             return self

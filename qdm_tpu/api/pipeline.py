@@ -267,6 +267,7 @@ class BaseDiffusionPipeline:
             plan = self._make_plan(cfg, comp_key)
             pre_params = self.params[name] if debugSavePath else None
             act_stats = None
+            gptq_grams = None
             self._pending_per_step = None
             if method in ("sq", "smooth", "smoothquant"):
                 act_stats = self._smoothquant_component(
@@ -279,13 +280,11 @@ class BaseDiffusionPipeline:
                 # error-compensated placement for the denoiser's dense
                 # layers (convs fall back to the shared RTN grids).
                 # GPTQ's output IS the quantized weight, so this
-                # component skips the fake-quant transform below.
-                if cfg.version == "real":
-                    raise NotImplementedError(
-                        "gptq packs need the search's own codes/scales; "
-                        "use version='fake'/'fake_act'")
-                self._gptq_component(name, cfg, plan,
-                                     calib_prompts=calib_prompts)
+                # component skips the fake-quant transform below; for
+                # version='real' the packs carry the search's own
+                # codes/scales (gptq_pack_params in the real block).
+                act_stats, gptq_grams = self._gptq_component(
+                    name, cfg, plan, calib_prompts=calib_prompts)
             elif method == "rtn" and cfg.version == "real" \
                     and cfg.quantize_act and "static" in (
                         cfg.act_quant_type, cfg.act_quant_conv_type):
@@ -301,9 +300,19 @@ class BaseDiffusionPipeline:
                     # paths), before packing — fuse_qkv_params contract
                     self.params[name] = qapply.fuse_qkv_params(
                         self.params[name])
-                self.params[name] = qapply.pack_params(
-                    self.params[name], plan, act_stats=act_stats,
-                    act_margin=getattr(cfg, "static_act_margin", 1.0))
+                if method == "gptq" and gptq_grams:
+                    from qdm_tpu.quant import gptq as gptq_lib
+
+                    if plan.fuse_qkv:
+                        gptq_grams = gptq_lib.remap_fused_grams(gptq_grams)
+                    self.params[name] = gptq_lib.gptq_pack_params(
+                        self.params[name], plan, gptq_grams,
+                        act_stats=act_stats,
+                        act_margin=getattr(cfg, "static_act_margin", 1.0))
+                else:
+                    self.params[name] = qapply.pack_params(
+                        self.params[name], plan, act_stats=act_stats,
+                        act_margin=getattr(cfg, "static_act_margin", 1.0))
                 if act_stats:
                     # calibrated static act scales for int8 convs
                     self.params[name] = qapply.fill_static_act_scales(
@@ -550,13 +559,18 @@ class BaseDiffusionPipeline:
         """GPTQ the component's dense layers from Gram-matrix Hessians
         captured over denoise steps (convs fall back to RTN inside
         gptq_quantize_params).  SD3.5 overrides with its MMDiT
-        capture."""
+        capture.  Returns (act_stats, grams); grams is None when the
+        fake transform already applied (version != 'real' — the real
+        block packs from the Grams instead)."""
         from qdm_tpu.quant import gptq as gptq_lib
 
-        _, grams = self._calibrate_unet_with_inputs(
+        stats, grams = self._calibrate_unet_with_inputs(
             cfg, name=name, calib_prompts=calib_prompts, gram=True)
+        if cfg.version == "real":
+            return stats, grams
         self.params[name] = gptq_lib.gptq_quantize_params(
             self.params[name], plan, grams)
+        return stats, None
 
     def _calibrate_unet_with_inputs(self, cfg: QuantConfig, name: str = "unet",
                                     calib_prompts: Optional[Sequence[str]] = None,
@@ -1408,12 +1422,18 @@ class StableDiffusion3_5(BaseDiffusionPipeline):
             v_u, v_c = jnp.split(v, 2, axis=0)
             v = v_u + cfg.calib.guidance_scale * (v_c - v_u)
             return schedulers.flow_match_step(tables, v, lat, s_idx), \
+                flatten_calib(mut["calib"]), \
                 flatten_calib(mut["calib_h"], leaf="h")
 
+        run = RunningMeanMax()
         grams: Dict[str, jnp.ndarray] = {}
         for si in range(steps):
-            lat, hs = step_fn(self.params["transformer"], lat, si)
+            lat, stats, hs = step_fn(self.params["transformer"], lat, si)
+            run.update(stats)
             for k, v in hs.items():
                 grams[k] = grams[k] + v if k in grams else v
+        if cfg.version == "real":
+            return run.mean(), grams
         self.params["transformer"] = gptq_lib.gptq_quantize_params(
             self.params["transformer"], plan, grams)
+        return run.mean(), None

