@@ -501,11 +501,14 @@ class CausalLM:
 
     def serve(self, calib_ids=None, mode: str = "w4a8_static",
               smooth: bool = False, smooth_alpha: float = 0.5,
-              awq: bool = False, **engine_kw):
+              awq: bool = False, gptq: bool = False, **engine_kw):
         """Build the megakernel serving engine for this model — the
         production decode path (qdm_tpu/api/serve.py).  One call wraps
         the serving flow: optional SmoothQuant or AWQ weight-space
-        migration, static act-scale calibration, engine construction.
+        migration, optional GPTQ weight-code placement on the engine
+        grids (gptq=True — Hessians captured after any migration;
+        serving speed is identical, quality-table rows), static
+        act-scale calibration, engine construction.
 
         ``mode``: 'w4a8_static' (default; int4 weights on the int8 MXU
         — the measured serve AND batch-1 winner, BENCH_NOTES round 3),
@@ -518,11 +521,11 @@ class CausalLM:
         from qdm_tpu.api.serve import DecodeEngine
 
         if mode == "bf16":
-            if smooth or awq:
-                raise ValueError("smooth/awq migrations target the "
-                                 "quantized serve modes; they would be "
-                                 "a silent no-op (smooth) or an "
-                                 "unmeasured clip (awq) on bf16")
+            if smooth or awq or gptq:
+                raise ValueError("smooth/awq/gptq target the quantized "
+                                 "serve modes; they would be a silent "
+                                 "no-op (smooth/gptq) or an unmeasured "
+                                 "clip (awq) on bf16")
             return DecodeEngine(self, mode="bf16", **engine_kw)
         if calib_ids is None:
             raise ValueError(f"mode={mode!r} needs calib_ids for static "
@@ -547,6 +550,12 @@ class CausalLM:
                 # spanning the row): group_size=0 -> per-channel search
                 DecodeEngine.awq_lm(self, calib_ids, w_bits=8,
                                     group_size=0)
+        if gptq:
+            # GPTQ code placement on the engine grids — after the
+            # migrations above (they mutate weights, changing every
+            # layer's inputs), quality-best composed with smooth=True
+            engine_kw["gptq_grams"] = DecodeEngine.gptq_grams(
+                self, np.asarray(calib_ids))
         stats = DecodeEngine.calibrate_scales(self, np.asarray(calib_ids))
         return DecodeEngine(self, mode=mode, act_stats=stats, **engine_kw)
 
@@ -961,6 +970,113 @@ class CausalLM:
             for p in path_t:
                 sub = sub[p]
             sub[name] = jnp.asarray(val)
+
+        self.params = params
+        self.is_quantized = True
+        return self
+
+    @classmethod
+    def from_quantized_autogptq(cls, path: str, dtype=jnp.bfloat16):
+        """Load an AutoGPTQ / gptqmodel checkpoint (the other dominant
+        on-disk PTQ format next to AutoAWQ: row-packed qweight,
+        column-packed qzeros with the historical minus-one offset,
+        per-group scales, optional g_idx).
+
+        desc_act=False (trivial g_idx): converts to this framework's
+        canonical packed W4A16 layout bit-exactly.  desc_act=True
+        checkpoints reorder GROUP MEMBERSHIP per row (g_idx), which has
+        no contiguous-group packing — those import as the exact
+        DEQUANTIZED fp kernels instead (the same values any GPTQ kernel
+        computes with; serve via bf16 or the DecodeEngine's
+        re-quantization)."""
+        from qdm_tpu.api import loader
+        from qdm_tpu.ops.quant_matmul import pack_linear_int4
+        from qdm_tpu.quant.packing import (dequantize_gptq,
+                                           unpack_gptq_layout)
+
+        self = cls()
+        self.dtype = dtype
+        hf = loader.load_json(os.path.join(path, "config.json"))
+        qc = hf.get("quantization_config") or {}
+        bits = int(qc.get("bits", 4))
+        if bits != 4:
+            raise NotImplementedError(
+                f"autogptq import supports 4-bit checkpoints (got "
+                f"bits={bits}); the canonical packed layout is int4")
+        plus_one = qc.get("checkpoint_format", "gptq") != "gptq_v2"
+        self.quant_config = QuantConfig.from_transformers_dict(qc)
+        self.quant_config.quant_method = "gptq"
+        self.quant_config.version = "real"
+        gs = self.quant_config.q_group_size
+        fields = {f.name for f in dataclasses.fields(llama_lib.LlamaConfig)}
+        self.config = llama_lib.LlamaConfig(
+            **{k: v for k, v in hf.items() if k in fields})
+
+        sd = loader.load_safetensors_dir(path)
+        # desc_act detection: any non-trivial g_idx anywhere switches
+        # the whole import to dequantized-fp (one consistent plan)
+        desc_act = False
+        for key, v in sd.items():
+            if key.endswith(".g_idx"):
+                g = np.asarray(v)
+                if not np.array_equal(g, np.arange(len(g)) // gs):
+                    desc_act = True
+                    break
+        if desc_act:
+            self.quant_config.version = "fake"
+        self.plan = self._make_plan(self.quant_config)
+
+        shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8), jnp.int32)))["params"]
+        converted: Dict[str, np.ndarray] = {}
+        for key in list(sd):
+            if not key.endswith(".qweight"):
+                continue
+            base = key[: -len(".qweight")]
+            qw = jnp.asarray(np.ascontiguousarray(sd[key]))
+            qz = jnp.asarray(np.ascontiguousarray(sd[base + ".qzeros"]))
+            sc = jnp.asarray(np.ascontiguousarray(sd[base + ".scales"]))
+            gi = (np.asarray(sd[base + ".g_idx"])
+                  if base + ".g_idx" in sd else None)
+            if desc_act:
+                kern = dequantize_gptq(qw, qz, sc, g_idx=gi, bits=bits,
+                                       group_size=gs, plus_one=plus_one)
+                converted[base + ".kernel_fp"] = np.asarray(kern)
+            else:
+                iw, iz = unpack_gptq_layout(qw, qz, bits,
+                                            plus_one=plus_one)
+                pq, ps, pz = pack_linear_int4(iw, sc.astype(jnp.float32),
+                                              iz.astype(jnp.float32), gs)
+                converted[base + ".qweight_rows"] = np.asarray(pq)
+                converted[base + ".scales_rows"] = np.asarray(ps)
+                converted[base + ".zeros_rows"] = np.asarray(pz)
+        fp_sd = {k: v for k, v in sd.items()
+                 if not any(k.endswith(s) for s in
+                            (".qweight", ".qzeros", ".scales", ".g_idx"))}
+        params, missing, _ = loader.convert_torch_state_dict(
+            fp_sd, shapes, strip_prefixes=("model.",))
+        from qdm_tpu.api.loader import _locate, _merge_segments
+
+        for key, val in converted.items():
+            stem, leaf = key.rsplit(".", 1)
+            k2 = stem[len("model."):] if stem.startswith("model.") else stem
+            loc = _locate(shapes, _merge_segments(k2))
+            if loc is None:
+                continue
+            path_t, leaf_dict = loc
+            sub = params
+            for p in path_t:
+                sub = sub[p]
+            if leaf == "kernel_fp":
+                # dequantized-exact import: AutoGPTQ stores qweight
+                # transposed, (in/epw, out) — the dequantized (K, N)
+                # is already flax (in, out) orientation
+                sub["kernel"] = jnp.asarray(val).astype(self.dtype)
+            else:
+                name = {"qweight_rows": "qweight", "scales_rows": "scales",
+                        "zeros_rows": "zeros"}[leaf]
+                sub[name] = jnp.asarray(val)
 
         self.params = params
         self.is_quantized = True

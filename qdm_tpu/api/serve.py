@@ -123,6 +123,47 @@ def _quant_w4_rowsharded(w, group: int, tp: int, block: int = 0):
     return jnp.concatenate(packs, axis=0), jnp.concatenate(scs, axis=0)
 
 
+def _quant_w_gptq(w, H):
+    """GPTQ placement on the engine's per-out-channel symmetric int8
+    grid (same grid as _quant_w; only the CODES differ — each rounding
+    error is redistributed through the input Hessian, quant/gptq.py).
+    With an identity Hessian this IS _quant_w (tested)."""
+    from qdm_tpu.quant.gptq import gptq_quantize_kernel_h
+
+    codes, scales, _ = gptq_quantize_kernel_h(
+        w.astype(jnp.float32), H, n_bits=8, group_size=0,
+        zero_point=False, return_q=True, narrow_range=True)
+    return codes.astype(jnp.int8), scales.astype(jnp.float32)
+
+
+def _quant_w4_gptq(w, H, group: int, block: int = 0):
+    """GPTQ placement on the engine's group-wise symmetric int4 grid
+    (same grid as _quant_w4), planar-packed for the i4 kernels."""
+    from qdm_tpu.quant.gptq import gptq_quantize_kernel_h
+
+    codes, scales, _ = gptq_quantize_kernel_h(
+        w.astype(jnp.float32), H, n_bits=4, group_size=group,
+        zero_point=False, return_q=True, narrow_range=True)
+    return (dk.pack_int4_planar(codes.astype(jnp.int8), block=block),
+            scales.astype(jnp.float32))
+
+
+def _quant_w4_gptq_rowsharded(w, H, group: int, tp: int, block: int = 0):
+    """Row-split int4 GPTQ: each shard's rows quantize against the
+    matching diagonal Hessian block (cross-shard compensation is
+    impossible in this layout anyway — each device owns its rows)."""
+    k = w.shape[0]
+    kl = k // tp
+    packs, scs = [], []
+    for s_ in range(tp):
+        pk, sc = _quant_w4_gptq(w[s_ * kl:(s_ + 1) * kl],
+                                H[s_ * kl:(s_ + 1) * kl,
+                                  s_ * kl:(s_ + 1) * kl], group, block=block)
+        packs.append(pk)
+        scs.append(sc)
+    return jnp.concatenate(packs, axis=0), jnp.concatenate(scs, axis=0)
+
+
 def _qkv_shard_perm(h: int, hkv: int, d: int, tp: int) -> np.ndarray:
     """Column permutation putting the fused [q | k | v] projection into
     shard-major order: shard s's columns are [q_s | k_s | v_s], so a
@@ -246,12 +287,16 @@ class DecodeEngine:
                  merge_o: bool = False, mesh=None,
                  prefill_quant: bool = False,
                  head_quant: Optional[str] = None,
-                 kv_scale_mode: str = "token", kv_margin: float = 2.0):
+                 kv_scale_mode: str = "token", kv_margin: float = 2.0,
+                 gptq_grams: Optional[Dict[str, jnp.ndarray]] = None):
         if mode not in ("bf16", "w8a8_static", "w4a8_static"):
             raise ValueError(mode)
         if mode != "bf16" and act_stats is None:
             raise ValueError(f"{mode} needs act_stats "
                              "(see DecodeEngine.calibrate_scales)")
+        if gptq_grams and mode == "bf16":
+            raise ValueError("gptq_grams places quantized weight codes; "
+                             "bf16 mode has none (use w8a8/w4a8_static)")
         cfg = lm.config
         # Mixtral-family sparse MoE: the attention half serves through
         # the same megakernels; the expert MLP runs as stacked-expert
@@ -475,6 +520,36 @@ class DecodeEngine:
             s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
             return (s * act_margin).astype(jnp.float32)
 
+        # GPTQ weight placement (DecodeEngine.gptq_grams -> per-layer
+        # input Hessians): codes on the SAME engine grids, rounding
+        # error redistributed through H.  Layers without a
+        # matching-shape Gram fall back to plain RTN codes; with an
+        # identity Hessian the codes ARE the RTN codes (tested), so
+        # this is a pure quality lever at identical serving speed.
+        grams = gptq_grams or {}
+
+        def gram_for(key, k_dim):
+            h_ = grams.get(key)
+            if h_ is not None and getattr(h_, "shape", None) == (k_dim,
+                                                                 k_dim):
+                return h_
+            return None
+
+        def qw8(w, key):
+            h_ = gram_for(key, w.shape[0])
+            return _quant_w_gptq(w, h_) if h_ is not None else _quant_w(w)
+
+        def qw4(w, key, group, block=0, rowsharded=False):
+            h_ = gram_for(key, w.shape[0])
+            if rowsharded:
+                if h_ is not None:
+                    return _quant_w4_gptq_rowsharded(w, h_, group, self.tp,
+                                                     block=block)
+                return _quant_w4_rowsharded(w, group, self.tp, block=block)
+            if h_ is not None:
+                return _quant_w4_gptq(w, h_, group, block=block)
+            return _quant_w4(w, group, block=block)
+
         qkv_perm = (_qkv_shard_perm(cfg.num_attention_heads,
                                     cfg.num_key_value_heads, cfg.head_dim,
                                     self.tp) if self.tp > 1 else None)
@@ -550,8 +625,10 @@ class DecodeEngine:
                              W1=W1, W3=W3, W2=W2)
             elif self.moe:                        # w8a8_static MoE
                 pre = f"layers_{l}/block_sparse_moe"
-                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
-                entry["w_o"], entry["s_o"] = _quant_w(w_o)
+                entry["w_qkv"], entry["s_qkv"] = qw8(
+                    w_qkv, f"layers_{l}/self_attn/q_proj")
+                entry["w_o"], entry["s_o"] = qw8(
+                    w_o, f"layers_{l}/self_attn/o_proj")
                 entry["router"] = router          # fp router (reference
                 # modules_to_not_convert semantics: routing stays exact)
                 entry["W1"], entry["sW1"] = _quant_w_stacked(W1)
@@ -572,10 +649,12 @@ class DecodeEngine:
                 entry.update(w_qkv=w_qkv, w_o=w_o, w1=w1, w2=w2)
             elif self.ungated:                    # w8a8_static phi
                 pre = f"layers_{l}"
-                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
-                entry["w_o"], entry["s_o"] = _quant_w(w_o)
-                entry["w1"], entry["s1"] = _quant_w(w1)
-                entry["w2"], entry["s2"] = _quant_w(w2)
+                entry["w_qkv"], entry["s_qkv"] = qw8(
+                    w_qkv, f"{pre}/self_attn/q_proj")
+                entry["w_o"], entry["s_o"] = qw8(
+                    w_o, f"{pre}/self_attn/o_proj")
+                entry["w1"], entry["s1"] = qw8(w1, f"{pre}/mlp/fc1")
+                entry["w2"], entry["s2"] = qw8(w2, f"{pre}/mlp/fc2")
                 entry["a_qkv"] = scale_of(
                     f"{pre}/self_attn/q_proj").reshape(1)
                 entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
@@ -586,11 +665,13 @@ class DecodeEngine:
                 entry.update(w_qkv=w_qkv, w_o=w_o, wg=wg, wu=wu, wd=wd)
             elif mode == "w8a8_static":
                 pre = f"layers_{l}"
-                entry["w_qkv"], entry["s_qkv"] = _quant_w(w_qkv)
-                entry["w_o"], entry["s_o"] = _quant_w(w_o)
-                entry["wg"], entry["sg"] = _quant_w(wg)
-                entry["wu"], entry["su"] = _quant_w(wu)
-                entry["wd"], entry["sd"] = _quant_w(wd)
+                entry["w_qkv"], entry["s_qkv"] = qw8(
+                    w_qkv, f"{pre}/self_attn/q_proj")
+                entry["w_o"], entry["s_o"] = qw8(
+                    w_o, f"{pre}/self_attn/o_proj")
+                entry["wg"], entry["sg"] = qw8(wg, f"{pre}/mlp/gate_proj")
+                entry["wu"], entry["su"] = qw8(wu, f"{pre}/mlp/up_proj")
+                entry["wd"], entry["sd"] = qw8(wd, f"{pre}/mlp/down_proj")
                 entry["a_qkv"] = scale_of(
                     f"{pre}/self_attn/q_proj").reshape(1)
                 entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
@@ -599,22 +680,26 @@ class DecodeEngine:
                      scale_of(f"{pre}/mlp/down_proj")])
             else:  # w4a8_static
                 pre = f"layers_{l}"
-                entry["w_qkv"], entry["s_qkv"] = _quant_w4(
-                    w_qkv, self.i4_group)
-                entry["wg"], entry["sg"] = _quant_w4(wg, self.i4_group)
-                entry["wu"], entry["su"] = _quant_w4(wu, self.i4_group)
+                entry["w_qkv"], entry["s_qkv"] = qw4(
+                    w_qkv, f"{pre}/self_attn/q_proj", self.i4_group)
+                entry["wg"], entry["sg"] = qw4(
+                    wg, f"{pre}/mlp/gate_proj", self.i4_group)
+                entry["wu"], entry["su"] = qw4(
+                    wu, f"{pre}/mlp/up_proj", self.i4_group)
                 if self.tp > 1:
                     # row-split weights pack per shard (helper doc)
-                    entry["w_o"], entry["s_o"] = _quant_w4_rowsharded(
-                        w_o, self.i4_group, self.tp)
-                    entry["wd"], entry["sd"] = _quant_w4_rowsharded(
-                        wd, self.i4_group, self.tp,
-                        block=self.i4_mlp_block)
+                    entry["w_o"], entry["s_o"] = qw4(
+                        w_o, f"{pre}/self_attn/o_proj", self.i4_group,
+                        rowsharded=True)
+                    entry["wd"], entry["sd"] = qw4(
+                        wd, f"{pre}/mlp/down_proj", self.i4_group,
+                        block=self.i4_mlp_block, rowsharded=True)
                 else:
-                    entry["w_o"], entry["s_o"] = _quant_w4(w_o,
-                                                           self.i4_group)
-                    entry["wd"], entry["sd"] = _quant_w4(
-                        wd, self.i4_group, block=self.i4_mlp_block)
+                    entry["w_o"], entry["s_o"] = qw4(
+                        w_o, f"{pre}/self_attn/o_proj", self.i4_group)
+                    entry["wd"], entry["sd"] = qw4(
+                        wd, f"{pre}/mlp/down_proj", self.i4_group,
+                        block=self.i4_mlp_block)
                 entry["a_qkv"] = scale_of(
                     f"{pre}/self_attn/q_proj").reshape(1)
                 entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
@@ -683,10 +768,10 @@ class DecodeEngine:
                 hs = cfg.hidden_size
                 self._head_group = (128 if (hs // 2) % 128 == 0
                                     else hs // 2)
-                wh_p, wh_s = _quant_w4(self.w_head, self._head_group)
+                wh_p, wh_s = qw4(self.w_head, "lm_head", self._head_group)
                 self._head = (wh_p, wh_s, scale_of("lm_head").reshape(1))
             else:
-                wh_q, wh_s = _quant_w(self.w_head)
+                wh_q, wh_s = qw8(self.w_head, "lm_head")
                 self._head = (wh_q, wh_s, scale_of("lm_head").reshape(1))
         else:
             self._head = self.w_head
@@ -898,6 +983,45 @@ class DecodeEngine:
         def fwd(params, ids):
             _, mut = model.apply({"params": params}, ids, mutable=["calib"])
             return flatten_calib(mut["calib"])
+
+        return fwd(lm.params, jnp.asarray(calib_ids))
+
+    @staticmethod
+    def gptq_grams(lm, calib_ids) -> Dict[str, jnp.ndarray]:
+        """Per-layer input Hessians H = X^T X for GPTQ weight placement
+        in the engine (``DecodeEngine(..., gptq_grams=...)``): one sown
+        'calib_h' capture forward (quant/gptq.py — full-data Grams,
+        bounded (C, C) memory).  Run AFTER smooth_lm/awq_lm: those
+        mutate the weights, which changes every layer's inputs.  The
+        codes land on the engine's own symmetric grids, so serving
+        speed is identical — this is a pure quality lever (quality
+        table: the composed smooth+gptq row is the best w4)."""
+        from qdm_tpu.calib.stats import flatten_calib
+        from qdm_tpu.models import llama as llama_lib
+
+        ids_arr = np.asarray(calib_ids)
+        n_tok = int(ids_arr.shape[0] * ids_arr.shape[1])
+        k_max = max(lm.config.hidden_size, lm.config.intermediate_size,
+                    lm.config.num_attention_heads * lm.config.head_dim)
+        if n_tok < k_max:
+            import warnings
+
+            warnings.warn(
+                f"gptq_grams: {n_tok} calibration tokens < the largest "
+                f"contraction dim {k_max} — the Gram is rank-deficient "
+                "and GPTQ will compensate into unobserved directions "
+                "(measured: LOSES to plain RTN codes).  Calibrate with "
+                "at least K tokens.")
+
+        plan = lm.plan.with_capture(True, inputs=False, gram=True)
+        model = llama_lib.LlamaForCausalLM(config=lm.config, dtype=lm.dtype,
+                                           plan=plan)
+
+        @jax.jit
+        def fwd(params, ids):
+            _, mut = model.apply({"params": params}, ids,
+                                 mutable=["calib", "calib_h"])
+            return flatten_calib(mut["calib_h"], leaf="h")
 
         return fwd(lm.params, jnp.asarray(calib_ids))
 

@@ -42,10 +42,11 @@ from qdm_tpu.quant.plan import QuantPlan
 
 @functools.partial(jax.jit, static_argnames=("n_bits", "group_size",
                                              "zero_point", "act_order",
-                                             "return_q"))
+                                             "return_q", "narrow_range"))
 def gptq_quantize_kernel_h(kernel, H, n_bits: int = 4, group_size: int = 128,
                            zero_point: bool = True, percdamp: float = 0.01,
-                           act_order: bool = False, return_q: bool = False):
+                           act_order: bool = False, return_q: bool = False,
+                           narrow_range: bool = False):
     """GPTQ-quantize one dense kernel from a precomputed Hessian.
 
     kernel: (K, N) flax layout (in, out); H: (K, K) input second
@@ -101,7 +102,10 @@ def gptq_quantize_kernel_h(kernel, H, n_bits: int = 4, group_size: int = 128,
         max_int = 2 ** n_bits - 1
     else:
         max_int = 2 ** (n_bits - 1) - 1
-        min_int = -(2 ** (n_bits - 1))
+        # narrow_range: the serving engine's symmetric grids clip to
+        # +-max_int (int4 [-7, 7], int8 [-127, 127]) so codes stay
+        # sign-symmetric — match exactly when packing for the engine
+        min_int = -max_int if narrow_range else -(2 ** (n_bits - 1))
     col_ids = jnp.arange(K)
 
     def block_step(W, bi):

@@ -129,3 +129,46 @@ def awq_to_canonical(qweight, qzeros, scales, bits: int = 4):
         scales.astype(jnp.float32),
         izeros.astype(jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# GPTQ (AutoGPTQ / gptqmodel) on-disk layout interop
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "plus_one"))
+def unpack_gptq_layout(qweight, qzeros, bits: int = 4,
+                       plus_one: bool = True):
+    """Unpack AutoGPTQ on-disk tensors.
+
+    qweight is ROW-packed (K/epw, N) int32 LSB-first (exactly our
+    pack_rows layout — GPTQ packs sequentially, no AWQ interleave);
+    qzeros is COLUMN-packed (K/g, N/epw) int32 LSB-first.  The legacy
+    checkpoint_format='gptq' stores zeros MINUS ONE (the historical
+    AutoGPTQ off-by-one every loader must undo); plus_one=True
+    restores the true zero points.  'gptq_v2' checkpoints store true
+    zeros (plus_one=False).  Returns (iweights (K, N),
+    izeros (K/g, N)) int32."""
+    iw = unpack_rows(qweight, bits)
+    iz = None
+    if qzeros is not None:
+        shifts = jnp.arange(0, 32, bits, dtype=jnp.uint32)
+        u = qzeros.astype(jnp.uint32)[:, :, None] >> shifts[None, None, :]
+        u = (u & jnp.uint32(2 ** bits - 1)).reshape(
+            qzeros.shape[0], -1).astype(jnp.int32)
+        iz = u + (1 if plus_one else 0)
+    return iw, iz
+
+
+def dequantize_gptq(qweight, qzeros, scales, g_idx=None, bits: int = 4,
+                    group_size: int = 128, plus_one: bool = True):
+    """Dequantize an AutoGPTQ linear to float (K, N) — the exact values
+    any GPTQ kernel computes with: (code - zero) * scale with the row's
+    group chosen by g_idx (desc_act reorders GROUP MEMBERSHIP, not the
+    stored rows)."""
+    iw, iz = unpack_gptq_layout(qweight, qzeros, bits, plus_one=plus_one)
+    k = iw.shape[0]
+    rows = (jnp.asarray(g_idx, jnp.int32) if g_idx is not None
+            else jnp.arange(k, dtype=jnp.int32) // group_size)
+    z = iz[rows] if iz is not None else 0
+    return (iw - z).astype(jnp.float32) * scales.astype(jnp.float32)[rows]

@@ -1619,3 +1619,102 @@ def test_continuous_batching_interleaved_kv8c_smoke(lm):
     outs = cb.run(sufs, max_new_tokens=8, prefix=prefix)
     assert all(len(o) == len(s) + 8 for o, s in zip(outs, sufs))
     assert all(np.isfinite(o).all() for o in outs)
+
+
+# --------------------------------------------------------------- engine gptq
+
+
+def test_engine_gptq_identity_gram_is_rtn(lm):
+    """With an identity Hessian the GPTQ recursion never propagates
+    error (U is diagonal), so engine codes/scales/tokens must equal the
+    plain RTN engine BIT-EXACTLY — the grid-compatibility contract of
+    DecodeEngine(gptq_grams=...)."""
+    ids = RNG.integers(0, 256, (2, 7))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    grams = DecodeEngine.gptq_grams(lm, ids)
+    id_grams = {k: jnp.eye(v.shape[0], dtype=jnp.float32)
+                for k, v in grams.items()}
+    for mode in ("w8a8_static", "w4a8_static"):
+        e_rtn = DecodeEngine(lm, mode=mode, act_stats=stats)
+        e_id = DecodeEngine(lm, mode=mode, act_stats=stats,
+                            gptq_grams=id_grams)
+        for a, b in zip(e_rtn.layers, e_id.layers):
+            for k in ("w_qkv", "w_o", "wg", "wu", "wd"):
+                assert jnp.array_equal(a[k], b[k]), (mode, k)
+            for k in ("s_qkv", "s_o", "sg", "su", "sd"):
+                # scales agree to the last ULP only (XLA fuses the /127
+                # differently inside the jitted GPTQ scan)
+                np.testing.assert_allclose(np.asarray(a[k]),
+                                           np.asarray(b[k]), rtol=1e-6)
+        t_rtn = np.asarray(e_rtn.generate(ids[:1, :5], max_new_tokens=6))
+        t_id = np.asarray(e_id.generate(ids[:1, :5], max_new_tokens=6))
+        np.testing.assert_array_equal(t_rtn, t_id)
+
+
+def test_engine_gptq_real_grams_serve(lm):
+    """Real captured Hessians: the engine serves (generate + score
+    finite), codes differ from RTN somewhere (the compensation actually
+    moved placements), and ragged batching still works."""
+    ids = RNG.integers(0, 256, (2, 16))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    grams = DecodeEngine.gptq_grams(lm, ids)
+    assert "layers_0/mlp/down_proj" in grams
+    e_rtn = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    e_g = DecodeEngine(lm, mode="w4a8_static", act_stats=stats,
+                       gptq_grams=grams)
+    assert any(not jnp.array_equal(a["wd"], b["wd"])
+               for a, b in zip(e_rtn.layers, e_g.layers))
+    out = e_g.generate(ids[:, :6], max_new_tokens=6)
+    assert out.shape == (2, 12)
+    lg = np.asarray(e_g.score(jnp.asarray(ids)))
+    assert np.isfinite(lg).all()
+    ragged = e_g.generate_ragged([list(ids[0, :4]), list(ids[1, :9])],
+                                 max_new_tokens=4)
+    assert len(ragged) == 2
+
+
+def test_engine_gptq_improves_outlier_quality():
+    """On the outlier-injected model the composed smooth+gptq engine
+    must beat plain RTN codes on teacher-forced logits error — the
+    quality lever the integration exists for (quality-table rows)."""
+    from qdm_tpu.utils.outliers import inject_norm_outliers
+
+    def fresh():
+        m = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                                 dtype=jnp.float32, seed=0)
+        m.params = inject_norm_outliers(m.params, seed=11)
+        return m
+
+    ids = RNG.integers(0, 256, (4, 32))
+    ref = fresh()
+    ref_logits = np.asarray(ref.logits(jnp.asarray(ids)))
+
+    e_rtn = DecodeEngine(ref, mode="w4a8_static",
+                         act_stats=DecodeEngine.calibrate_scales(ref, ids))
+    sm = fresh()
+    DecodeEngine.smooth_lm(sm, ids)
+    e_sg = DecodeEngine(sm, mode="w4a8_static",
+                        act_stats=DecodeEngine.calibrate_scales(sm, ids),
+                        gptq_grams=DecodeEngine.gptq_grams(sm, ids))
+    err_rtn = float(np.abs(np.asarray(e_rtn.score(jnp.asarray(ids)))
+                           - ref_logits).mean())
+    err_sg = float(np.abs(np.asarray(e_sg.score(jnp.asarray(ids)))
+                          - ref_logits).mean())
+    assert np.isfinite(err_sg)
+    assert err_sg < err_rtn, (err_sg, err_rtn)
+
+
+def test_engine_gptq_bf16_guarded(lm):
+    with pytest.raises(ValueError):
+        DecodeEngine(lm, mode="bf16", gptq_grams={"x": jnp.eye(4)})
+
+
+def test_serve_entry_gptq():
+    """CausalLM.serve(gptq=True[, smooth=True]) one-call entry."""
+    lm = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                              dtype=jnp.float32, seed=0)
+    ids = RNG.integers(0, 256, (2, 16))
+    eng = lm.serve(calib_ids=ids, mode="w4a8_static", smooth=True,
+                   gptq=True)
+    out = eng.generate(ids[:1, :6], max_new_tokens=4)
+    assert out.shape == (1, 10)

@@ -137,6 +137,13 @@ def main():
     DecodeEngine.awq_lm(aw, CALIB[:4], w_bits=4,
                         group_size=_i4_layout(CFG)[0])
     aw_stats = DecodeEngine.calibrate_scales(aw, CALIB[:4])
+    # GPTQ code placement on the engine grids (same kernels/speed,
+    # quality-only lever) — Hessians AFTER any migration, and from the
+    # FULL calib set: the Gram must out-rank the largest contraction
+    # (down_proj K=768 here; 512 tokens left it rank-deficient and
+    # GPTQ compensated into null directions, measured -30% top-1)
+    g_ref = DecodeEngine.gptq_grams(ref, CALIB)
+    g_sm = DecodeEngine.gptq_grams(sm, CALIB)
     for ename, base, ekw in (
             ("engine w8a8_static (serve path)", ref,
              {"mode": "w8a8_static", "act_stats": stats}),
@@ -148,6 +155,15 @@ def main():
              {"mode": "w4a8_static", "act_stats": sm_stats}),
             ("engine w4a8_static + awq", aw,
              {"mode": "w4a8_static", "act_stats": aw_stats}),
+            ("engine w4a8_static + gptq", ref,
+             {"mode": "w4a8_static", "act_stats": stats,
+              "gptq_grams": g_ref}),
+            ("engine w4a8_static + smooth+gptq", sm,
+             {"mode": "w4a8_static", "act_stats": sm_stats,
+              "gptq_grams": g_sm}),
+            ("engine w8a8_static + smooth+gptq", sm,
+             {"mode": "w8a8_static", "act_stats": sm_stats,
+              "gptq_grams": g_sm}),
             # batch-1 latency config: merged o+MLP kernel (same math
             # as split — exactness-tested) + int8 lm_head (the one
             # row whose QUALITY differs: head codes perturb logits)

@@ -143,6 +143,11 @@ def main():
         "W4A16 Smooth (group-128 int4)": ("sq", calib(QuantConfig(
             w_bit=4, a_bit=16, version="fake", zero_point=True,
             q_group_size=128))),
+        # GPTQ on the same grid: denoise-step Gram Hessians, dense
+        # layers error-compensated, convs on the shared RTN pack
+        "W4 GPTQ (Hessian error-comp)": ("gptq", calib(QuantConfig(
+            w_bit=4, a_bit=16, version="fake", zero_point=True,
+            q_group_size=128))),
         "W4 RTN (no smoothing)": ("rtn", calib(QuantConfig(
             w_bit=4, a_bit=16, version="fake", zero_point=True,
             q_group_size=128))),
