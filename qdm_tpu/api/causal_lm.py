@@ -181,6 +181,8 @@ class CausalLM:
         # phi family: parallel residual off one layernorm, ungated
         # fc1->act->fc2 MLP, biases on every linear, partial rotary
         is_phi = str(hf.get("model_type", "")).startswith("phi")
+        # qwen3 family: per-head q/k RMSNorm before rope, no attn bias
+        is_qwen3 = str(hf.get("model_type", "")).startswith("qwen3")
         self.config = llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -225,6 +227,7 @@ class CausalLM:
             # Mixtral-family sparse MoE (models/moe.py)
             num_experts=hf.get("num_local_experts", 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+            qk_norm=is_qwen3,
         )
         shapes = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0),

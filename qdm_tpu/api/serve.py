@@ -468,15 +468,22 @@ class DecodeEngine:
         # head_dim/2, not rotary_dim/2)
         self.ungated = not getattr(cfg, "mlp_gated", True)
         self.all_bias = getattr(cfg, "all_bias", False)
-        self.rope_in_xla = getattr(cfg, "partial_rotary_factor", 1.0) < 1.0
+        # qwen3-class QK-norm: per-head q/k RMSNorm sits BETWEEN the
+        # projection and rope, so rope leaves the qkv kernel epilogue
+        # and runs XLA-side after the norm (the phi partial-rotary
+        # machinery — same generalized tables)
+        self.qk_norm = bool(getattr(cfg, "qk_norm", False))
+        self.rope_in_xla = (getattr(cfg, "partial_rotary_factor", 1.0) < 1.0
+                            or self.qk_norm)
         if self.ungated or self.all_bias or self.rope_in_xla:
             if mode not in ("bf16", "w8a8_static"):
                 raise NotImplementedError(
-                    "phi-class serving (ungated MLP / all-bias / "
-                    "partial rotary) covers bf16 and w8a8_static")
+                    "phi/qwen3-class serving (ungated MLP / all-bias / "
+                    "partial rotary / qk-norm) covers bf16 and "
+                    "w8a8_static")
             if self.spmd:
                 raise NotImplementedError(
-                    "phi-class serving is single-device for now")
+                    "phi/qwen3-class serving is single-device for now")
         self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
                          else None)
         # attention kernel batch rows per program (measured sweep:
@@ -588,6 +595,9 @@ class DecodeEngine:
             entry = {
                 "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
             }
+            if self.qk_norm:
+                entry["qn"] = at["q_norm"]["scale"].astype(jnp.float32)
+                entry["kn"] = at["k_norm"]["scale"].astype(jnp.float32)
             if self.sandwich:
                 # gemma2: ln2 is the MLP-kernel prologue norm (the
                 # pre-feedforward one); the two POST norms run in XLA
@@ -723,7 +733,7 @@ class DecodeEngine:
             # gemma (1+w) norms: fold the +1 into the snapshotted scales
             # so every kernel keeps standard rmsnorm semantics
             for entry in self.layers:
-                for k in ("ln1", "ln2", "ln_pa", "ln_pf"):
+                for k in ("ln1", "ln2", "ln_pa", "ln_pf", "qn", "kn"):
                     if k in entry:
                         entry[k] = entry[k] + 1.0
             self.final_norm = self.final_norm + 1.0
@@ -1093,6 +1103,20 @@ class DecodeEngine:
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps,
                                            group=self.i4_group)
+        if self.qk_norm:
+            # qwen3-class per-head q/k RMSNorm, PRE-rope (which is why
+            # qk_norm forces rope_in_xla: the kernel epilogue would
+            # rotate un-normalized heads)
+            w_qk = (h + hkv) * d
+            qk = qkv[:, :w_qk].astype(jnp.float32).reshape(bp, h + hkv, d)
+            qk = qk * jax.lax.rsqrt(
+                jnp.mean(qk * qk, axis=-1, keepdims=True) + eps)
+            sc = jnp.concatenate([jnp.broadcast_to(w["qn"], (h, d)),
+                                  jnp.broadcast_to(w["kn"], (hkv, d))])
+            qk = (qk * sc[None]).reshape(bp, w_qk)
+            qkv = jnp.concatenate(
+                [qk, qkv[:, w_qk:].astype(jnp.float32)],
+                axis=-1).astype(qkv.dtype)
         if rope_xla is not None:
             cosb, sinb, perm = rope_xla
             qf32 = qkv.astype(jnp.float32)

@@ -82,6 +82,11 @@ class LlamaConfig:
     # linear incl. o_proj / mlp / lm_head
     mlp_gated: bool = True
     all_bias: bool = False
+    # qwen3/gemma3/olmo2-class QK-norm: per-head RMSNorm on q and k
+    # (shared (head_dim,) learned scales, applied BEFORE rope; HF
+    # param names self_attn.{q,k}_norm.weight).  Follows
+    # norm_plus_one, so gemma3's (1+w) variant composes.
+    qk_norm: bool = False
 
     @property
     def rotary_dim(self) -> int:
@@ -180,6 +185,13 @@ class LlamaAttention(nn.Module):
                        plan=self.plan, name="k_proj")(x).reshape(b, s, hkv, d)
             v = QDense(hkv * d, use_bias=cfg.attention_bias, dtype=self.dtype,
                        plan=self.plan, name="v_proj")(x).reshape(b, s, hkv, d)
+        if cfg.qk_norm:
+            # qwen3-class per-head q/k RMSNorm (pre-rope; the (d,)
+            # scales are shared across heads and positions)
+            q = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
+                        plus_one=cfg.norm_plus_one, name="q_norm")(q)
+            k = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
+                        plus_one=cfg.norm_plus_one, name="k_norm")(k)
         rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
         q = rope(q, positions, cfg.rope_theta, rd)
         k = rope(k, positions, cfg.rope_theta, rd)

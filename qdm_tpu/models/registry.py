@@ -87,6 +87,14 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         rope_theta=1000000.0, max_position_embeddings=32768,
         num_experts=8, num_experts_per_tok=2),
     "tiny-mixtral": llama_lib.tiny_mixtral_config(),
+    # qwen3-4b geometry: QK-norm (per-head q/k RMSNorm before rope),
+    # GQA, no attention bias, decoupled head_dim, tied embeds
+    "qwen3": llama_lib.LlamaConfig(
+        vocab_size=151936, hidden_size=2560, intermediate_size=9728,
+        num_hidden_layers=36, num_attention_heads=32,
+        num_key_value_heads=8, head_dim_override=128,
+        rope_theta=1000000.0, max_position_embeddings=40960,
+        tie_word_embeddings=True, qk_norm=True),
 }
 
 # cohere: parallel attention+FFN residual, tied embeddings, logit scale
