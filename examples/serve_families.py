@@ -15,6 +15,10 @@
 
 import argparse
 import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +36,13 @@ def main():
                                     "random models)")
     ap.add_argument("--tokens", type=int, default=12)
     args = ap.parse_args()
+    if not args.model:
+        # tiny random models: run on CPU (must be set before backend
+        # init — the axon sitecustomize forces the TPU otherwise, and
+        # the tiny windows violate the TPU 128-lane constraint)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     rng = np.random.default_rng(0)
 
     if args.model:
@@ -83,6 +94,30 @@ def main():
     assert (e3.generate(ids, max_new_tokens=args.tokens)
             == lm3.generate(ids, max_new_tokens=args.tokens)).all()
     print("mixtral-class MoE engine == module greedy: OK")
+
+    # ---- qwen3-class QK-norm: per-head q/k RMSNorm before rope
+    q3 = llama_lib.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128, qk_norm=True)
+    lm4 = CausalLM.from_config(q3, dtype=jnp.float32, seed=4)
+    e4 = DecodeEngine(lm4, mode="bf16")
+    assert (e4.generate(ids, max_new_tokens=args.tokens)
+            == lm4.generate(ids, max_new_tokens=args.tokens)).all()
+    print("qwen3-class QK-norm engine == module greedy: OK")
+
+    # ---- gemma3-class: sandwich norms + QK-norm + DUAL rope
+    # (windowed layers rotate at the local base freq, global layers at
+    # rope_theta with linear position scaling)
+    g3 = dataclasses.replace(
+        g2, attn_logit_softcapping=None, final_logit_softcapping=None,
+        qk_norm=True, rope_theta=1000000.0, rope_local_theta=10000.0,
+        rope_scaling_factor=8.0)
+    lm5 = CausalLM.from_config(g3, dtype=jnp.float32, seed=5)
+    e5 = DecodeEngine(lm5, mode="bf16")
+    assert (e5.generate(ids, max_new_tokens=args.tokens)
+            == lm5.generate(ids, max_new_tokens=args.tokens)).all()
+    print("gemma3-class (dual rope + qk-norm) engine == module: OK")
 
 
 if __name__ == "__main__":

@@ -183,6 +183,10 @@ class CausalLM:
         is_phi = str(hf.get("model_type", "")).startswith("phi")
         # qwen3 family: per-head q/k RMSNorm before rope, no attn bias
         is_qwen3 = str(hf.get("model_type", "")).startswith("qwen3")
+        # gemma3: gemma2's sandwich norms + alternating windows (pattern
+        # 6), QK-norm instead of the attention soft-cap, and DUAL rope
+        # (local layers 10k base, global layers 1M with linear scaling)
+        is_gemma3 = str(hf.get("model_type", "")).startswith("gemma3")
         self.config = llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -219,15 +223,19 @@ class CausalLM:
             # sandwich norms, attn/final logit soft-caps, query scale
             sliding_window_pattern=hf.get(
                 "sliding_window_pattern",
-                2 if hf.get("model_type") == "gemma2" else 1),
+                2 if hf.get("model_type") == "gemma2" else
+                (6 if is_gemma3 else 1)),
             attn_logit_softcapping=hf.get("attn_logit_softcapping"),
             final_logit_softcapping=hf.get("final_logit_softcapping"),
-            sandwich_norms=hf.get("model_type") == "gemma2",
+            sandwich_norms=hf.get("model_type") == "gemma2" or is_gemma3,
             query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
             # Mixtral-family sparse MoE (models/moe.py)
             num_experts=hf.get("num_local_experts", 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
-            qk_norm=is_qwen3,
+            qk_norm=is_qwen3 or is_gemma3,
+            rope_local_theta=hf.get("rope_local_base_freq"),
+            rope_scaling_factor=(hf.get("rope_scaling") or {}).get(
+                "factor", 1.0),
         )
         shapes = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0),

@@ -486,6 +486,22 @@ class DecodeEngine:
                     "phi/qwen3-class serving is single-device for now")
         self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
                          else None)
+        # gemma3 dual rope: windowed layers rotate with the LOCAL base
+        # freq at raw positions; global layers fold the linear scaling
+        # factor into their freqs (exactly as the module's rope() does,
+        # so tokens stay bit-equal)
+        self.dual_rope = getattr(cfg, "rope_local_theta", None) is not None
+        self._pos_scale = 1.0 / getattr(cfg, "rope_scaling_factor", 1.0)
+        if self.dual_rope:
+            if self.spmd:
+                raise NotImplementedError(
+                    "dual-rope (gemma3) serving is single-device for now")
+            r = cfg.head_dim
+            self._freqs_local = 1.0 / (
+                cfg.rope_local_theta
+                ** (jnp.arange(0, r, 2, dtype=jnp.float32) / r))
+        else:
+            self._freqs_local = None
         # attention kernel batch rows per program (measured sweep:
         # bb=2 is fastest at the serve shapes — bench_decode_probe)
         self.block_b = 2
@@ -1037,6 +1053,31 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------ layers
 
+    def _local_trig(self, pos, is_rope, sign, base_idx):
+        """(cos, sin) rope vectors over the LOCAL-layer tables for
+        dual-rope (gemma3) models; None otherwise.  pos: traced scalar
+        (shared decode step) or (B,) per-row logical positions (ragged
+        batches)."""
+        if not self.dual_rope:
+            return None
+        posf = jnp.asarray(pos).astype(jnp.float32)
+        if posf.ndim == 0:
+            ang = posf * self._freqs_local
+            return (jnp.where(is_rope, jnp.cos(ang)[base_idx], 1.0),
+                    jnp.where(is_rope, sign * jnp.sin(ang)[base_idx], 0.0))
+        ang = posf[:, None] * self._freqs_local
+        return (jnp.where(is_rope[None], jnp.cos(ang)[:, base_idx], 1.0),
+                jnp.where(is_rope[None],
+                          sign[None] * jnp.sin(ang)[:, base_idx], 0.0))
+
+    def _pick_trig(self, l, cosv, sinv, trig_l):
+        """Layer l's rope vectors: the local tables on windowed layers
+        of a dual-rope model, the (scaling-folded) global ones
+        otherwise."""
+        if trig_l is not None and self._layer_windows[l] is not None:
+            return trig_l
+        return cosv, sinv
+
     def _layer(self, x, cache, w, pos, cosv, sinv, h=None, hkv=None,
                tp_axis=None, rope_xla=None, attn_starts=None, slot=None):
         """One decoder layer.  h/hkv default to the model's head counts;
@@ -1445,6 +1486,10 @@ class DecodeEngine:
         cfg = self.cfg
         d = cfg.head_dim
         freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
+        if self._pos_scale != 1.0:
+            # linear rope scaling on GLOBAL layers (folded into freqs
+            # exactly as the module's rope() folds it)
+            freqs = freqs * jnp.float32(self._pos_scale)
         pick = self._make_pick(sampler)
 
         @jax.jit
@@ -1460,6 +1505,7 @@ class DecodeEngine:
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
                                  sign * jnp.sin(angles)[base_idx], 0.0)
+                trig_l = self._local_trig(pos, is_rope, sign, base_idx)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
                 new_caches = []
@@ -1470,7 +1516,8 @@ class DecodeEngine:
                     # layers have width > pos, so the mod is identity)
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
                             if self.window else None)
-                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
+                    cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
+                    x, cache = self._layer(x, caches[l], w, pos, cv, sv,
                                            slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
@@ -1506,6 +1553,10 @@ class DecodeEngine:
             return self._run_cache[memo]
         cfg = self.cfg
         freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
+        if self._pos_scale != 1.0:
+            # linear rope scaling on GLOBAL layers (folded into freqs
+            # exactly as the module's rope() folds it)
+            freqs = freqs * jnp.float32(self._pos_scale)
         pick = self._make_pick(sampler)
 
         @jax.jit
@@ -1527,13 +1578,15 @@ class DecodeEngine:
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
                                  sign * jnp.sin(angles)[base_idx], 0.0)
+                trig_l = self._local_trig(pos, is_rope, sign, base_idx)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
                 new_caches = []
                 for l, w in enumerate(layers):
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
                             if self.window else None)
-                    x, cache = self._layer(x, caches[l], w, pos, cosv, sinv,
+                    cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
+                    x, cache = self._layer(x, caches[l], w, pos, cv, sv,
                                            slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
@@ -1585,6 +1638,10 @@ class DecodeEngine:
         # rope mask/sign over the LOCAL fused qkv layout [q_l | k_l | v_l]
         # — structurally identical to the global one at local head counts
         freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg, h_l, hkv_l)
+        if self._pos_scale != 1.0:
+            # linear rope scaling on GLOBAL layers (folded into freqs
+            # exactly as the module's rope() folds it)
+            freqs = freqs * jnp.float32(self._pos_scale)
         pick = self._make_pick(sampler)
 
         def body_sharded(layers, embed, final_norm, w_head, tok0, caches,
@@ -2403,6 +2460,10 @@ class DecodeEngine:
             return self._run_cache[memo]
         cfg = self.cfg
         freqs, is_rope, sign, base_idx, partner = _rope_consts(cfg)
+        if self._pos_scale != 1.0:
+            # linear rope scaling on GLOBAL layers (folded into freqs
+            # exactly as the module's rope() folds it)
+            freqs = freqs * jnp.float32(self._pos_scale)
         pick = self._make_pick(sampler)
 
         @jax.jit
@@ -2420,10 +2481,16 @@ class DecodeEngine:
                 sinb = jnp.where(is_rope[None],
                                  sign[None] * jnp.sin(angles)[:, base_idx],
                                  0.0)
+                trig_l = self._local_trig(pos_log, is_rope, sign,
+                                          base_idx)
                 if bp > b:
                     cosb = jnp.pad(cosb, ((0, bp - b), (0, 0)),
                                    constant_values=1.0)
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
+                    if trig_l is not None:
+                        trig_l = (jnp.pad(trig_l[0], ((0, bp - b), (0, 0)),
+                                          constant_values=1.0),
+                                  jnp.pad(trig_l[1], ((0, bp - b), (0, 0))))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
                 new_caches = []
@@ -2437,9 +2504,10 @@ class DecodeEngine:
                     wl = self._layer_windows[l]
                     se = (jnp.maximum(starts, pos - (wl - 1)) if wl
                           else starts)
+                    cb, sb = self._pick_trig(l, cosb, sinb, trig_l)
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
-                                           rope_xla=(cosb, sinb, partner),
+                                           rope_xla=(cb, sb, partner),
                                            attn_starts=se)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
@@ -2500,6 +2568,10 @@ class DecodeEngine:
             return self._run_cache[memo]
         cfg = self.cfg
         freqs, is_rope, sign, base_idx, partner = _rope_consts(cfg)
+        if self._pos_scale != 1.0:
+            # linear rope scaling on GLOBAL layers (folded into freqs
+            # exactly as the module's rope() folds it)
+            freqs = freqs * jnp.float32(self._pos_scale)
         pick = self._make_pick(sampler)
 
         @jax.jit
@@ -2518,10 +2590,16 @@ class DecodeEngine:
                 sinb = jnp.where(is_rope[None],
                                  sign[None] * jnp.sin(angles)[:, base_idx],
                                  0.0)
+                trig_l = self._local_trig(pos_log, is_rope, sign,
+                                          base_idx)
                 if bp > b:
                     cosb = jnp.pad(cosb, ((0, bp - b), (0, 0)),
                                    constant_values=1.0)
                     sinb = jnp.pad(sinb, ((0, bp - b), (0, 0)))
+                    if trig_l is not None:
+                        trig_l = (jnp.pad(trig_l[0], ((0, bp - b), (0, 0)),
+                                          constant_values=1.0),
+                                  jnp.pad(trig_l[1], ((0, bp - b), (0, 0))))
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
                 new_caches = []
@@ -2535,9 +2613,10 @@ class DecodeEngine:
                     wl = self._layer_windows[l]
                     se = (jnp.maximum(starts, pos - (wl - 1)) if wl
                           else starts)
+                    cb, sb = self._pick_trig(l, cosb, sinb, trig_l)
                     x, cache = self._layer(x, caches[l], w, pos, None,
                                            None,
-                                           rope_xla=(cosb, sinb, partner),
+                                           rope_xla=(cb, sb, partner),
                                            attn_starts=se)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
@@ -2955,6 +3034,10 @@ class DecodeEngine:
         if fn is None:
             cfg = self.cfg
             freqs, is_rope, sign, base_idx, _ = _rope_consts(cfg)
+            if self._pos_scale != 1.0:
+                # linear rope scaling on GLOBAL layers (folded into freqs
+                # exactly as the module's rope() folds it)
+                freqs = freqs * jnp.float32(self._pos_scale)
 
             @jax.jit
             def run(layers, embed, final_norm, w_head, ids, caches):
@@ -2969,12 +3052,15 @@ class DecodeEngine:
                                      1.0)
                     sinv = jnp.where(is_rope,
                                      sign * jnp.sin(angles)[base_idx], 0.0)
+                    trig_l = self._local_trig(pos, is_rope, sign,
+                                              base_idx)
                     x = jnp.zeros((bp,), tok.dtype).at[:bq].set(tok)
                     x = embed[x]
                     new_caches = []
                     for l, w in enumerate(layers):
-                        x, cache = self._layer(x, caches[l], w, pos, cosv,
-                                               sinv)
+                        cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
+                        x, cache = self._layer(x, caches[l], w, pos, cv,
+                                               sv)
                         new_caches.append(cache)
                     logits = self._head_logits(x, w_head, final_norm)
                     return new_caches, logits[:bq] * cfg.logit_scale

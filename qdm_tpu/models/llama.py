@@ -87,6 +87,13 @@ class LlamaConfig:
     # param names self_attn.{q,k}_norm.weight).  Follows
     # norm_plus_one, so gemma3's (1+w) variant composes.
     qk_norm: bool = False
+    # gemma3 dual rope: WINDOWED (local) layers rotate with
+    # rope_local_theta (HF rope_local_base_freq, 10k) at raw
+    # positions; GLOBAL layers keep rope_theta (1M) with linear
+    # position scaling — angles = (pos / rope_scaling_factor) * freqs
+    # (HF rope_scaling {rope_type: linear, factor}).
+    rope_local_theta: Optional[float] = None
+    rope_scaling_factor: float = 1.0
 
     @property
     def rotary_dim(self) -> int:
@@ -135,15 +142,21 @@ def tiny_mixtral_config(**kw) -> LlamaConfig:
                        num_experts=4, num_experts_per_tok=2, **kw)
 
 
-def rope(x, positions, theta: float, rotary_dim: int = 0):
+def rope(x, positions, theta: float, rotary_dim: int = 0,
+         pos_scale: float = 1.0):
     """Rotary embedding; x (B, S, H, D).  rotary_dim > 0 rotates only
     the first rotary_dim dims of each head (phi partial rotary); the
-    remaining dims pass through untouched."""
+    remaining dims pass through untouched.  pos_scale < 1 is linear
+    rope scaling (gemma3 global layers) — folded into freqs so the
+    engine's identically-folded tables stay bit-equal."""
     d = x.shape[-1]
     if rotary_dim and rotary_dim < d:
-        rot = rope(x[..., :rotary_dim], positions, theta)
+        rot = rope(x[..., :rotary_dim], positions, theta,
+                   pos_scale=pos_scale)
         return jnp.concatenate([rot, x[..., rotary_dim:]], axis=-1)
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if pos_scale != 1.0:
+        freqs = freqs * jnp.float32(pos_scale)
     angles = positions.astype(jnp.float32)[..., None] * freqs      # (B,S,D/2)
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -193,8 +206,14 @@ class LlamaAttention(nn.Module):
             k = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
                         plus_one=cfg.norm_plus_one, name="k_norm")(k)
         rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
-        q = rope(q, positions, cfg.rope_theta, rd)
-        k = rope(k, positions, cfg.rope_theta, rd)
+        if cfg.rope_local_theta is not None and self.window is not None:
+            # gemma3 LOCAL layer: local base freq, raw positions
+            theta, pscale = cfg.rope_local_theta, 1.0
+        else:
+            theta = cfg.rope_theta
+            pscale = 1.0 / cfg.rope_scaling_factor
+        q = rope(q, positions, theta, rd, pos_scale=pscale)
+        k = rope(k, positions, theta, rd, pos_scale=pscale)
 
         # cache-native layout (B, hkv, S, d): K/V live head-major so
         # cached decode contracts them with zero per-step relayout

@@ -95,6 +95,21 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         num_key_value_heads=8, head_dim_override=128,
         rope_theta=1000000.0, max_position_embeddings=40960,
         tie_word_embeddings=True, qk_norm=True),
+    # gemma3-4b geometry: gemma2's sandwich norms + (1+w) norms +
+    # scaled embeds, QK-norm instead of the attention soft-cap,
+    # 5-local:1-global window pattern (W=1024), DUAL rope — local
+    # layers 10k base at raw positions, global layers 1M with linear
+    # position scaling factor 8
+    "gemma3": llama_lib.LlamaConfig(
+        vocab_size=262208, hidden_size=2560, intermediate_size=10240,
+        num_hidden_layers=34, num_attention_heads=8,
+        num_key_value_heads=4, head_dim_override=256, mlp_act="gelu",
+        norm_plus_one=True, scale_embeddings=True,
+        tie_word_embeddings=True, max_position_embeddings=131072,
+        sliding_window=1024, sliding_window_pattern=6,
+        sandwich_norms=True, query_pre_attn_scalar=256.0,
+        qk_norm=True, rope_theta=1000000.0, rope_local_theta=10000.0,
+        rope_scaling_factor=8.0),
 }
 
 # cohere: parallel attention+FFN residual, tied embeddings, logit scale
