@@ -901,9 +901,66 @@ def gemma2_main():
         del lm, stats
 
 
+def qknorm_main():
+    """--qknorm: decode cost of the qwen3/gemma3 serving features at
+    the 1B serve shape — plain vs qk_norm (per-head q/k RMSNorm; rope
+    leaves the kernel epilogue for XLA, the phi machinery) vs the full
+    gemma3 stack (qk_norm + sandwich norms + alternating windows +
+    dual rope).  Engine decode-only marginal."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    base = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    batch, ctx, window = (16, 4096, 1024) if on_tpu else (2, 32, 8)
+    prefill = 128 if on_tpu else 8
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    base = _dc.replace(base, max_position_embeddings=2 * ctx)
+    q3 = _dc.replace(base, qk_norm=True)
+    g3 = _dc.replace(base, qk_norm=True, sliding_window=window,
+                     sliding_window_pattern=2, sandwich_norms=True,
+                     norm_plus_one=True, rope_theta=1000000.0,
+                     rope_local_theta=10000.0, rope_scaling_factor=8.0)
+    ids = np.random.default_rng(0).integers(0, base.vocab_size,
+                                            (batch, prefill))
+    out = {"metric": f"qk-norm/gemma3-features decode tok/s (batch "
+                     f"{batch}, ctx {ctx}, window {window})"}
+    for cname, cfg in (("plain", base), ("qknorm", q3), ("gemma3", g3)):
+        lm = CausalLM.from_config(cfg, dtype=dtype)
+        stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
+        for ename, kw in (("bf16", {"mode": "bf16"}),
+                          ("w8a8", {"mode": "w8a8_static",
+                                    "act_stats": stats})):
+            eng = DecodeEngine(lm, **kw)
+            tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
+            jax.block_until_ready(caches[0][0])
+            args = (eng.layers, eng.embed, eng.final_norm, eng.w_head)
+
+            def t(n):
+                run = eng._make_run(n)
+                best = 1e9
+                run(*args, tok0, caches, jnp.int32(ctx))
+                for _ in range(5):
+                    t0 = time.time()
+                    float(jnp.sum(run(*args, tok0, caches,
+                                      jnp.int32(ctx))))
+                    best = min(best, time.time() - t0)
+                return best
+
+            dt = (t(40) - t(8)) / 32
+            out[f"{cname}_{ename}_decode_tok_s"] = round(batch / dt, 1)
+            print(json.dumps(out), flush=True)
+            del eng, caches
+        del lm, stats
+
+
 def main():
     if "--gemma2" in sys.argv:
         gemma2_main()
+        return
+    if "--qknorm" in sys.argv:
+        qknorm_main()
         return
     if "--swa-stream" in sys.argv:
         swa_stream_main()
