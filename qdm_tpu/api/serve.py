@@ -358,13 +358,15 @@ class DecodeEngine:
         if cfg.logit_scale <= 0:
             raise ValueError("logit_scale must be positive (greedy "
                              "argmax drops it as a monotone transform)")
-        if mode == "w4a8_static" and (cfg.attention_bias
-                                      or cfg.norm_type != "rmsnorm"
-                                      or cfg.parallel_residual):
-            raise NotImplementedError(
-                "w4a8 covers the canonical LLaMA arch only (the i4 "
-                "kernels carry no bias/layernorm/parallel-residual "
-                "epilogues); use w8a8_static")
+        # w4a8 on non-canonical archs: the i4 kernels carry no
+        # bias/layernorm epilogues, so those pieces run XLA-side —
+        # layernorm prologues via _xla_norm (norm_scale=None into the
+        # kernel), qkv bias added post-kernel (which forces rope out
+        # of the kernel epilogue: rope is position-dependent, the bias
+        # must land pre-rotation), parallel residual off the shared
+        # XLA norm.  Covers qwen2 (bias), stablelm (layernorm),
+        # cohere (parallel+gated), qwen3 (qk-norm).  Still excluded:
+        # the phi-class ungated/all-bias MLP (below).
         self.lm = lm
         self.cfg = cfg
         self.mode = mode
@@ -474,16 +476,22 @@ class DecodeEngine:
         # machinery — same generalized tables)
         self.qk_norm = bool(getattr(cfg, "qk_norm", False))
         self.rope_in_xla = (getattr(cfg, "partial_rotary_factor", 1.0) < 1.0
-                            or self.qk_norm)
-        if self.ungated or self.all_bias or self.rope_in_xla:
+                            or self.qk_norm
+                            or (mode == "w4a8_static"
+                                and cfg.attention_bias))
+        if self.ungated or self.all_bias:
             if mode not in ("bf16", "w8a8_static"):
                 raise NotImplementedError(
-                    "phi/qwen3-class serving (ungated MLP / all-bias / "
-                    "partial rotary / qk-norm) covers bf16 and "
-                    "w8a8_static")
+                    "phi-class serving (ungated MLP / all-bias) covers "
+                    "bf16 and w8a8_static")
+        if self.ungated or self.all_bias or self.rope_in_xla or (
+                mode == "w4a8_static" and (cfg.attention_bias
+                                           or cfg.norm_type != "rmsnorm"
+                                           or cfg.parallel_residual)):
             if self.spmd:
                 raise NotImplementedError(
-                    "phi/qwen3-class serving is single-device for now")
+                    "phi/qwen3/non-canonical-w4a8 serving is "
+                    "single-device for now")
         self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
                          else None)
         # gemma3 dual rope: windowed layers rotate with the LOCAL base
@@ -1118,6 +1126,12 @@ class DecodeEngine:
             xin = _xla_norm(x, w["ln1"], w.get("ln1_b"), nt,
                             eps).astype(x.dtype)
             qkv_in, qkv_ns, qkv_nb = xin, None, None
+        elif nt == "layernorm" and self.mode == "w4a8_static":
+            # the i4 kernels have no layernorm prologue — pre-norm in
+            # XLA (stablelm-class at w4a8)
+            qkv_in = _xla_norm(x, w["ln1"], w.get("ln1_b"), nt,
+                               eps).astype(x.dtype)
+            qkv_ns, qkv_nb = None, None
         else:
             qkv_in, qkv_ns, qkv_nb = x, w["ln1"], w.get("ln1_b")
 
@@ -1139,11 +1153,16 @@ class DecodeEngine:
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps)
         else:
-            qkv = dk.fused_dense_decode_i4(x, w["w_qkv"], w["s_qkv"],
-                                           w["a_qkv"], norm_scale=w["ln1"],
+            qkv = dk.fused_dense_decode_i4(qkv_in, w["w_qkv"], w["s_qkv"],
+                                           w["a_qkv"], norm_scale=qkv_ns,
                                            rope_cos=cosv, rope_sin=sinv,
                                            head_dim=d, eps=eps,
                                            group=self.i4_group)
+            if "b_qkv" in w:
+                # bias lands pre-rotation (rope_in_xla is forced for
+                # bias models at w4a8, so the kernel did not rope)
+                qkv = (qkv.astype(jnp.float32)
+                       + w["b_qkv"]).astype(qkv.dtype)
         if self.qk_norm:
             # qwen3-class per-head q/k RMSNorm, PRE-rope (which is why
             # qk_norm forces rope_in_xla: the kernel epilogue would
@@ -1285,6 +1304,19 @@ class DecodeEngine:
                                                    act=cfg.mlp_act,
                                                    residual=False,
                                                    out_dtype=jnp.float32))
+            elif self.mode == "w4a8_static":
+                # cohere-class parallel residual at w4a8: both branches
+                # off the shared XLA norm (the ungated phi MLP is
+                # gated to w8a8 above)
+                o_part = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
+                                                  w["a_o"],
+                                                  group=self.i4_group,
+                                                  out_dtype=jnp.float32)
+                m_part = dk.fused_mlp_decode_i4(
+                    xin, w["wg"], w["wu"], w["wd"],
+                    (w["sg"], w["su"], w["sd"]), w["a_mlp"], None,
+                    eps=eps, act=cfg.mlp_act, residual=False,
+                    group=self.i4_group, out_dtype=jnp.float32)
             else:
                 o_part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                                   w["a_o"],
@@ -1361,10 +1393,23 @@ class DecodeEngine:
         else:
             x = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"], w["a_o"],
                                          residual=x, group=self.i4_group)
-            x = dk.fused_mlp_decode_i4(x, w["wg"], w["wu"], w["wd"],
-                                       (w["sg"], w["su"], w["sd"]),
-                                       w["a_mlp"], w["ln2"], eps=eps,
-                                       act=cfg.mlp_act, group=self.i4_group)
+            if nt == "layernorm":
+                # no layernorm prologue in the i4 MLP kernel — pre-norm
+                # in XLA and add the residual back here
+                xin2 = _xla_norm(x, w["ln2"], w.get("ln2_b"), nt,
+                                 eps).astype(x.dtype)
+                part = dk.fused_mlp_decode_i4(
+                    xin2, w["wg"], w["wu"], w["wd"],
+                    (w["sg"], w["su"], w["sd"]), w["a_mlp"], None,
+                    eps=eps, act=cfg.mlp_act, residual=False,
+                    group=self.i4_group, out_dtype=jnp.float32)
+                x = (x.astype(jnp.float32) + part).astype(x.dtype)
+            else:
+                x = dk.fused_mlp_decode_i4(x, w["wg"], w["wu"], w["wd"],
+                                           (w["sg"], w["su"], w["sd"]),
+                                           w["a_mlp"], w["ln2"], eps=eps,
+                                           act=cfg.mlp_act,
+                                           group=self.i4_group)
         return x, cache
 
     def _moe_mlp(self, x, w):

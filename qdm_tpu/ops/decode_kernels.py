@@ -1802,14 +1802,15 @@ def fused_dense_decode_i4_pallas(x, w_p, w_scale, act_scale,
 def _fused_mlp_i4_kernel(x_ref, wgp_ref, wup_ref, wdp_ref, wsg_ref, wsu_ref,
                          wsd_ref, scl_ref, ns_ref, o_ref, xi_ref, acc_ref, *,
                          n_j: int, eps: float, act: str, group: int,
-                         bj: int, residual: bool = True):
+                         bj: int, residual: bool = True,
+                         has_norm: bool = True):
     j = pl.program_id(0)
     s_in, s_mid = scl_ref[0], scl_ref[1]
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
-        xn = _rmsnorm_f32(xf, ns_ref[:], eps)
+        xn = _rmsnorm_f32(xf, ns_ref[:], eps) if has_norm else xf
         xi_ref[:] = jnp.clip(jnp.round(xn * (1.0 / s_in)),
                              -127, 127).astype(jnp.int8)
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -1859,13 +1860,16 @@ def fused_mlp_decode_i4_pallas(x, wg_p, wu_p, wd_p, w_scales, act_scales,
     bp = _round_up(b, 8)
     xp = jnp.pad(x, ((0, bp - b), (0, 0))) if bp != b else x
     n_j = inner // bj
-    ns = norm_scale.reshape(1, k).astype(jnp.float32)
+    has_norm = norm_scale is not None
+    ns = (norm_scale.reshape(1, k).astype(jnp.float32) if has_norm
+          else jnp.ones((1, k), jnp.float32))
     sg, su, sd = [s.astype(jnp.float32) for s in w_scales]
     ngk = k // group
 
     out = pl.pallas_call(
         functools.partial(_fused_mlp_i4_kernel, n_j=n_j, eps=eps, act=act,
-                          group=group, bj=bj, residual=residual),
+                          group=group, bj=bj, residual=residual,
+                          has_norm=has_norm),
         grid=(n_j,),
         in_specs=[
             pl.BlockSpec((bp, k), lambda j: (0, 0)),
@@ -1939,7 +1943,8 @@ def fused_mlp_decode_i4_ref(x, wg_p, wu_p, wd_p, w_scales, act_scales,
                             block_j: int = 512, group: int = 128,
                             out_dtype=None, residual: bool = True):
     xf = x.astype(jnp.float32)
-    xn = _rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+    xn = (_rmsnorm_f32(xf, norm_scale.astype(jnp.float32), eps)
+          if norm_scale is not None else xf)
     s_in = act_scales.astype(jnp.float32)[0]
     s_mid = act_scales.astype(jnp.float32)[1]
     sg, su, sd = w_scales

@@ -1718,3 +1718,81 @@ def test_serve_entry_gptq():
                    gptq=True)
     out = eng.generate(ids[:1, :6], max_new_tokens=4)
     assert out.shape == (1, 10)
+
+
+# ------------------------------------------------- w4a8 on non-canonical archs
+
+
+ARCH_KW = {
+    "qwen2_bias": dict(attention_bias=True),
+    "stablelm_layernorm": dict(norm_type="layernorm"),
+    "cohere_parallel": dict(norm_type="layernorm", parallel_residual=True,
+                            tie_word_embeddings=True, logit_scale=0.0625),
+    "qwen3_qknorm": dict(qk_norm=True),
+}
+
+
+@pytest.mark.parametrize("arch", sorted(ARCH_KW))
+def test_engine_w4a8_noncanonical_archs(arch):
+    """w4a8 (the measured serve winner) on bias/layernorm/parallel/
+    qk-norm models: the i4 kernels carry no bias/layernorm epilogues,
+    so those pieces run XLA-side (prologue _xla_norm, post-kernel bias
+    add pre-rotation, shared-norm parallel residual).  Greedy tokens
+    mostly survive int4 on the tiny model, and ragged batching works."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(llama_lib.tiny_llama_config(), **ARCH_KW[arch])
+    m = CausalLM.from_config(cfg, dtype=jnp.float32, seed=5)
+    ids = RNG.integers(0, 256, (2, 16))
+    stats = DecodeEngine.calibrate_scales(m, ids)
+    eng = DecodeEngine(m, mode="w4a8_static", act_stats=stats)
+    out = np.asarray(eng.generate(ids[:, :6], max_new_tokens=8))
+    ref = np.asarray(m.generate(ids[:, :6], max_new_tokens=8))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.4
+    ragged = eng.generate_ragged([list(ids[0, :4]), list(ids[1, :9])],
+                                 max_new_tokens=4)
+    assert len(ragged) == 2
+
+
+def test_engine_w4a8_bias_path_is_exact_at_zero_bias():
+    """The XLA bias-add + XLA rope restructure must be BIT-equal to
+    the in-kernel-rope path when the biases are zero (same weights):
+    proves the reordering (proj -> +bias -> rope) introduces no
+    numeric drift beyond the bias itself."""
+    import dataclasses as _dc
+
+    cfg_b = _dc.replace(llama_lib.tiny_llama_config(), attention_bias=True)
+    cfg_p = llama_lib.tiny_llama_config()
+    lm_b = CausalLM.from_config(cfg_b, dtype=jnp.float32, seed=7)
+    for l in range(cfg_b.num_hidden_layers):
+        at = lm_b.params[f"layers_{l}"]["self_attn"]
+        for p in ("q_proj", "k_proj", "v_proj"):
+            at[p]["bias"] = jnp.zeros_like(at[p]["bias"])
+    lm_p = CausalLM.from_config(cfg_p, dtype=jnp.float32, seed=7)
+    for l in range(cfg_b.num_hidden_layers):
+        a = lm_b.params[f"layers_{l}"]["self_attn"]
+        b = lm_p.params[f"layers_{l}"]["self_attn"]
+        for p in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            b[p]["kernel"] = a[p]["kernel"]
+    ids = RNG.integers(0, 256, (2, 16))
+    s_b = DecodeEngine.calibrate_scales(lm_b, ids)
+    s_p = DecodeEngine.calibrate_scales(lm_p, ids)
+    t_b = DecodeEngine(lm_b, mode="w4a8_static", act_stats=s_b).generate(
+        ids[:1, :6], max_new_tokens=8)
+    t_p = DecodeEngine(lm_p, mode="w4a8_static", act_stats=s_p).generate(
+        ids[:1, :6], max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_p))
+
+
+def test_engine_w4a8_phi_class_still_guarded():
+    import dataclasses as _dc
+
+    cfg = _dc.replace(llama_lib.tiny_llama_config(), mlp_gated=False,
+                      all_bias=True, attention_bias=True,
+                      norm_type="layernorm", parallel_residual=True)
+    m = CausalLM.from_config(cfg, dtype=jnp.float32, seed=5)
+    ids = RNG.integers(0, 256, (2, 16))
+    stats = DecodeEngine.calibrate_scales(m, ids)
+    with pytest.raises(NotImplementedError):
+        DecodeEngine(m, mode="w4a8_static", act_stats=stats)

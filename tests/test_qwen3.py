@@ -138,8 +138,12 @@ def test_engine_w8a8_and_guards():
     out = eng.generate(ids[:, :6], max_new_tokens=6)
     ref = lm.generate(ids[:, :6], max_new_tokens=6)
     assert (np.asarray(out) == np.asarray(ref)).mean() > 0.6
-    with pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    # w4a8 serves too: the qk norms + rope run XLA-side around the i4
+    # kernels (the non-canonical-arch w4a8 path)
+    out4 = DecodeEngine(lm, mode="w4a8_static",
+                        act_stats=stats).generate(ids[:, :6],
+                                                  max_new_tokens=6)
+    assert out4.shape == (2, 12)
 
 
 def test_qwen3_preset_and_hf_detection(tmp_path):
