@@ -447,10 +447,9 @@ class DecodeEngine:
             # inject a needless (and bf16-lossy) q multiply
             self._q_scale_ratio = 1.0
         if self.sandwich or self.attn_softcap:
-            if mode == "w4a8_static":
-                raise NotImplementedError(
-                    "gemma2-class serving (sandwich norms / attention "
-                    "soft-cap) covers bf16 and w8a8_static")
+            # w4a8 works too: the sandwich post-norms run in XLA, the
+            # pre-ff norm is the i4 MLP prologue, and the soft-cap
+            # tanh lives in the (mode-independent) attention kernels
             if self.spmd:
                 raise NotImplementedError(
                     "gemma2-class serving is single-device for now")
@@ -1258,6 +1257,11 @@ class DecodeEngine:
             if self.mode == "bf16":
                 o = dk.fused_dense_decode(attn, w["w_o"],
                                           out_dtype=jnp.float32)
+            elif self.mode == "w4a8_static":
+                o = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
+                                             w["a_o"],
+                                             group=self.i4_group,
+                                             out_dtype=jnp.float32)
             else:
                 o = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                              w["a_o"],
@@ -1269,6 +1273,15 @@ class DecodeEngine:
                                         w["ln2"], eps=eps,
                                         act=cfg.mlp_act, residual=False,
                                         out_dtype=jnp.float32)
+            elif self.mode == "w4a8_static":
+                # ln2 (pre_feedforward, rmsnorm with the +1 folded) is
+                # the i4 MLP kernel's prologue
+                m = dk.fused_mlp_decode_i4(x, w["wg"], w["wu"], w["wd"],
+                                           (w["sg"], w["su"], w["sd"]),
+                                           w["a_mlp"], w["ln2"], eps=eps,
+                                           act=cfg.mlp_act, residual=False,
+                                           group=self.i4_group,
+                                           out_dtype=jnp.float32)
             else:
                 m = dk.fused_mlp_decode_i8(x, w["wg"], w["wu"], w["wd"],
                                            (w["sg"], w["su"], w["sd"]),

@@ -127,8 +127,11 @@ def test_engine_w8a8_and_sampling_and_guards():
     outs = eng.generate(ids, max_new_tokens=6, temperature=0.9, top_k=4,
                         seed=3)
     assert outs.shape == (2, 18)
-    with pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    # w4a8 serves too (i4 dense/MLP kernels; post-norms in XLA, the
+    # soft-cap tanh in the mode-independent attention kernels)
+    out4 = DecodeEngine(lm, mode="w4a8_static",
+                        act_stats=stats).generate(ids, max_new_tokens=6)
+    assert out4.shape == (2, 18)
     with pytest.raises(NotImplementedError):
         DecodeEngine(lm, kv_dtype=jnp.int8, kv_scale_mode="channel")
 

@@ -108,8 +108,12 @@ def test_engine_w8a8_and_guards():
                        act_stats=stats).generate(ids[:, :6],
                                                  max_new_tokens=6)
     assert out.shape == (2, 12)
-    with pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    # w4a8 serves the full gemma3 stack (sandwich + qk-norm + dual
+    # rope + windows) on the i4 kernels
+    out4 = DecodeEngine(lm, mode="w4a8_static",
+                        act_stats=stats).generate(ids[:, :6],
+                                                  max_new_tokens=6)
+    assert out4.shape == (2, 12)
 
 
 def test_gemma3_preset_and_hf_detection(tmp_path):

@@ -371,6 +371,23 @@ def main():
                                             "tol": tol_m4n,
                                             "pass": d <= tol_m4n}
 
+    # norm-free variant (non-canonical-arch w4a8: layernorm/parallel
+    # models pre-norm in XLA and pass norm_scale=None — has_norm=False
+    # is its own Mosaic specialization)
+    out = dkk.fused_mlp_decode_i4_pallas(x4, wg4, wg4, wd4,
+                                         (wg4s, wu4s, wd4s), scl4, None,
+                                         group=grp, residual=False)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_mlp_decode_i4_ref(x4, wg4, wg4, wd4,
+                                          (wg4s, wu4s, wd4s), scl4, None,
+                                          group=grp, residual=False)
+    d = _maxdiff(out, ref)
+    tol_m4nn = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))),
+                   1.0) * 2e-6
+    results["fused_mlp_decode_i4_nonorm"] = {"max_abs_diff": d,
+                                             "tol": tol_m4nn,
+                                             "pass": d <= tol_m4nn}
+
     # merged o_proj + residual + MLP, int4 variant (the batch-1
     # engine configuration: per-launch cost dominates there)
     wo4q, wo4s = dkk.quantize_int4_group(
