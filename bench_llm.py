@@ -931,6 +931,8 @@ def qknorm_main():
         stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
         for ename, kw in (("bf16", {"mode": "bf16"}),
                           ("w8a8", {"mode": "w8a8_static",
+                                    "act_stats": stats}),
+                          ("w4a8", {"mode": "w4a8_static",
                                     "act_stats": stats})):
             eng = DecodeEngine(lm, **kw)
             tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
