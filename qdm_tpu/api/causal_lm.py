@@ -175,6 +175,27 @@ class CausalLM:
                 raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
             self.params = params
             return self
+        self.config = self.config_from_hf(hf)
+        shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8), jnp.int32)))["params"]
+        sd = loader.load_safetensors_dir(path)
+        if str(hf.get("model_type", "")).startswith("phi"):
+            sd = loader.phi_to_llama_state_dict(sd)
+        params, missing, _ = loader.convert_torch_state_dict(
+            sd, shapes, strip_prefixes=("model.",))
+        if missing:
+            raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
+        self.params = params
+        return self
+
+    @staticmethod
+    def config_from_hf(hf: dict) -> "llama_lib.LlamaConfig":
+        """HF config.json dict -> LlamaConfig, with the model_type
+        family mapping (gemma/gemma2/gemma3/phi/qwen2/qwen3/mixtral
+        conventions) — shared by from_pretrained and the quantized
+        checkpoint importers so family semantics are never silently
+        dropped."""
         # gemma family: (1+w) norms, sqrt(hidden)-scaled embeddings,
         # decoupled head_dim, tied embeddings by default
         is_gemma = str(hf.get("model_type", "")).startswith("gemma")
@@ -187,7 +208,7 @@ class CausalLM:
         # 6), QK-norm instead of the attention soft-cap, and DUAL rope
         # (local layers 10k base, global layers 1M with linear scaling)
         is_gemma3 = str(hf.get("model_type", "")).startswith("gemma3")
-        self.config = llama_lib.LlamaConfig(
+        return llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
             intermediate_size=hf["intermediate_size"],
@@ -234,21 +255,16 @@ class CausalLM:
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
             qk_norm=is_qwen3 or is_gemma3,
             rope_local_theta=hf.get("rope_local_base_freq"),
-            rope_scaling_factor=(hf.get("rope_scaling") or {}).get(
-                "factor", 1.0),
+            # LINEAR rope scaling only (gemma3 global layers): llama3 /
+            # yarn / dynamic rope_scaling types are NOT position
+            # division — applying their 'factor' linearly would rotate
+            # every token wrongly, so those fall back to plain rope
+            rope_scaling_factor=(
+                (hf.get("rope_scaling") or {}).get("factor", 1.0)
+                if ((hf.get("rope_scaling") or {}).get("rope_type")
+                    or (hf.get("rope_scaling") or {}).get("type"))
+                == "linear" else 1.0),
         )
-        shapes = jax.eval_shape(
-            lambda: self.model.init(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, 8), jnp.int32)))["params"]
-        sd = loader.load_safetensors_dir(path)
-        if is_phi:
-            sd = loader.phi_to_llama_state_dict(sd)
-        params, missing, _ = loader.convert_torch_state_dict(
-            sd, shapes, strip_prefixes=("model.",))
-        if missing:
-            raise ValueError(f"missing {len(missing)} params e.g. {missing[:5]}")
-        self.params = params
-        return self
 
     # --------------------------------------------------------------- quantize
 
@@ -564,10 +580,14 @@ class CausalLM:
         if gptq:
             # GPTQ code placement on the engine grids — after the
             # migrations above (they mutate weights, changing every
-            # layer's inputs), quality-best composed with smooth=True
-            engine_kw["gptq_grams"] = DecodeEngine.gptq_grams(
+            # layer's inputs), quality-best composed with smooth=True.
+            # ONE capture forward returns both stats and Hessians.
+            stats, grams = DecodeEngine.calibrate_with_grams(
                 self, np.asarray(calib_ids))
-        stats = DecodeEngine.calibrate_scales(self, np.asarray(calib_ids))
+            engine_kw["gptq_grams"] = grams
+        else:
+            stats = DecodeEngine.calibrate_scales(self,
+                                                  np.asarray(calib_ids))
         return DecodeEngine(self, mode=mode, act_stats=stats, **engine_kw)
 
     # --------------------------------------------------------------- generate
@@ -1019,9 +1039,10 @@ class CausalLM:
         self.quant_config.quant_method = "gptq"
         self.quant_config.version = "real"
         gs = self.quant_config.q_group_size
-        fields = {f.name for f in dataclasses.fields(llama_lib.LlamaConfig)}
-        self.config = llama_lib.LlamaConfig(
-            **{k: v for k, v in hf.items() if k in fields})
+        # the shared family mapping (qwen2 bias, qwen3 qk-norm, gemma
+        # conventions, ...) — blind field filtering would silently
+        # drop exactly the architecture semantics of real checkpoints
+        self.config = self.config_from_hf(hf)
 
         sd = loader.load_safetensors_dir(path)
         # desc_act detection: any non-trivial g_idx anywhere switches
@@ -1069,12 +1090,16 @@ class CausalLM:
             fp_sd, shapes, strip_prefixes=("model.",))
         from qdm_tpu.api.loader import _locate, _merge_segments
 
+        placed = set()
         for key, val in converted.items():
             stem, leaf = key.rsplit(".", 1)
             k2 = stem[len("model."):] if stem.startswith("model.") else stem
             loc = _locate(shapes, _merge_segments(k2))
             if loc is None:
-                continue
+                raise ValueError(
+                    f"autogptq import: no tree location for quantized "
+                    f"module {stem!r} — the checkpoint quantizes a "
+                    "module this model layout does not have")
             path_t, leaf_dict = loc
             sub = params
             for p in path_t:
@@ -1088,6 +1113,17 @@ class CausalLM:
                 name = {"qweight_rows": "qweight", "scales_rows": "scales",
                         "zeros_rows": "zeros"}[leaf]
                 sub[name] = jnp.asarray(val)
+            placed.add("/".join(path_t))
+        # params whose fp leaf the checkpoint did not carry must be the
+        # quantized modules we just placed — anything else is a silent
+        # zero-init (from_pretrained raises on these; so do we)
+        still_missing = [m for m in missing
+                         if not any(m.startswith(p) or p.startswith(m)
+                                    for p in placed)]
+        if still_missing:
+            raise ValueError(
+                f"autogptq import: missing {len(still_missing)} params "
+                f"e.g. {still_missing[:5]}")
 
         self.params = params
         self.is_quantized = True

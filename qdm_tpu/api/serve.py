@@ -1020,18 +1020,30 @@ class DecodeEngine:
         return fwd(lm.params, jnp.asarray(calib_ids))
 
     @staticmethod
-    def gptq_grams(lm, calib_ids) -> Dict[str, jnp.ndarray]:
-        """Per-layer input Hessians H = X^T X for GPTQ weight placement
-        in the engine (``DecodeEngine(..., gptq_grams=...)``): one sown
-        'calib_h' capture forward (quant/gptq.py — full-data Grams,
-        bounded (C, C) memory).  Run AFTER smooth_lm/awq_lm: those
-        mutate the weights, which changes every layer's inputs.  The
-        codes land on the engine's own symmetric grids, so serving
-        speed is identical — this is a pure quality lever (quality
-        table: the composed smooth+gptq row is the best w4)."""
+    def calibrate_with_grams(lm, calib_ids):
+        """(act stats, GPTQ Grams) from ONE sown capture forward — the
+        serve(gptq=True) path (two separate forwards would double the
+        calibration wall-clock and, on the tunnel, the remote
+        compiles)."""
         from qdm_tpu.calib.stats import flatten_calib
         from qdm_tpu.models import llama as llama_lib
 
+        DecodeEngine._check_gram_tokens(lm, calib_ids)
+        plan = lm.plan.with_capture(True, inputs=False, gram=True)
+        model = llama_lib.LlamaForCausalLM(config=lm.config, dtype=lm.dtype,
+                                           plan=plan)
+
+        @jax.jit
+        def fwd(params, ids):
+            _, mut = model.apply({"params": params}, ids,
+                                 mutable=["calib", "calib_h"])
+            return (flatten_calib(mut["calib"]),
+                    flatten_calib(mut["calib_h"], leaf="h"))
+
+        return fwd(lm.params, jnp.asarray(calib_ids))
+
+    @staticmethod
+    def _check_gram_tokens(lm, calib_ids):
         ids_arr = np.asarray(calib_ids)
         n_tok = int(ids_arr.shape[0] * ids_arr.shape[1])
         k_max = max(lm.config.hidden_size, lm.config.intermediate_size,
@@ -1045,18 +1057,33 @@ class DecodeEngine:
                 "and GPTQ will compensate into unobserved directions "
                 "(measured: LOSES to plain RTN codes).  Calibrate with "
                 "at least K tokens.")
+        # full-Gram memory: every layer's (C, C) f32 materializes in
+        # one forward — warn before a certain OOM on big models
+        c2 = (lm.config.hidden_size ** 2 * 3
+              + lm.config.intermediate_size ** 2
+              + (lm.config.num_attention_heads * lm.config.head_dim) ** 2)
+        gb = c2 * 4 * lm.config.num_hidden_layers / 2 ** 30
+        if gb > 8.0:
+            import warnings
 
-        plan = lm.plan.with_capture(True, inputs=False, gram=True)
-        model = llama_lib.LlamaForCausalLM(config=lm.config, dtype=lm.dtype,
-                                           plan=plan)
+            warnings.warn(
+                f"gptq_grams: ~{gb:.1f} GB of Gram matrices will "
+                "materialize in one capture forward — beyond ~8 GB "
+                "this OOMs a v5e alongside the weights.  Capture "
+                "per-layer-group instead (run gptq_grams on a model "
+                "slice, or lower intermediate_size models only).")
 
-        @jax.jit
-        def fwd(params, ids):
-            _, mut = model.apply({"params": params}, ids,
-                                 mutable=["calib", "calib_h"])
-            return flatten_calib(mut["calib_h"], leaf="h")
-
-        return fwd(lm.params, jnp.asarray(calib_ids))
+    @staticmethod
+    def gptq_grams(lm, calib_ids) -> Dict[str, jnp.ndarray]:
+        """Per-layer input Hessians H = X^T X for GPTQ weight placement
+        in the engine (``DecodeEngine(..., gptq_grams=...)``): one sown
+        'calib_h' capture forward (quant/gptq.py — full-data Grams,
+        bounded (C, C) memory).  Run AFTER smooth_lm/awq_lm: those
+        mutate the weights, which changes every layer's inputs.  The
+        codes land on the engine's own symmetric grids, so serving
+        speed is identical — this is a pure quality lever (quality
+        table: the composed smooth+gptq row is the best w4)."""
+        return DecodeEngine.calibrate_with_grams(lm, calib_ids)[1]
 
     # ------------------------------------------------------------------ layers
 

@@ -94,6 +94,11 @@ def _build_ckpt(tmp_path, cfg, lm, gs, desc_act=False, fmt="gptq"):
                         (zeros - off).astype(np.int64))
                     sd[base + ".scales"] = scales
                     sd[base + ".g_idx"] = g_idx
+                    if "bias" in p:
+                        # AutoGPTQ keeps linear biases fp alongside
+                        # the packed weight
+                        sd[base + ".bias"] = np.ascontiguousarray(
+                            np.asarray(p["bias"]))
             for nname in ("input_layernorm", "post_attention_layernorm"):
                 sd[f"model.layers.{idx}.{nname}.weight"] = \
                     np.asarray(layer[nname]["scale"])
@@ -188,3 +193,54 @@ def test_autogptq_desc_act_dequantized(tmp_path):
                                rtol=1e-5, atol=1e-6)
     ids = RNG.integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
     assert np.isfinite(np.asarray(lm2.logits(ids))).all()
+
+
+def test_autogptq_real_hf_config_family_mapping(tmp_path):
+    """Real HF configs carry family semantics via model_type, not
+    LlamaConfig field names: a qwen2-style checkpoint (no
+    attention_bias key in config.json) must still load its qkv biases,
+    and a qwen3-style one must get qk_norm."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(tiny_llama_config(), attention_bias=True)
+    gs = 32
+    lm = CausalLM.from_config(cfg, dtype=jnp.float32)
+    d, _ = _build_ckpt(tmp_path, cfg, lm, gs)
+    # rewrite config.json the way HF qwen2 ships it: model_type only,
+    # NO attention_bias field
+    import json
+    import os
+
+    hf = json.load(open(os.path.join(d, "config.json")))
+    del hf["attention_bias"]
+    hf["model_type"] = "qwen2"
+    json.dump(hf, open(os.path.join(d, "config.json"), "w"))
+    lm2 = CausalLM.from_quantized_autogptq(d, dtype=jnp.float32)
+    assert lm2.config.attention_bias
+    at = lm2.params["layers_0"]["self_attn"]["q_proj"]
+    assert "bias" in at and "qweight" in at
+    ids = RNG.integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    assert np.isfinite(np.asarray(lm2.logits(ids))).all()
+
+
+def test_autogptq_unmatched_quantized_module_is_loud(tmp_path):
+    cfg = tiny_llama_config()
+    lm = CausalLM.from_config(cfg, dtype=jnp.float32)
+    d, _ = _build_ckpt(tmp_path, cfg, lm, 32)
+    # add a quantized module the model layout does not have
+    import os
+
+    from safetensors.numpy import load_file, save_file
+
+    sd = load_file(os.path.join(d, "model.safetensors"))
+    sd["model.layers.0.self_attn.zz_proj.qweight"] = \
+        sd["model.layers.0.self_attn.q_proj.qweight"]
+    sd["model.layers.0.self_attn.zz_proj.qzeros"] = \
+        sd["model.layers.0.self_attn.q_proj.qzeros"]
+    sd["model.layers.0.self_attn.zz_proj.scales"] = \
+        sd["model.layers.0.self_attn.q_proj.scales"]
+    save_file(sd, os.path.join(d, "model.safetensors"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        CausalLM.from_quantized_autogptq(d, dtype=jnp.float32)

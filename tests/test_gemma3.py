@@ -172,3 +172,25 @@ def test_gemma3_preset_and_hf_detection(tmp_path):
     np.testing.assert_allclose(np.asarray(lm2.logits(ids)),
                                np.asarray(lm.logits(ids)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_rope_scaling_type_gating():
+    """Only LINEAR rope_scaling maps to position division — llama3 /
+    yarn factors applied linearly would rotate every token wrongly, so
+    they must fall back to plain rope."""
+    base = {"vocab_size": 64, "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 1, "num_attention_heads": 2,
+            "num_key_value_heads": 2}
+    cfg = CausalLM.config_from_hf(
+        {**base, "model_type": "llama",
+         "rope_scaling": {"rope_type": "llama3", "factor": 8.0,
+                          "low_freq_factor": 1.0}})
+    assert cfg.rope_scaling_factor == 1.0
+    cfg = CausalLM.config_from_hf(
+        {**base, "model_type": "llama",
+         "rope_scaling": {"type": "yarn", "factor": 4.0}})
+    assert cfg.rope_scaling_factor == 1.0
+    cfg = CausalLM.config_from_hf(
+        {**base, "model_type": "gemma3_text",
+         "rope_scaling": {"rope_type": "linear", "factor": 8.0}})
+    assert cfg.rope_scaling_factor == 8.0 and cfg.qk_norm

@@ -306,15 +306,28 @@ def main():
                 "scale migration differs — so its gap is pure smoothing",
                 "benefit.  The LLM counterpart (tools/llm_quality_table.py",
                 "--outliers, artifact tools/llm_quality_table_outliers.json)",
-                "reproduces the reference ordering too: W4-RTN KL 5.18 >",
-                "W4-Smooth 3.29 > W4-AWQ 3.02 (AWQ's clip+scale search adds",
-                "~9% over smoothing), with W8 modes an order of magnitude",
-                "closer to fp.  tools/awq_ab.json bounds the documented AWQ",
-                "loss-target deviation at 2.7% mean MSE.",
+                "reproduces the reference ordering too: W4-RTN KL 6.63 >",
+                "W4-GPTQ 5.33 > W4-Smooth 4.57 ~ W4-AWQ 4.52 >",
+                "W4-Smooth+GPTQ 3.61 (the composed quantizer — smoothing",
+                "moves the outliers, GPTQ compensates the rounding — is the",
+                "best w4, best top-1/5 too), with W8 modes an order of",
+                "magnitude closer to fp.  tools/awq_ab.json bounds the",
+                "documented AWQ loss-target deviation at 2.7% mean MSE.",
             ]
         qmd = "QUALITY_OUTLIERS.md" if OUTLIERS else "QUALITY.md"
-        with open(os.path.join(os.path.dirname(here), qmd), "w") as f:
+        path_md = os.path.join(os.path.dirname(here), qmd)
+        # preserve hand-curated sections: everything at/after the
+        # marker survives regeneration
+        marker = "<!-- curated-below: preserved across regens -->"
+        tail = ""
+        if os.path.exists(path_md):
+            old = open(path_md).read()
+            if marker in old:
+                tail = old[old.index(marker):]
+        with open(path_md, "w") as f:
             f.write("\n".join(lines) + "\n")
+            if tail:
+                f.write("\n" + tail)
     print(json.dumps({"done": True, "rows": len(rows)}))
 
 
