@@ -1020,30 +1020,60 @@ class DecodeEngine:
         return fwd(lm.params, jnp.asarray(calib_ids))
 
     @staticmethod
-    def calibrate_with_grams(lm, calib_ids):
+    def calibrate_with_grams(lm, calib_ids, gram_chunk: int = 0):
         """(act stats, GPTQ Grams) from ONE sown capture forward — the
         serve(gptq=True) path (two separate forwards would double the
         calibration wall-clock and, on the tunnel, the remote
-        compiles)."""
+        compiles).
+
+        gram_chunk > 0 (or the auto default when the full Gram set
+        would exceed ~8 GB) captures the Hessians CHUNKED: each forward
+        returns only `gram_chunk` layers' Grams and XLA dead-code
+        eliminates the rest, bounding live memory at
+        chunk x max(C)^2 f32 at the cost of ceil(n/chunk) forwards —
+        this is what makes serve(gptq=True) viable at 7B scale on one
+        v5e."""
         from qdm_tpu.calib.stats import flatten_calib
         from qdm_tpu.models import llama as llama_lib
 
-        DecodeEngine._check_gram_tokens(lm, calib_ids)
+        gram_chunk = DecodeEngine._check_gram_tokens(lm, calib_ids,
+                                                     gram_chunk)
         plan = lm.plan.with_capture(True, inputs=False, gram=True)
         model = llama_lib.LlamaForCausalLM(config=lm.config, dtype=lm.dtype,
                                            plan=plan)
+        ids = jnp.asarray(calib_ids)
 
-        @jax.jit
-        def fwd(params, ids):
+        def fwd_all(params, ids):
             _, mut = model.apply({"params": params}, ids,
                                  mutable=["calib", "calib_h"])
             return (flatten_calib(mut["calib"]),
                     flatten_calib(mut["calib_h"], leaf="h"))
 
-        return fwd(lm.params, jnp.asarray(calib_ids))
+        if not gram_chunk:
+            return jax.jit(fwd_all)(lm.params, ids)
+
+        keys = sorted(jax.eval_shape(fwd_all, lm.params, ids)[1])
+        stats = None
+        grams: Dict[str, jnp.ndarray] = {}
+        for i in range(0, len(keys), gram_chunk):
+            sel = tuple(keys[i:i + gram_chunk])
+
+            @jax.jit
+            def fwd_sel(params, ids, sel=sel):
+                st, hs = fwd_all(params, ids)
+                # returning a key subset lets XLA DCE the other
+                # layers' (C, C) Gram matmuls entirely
+                return st, {k: hs[k] for k in sel}
+
+            st, hs = fwd_sel(lm.params, ids)
+            stats = st
+            grams.update(hs)
+        return stats, grams
 
     @staticmethod
-    def _check_gram_tokens(lm, calib_ids):
+    def _check_gram_tokens(lm, calib_ids, gram_chunk: int = 0) -> int:
+        """Warn on rank-deficient Grams; pick an automatic chunk size
+        when the full Gram set would not fit next to the weights."""
         ids_arr = np.asarray(calib_ids)
         n_tok = int(ids_arr.shape[0] * ids_arr.shape[1])
         k_max = max(lm.config.hidden_size, lm.config.intermediate_size,
@@ -1057,33 +1087,38 @@ class DecodeEngine:
                 "and GPTQ will compensate into unobserved directions "
                 "(measured: LOSES to plain RTN codes).  Calibrate with "
                 "at least K tokens.")
-        # full-Gram memory: every layer's (C, C) f32 materializes in
-        # one forward — warn before a certain OOM on big models
-        c2 = (lm.config.hidden_size ** 2 * 3
-              + lm.config.intermediate_size ** 2
-              + (lm.config.num_attention_heads * lm.config.head_dim) ** 2)
-        gb = c2 * 4 * lm.config.num_hidden_layers / 2 ** 30
-        if gb > 8.0:
-            import warnings
-
-            warnings.warn(
-                f"gptq_grams: ~{gb:.1f} GB of Gram matrices will "
-                "materialize in one capture forward — beyond ~8 GB "
-                "this OOMs a v5e alongside the weights.  Capture "
-                "per-layer-group instead (run gptq_grams on a model "
-                "slice, or lower intermediate_size models only).")
+        if gram_chunk:
+            return gram_chunk
+        # full-Gram memory: every layer's (C, C) f32 would materialize
+        # in one forward — auto-chunk beyond ~8 GB (v5e headroom next
+        # to the weights)
+        per_layer = (lm.config.hidden_size ** 2 * 3
+                     + lm.config.intermediate_size ** 2
+                     + (lm.config.num_attention_heads
+                        * lm.config.head_dim) ** 2) * 4
+        total_gb = per_layer * lm.config.num_hidden_layers / 2 ** 30
+        if total_gb <= 8.0:
+            return 0
+        budget = int(8.0 * 2 ** 30)
+        # keys are per-LINEAR (7/layer for llama); scale the layer
+        # estimate accordingly
+        per_key = per_layer / 7
+        return max(1, int(budget / per_key))
 
     @staticmethod
-    def gptq_grams(lm, calib_ids) -> Dict[str, jnp.ndarray]:
+    def gptq_grams(lm, calib_ids,
+                   gram_chunk: int = 0) -> Dict[str, jnp.ndarray]:
         """Per-layer input Hessians H = X^T X for GPTQ weight placement
         in the engine (``DecodeEngine(..., gptq_grams=...)``): one sown
         'calib_h' capture forward (quant/gptq.py — full-data Grams,
-        bounded (C, C) memory).  Run AFTER smooth_lm/awq_lm: those
+        bounded (C, C) memory; auto-chunked past ~8 GB, see
+        calibrate_with_grams).  Run AFTER smooth_lm/awq_lm: those
         mutate the weights, which changes every layer's inputs.  The
         codes land on the engine's own symmetric grids, so serving
         speed is identical — this is a pure quality lever (quality
         table: the composed smooth+gptq row is the best w4)."""
-        return DecodeEngine.calibrate_with_grams(lm, calib_ids)[1]
+        return DecodeEngine.calibrate_with_grams(lm, calib_ids,
+                                                 gram_chunk=gram_chunk)[1]
 
     # ------------------------------------------------------------------ layers
 

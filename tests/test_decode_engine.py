@@ -1796,3 +1796,17 @@ def test_engine_w4a8_phi_class_still_guarded():
     stats = DecodeEngine.calibrate_scales(m, ids)
     with pytest.raises(NotImplementedError):
         DecodeEngine(m, mode="w4a8_static", act_stats=stats)
+
+
+def test_gptq_grams_chunked_capture_is_exact(lm):
+    """Chunked Gram capture (the 7B-scale memory path: each forward
+    returns a key subset, XLA DCEs the rest) must reproduce the
+    one-shot Grams and stats bit-exactly."""
+    ids = RNG.integers(0, 256, (2, 32))
+    s1, g1 = DecodeEngine.calibrate_with_grams(lm, ids)
+    s2, g2 = DecodeEngine.calibrate_with_grams(lm, ids, gram_chunk=3)
+    assert sorted(g1) == sorted(g2)
+    for k in g1:
+        assert jnp.array_equal(g1[k], g2[k]), k
+    for k in s1:
+        assert jnp.array_equal(s1[k], s2[k]), k
