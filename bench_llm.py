@@ -766,6 +766,8 @@ def moe_main():
     stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids)[:2])
     for ename, kw in (("engine_bf16", {"mode": "bf16"}),
                       ("engine_w8a8", {"mode": "w8a8_static",
+                                       "act_stats": stats}),
+                      ("engine_w4a8", {"mode": "w4a8_static",
                                        "act_stats": stats})):
         eng = DecodeEngine(lm, **kw)
         tok0, caches = eng.prefill(np.asarray(ids), prefill + 41)

@@ -307,11 +307,6 @@ class DecodeEngine:
         # none of the dynamic-shape cost.
         self.moe = getattr(cfg, "num_experts", 0) > 0
         if self.moe:
-            if mode == "w4a8_static":
-                raise NotImplementedError(
-                    "MoE engine serving covers bf16 and w8a8_static "
-                    "(stacked-expert int8 einsums); w4a8's planar i4 "
-                    "kernels carry no expert axis")
             if mesh is not None and (
                     "model" in getattr(mesh, "axis_names", ()) and
                     int(mesh.shape["model"]) > 1):
@@ -656,6 +651,30 @@ class DecodeEngine:
             if self.moe and mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, router=router,
                              W1=W1, W3=W3, W2=W2)
+            elif self.moe and mode == "w4a8_static":
+                # stacked-expert int4: HALF the int8 path's expert
+                # weight stream (MoE decode reads every expert), one
+                # pallas call for the whole MLP + routing combine
+                pre = f"layers_{l}/block_sparse_moe"
+                entry["w_qkv"], entry["s_qkv"] = qw4(
+                    w_qkv, f"layers_{l}/self_attn/q_proj", self.i4_group)
+                entry["w_o"], entry["s_o"] = qw4(
+                    w_o, f"layers_{l}/self_attn/o_proj", self.i4_group)
+                entry["router"] = router
+                entry["W1"], entry["sW1"] = dk.pack_moe_expert_i4(
+                    W1, self.i4_group)
+                entry["W3"], entry["sW3"] = dk.pack_moe_expert_i4(
+                    W3, self.i4_group)
+                entry["W2"], entry["sW2"] = dk.pack_moe_expert_i4(
+                    W2, self.i4_group, block=self.i4_mlp_block)
+                entry["a_qkv"] = scale_of(
+                    f"layers_{l}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(
+                    f"layers_{l}/self_attn/o_proj").reshape(1)
+                entry["a_moe_scl"] = jnp.concatenate(
+                    [scale_of(f"{pre}/experts_0/w1").reshape(1),
+                     jnp.stack([scale_of(f"{pre}/experts_{e}/w2")
+                                for e in range(cfg.num_experts)])])
             elif self.moe:                        # w8a8_static MoE
                 pre = f"layers_{l}/block_sparse_moe"
                 entry["w_qkv"], entry["s_qkv"] = qw8(
@@ -1305,9 +1324,13 @@ class DecodeEngine:
         attn = attn.reshape(bp, h * d)
         if self.moe:
             # o_proj + residual through the dense megakernel, then the
-            # stacked-expert MoE MLP in XLA (dense-exact top-k routing)
+            # stacked-expert MoE MLP (dense-exact top-k routing)
             if self.mode == "bf16":
                 x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
+            elif self.mode == "w4a8_static":
+                x = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
+                                             w["a_o"], residual=x,
+                                             group=self.i4_group)
             else:
                 x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                              w["a_o"], residual=x)
@@ -1514,6 +1537,14 @@ class DecodeEngine:
             u = jnp.einsum("bk,ekf->ebf", xin, w["W3"])
             y = jnp.einsum("ebf,efk->ebk", act(g) * u,
                            w["W2"]).astype(jnp.float32)
+        elif self.mode == "w4a8_static":
+            # one pallas call: all experts' int4 MLP + routing combine
+            # (half the int8 stacked-einsum path's expert weight read)
+            out = dk.fused_moe_mlp_decode_i4(
+                xin, w_be, w["W1"], w["W3"], w["W2"],
+                w["sW1"], w["sW3"], w["sW2"], w["a_moe_scl"],
+                act=cfg.mlp_act, group=self.i4_group)
+            return (x.astype(jnp.float32) + out).astype(x.dtype)
         else:
             a = w["a_moe"]                                    # (1,)
             xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a),

@@ -2274,3 +2274,167 @@ def fused_o_mlp_decode_i4(attn, w_o_p, wo_scale, attn_scale, residual,
         attn, w_o_p, wo_scale, attn_scale, residual, wg_p, wu_p, wd_p,
         w_scales, act_scales, norm_scale, eps=eps, act=act, group=group,
         **{k: v for k, v in kw.items() if k != "interpret"})
+
+
+# ---------------------------------------------------------------------------
+# stacked-expert MoE MLP, int4: one launch for ALL experts + routing
+# ---------------------------------------------------------------------------
+
+
+def _fused_moe_mlp_i4_kernel(xn_ref, rw_ref, w1_ref, w3_ref, w2_ref,
+                             s1_ref, s3_ref, s2_ref, scl_ref, o_ref,
+                             xi_ref, acc_ref, *, n_e: int, n_j: int,
+                             act: str, group: int, bj: int):
+    e = pl.program_id(0)
+    j = pl.program_id(1)
+    s_in = scl_ref[0]
+
+    @pl.when((e == 0) & (j == 0))
+    def _():
+        xf = xn_ref[:].astype(jnp.float32)
+        xi_ref[:] = jnp.clip(jnp.round(xf * (1.0 / s_in)),
+                             -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gate = _i4_group_dot(xi_ref[:], w1_ref, s1_ref, s_in, group)
+    up = _i4_group_dot(xi_ref[:], w3_ref, s3_ref, s_in, group)
+    a = (jax.nn.silu(gate) if act == "silu"
+         else jax.nn.gelu(gate, approximate=True)) * up
+    s_mid = scl_ref[1 + e]                       # per-expert mid scale
+    ai = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
+    y = _i4_group_dot(ai, w2_ref, s2_ref, s_mid, group,
+                      row0=j * (bj // group))
+    # routing combine in-kernel: this expert's contribution is gated
+    # by its per-token route weight (dense-exact top-k, 0 for unpicked)
+    acc_ref[:] += y * rw_ref[:]
+
+    @pl.when((e == n_e - 1) & (j == n_j - 1))
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def fused_moe_mlp_decode_i4_pallas(xn, route_w, w1_p, w3_p, w2_p,
+                                   s1, s3, s2, act_scales,
+                                   act: str = "silu", block_j: int = 512,
+                                   group: int = 128, out_dtype=None,
+                                   interpret: bool = False):
+    """Stacked-expert int4 MoE MLP + routing combine, ONE pallas call.
+
+    xn (B, K): the pre-normed block input (ln2 runs XLA-side with the
+    router, which needs the same normed activations).  route_w (B, E)
+    f32: dense-exact top-k weights (0 on unpicked experts).  Weight
+    stacks reshaped 2D so every block spec stays rank-2:
+    w1_p/w3_p (E*K/2, I) planar bytes (per-expert pack, block=0),
+    w2_p (E*I/2, K) (per-expert pack, block=bj);
+    s1/s3 (E*K/g, I), s2 (E*I/g, K) f32 group scales;
+    act_scales (1+E,) = [shared expert-input scale, per-expert mid].
+    Returns (B, K) f32 MoE output (no residual — XLA adds it).
+
+    Grid (E, n_j): each step streams one expert's inner block through
+    VMEM; the int4 weight stream is HALF the int8 stacked-einsum
+    path's — and at serve batch sizes MoE decode reads every expert,
+    so weights dominate the step.  Counterpart of the reference's
+    fused moe modules (awq/modules/fused/moe.py)."""
+    b, k = xn.shape
+    n_e = act_scales.shape[0] - 1
+    inner = w1_p.shape[1]
+    assert w1_p.shape[0] == n_e * (k // 2), (w1_p.shape, n_e, k)
+    out_dtype = out_dtype or jnp.float32
+    bj = _pick_block_i4(inner, block_j)
+    assert (bj // 2) % group == 0 or inner % LANE, (bj, group)
+    assert (k // 2) % group == 0, (k, group)
+    bp = _round_up(b, 8)
+    if bp != b:
+        xn = jnp.pad(xn, ((0, bp - b), (0, 0)))
+        route_w = jnp.pad(route_w, ((0, bp - b), (0, 0)))
+    n_j = inner // bj
+    ngk = k // group
+
+    out = pl.pallas_call(
+        functools.partial(_fused_moe_mlp_i4_kernel, n_e=n_e, n_j=n_j,
+                          act=act, group=group, bj=bj),
+        grid=(n_e, n_j),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda e, j: (0, 0)),
+            pl.BlockSpec((bp, 1), lambda e, j: (0, e)),
+            pl.BlockSpec((k // 2, bj), lambda e, j: (e, j)),
+            pl.BlockSpec((k // 2, bj), lambda e, j: (e, j)),
+            pl.BlockSpec((bj // 2, k), lambda e, j: (e * n_j + j, 0)),
+            pl.BlockSpec((ngk, bj), lambda e, j: (e, j)),
+            pl.BlockSpec((ngk, bj), lambda e, j: (e, j)),
+            pl.BlockSpec((inner // group, k), lambda e, j: (e, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, k), lambda e, j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, k), jnp.int8),
+                        pltpu.VMEM((bp, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xn, route_w.astype(jnp.float32), w1_p, w3_p, w2_p,
+      s1.astype(jnp.float32), s3.astype(jnp.float32),
+      s2.astype(jnp.float32), act_scales.astype(jnp.float32))
+    return out[:b]
+
+
+def fused_moe_mlp_decode_i4_ref(xn, route_w, w1_p, w3_p, w2_p, s1, s3, s2,
+                                act_scales, act: str = "silu",
+                                block_j: int = 512, group: int = 128,
+                                out_dtype=None):
+    """jnp reference (CPU path): per-expert int4 dequant + the same
+    static-scale int8-valued arithmetic, routing-combined."""
+    b, k = xn.shape
+    n_e = act_scales.shape[0] - 1
+    inner = w1_p.shape[1]
+    bj = _pick_block_i4(inner, block_j)
+    s_in = act_scales.astype(jnp.float32)[0]
+    xf = xn.astype(jnp.float32)
+    xi = jnp.clip(jnp.round(xf / s_in), -127, 127)
+    out = jnp.zeros((b, k), jnp.float32)
+    kh, ih = k // 2, inner // 2
+    ngk, ngi = k // group, inner // group
+    actf = (jax.nn.silu if act == "silu"
+            else functools.partial(jax.nn.gelu, approximate=True))
+    for e in range(n_e):
+        W1 = _dequant_i4(w1_p[e * kh:(e + 1) * kh],
+                         s1[e * ngk:(e + 1) * ngk], group)
+        W3 = _dequant_i4(w3_p[e * kh:(e + 1) * kh],
+                         s3[e * ngk:(e + 1) * ngk], group)
+        W2 = _dequant_i4(w2_p[e * ih:(e + 1) * ih],
+                         s2[e * ngi:(e + 1) * ngi], group, block=bj)
+        gate = (xi @ W1) * s_in
+        up = (xi @ W3) * s_in
+        a = actf(gate) * up
+        s_mid = act_scales.astype(jnp.float32)[1 + e]
+        ai = jnp.clip(jnp.round(a / s_mid), -127, 127)
+        y = (ai @ W2) * s_mid
+        out = out + y * route_w.astype(jnp.float32)[:, e:e + 1]
+    return out.astype(out_dtype or jnp.float32)
+
+
+def fused_moe_mlp_decode_i4(xn, route_w, w1_p, w3_p, w2_p, s1, s3, s2,
+                            act_scales, act: str = "silu",
+                            group: int = 128, **kw):
+    if on_tpu():
+        return fused_moe_mlp_decode_i4_pallas(xn, route_w, w1_p, w3_p,
+                                              w2_p, s1, s3, s2, act_scales,
+                                              act=act, group=group, **kw)
+    return fused_moe_mlp_decode_i4_ref(xn, route_w, w1_p, w3_p, w2_p,
+                                       s1, s3, s2, act_scales, act=act,
+                                       group=group,
+                                       **{k2: v for k2, v in kw.items()
+                                          if k2 != "interpret"})
+
+
+def pack_moe_expert_i4(W, group: int, block: int = 0):
+    """Stacked expert weights (E, K, N) -> (packed (E*K/2, N) bytes,
+    scales (E*K/g, N)) — per-expert planar packs reshaped 2D so the
+    MoE kernel's block specs stay rank-2."""
+    e, k, n = W.shape
+    packs, scs = [], []
+    for i in range(e):
+        q, s = quantize_int4_group(W[i], group)
+        packs.append(pack_int4_planar(q, block=block))
+        scs.append(s)
+    return jnp.concatenate(packs, axis=0), jnp.concatenate(scs, axis=0)

@@ -250,3 +250,55 @@ def test_engine_w8a8_moe_and_guards():
         DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
     with _pytest.raises(NotImplementedError):
         DecodeEngine(lm, mode="bf16", merge_o=True)
+
+
+def test_engine_moe_w4a8():
+    """Stacked-expert int4 MoE serving: one pallas call for all
+    experts' MLP + routing combine (half the int8 expert weight
+    stream); tokens mostly survive int4 on the tiny model, ragged
+    works."""
+    import numpy as _np
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = CausalLM.from_config(llama_lib.tiny_mixtral_config(),
+                              dtype=jnp.float32, seed=6)
+    rng = _np.random.default_rng(3)
+    ids = rng.integers(0, 256, (2, 16))
+    stats = DecodeEngine.calibrate_scales(lm, ids)
+    eng = DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    out = _np.asarray(eng.generate(ids[:, :6], max_new_tokens=8))
+    ref = _np.asarray(lm.generate(ids[:, :6], max_new_tokens=8))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.4
+    ragged = eng.generate_ragged([list(ids[0, :4]), list(ids[1, :9])],
+                                 max_new_tokens=4)
+    assert len(ragged) == 2
+
+
+def test_moe_i4_kernel_interpret_matches_ref():
+    import numpy as _np
+
+    from qdm_tpu.ops import decode_kernels as dk
+
+    rng = _np.random.default_rng(0)
+    B, K, I, E, g = 8, 256, 512, 4, 64
+    xn = jnp.asarray(rng.standard_normal((B, K)).astype(_np.float32) * 0.5)
+    rw = jnp.asarray(_np.abs(rng.standard_normal((B, E))
+                             ).astype(_np.float32))
+    rw = rw * (rw > 0.8)
+    bj = dk.mlp_i4_block(I)
+    packs = []
+    for shape, blk in (((E, K, I), 0), ((E, K, I), 0), ((E, I, K), bj)):
+        W = jnp.asarray(rng.standard_normal(shape).astype(_np.float32)
+                        / 30)
+        packs.append(dk.pack_moe_expert_i4(W, g, block=blk))
+    (w1p, s1), (w3p, s3), (w2p, s2) = packs
+    scl = jnp.asarray([0.03] + [0.05] * E, jnp.float32)
+    out = dk.fused_moe_mlp_decode_i4_pallas(xn, rw, w1p, w3p, w2p,
+                                            s1, s3, s2, scl, group=g,
+                                            interpret=True)
+    ref = dk.fused_moe_mlp_decode_i4_ref(xn, rw, w1p, w3p, w2p,
+                                         s1, s3, s2, scl, group=g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)

@@ -406,6 +406,34 @@ def main():
     results["fused_o_mlp_i4"] = {"max_abs_diff": d, "tol": tol_om4,
                                  "pass": d <= tol_om4}
 
+    # stacked-expert int4 MoE MLP + routing combine (MoE w4a8 serving)
+    n_e = 4
+    rng_m = np.random.default_rng(17)
+    rw_ = jnp.asarray(np.abs(rng_m.standard_normal((x4.shape[0], n_e))
+                             ).astype(np.float32))
+    rw_ = rw_ * (rw_ > 0.8)
+    moe_bj = dkk.mlp_i4_block(inner_)
+    mpacks = []
+    for shape, blk in (((n_e, kk_, inner_), 0), ((n_e, kk_, inner_), 0),
+                       ((n_e, inner_, kk_), moe_bj)):
+        Wm = jnp.asarray(rng_m.standard_normal(shape).astype(np.float32)
+                         / 30)
+        mpacks.append(dkk.pack_moe_expert_i4(Wm, grp, block=blk))
+    (mw1, ms1), (mw3, ms3), (mw2, ms2) = mpacks
+    mscl = jnp.asarray([0.03] + [0.05] * n_e, jnp.float32)
+    out = dkk.fused_moe_mlp_decode_i4_pallas(x4, rw_, mw1, mw3, mw2,
+                                             ms1, ms3, ms2, mscl,
+                                             group=grp)
+    with jax.default_matmul_precision("highest"):
+        ref = dkk.fused_moe_mlp_decode_i4_ref(x4, rw_, mw1, mw3, mw2,
+                                              ms1, ms3, ms2, mscl,
+                                              group=grp)
+    d = _maxdiff(out, ref)
+    tol_moe4 = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))),
+                   1.0) * 2e-6
+    results["fused_moe_mlp_i4"] = {"max_abs_diff": d, "tol": tol_moe4,
+                                   "pass": d <= tol_moe4}
+
     ok = all(r["pass"] for r in results.values())
     artifact = {"backend": "tpu",
                 "device": str(jax.devices()[0]),
