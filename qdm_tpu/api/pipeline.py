@@ -239,8 +239,14 @@ class BaseDiffusionPipeline:
                  calib_prompts: Optional[Sequence[str]] = None,
                  calib_cache: Optional[str] = None,
                  debugSavePath: Optional[str] = None,
-                 debugPlot: bool = False):
-        """Quantize selected components (reference base.py:215-528)."""
+                 debugPlot: bool = False,
+                 smooth: bool = False):
+        """Quantize selected components (reference base.py:215-528).
+        smooth=True (quantType='gptq' only) runs the SmoothQuant
+        migration before the Hessian capture — the composed
+        smooth+gptq quantizer (the measured best w4 on the LLM
+        outlier tables; Grams MUST be captured after migration, the
+        layer inputs change by 1/s)."""
         self.checkQuantStatus(quantUnet, quantTextEncoder, quantVAE, quantTransformer)
         cfg = quant_config if isinstance(quant_config, QuantConfig) \
             else QuantConfig.from_dict(quant_config)
@@ -262,6 +268,9 @@ class BaseDiffusionPipeline:
             targets.append("vae")
 
         method = cfg.quant_method
+        if smooth and method != "gptq":
+            raise ValueError("smooth=True composes with quantType='gptq' "
+                             "only; plain smoothing is quantType='sq'")
         for name in targets:
             comp_key = "text_encoder" if name.startswith("text_encoder") else name
             plan = self._make_plan(cfg, comp_key)
@@ -283,6 +292,13 @@ class BaseDiffusionPipeline:
                 # component skips the fake-quant transform below; for
                 # version='real' the packs carry the search's own
                 # codes/scales (gptq_pack_params in the real block).
+                if smooth:
+                    # SmoothQuant migration FIRST (mutates weights);
+                    # the Gram capture below then sees the migrated
+                    # inputs — the composed smooth+gptq quantizer
+                    self._smoothquant_component(
+                        name, cfg, calib_cache=calib_cache,
+                        calib_prompts=calib_prompts)
                 act_stats, gptq_grams = self._gptq_component(
                     name, cfg, plan, calib_prompts=calib_prompts)
             elif method == "rtn" and cfg.version == "real" \

@@ -390,3 +390,26 @@ def test_per_step_act_scales(tmp_path):
     img2 = _gen(p2)
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img),
                                atol=2e-5)
+
+
+def test_gptq_smooth_compose_pipeline():
+    """smooth=True migrates the UNet's outlier scales BEFORE the Gram
+    capture — the composed smooth+gptq diffusion quantizer: runs e2e,
+    image finite and close to fp; non-gptq methods reject the flag."""
+    p = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    base = _gen(p)
+    cfg = QuantConfig(w_bit=8, q_group_size=32, version="fake",
+                      zero_point=True)
+    cfg.calib.n_samples = 2
+    cfg.calib.batch_size = 2
+    cfg.calib.n_steps = 2
+    p.quantize(cfg, quantType="gptq", smooth=True)
+    img = _gen(p)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).mean() < 0.1
+
+    p2 = StableDiffusion1_x.from_config(tiny=True, dtype=jnp.float32)
+    import pytest
+
+    with pytest.raises(ValueError):
+        p2.quantize(cfg, quantType="rtn", smooth=True)

@@ -148,6 +148,11 @@ def main():
         "W4 GPTQ (Hessian error-comp)": ("gptq", calib(QuantConfig(
             w_bit=4, a_bit=16, version="fake", zero_point=True,
             q_group_size=128))),
+        # the composed quantizer: smoothing moves the outliers, GPTQ
+        # compensates the rounding on the migrated weights
+        "W4 Smooth+GPTQ": ("gptq+smooth", calib(QuantConfig(
+            w_bit=4, a_bit=16, version="fake", zero_point=True,
+            q_group_size=128))),
         "W4 RTN (no smoothing)": ("rtn", calib(QuantConfig(
             w_bit=4, a_bit=16, version="fake", zero_point=True,
             q_group_size=128))),
@@ -183,7 +188,11 @@ def main():
     for name, (method, cfg) in modes.items():
         print(f"[quality] {name}", file=sys.stderr, flush=True)
         pipe = build_pipe(tiny, dtype)   # same seed => identical weights
-        pipe.quantize(cfg, quantType=method, calib_prompts=CALIB_PROMPTS)
+        kw = {}
+        if method.endswith("+smooth"):
+            method, kw = method[: -len("+smooth")], {"smooth": True}
+        pipe.quantize(cfg, quantType=method, calib_prompts=CALIB_PROMPTS,
+                      **kw)
         img = gen(pipe, steps, px)
         q_eps = eps_fn(pipe)
         row = {
