@@ -2284,7 +2284,8 @@ def fused_o_mlp_decode_i4(attn, w_o_p, wo_scale, attn_scale, residual,
 def _fused_moe_mlp_i4_kernel(xn_ref, rw_ref, w1_ref, w3_ref, w2_ref,
                              s1_ref, s3_ref, s2_ref, scl_ref, o_ref,
                              xi_ref, acc_ref, *, n_e: int, n_j: int,
-                             act: str, group: int, bj: int):
+                             act: str, group: int, bj: int,
+                             k_groups: int, i_groups: int):
     e = pl.program_id(0)
     j = pl.program_id(1)
     s_in = scl_ref[0]
@@ -2296,17 +2297,28 @@ def _fused_moe_mlp_i4_kernel(xn_ref, rw_ref, w1_ref, w3_ref, w2_ref,
                              -127, 127).astype(jnp.int8)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    gate = _i4_group_dot(xi_ref[:], w1_ref, s1_ref, s_in, group)
-    up = _i4_group_dot(xi_ref[:], w3_ref, s3_ref, s_in, group)
+    # scale stacks ride WHOLE (per-expert row blocks are not always
+    # 8-row-aligned — Mosaic block rule); this expert's rows start at
+    # e * groups-per-expert
+    gate = _i4_group_dot(xi_ref[:], w1_ref, s1_ref, s_in, group,
+                         row0=e * k_groups)
+    up = _i4_group_dot(xi_ref[:], w3_ref, s3_ref, s_in, group,
+                       row0=e * k_groups)
     a = (jax.nn.silu(gate) if act == "silu"
          else jax.nn.gelu(gate, approximate=True)) * up
     s_mid = scl_ref[1 + e]                       # per-expert mid scale
     ai = jnp.clip(jnp.round(a * (1.0 / s_mid)), -127, 127).astype(jnp.int8)
     y = _i4_group_dot(ai, w2_ref, s2_ref, s_mid, group,
-                      row0=j * (bj // group))
+                      row0=e * i_groups + j * (bj // group))
     # routing combine in-kernel: this expert's contribution is gated
-    # by its per-token route weight (dense-exact top-k, 0 for unpicked)
-    acc_ref[:] += y * rw_ref[:]
+    # by its per-token route weight (dense-exact top-k, 0 for
+    # unpicked).  rw rides whole (a width-1 lane block is not
+    # Mosaic-legal); one-hot select column e
+    rw = rw_ref[:]
+    route = jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, rw.shape, 1) == e, rw, 0.0),
+        axis=1, keepdims=True)
+    acc_ref[:] += y * route
 
     @pl.when((e == n_e - 1) & (j == n_j - 1))
     def _():
@@ -2352,17 +2364,18 @@ def fused_moe_mlp_decode_i4_pallas(xn, route_w, w1_p, w3_p, w2_p,
 
     out = pl.pallas_call(
         functools.partial(_fused_moe_mlp_i4_kernel, n_e=n_e, n_j=n_j,
-                          act=act, group=group, bj=bj),
+                          act=act, group=group, bj=bj, k_groups=ngk,
+                          i_groups=inner // group),
         grid=(n_e, n_j),
         in_specs=[
             pl.BlockSpec((bp, k), lambda e, j: (0, 0)),
-            pl.BlockSpec((bp, 1), lambda e, j: (0, e)),
+            pl.BlockSpec((bp, n_e), lambda e, j: (0, 0)),
             pl.BlockSpec((k // 2, bj), lambda e, j: (e, j)),
             pl.BlockSpec((k // 2, bj), lambda e, j: (e, j)),
             pl.BlockSpec((bj // 2, k), lambda e, j: (e * n_j + j, 0)),
-            pl.BlockSpec((ngk, bj), lambda e, j: (e, j)),
-            pl.BlockSpec((ngk, bj), lambda e, j: (e, j)),
-            pl.BlockSpec((inner // group, k), lambda e, j: (e, 0)),
+            pl.BlockSpec((n_e * ngk, bj), lambda e, j: (0, j)),
+            pl.BlockSpec((n_e * ngk, bj), lambda e, j: (0, j)),
+            pl.BlockSpec((n_e * (inner // group), k), lambda e, j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bp, k), lambda e, j: (0, 0)),
