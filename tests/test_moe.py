@@ -245,9 +245,9 @@ def test_engine_w8a8_moe_and_guards():
                        kv_scale_mode="channel").generate(
         ids, max_new_tokens=6)
     assert out.shape == (2, 15)
+    # w4a8 serves now too (stacked-expert int4 kernel,
+    # test_engine_moe_w4a8); merge_o stays guarded
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
     with _pytest.raises(NotImplementedError):
         DecodeEngine(lm, mode="bf16", merge_o=True)
 
