@@ -144,6 +144,7 @@ def main():
     # GPTQ compensated into null directions, measured -30% top-1)
     g_ref = DecodeEngine.gptq_grams(ref, CALIB)
     g_sm = DecodeEngine.gptq_grams(sm, CALIB)
+    g_aw = DecodeEngine.gptq_grams(aw, CALIB)
     for ename, base, ekw in (
             ("engine w8a8_static (serve path)", ref,
              {"mode": "w8a8_static", "act_stats": stats}),
@@ -161,6 +162,9 @@ def main():
             ("engine w4a8_static + smooth+gptq", sm,
              {"mode": "w4a8_static", "act_stats": sm_stats,
               "gptq_grams": g_sm}),
+            ("engine w4a8_static + awq+gptq", aw,
+             {"mode": "w4a8_static", "act_stats": aw_stats,
+              "gptq_grams": g_aw}),
             ("engine w8a8_static + smooth+gptq", sm,
              {"mode": "w8a8_static", "act_stats": sm_stats,
               "gptq_grams": g_sm}),
