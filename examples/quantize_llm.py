@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""AWQ W4A16 quantization of a LLaMA-family LLM (reference
-BaseAWQForCausalLM lifecycle).
+"""AWQ/GPTQ W4A16 quantization of a LLaMA-family LLM (reference
+BaseAWQForCausalLM lifecycle; GPTQ and the smooth+gptq composition
+are beyond-reference extensions, quant/gptq.py).
 
     python examples/quantize_llm.py --model /path/to/qwen2 --out ckpt/
 """
@@ -18,7 +19,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", help="local HF dir (omit for random tiny model)")
     ap.add_argument("--out", default="llm_w4a16")
-    ap.add_argument("--method", default="awq", choices=["rtn", "sq", "awq"])
+    ap.add_argument("--method", default="awq",
+                choices=["rtn", "sq", "awq", "gptq"])
+    ap.add_argument("--smooth", action="store_true",
+                    help="SmoothQuant migration before the GPTQ "
+                         "Hessian capture (gptq only; the best w4 "
+                         "quantizer on the outlier tables)")
     ap.add_argument("--w-bit", type=int, default=4)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--real", action="store_true")
@@ -35,7 +41,8 @@ def main():
     cfg.calib.batch_size = 4
     cfg.calib.max_seq_len = 512
 
-    lm.quantize(tokenizer=tok, quant_config=cfg, quantType=args.method)
+    lm.quantize(tokenizer=tok, quant_config=cfg, quantType=args.method,
+                smooth=args.smooth)
     ids = np.zeros((1, 8), np.int32)
     out = lm.generate(ids, max_new_tokens=8)
     print("generated ids:", out[0].tolist())
