@@ -473,11 +473,6 @@ class DecodeEngine:
                             or self.qk_norm
                             or (mode == "w4a8_static"
                                 and cfg.attention_bias))
-        if self.ungated or self.all_bias:
-            if mode not in ("bf16", "w8a8_static"):
-                raise NotImplementedError(
-                    "phi-class serving (ungated MLP / all-bias) covers "
-                    "bf16 and w8a8_static")
         if self.ungated or self.all_bias or self.rope_in_xla or (
                 mode == "w4a8_static" and (cfg.attention_bias
                                            or cfg.norm_type != "rmsnorm"
@@ -699,6 +694,22 @@ class DecodeEngine:
                      for e in range(cfg.num_experts)])        # (E,)
             elif self.ungated and mode == "bf16":
                 entry.update(w_qkv=w_qkv, w_o=w_o, w1=w1, w2=w2)
+            elif self.ungated and mode == "w4a8_static":
+                pre = f"layers_{l}"
+                entry["w_qkv"], entry["s_qkv"] = qw4(
+                    w_qkv, f"{pre}/self_attn/q_proj", self.i4_group)
+                entry["w_o"], entry["s_o"] = qw4(
+                    w_o, f"{pre}/self_attn/o_proj", self.i4_group)
+                entry["w1"], entry["s1"] = qw4(w1, f"{pre}/mlp/fc1",
+                                               self.i4_group)
+                entry["w2"], entry["s2"] = qw4(w2, f"{pre}/mlp/fc2",
+                                               self.i4_group)
+                entry["a_qkv"] = scale_of(
+                    f"{pre}/self_attn/q_proj").reshape(1)
+                entry["a_o"] = scale_of(f"{pre}/self_attn/o_proj").reshape(1)
+                entry["a_fc"] = jnp.stack(
+                    [scale_of(f"{pre}/mlp/fc1"),
+                     scale_of(f"{pre}/mlp/fc2")])
             elif self.ungated:                    # w8a8_static phi
                 pre = f"layers_{l}"
                 entry["w_qkv"], entry["s_qkv"] = qw8(
@@ -1403,18 +1414,22 @@ class DecodeEngine:
                                                    residual=False,
                                                    out_dtype=jnp.float32))
             elif self.mode == "w4a8_static":
-                # cohere-class parallel residual at w4a8: both branches
-                # off the shared XLA norm (the ungated phi MLP is
-                # gated to w8a8 above)
+                # cohere/phi-class parallel residual at w4a8: both
+                # branches off the shared XLA norm; biases land in XLA
+                # (the i4 kernels carry no bias epilogue)
                 o_part = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
                                                   w["a_o"],
                                                   group=self.i4_group,
                                                   out_dtype=jnp.float32)
-                m_part = dk.fused_mlp_decode_i4(
-                    xin, w["wg"], w["wu"], w["wd"],
-                    (w["sg"], w["su"], w["sd"]), w["a_mlp"], None,
-                    eps=eps, act=cfg.mlp_act, residual=False,
-                    group=self.i4_group, out_dtype=jnp.float32)
+                if "b_o" in w:
+                    o_part = o_part + w["b_o"]
+                m_part = (self._ungated_mlp(xin, w) if self.ungated
+                          else dk.fused_mlp_decode_i4(
+                              xin, w["wg"], w["wu"], w["wd"],
+                              (w["sg"], w["su"], w["sd"]), w["a_mlp"],
+                              None, eps=eps, act=cfg.mlp_act,
+                              residual=False, group=self.i4_group,
+                              out_dtype=jnp.float32))
             else:
                 o_part = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
                                                   w["a_o"],
@@ -1578,6 +1593,21 @@ class DecodeEngine:
             if "b_fc1" in w:
                 h = h + w["b_fc1"]
             m = (act(h).astype(xin.dtype) @ w["w2"]).astype(jnp.float32)
+        elif self.mode == "w4a8_static":
+            # two i4 dense kernels with XLA bias/act glue between (the
+            # i4 kernels carry no bias epilogue; bias must land
+            # PRE-activation, so fc1 cannot fuse the act either)
+            h = dk.fused_dense_decode_i4(xin, w["w1"], w["s1"],
+                                         w["a_fc"][0:1],
+                                         group=self.i4_group,
+                                         out_dtype=jnp.float32)
+            if "b_fc1" in w:
+                h = h + w["b_fc1"]
+            m = dk.fused_dense_decode_i4(act(h).astype(xin.dtype),
+                                         w["w2"], w["s2"],
+                                         w["a_fc"][1:2],
+                                         group=self.i4_group,
+                                         out_dtype=jnp.float32)
         else:
             a1, a2 = w["a_fc"][0], w["a_fc"][1]
             xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a1),

@@ -1785,17 +1785,24 @@ def test_engine_w4a8_bias_path_is_exact_at_zero_bias():
     np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_p))
 
 
-def test_engine_w4a8_phi_class_still_guarded():
+def test_engine_w4a8_phi_class():
+    """phi-class (ungated MLP + all-bias + parallel residual +
+    layernorm) serves at w4a8 too: two i4 dense kernels with XLA
+    bias/act glue for the MLP, biases on o_proj in XLA."""
     import dataclasses as _dc
 
     cfg = _dc.replace(llama_lib.tiny_llama_config(), mlp_gated=False,
                       all_bias=True, attention_bias=True,
-                      norm_type="layernorm", parallel_residual=True)
+                      norm_type="layernorm", parallel_residual=True,
+                      partial_rotary_factor=0.5)
     m = CausalLM.from_config(cfg, dtype=jnp.float32, seed=5)
     ids = RNG.integers(0, 256, (2, 16))
     stats = DecodeEngine.calibrate_scales(m, ids)
-    with pytest.raises(NotImplementedError):
-        DecodeEngine(m, mode="w4a8_static", act_stats=stats)
+    eng = DecodeEngine(m, mode="w4a8_static", act_stats=stats)
+    out = np.asarray(eng.generate(ids[:, :6], max_new_tokens=8))
+    ref = np.asarray(m.generate(ids[:, :6], max_new_tokens=8))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() > 0.4
 
 
 def test_gptq_grams_chunked_capture_is_exact(lm):

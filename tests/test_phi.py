@@ -150,8 +150,10 @@ def test_engine_w8a8_and_guards():
     # tiny well-conditioned model
     np.testing.assert_array_equal(np.asarray(out[:, 10]),
                                   np.asarray(ref[:, 10]))
-    with pytest.raises(NotImplementedError):
-        DecodeEngine(lm, mode="w4a8_static", act_stats=stats)
+    # w4a8 serves phi too (two i4 dense kernels + XLA bias/act glue)
+    out4 = DecodeEngine(lm, mode="w4a8_static",
+                        act_stats=stats).generate(ids, max_new_tokens=6)
+    assert out4.shape == ref.shape
 
 
 def test_phi_preset_and_loader_rename():
