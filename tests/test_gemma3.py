@@ -194,3 +194,22 @@ def test_rope_scaling_type_gating():
         {**base, "model_type": "gemma3_text",
          "rope_scaling": {"rope_type": "linear", "factor": 8.0}})
     assert cfg.rope_scaling_factor == 8.0 and cfg.qk_norm
+
+
+def test_gemma3_continuous_batcher_exact():
+    """Dual rope + qk-norm + sandwich + per-layer windows through the
+    ContinuousBatcher: every request's greedy tokens must equal its
+    single-prompt module run (the chunked ragged decode loop carries
+    the per-layer trig selection)."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+    from qdm_tpu.api.serve import DecodeEngine
+
+    lm = _lm()
+    eng = DecodeEngine(lm, mode="bf16")
+    prompts = [RNG.integers(0, 256, n).tolist() for n in (5, 9, 7, 4)]
+    bat = ContinuousBatcher(eng, max_batch=2, chunk=4, capacity=144)
+    bouts = bat.run(prompts, max_new_tokens=8)
+    for pr, got in zip(prompts, bouts):
+        ref = lm.generate(np.asarray(pr)[None], max_new_tokens=8)
+        np.testing.assert_array_equal(np.asarray(got)[len(pr):],
+                                      np.asarray(ref[0, len(pr):]))
