@@ -63,14 +63,21 @@ def mode_table():
     w8a8 = QuantConfig(w_bit=8, a_bit=8, q_group_size=0,
                        weight_quant_type="per_channel", version="fake_act",
                        quantize_act=True, zero_point=False)
+    # int4 ACTIVATIONS: the reference's performanceCurves int4-act rows
+    # (CIDEr 0.03-0.07 vs 1.17 fp — catastrophic); this row reproduces
+    # that collapse ordering on the same pipeline
+    w8a4 = QuantConfig(w_bit=8, a_bit=4, q_group_size=0,
+                       weight_quant_type="per_channel", version="fake_act",
+                       quantize_act=True, zero_point=False)
     w8 = QuantConfig(w_bit=8, q_group_size=32, version="fake", zero_point=True)
     w4 = QuantConfig(w_bit=4, q_group_size=32, version="fake", zero_point=True)
-    for c in (w8a8, w8, w4):
+    for c in (w8a8, w8a4, w8, w4):
         c.calib.n_samples = 8
         c.calib.batch_size = 4
         c.calib.max_seq_len = SEQ
     return [
         ("w8a8_sq (SmoothQuant int8 act)", w8a8, "sq"),
+        ("w8a4_sq (int4 act — reference collapse regime)", w8a4, "sq"),
         ("w8_rtn (weight-only group-32)", w8, "rtn"),
         ("w4_awq (grid scale+clip)", w4, "awq"),
         ("w4_gptq (Hessian error-comp)", w4, "gptq"),
