@@ -302,3 +302,29 @@ def test_moe_i4_kernel_interpret_matches_ref():
                                          s1, s3, s2, scl, group=g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_moe_gptq_quantizes_experts_not_router():
+    """GPTQ on mixtral: every expert's dense kernels get their own
+    Hessian-compensated placement (the sown Grams are per-QDense,
+    experts included); the router stays fp (plan exclusion —
+    reference modules_to_not_convert=['gate'])."""
+    import numpy as _np
+
+    lm = CausalLM.from_config(llama_lib.tiny_mixtral_config(),
+                              dtype=jnp.float32, seed=2)
+    rng = _np.random.default_rng(4)
+    ids = rng.integers(0, 256, (2, 16))
+    moe = lm.params["layers_0"]["block_sparse_moe"]
+    before = _np.asarray(moe["experts_0"]["w1"]["kernel"])
+    router_before = _np.asarray(moe["gate"]["kernel"])
+    lm.quantize(quant_config={"w_bit": 4, "q_group_size": 16,
+                              "version": "fake"},
+                quantType="gptq", calib_data=ids)
+    moe = lm.params["layers_0"]["block_sparse_moe"]
+    assert not _np.allclose(_np.asarray(moe["experts_0"]["w1"]["kernel"]),
+                            before)
+    _np.testing.assert_array_equal(_np.asarray(moe["gate"]["kernel"]),
+                                   router_before)
+    out = lm.generate(ids[:1, :6], max_new_tokens=4)
+    assert out.shape == (1, 10)
