@@ -19,6 +19,7 @@ import dataclasses
 import functools
 import json
 import os
+import re
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -933,6 +934,216 @@ class CausalLM:
                            self.quant_config.to_transformers_dict()
                            if self.quant_config else None,
                        **dataclasses.asdict(self.config)}, f, indent=2)
+
+    # ------------------------------------------------- ecosystem export
+
+    @staticmethod
+    def _torch_name(path) -> str:
+        """Inverse of the loader's name mapping: params-tree path tuple
+        -> HF torch module name ('layers_0' -> 'layers.0'; 'model.'
+        prefix on everything except lm_head)."""
+        segs = []
+        for comp in path:
+            for seg in comp.split("/"):
+                m = re.match(r"^(.*)_(\d+)$", seg)
+                if m and m.group(1) in ("layers", "net", "to_out",
+                                        "experts", "blocks"):
+                    segs.extend([m.group(1), m.group(2)])
+                else:
+                    segs.append(seg)
+        name = ".".join(segs)
+        return name if segs[0] == "lm_head" else "model." + name
+
+    def _export_state_dict(self):
+        """Split this model's params back into (fp torch state dict,
+        quantized triples) for ecosystem checkpoint export.
+
+        Returns (sd, triples) where triples maps torch module name ->
+        (codes (K, N) uint int32, scales (K/g, N) f32, zeros (K/g, N)
+        int32, group_size).  Fused projections (qkv_proj /
+        gate_up_proj) are split back to per-projection entries by
+        slicing the output axis — exact, since codes/scales/zeros are
+        all per-output-column on that axis."""
+        from qdm_tpu.ops import quant_matmul as qmm
+        from qdm_tpu.quant import rtn
+        from qdm_tpu.quant.apply import iter_layers
+
+        # fp template (same fusion topology, no quant modes): the
+        # packed model's own template carries PADDED buffer shapes,
+        # not the true (K, N) the export needs to crop back to
+        fp_model = llama_lib.LlamaForCausalLM(
+            config=self.config, dtype=self.dtype,
+            plan=QuantPlan(fuse_qkv=getattr(self.plan, "fuse_qkv", False)))
+        shapes = jax.eval_shape(
+            lambda: fp_model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8), jnp.int32)))["params"]
+        c = self.config
+        hd = c.head_dim or c.hidden_size // c.num_attention_heads
+        fused_splits = {
+            "qkv_proj": (("q_proj", c.num_attention_heads * hd),
+                         ("k_proj", c.num_key_value_heads * hd),
+                         ("v_proj", c.num_key_value_heads * hd)),
+            "gate_up_proj": (("gate_proj", c.intermediate_size),
+                             ("up_proj", c.intermediate_size)),
+        }
+        sd: Dict[str, np.ndarray] = {}
+        triples: Dict[str, tuple] = {}
+
+        def emit_fp(path, leaf, val):
+            name = {"kernel": "weight", "scale": "weight",
+                    "embedding": "weight", "bias": "bias"}.get(leaf)
+            if name is None:
+                return
+            v = np.asarray(jax.device_get(val))
+            if leaf == "kernel" and v.ndim == 2:
+                v = v.T
+            sd[self._torch_name(path) + "." + name] = \
+                np.ascontiguousarray(v)
+
+        # non-dense leaves (embeddings, norms) + fp dense layers
+        layer_paths = {p for p, _ in iter_layers(shapes)}
+
+        def walk(tmpl, prms, path=()):
+            if path in layer_paths:
+                if "qweight" in prms:
+                    self._export_quantized_layer(
+                        path, prms, tuple(tmpl["kernel"].shape),
+                        fused_splits, triples, qmm, rtn)
+                    if "bias" in prms:
+                        emit_fp(path, "bias", prms["bias"])
+                else:
+                    for leaf, v in prms.items():
+                        emit_fp(path, leaf, v)
+                return
+            for k, v in tmpl.items():
+                if isinstance(v, dict):
+                    walk(v, prms[k], path + (k,))
+                else:
+                    emit_fp(path, k, prms[k])
+
+        walk(shapes, self.params)
+        return sd, triples
+
+    def _export_quantized_layer(self, path, layer, shape, fused_splits,
+                                triples, qmm, rtn):
+        from qdm_tpu.quant.apply import path_str
+
+        spec = self.plan.spec_for(path_str(path))
+        if spec is None or spec.mode not in ("w4a16", "w4a8"):
+            raise ValueError(
+                f"checkpoint export supports 4-bit packed layers "
+                f"(w4a16/w4a8); {path_str(path)} is mode "
+                f"{getattr(spec, 'mode', None)!r}")
+        k, n = shape
+        gs = spec.group_size if spec.group_size > 0 else k
+        gs = qmm.align_group_size(k, rtn.resolve_group_size(k, gs) or k)
+        want = self.quant_config.q_group_size if self.quant_config else gs
+        if gs != want:
+            raise ValueError(
+                f"{path_str(path)}: effective group size {gs} (after "
+                f"K={k} alignment) differs from the checkpoint-wide "
+                f"group_size {want}; AutoAWQ/AutoGPTQ formats carry one "
+                "uniform group size")
+        codes = np.asarray(
+            qmm.unpack_rows_strided(layer["qweight"], qmm.PACK_BLOCK_K,
+                                    4))[:k, :n]
+        scales = np.asarray(layer["scales"], np.float32)[:k // gs, :n]
+        if "zeros" in layer:
+            z = np.asarray(layer["zeros"])[:k // gs, :n]
+            if not np.array_equal(z, np.round(z)):
+                raise ValueError(
+                    f"{path_str(path)}: non-integer zero points cannot "
+                    "be packed into AutoAWQ/AutoGPTQ checkpoints")
+            zeros = z.astype(np.int32)
+        else:
+            # symmetric packing biases codes by +8 (pack_linear_int4)
+            zeros = np.full((k // gs, n), 8, np.int32)
+        mod = path[-1]
+        base = self._torch_name(path)
+        if mod in fused_splits:
+            col = 0
+            stem = base.rsplit(".", 1)[0]
+            for sub, width in fused_splits[mod]:
+                triples[stem + "." + sub] = (
+                    codes[:, col:col + width], scales[:, col:col + width],
+                    zeros[:, col:col + width], gs)
+                col += width
+            assert col == n, (base, col, n)
+        else:
+            triples[base] = (codes, scales, zeros, gs)
+
+    def _export_hf_config(self, quantization_config: dict) -> dict:
+        hf = dataclasses.asdict(self.config)
+        hf["architectures"] = ["LlamaForCausalLM"]
+        hf["quantization_config"] = quantization_config
+        return hf
+
+    def save_quantized_autoawq(self, save_dir: str,
+                               scale_dtype=np.float16):
+        """Write this model's 4-bit packed weights as an **AutoAWQ
+        checkpoint** (qweight column-packed in AWQ interleaved order,
+        qzeros, fp16 scales, HF config.json with an awq
+        quantization_config) — the reference ecosystem's on-disk
+        format (models/base.py:1177-1245), so weights quantized on TPU
+        round-trip back into the CUDA serving stacks.  Inverse of
+        :meth:`from_quantized_autoawq` (bit-exact codes/zeros; scales
+        pass through ``scale_dtype`` — the ecosystem convention is
+        fp16, pass np.float32 for a lossless round-trip)."""
+        from safetensors.numpy import save_file
+        from qdm_tpu.quant.packing import canonical_to_awq
+
+        sd, triples = self._export_state_dict()
+        zp = True
+        for name, (codes, scales, zeros, gs) in triples.items():
+            qw, qz, sc = canonical_to_awq(codes, zeros, scales)
+            sd[name + ".qweight"] = np.ascontiguousarray(qw)
+            sd[name + ".qzeros"] = np.ascontiguousarray(qz)
+            sd[name + ".scales"] = np.ascontiguousarray(
+                np.asarray(sc, scale_dtype))
+        gs = self.quant_config.q_group_size if self.quant_config else 128
+        os.makedirs(save_dir, exist_ok=True)
+        save_file(sd, os.path.join(save_dir, "model.safetensors"))
+        qcfg = {"quant_method": "awq", "bits": 4, "group_size": gs,
+                "zero_point": zp, "version": "gemm",
+                "modules_to_not_convert":
+                    (self.quant_config.modules_to_not_convert
+                     if self.quant_config else None)}
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(self._export_hf_config(qcfg), f, indent=2)
+
+    def save_quantized_autogptq(self, save_dir: str,
+                                checkpoint_format: str = "gptq_v2",
+                                scale_dtype=np.float16):
+        """Write this model's 4-bit packed weights as an **AutoGPTQ /
+        gptqmodel checkpoint** (row-packed qweight, column-packed
+        qzeros — minus-one for the legacy 'gptq' format, true zeros
+        for 'gptq_v2' — scales, trivial g_idx).  Inverse of
+        :meth:`from_quantized_autogptq`."""
+        from safetensors.numpy import save_file
+        from qdm_tpu.quant.packing import pack_gptq_layout
+
+        if checkpoint_format not in ("gptq", "gptq_v2"):
+            raise ValueError(checkpoint_format)
+        sd, triples = self._export_state_dict()
+        for name, (codes, scales, zeros, gs) in triples.items():
+            qw, qz = pack_gptq_layout(codes, zeros,
+                                      plus_one=(checkpoint_format == "gptq"))
+            sd[name + ".qweight"] = np.ascontiguousarray(np.asarray(qw))
+            sd[name + ".qzeros"] = np.ascontiguousarray(np.asarray(qz))
+            sd[name + ".scales"] = np.ascontiguousarray(
+                np.asarray(scales, scale_dtype))
+            sd[name + ".g_idx"] = (np.arange(codes.shape[0], dtype=np.int32)
+                                   // gs)
+        gs = self.quant_config.q_group_size if self.quant_config else 128
+        sym = not (self.quant_config.zero_point if self.quant_config
+                   else True)
+        os.makedirs(save_dir, exist_ok=True)
+        save_file(sd, os.path.join(save_dir, "model.safetensors"))
+        qcfg = {"quant_method": "gptq", "bits": 4, "group_size": gs,
+                "desc_act": False, "sym": sym,
+                "checkpoint_format": checkpoint_format}
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(self._export_hf_config(qcfg), f, indent=2)
 
     @classmethod
     def from_quantized_autoawq(cls, path: str, dtype=jnp.bfloat16):

@@ -117,6 +117,82 @@ def dequantize_gemm(qweight, qzeros, scales, bits: int = 4, group_size: int = 12
     return (iweight - izeros).astype(jnp.float32) * scales
 
 
+def apply_awq_order(iweights, izeros, bits: int = 4):
+    """Apply the AWQ interleave to plain codes — the exact inverse of
+    :func:`reverse_awq_order` (forward direction of
+    packing_utils.py:29-43, used when WRITING AutoAWQ checkpoints)."""
+    epw = elems_per_word(bits)
+    assert epw == 8, "AWQ order is defined for 4-bit (8 elems/word)"
+    n = iweights.shape[-1]
+    perm = np.arange(n, dtype=np.int64).reshape(-1, epw)[
+        :, list(AWQ_ORDER)].reshape(-1)
+    iweights = iweights[:, perm]
+    if izeros is not None:
+        izeros = izeros[:, perm]
+    return iweights, izeros
+
+
+def pack_awq_layout(iweights, izeros, bits: int = 4):
+    """Column-wise pack of plain int codes into the AutoAWQ word layout
+    — the exact inverse of :func:`unpack_awq_layout` (the codes must
+    already carry the AWQ interleave; see :func:`apply_awq_order`).
+
+    iweights: (K, N) -> (K, N/epw) int32; izeros: (K/g, N) ->
+    (K/g, N/epw) int32 (or None)."""
+    epw = elems_per_word(bits)
+
+    def _pack(x):
+        k, n = x.shape
+        assert n % epw == 0, f"N={n} not divisible by {epw}"
+        w = x.astype(jnp.uint32).reshape(k, n // epw, epw)
+        shifts = (jnp.arange(epw, dtype=jnp.uint32) * bits)[None, None, :]
+        return jnp.sum(w << shifts, axis=2,
+                       dtype=jnp.uint32).astype(jnp.int32)
+
+    return _pack(iweights), (_pack(izeros) if izeros is not None else None)
+
+
+def canonical_to_awq(icodes_kn, izeros_gn, scales_gn, bits: int = 4):
+    """Plain unsigned codes (K, N) + integer zeros (K/g, N) -> AutoAWQ
+    on-disk tensors (qweight (K, N/epw) int32, qzeros (K/g, N/epw)
+    int32, scales (K/g, N)) — the inverse of :func:`awq_to_canonical`
+    modulo the row packing (callers unpack the strided kernel buffers
+    first)."""
+    iw, iz = apply_awq_order(jnp.asarray(icodes_kn),
+                             jnp.asarray(izeros_gn), bits)
+    qweight, qzeros = pack_awq_layout(iw, iz, bits)
+    return qweight, qzeros, jnp.asarray(scales_gn)
+
+
+def pack_gptq_layout(icodes_kn, izeros_gn, bits: int = 4,
+                     plus_one: bool = True):
+    """Plain unsigned codes -> AutoGPTQ on-disk tensors: ROW-packed
+    qweight (K/epw, N) (== :func:`pack_rows`, GPTQ packs sequentially,
+    no interleave) + COLUMN-packed qzeros (K/g, N/epw).
+
+    plus_one=True writes the legacy checkpoint_format='gptq' zeros
+    MINUS ONE (the historical off-by-one every loader undoes);
+    plus_one=False writes 'gptq_v2' true zeros.  Legacy export refuses
+    zero points of 0 (they would wrap to 15 and reload as 16 — the
+    historical corruption the v2 format exists to fix)."""
+    iz = jnp.asarray(izeros_gn)
+    if plus_one:
+        if bool(jnp.any(iz < 1)):
+            raise ValueError(
+                "legacy 'gptq' checkpoint_format stores zeros-1 and "
+                "cannot represent a zero point of 0; export with "
+                "checkpoint_format='gptq_v2'")
+        iz = iz - 1
+    qweight = pack_rows(jnp.asarray(icodes_kn), bits)
+    # column-pack the zeros (same word layout as AWQ, no interleave)
+    epw = elems_per_word(bits)
+    g, n = iz.shape
+    w = iz.astype(jnp.uint32).reshape(g, n // epw, epw)
+    shifts = (jnp.arange(epw, dtype=jnp.uint32) * bits)[None, None, :]
+    qzeros = jnp.sum(w << shifts, axis=2, dtype=jnp.uint32).astype(jnp.int32)
+    return qweight, qzeros
+
+
 def awq_to_canonical(qweight, qzeros, scales, bits: int = 4):
     """Convert AutoAWQ on-disk tensors to the canonical TPU layout.
 
