@@ -23,5 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls in tests (JAX's default matmul precision is reduced)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Repo-persistent compile cache: the suite recompiles its tiny models
+# every run (~9 min); cached executables cut reruns substantially and
+# survive /tmp wipes between driver sessions.
+from qdm_tpu.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()

@@ -14,8 +14,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qdm_tpu.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

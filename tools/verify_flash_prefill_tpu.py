@@ -23,12 +23,13 @@ def run_case(disable: bool):
         env.pop("QDM_DISABLE_FLASH_PREFILL", None)
     code = r"""
 import json, sys
+sys.path.insert(0, %r)
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/qdm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qdm_tpu.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
-sys.path.insert(0, %r)
 from qdm_tpu.api.causal_lm import CausalLM
 from qdm_tpu.api.serve import DecodeEngine
 from qdm_tpu.models import llama as llama_lib
