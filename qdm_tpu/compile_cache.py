@@ -16,10 +16,12 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT = os.path.join(_REPO, ".jax_cache")
 
 
-def enable(path: str = None) -> str:
+def enable(path: str = None, min_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at a repo-local dir.
 
     Call before the first compile (import-time in bench scripts).
+    min_secs: compiles faster than this are not cached (tests pass a
+    lower threshold — tiny-model CPU compiles mostly finish under 1s).
     Returns the cache dir in use ('' if disabled).
     """
     import jax
@@ -29,5 +31,5 @@ def enable(path: str = None) -> str:
     if not cache:
         return ""
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
     return cache

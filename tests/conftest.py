@@ -23,12 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls in tests (JAX's default matmul precision is reduced)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Repo-persistent compile cache: the suite recompiles its tiny models
-# every run (~9 min); cached executables cut reruns substantially and
-# survive /tmp wipes between driver sessions.
+# Repo-persistent compile cache. Tiny-model CPU compiles mostly finish
+# under 1s, so use a low cache threshold here (the default 1.0s would
+# skip caching most of the suite's recompilation).
 from qdm_tpu.compile_cache import enable as _enable_compile_cache
 
-_enable_compile_cache()
+_enable_compile_cache(min_secs=0.1)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()

@@ -23,15 +23,17 @@ import json
 import sys
 import time
 
+import os
+
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qdm_tpu.compile_cache import enable as _enable_compile_cache
 
 _enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
-
-sys.path.insert(0, "/root/repo")
 from bench_llm import BENCH_1B  # noqa: E402
 from qdm_tpu.api.causal_lm import CausalLM  # noqa: E402
 from qdm_tpu.models import llama as llama_lib  # noqa: E402

@@ -12,15 +12,17 @@ import json
 import sys
 import time
 
+import os
+
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qdm_tpu.compile_cache import enable as _enable_compile_cache
 
 _enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
-
-sys.path.insert(0, ".")
 
 from qdm_tpu.api.causal_lm import CausalLM
 from qdm_tpu.api.serve import DecodeEngine
