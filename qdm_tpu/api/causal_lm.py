@@ -183,6 +183,12 @@ class CausalLM:
         sd = loader.load_safetensors_dir(path)
         if str(hf.get("model_type", "")).startswith("phi"):
             sd = loader.phi_to_llama_state_dict(sd)
+        if str(hf.get("model_type", "")).startswith("deepseek") \
+                and self.config.kv_lora_rank is not None:
+            # fold the interleaved rope storage into the q/kv weights
+            sd = loader.deepseek_deinterleave_rope(
+                sd, self.config.qk_nope_head_dim,
+                self.config.qk_rope_head_dim)
         params, missing, _ = loader.convert_torch_state_dict(
             sd, shapes, strip_prefixes=("model.",))
         if missing:
@@ -209,6 +215,10 @@ class CausalLM:
         # 6), QK-norm instead of the attention soft-cap, and DUAL rope
         # (local layers 10k base, global layers 1M with linear scaling)
         is_gemma3 = str(hf.get("model_type", "")).startswith("gemma3")
+        # deepseek_v2/v3: MLA attention + deepseek MoE layout (the one
+        # architecture the reference's quantizer names explicitly,
+        # quantizer.py:1106-1116)
+        is_deepseek = str(hf.get("model_type", "")).startswith("deepseek")
         return llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
@@ -251,9 +261,25 @@ class CausalLM:
             final_logit_softcapping=hf.get("final_logit_softcapping"),
             sandwich_norms=hf.get("model_type") == "gemma2" or is_gemma3,
             query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
-            # Mixtral-family sparse MoE (models/moe.py)
-            num_experts=hf.get("num_local_experts", 0),
+            # Mixtral-family sparse MoE (models/moe.py); deepseek uses
+            # n_routed_experts + its own layout (shared experts,
+            # first-k dense, no top-k renorm)
+            num_experts=hf.get("num_local_experts",
+                               hf.get("n_routed_experts", 0) or 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+            moe_layout="deepseek" if is_deepseek else "mixtral",
+            moe_intermediate_size=hf.get("moe_intermediate_size"),
+            n_shared_experts=hf.get("n_shared_experts", 0) or 0,
+            first_k_dense_replace=hf.get("first_k_dense_replace", 0) or 0,
+            routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
+            moe_renormalize=(hf.get("norm_topk_prob", True)
+                             if is_deepseek else True),
+            # deepseek MLA geometry (None kv_lora_rank = plain MHA)
+            q_lora_rank=hf.get("q_lora_rank") if is_deepseek else None,
+            kv_lora_rank=hf.get("kv_lora_rank") if is_deepseek else None,
+            qk_nope_head_dim=hf.get("qk_nope_head_dim", 128),
+            qk_rope_head_dim=hf.get("qk_rope_head_dim", 64),
+            v_head_dim=hf.get("v_head_dim", 128),
             qk_norm=is_qwen3 or is_gemma3,
             rope_local_theta=hf.get("rope_local_base_freq"),
             # LINEAR rope scaling only (gemma3 global layers): llama3 /

@@ -251,6 +251,42 @@ def vae_config_from_diffusers(cfg: dict):
     )
 
 
+def deepseek_deinterleave_rope(sd, qk_nope: int, qk_rope: int):
+    """Fold deepseek_v2's interleaved rope storage into the weights.
+
+    HF's modeling_deepseek stores the rope dims of q and k_pe
+    INTERLEAVED (x0,y0,x1,y1,...) and de-interleaves inside its rotary
+    (view(..., d//2, 2).transpose) before the standard half-split
+    rotation.  Permuting those output ROWS of q_proj/q_b_proj and
+    kv_a_proj_with_mqa here ((x0..x_{d/2-1}, y0..y_{d/2-1}) order)
+    makes the module's plain half-split rope (models/llama.py::rope)
+    bit-equivalent — zero runtime cost."""
+    import numpy as np
+
+    dr = qk_rope
+    perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+    qd = qk_nope + qk_rope
+    out = {}
+    for key, v in sd.items():
+        if key.endswith(("kv_a_proj_with_mqa.weight",
+                         "kv_a_proj_with_mqa.bias")):
+            v = np.asarray(v)
+            head = v[:-dr]
+            rope_rows = v[-dr:][perm]
+            v = np.concatenate([head, rope_rows], axis=0)
+        elif key.endswith(("q_proj.weight", "q_b_proj.weight",
+                           "q_proj.bias", "q_b_proj.bias")) \
+                and np.asarray(v).shape[0] % qd == 0:
+            v = np.asarray(v)
+            h = v.shape[0] // qd
+            vh = v.reshape(h, qd, *v.shape[1:])
+            vh = np.concatenate([vh[:, :qk_nope], vh[:, qk_nope:][:, perm]],
+                                axis=1)
+            v = vh.reshape(v.shape)
+        out[key] = v
+    return out
+
+
 def phi_to_llama_state_dict(sd):
     """Rename a phi-family checkpoint into the canonical LLaMA-family
     naming: self_attn.dense -> o_proj, final_layernorm -> norm.  The

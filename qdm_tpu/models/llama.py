@@ -94,6 +94,33 @@ class LlamaConfig:
     # (HF rope_scaling {rope_type: linear, factor}).
     rope_local_theta: Optional[float] = None
     rope_scaling_factor: float = 1.0
+    # DeepSeek-V2 MLA (multi-head latent attention; models/mla.py).
+    # kv_lora_rank set => the layer uses MLAAttention: K/V are stored
+    # as one shared kv_lora_rank latent + a single roped
+    # qk_rope_head_dim head per token (the cache is (r + dr) wide per
+    # token regardless of head count).  q_lora_rank set => the query
+    # is also low-rank (q_a_proj -> RMSNorm -> q_b_proj; None = plain
+    # q_proj, the deepseek-v2-lite layout).  The reference names this
+    # family in its quantizer input capture
+    # (/root/reference/quantize/quantizer.py:1106-1116).
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    # DeepSeek MoE layout: HF 'mlp.*' naming (router 'mlp.gate',
+    # experts 'mlp.experts.N.{gate,up,down}_proj'), optional always-on
+    # shared experts ('mlp.shared_experts.*', n_shared_experts x
+    # moe_intermediate_size wide), dense MLPs for the first
+    # first_k_dense_replace layers, routed outputs scaled by
+    # routed_scaling_factor WITHOUT top-k renormalization
+    # (norm_topk_prob=False in every deepseek-v2 config).
+    moe_layout: str = "mixtral"           # "mixtral" | "deepseek"
+    moe_intermediate_size: Optional[int] = None
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    moe_renormalize: bool = True
 
     @property
     def rotary_dim(self) -> int:
@@ -102,6 +129,8 @@ class LlamaConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.kv_lora_rank is not None:        # MLA query head width
+            return self.qk_nope_head_dim + self.qk_rope_head_dim
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
@@ -140,6 +169,23 @@ def tiny_mixtral_config(**kw) -> LlamaConfig:
                        num_hidden_layers=2, num_attention_heads=4,
                        num_key_value_heads=2, max_position_embeddings=128,
                        num_experts=4, num_experts_per_tok=2, **kw)
+
+
+def tiny_deepseek_config(**kw) -> LlamaConfig:
+    """Tiny DeepSeek-V2: MLA (q low-rank + latent KV) + deepseek MoE
+    (shared experts, first layer dense, no top-k renorm)."""
+    defaults = dict(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=128,
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        num_experts=4, num_experts_per_tok=2, moe_layout="deepseek",
+        moe_intermediate_size=48, n_shared_experts=2,
+        first_k_dense_replace=1, routed_scaling_factor=1.0,
+        moe_renormalize=False)
+    defaults.update(kw)
+    return LlamaConfig(**defaults)
 
 
 def rope(x, positions, theta: float, rotary_dim: int = 0,
@@ -423,13 +469,31 @@ class LlamaDecoderLayer(nn.Module):
                        plus_one=self.config.norm_plus_one, name=name)
 
     def _mlp(self):
-        if self.config.num_experts > 0:
+        cfg = self.config
+        if cfg.num_experts > 0:
             from qdm_tpu.models.moe import MoeMLP
 
-            return MoeMLP(self.config, dtype=self.dtype, plan=self.plan,
+            if cfg.moe_layout == "deepseek":
+                # deepseek-v2: the first first_k_dense_replace layers
+                # keep a plain dense MLP (HF keys mlp.{gate,up,down})
+                if self.layer_idx < cfg.first_k_dense_replace:
+                    return LlamaMLP(cfg, dtype=self.dtype, plan=self.plan,
+                                    name="mlp")
+                return MoeMLP(cfg, dtype=self.dtype, plan=self.plan,
+                              name="mlp")
+            return MoeMLP(cfg, dtype=self.dtype, plan=self.plan,
                           name="block_sparse_moe")
-        return LlamaMLP(self.config, dtype=self.dtype, plan=self.plan,
+        return LlamaMLP(cfg, dtype=self.dtype, plan=self.plan,
                         name="mlp")
+
+    def _attn(self, win):
+        if self.config.kv_lora_rank is not None:
+            from qdm_tpu.models.mla import MLAAttention
+
+            return MLAAttention(self.config, dtype=self.dtype,
+                                plan=self.plan, name="self_attn")
+        return LlamaAttention(self.config, dtype=self.dtype, plan=self.plan,
+                              window=win, name="self_attn")
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
@@ -439,15 +503,12 @@ class LlamaDecoderLayer(nn.Module):
         if cfg.parallel_residual:
             # cohere-style: one norm feeds attention AND the MLP
             h = self._norm("input_layernorm")(x)
-            attn, new_cache = LlamaAttention(
-                cfg, dtype=self.dtype, plan=self.plan, window=win,
-                name="self_attn")(h, positions, kv_cache, cache_index,
-                                  attn_start, attn_prefix)
+            attn, new_cache = self._attn(win)(
+                h, positions, kv_cache, cache_index, attn_start,
+                attn_prefix)
             mlp = self._mlp()(h)
             return x + attn + mlp, new_cache
-        h, new_cache = LlamaAttention(
-            cfg, dtype=self.dtype, plan=self.plan, window=win,
-            name="self_attn")(
+        h, new_cache = self._attn(win)(
             self._norm("input_layernorm")(x), positions, kv_cache,
             cache_index, attn_start, attn_prefix)
         if cfg.sandwich_norms:
@@ -528,6 +589,20 @@ class LlamaForCausalLM(nn.Module):
         """cache_dtype=jnp.int8 selects the quantized KV cache
         (per-token per-head scales stored alongside)."""
         cfg = self.config
+        if cfg.kv_lora_rank is not None:
+            # MLA latent cache: ONE (B, T, r + dr) tensor per layer —
+            # [c_kv | roped k_pe] rows, shared by every head (the
+            # whole point of MLA: cache width is r+dr, e.g. 576,
+            # instead of n_heads * (d_k + d_v))
+            if cache_dtype == jnp.int8:
+                raise NotImplementedError(
+                    "int8 MLA latent cache: the latent is already "
+                    "10-50x smaller than an MHA KV cache; quantized "
+                    "latents live on the DecodeEngine path")
+            width = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            return [(jnp.zeros((batch, max_len, width),
+                               cache_dtype or self.dtype),)
+                    for _ in range(cfg.num_hidden_layers)]
         # head-major cache layout (B, hkv, T, d): decode contracts the
         # cache without any per-step relayout
         kv_shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)

@@ -47,21 +47,25 @@ Dtype = Any
 
 
 class MoeExpert(nn.Module):
-    """One Mixtral expert: w2(silu(w1(x)) * w3(x)).  HF leaf names."""
+    """One SwiGLU expert: down(silu(gate(x)) * up(x)).  Leaf names are
+    HF-Mixtral (w1/w3/w2) by default; deepseek-v2 experts use
+    gate_proj/up_proj/down_proj (HF mlp.experts.N.* keys)."""
 
     intermediate_size: int
     hidden_size: int
     dtype: Dtype = jnp.bfloat16
     plan: QuantPlan = NO_PLAN
+    leaf_names: tuple = ("w1", "w3", "w2")    # (gate, up, down)
 
     @nn.compact
     def __call__(self, x):
+        gname, uname, dname = self.leaf_names
         gate = QDense(self.intermediate_size, use_bias=False,
-                      dtype=self.dtype, plan=self.plan, name="w1")(x)
+                      dtype=self.dtype, plan=self.plan, name=gname)(x)
         up = QDense(self.intermediate_size, use_bias=False,
-                    dtype=self.dtype, plan=self.plan, name="w3")(x)
+                    dtype=self.dtype, plan=self.plan, name=uname)(x)
         return QDense(self.hidden_size, use_bias=False, dtype=self.dtype,
-                      plan=self.plan, name="w2")(nn.silu(gate) * up)
+                      plan=self.plan, name=dname)(nn.silu(gate) * up)
 
 
 class MoeMLP(nn.Module):
@@ -78,21 +82,44 @@ class MoeMLP(nn.Module):
         b, s, d = x.shape
         n = b * s
         num_e, top_k = cfg.num_experts, cfg.num_experts_per_tok
+        deepseek = getattr(cfg, "moe_layout", "mixtral") == "deepseek"
+        inter = (cfg.moe_intermediate_size or cfg.intermediate_size) \
+            if deepseek else cfg.intermediate_size
         xf = x.reshape(n, d)
 
-        # Router: plain Linear in HF Mixtral ("gate"); excluded from
-        # quantization by the plan (reference modules_to_not_convert
-        # semantics — a handful of fp16 FLOPs that steer everything).
+        # Router: plain Linear in HF Mixtral AND deepseek ("gate");
+        # excluded from quantization by the plan (reference
+        # modules_to_not_convert semantics — a handful of fp16 FLOPs
+        # that steer everything).  The reference's quantizer captures
+        # this module's input for deepseek_v2 (quantizer.py:1106-1116).
         logits = QDense(num_e, use_bias=False, dtype=self.dtype,
                         plan=self.plan, name="gate")(xf)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         top_w, top_i = jax.lax.top_k(probs, top_k)            # (n, k)
-        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        if getattr(cfg, "moe_renormalize", True):
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        else:
+            # deepseek-v2 (norm_topk_prob=False): raw softmax weights,
+            # scaled by routed_scaling_factor
+            top_w = top_w * jnp.float32(
+                getattr(cfg, "routed_scaling_factor", 1.0))
 
-        experts = [MoeExpert(cfg.intermediate_size, cfg.hidden_size,
+        leaf = ("gate_proj", "up_proj", "down_proj") if deepseek \
+            else ("w1", "w3", "w2")
+        experts = [MoeExpert(inter, cfg.hidden_size,
                              dtype=self.dtype, plan=self.plan,
-                             name=f"experts_{e}")
+                             leaf_names=leaf, name=f"experts_{e}")
                    for e in range(num_e)]
+
+        # deepseek always-on shared experts: one SwiGLU of width
+        # n_shared * moe_intermediate, added to the routed output
+        # (reference quantizer.py:1112-1116 captures its input)
+        shared = None
+        if deepseek and getattr(cfg, "n_shared_experts", 0):
+            shared = MoeExpert(cfg.n_shared_experts * inter,
+                               cfg.hidden_size, dtype=self.dtype,
+                               plan=self.plan, leaf_names=leaf,
+                               name="shared_experts")(xf)
 
         cf = getattr(cfg, "moe_capacity_factor", 0.0)
         if not cf or cf <= 0.0 or n <= num_e:
@@ -102,6 +129,8 @@ class MoeMLP(nn.Module):
             for e in range(num_e):
                 w_e = jnp.sum(jnp.where(top_i == e, top_w, 0.0), axis=-1)
                 out = out + w_e[:, None] * experts[e](xf).astype(jnp.float32)
+            if shared is not None:
+                out = out + shared.astype(jnp.float32)
             return out.astype(self.dtype).reshape(b, s, d)
 
         # capacity dispatch (prefill): static per-expert buffers
@@ -119,4 +148,6 @@ class MoeMLP(nn.Module):
         rows = ys.at[slot_e, slot_p].get(mode="fill", fill_value=0.0)
         out = jnp.sum(rows.reshape(n, top_k, d).astype(jnp.float32)
                       * top_w[..., None], axis=1)
+        if shared is not None:
+            out = out + shared.astype(jnp.float32)
         return out.astype(self.dtype).reshape(b, s, d)

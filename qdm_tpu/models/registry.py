@@ -112,6 +112,37 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         rope_scaling_factor=8.0),
 }
 
+# deepseek-v2-lite geometry: MLA with plain q_proj (no q low-rank),
+# 512-latent KV + 64-dim shared rope head, deepseek MoE (64 routed
+# top-6 + 2 shared experts, first layer dense, no top-k renorm) —
+# the architecture the reference's quantizer names explicitly
+# (quantizer.py:1106-1116); models/mla.py
+LLM_CONFIG_PRESETS["deepseek-v2-lite"] = llama_lib.LlamaConfig(
+    vocab_size=102400, hidden_size=2048, intermediate_size=10944,
+    num_hidden_layers=27, num_attention_heads=16,
+    num_key_value_heads=16, max_position_embeddings=163840,
+    rope_theta=10000.0, q_lora_rank=None, kv_lora_rank=512,
+    qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    num_experts=64, num_experts_per_tok=6, moe_layout="deepseek",
+    moe_intermediate_size=1408, n_shared_experts=2,
+    first_k_dense_replace=1, routed_scaling_factor=1.0,
+    moe_renormalize=False)
+
+# deepseek-v2 (236B) geometry: q ALSO low-rank (1536), 160 routed
+# top-6 + 2 shared experts, routed outputs scaled 16x un-renormalized
+LLM_CONFIG_PRESETS["deepseek-v2"] = llama_lib.LlamaConfig(
+    vocab_size=102400, hidden_size=5120, intermediate_size=12288,
+    num_hidden_layers=60, num_attention_heads=128,
+    num_key_value_heads=128, max_position_embeddings=163840,
+    rope_theta=10000.0, q_lora_rank=1536, kv_lora_rank=512,
+    qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    num_experts=160, num_experts_per_tok=6, moe_layout="deepseek",
+    moe_intermediate_size=1536, n_shared_experts=2,
+    first_k_dense_replace=1, routed_scaling_factor=16.0,
+    moe_renormalize=False)
+
+LLM_CONFIG_PRESETS["tiny-deepseek"] = llama_lib.tiny_deepseek_config()
+
 # cohere: parallel attention+FFN residual, tied embeddings, logit scale
 LLM_CONFIG_PRESETS["cohere"] = llama_lib.LlamaConfig(
     norm_type="layernorm", parallel_residual=True,
