@@ -275,6 +275,85 @@ class LlavaModel:
         return self._cached_engine
 
 
+class LlavaNextModel(LlavaModel):
+    """LLaVA-Next (1.6) — AnyRes image-grid tiling over the LLaVA
+    stack.  This is the model behind every number in the reference's
+    performance curves (/root/reference/performanceCurves.py:4,22-62):
+    the image is tiled at one of ``image_grid_pinpoints`` resolutions,
+    each tile runs the vision tower + projector, the tile features are
+    reassembled spatially, unpadded, and terminated per-row with a
+    learned ``image_newline`` embedding, prefixed by a square-resized
+    base-image encoding (utils/anyres.py)."""
+
+    def __init__(self):
+        super().__init__()
+        self.image_newline = None
+        self.image_grid_pinpoints = None
+
+    @classmethod
+    def from_config(cls, vision_config=None, lm_config=None,
+                    dtype=jnp.float32, seed: int = 0,
+                    image_grid_pinpoints=None):
+        self = super().from_config(vision_config=vision_config,
+                                   lm_config=lm_config, dtype=dtype,
+                                   seed=seed)
+        t = self.vision_config.image_size
+        # default pinpoints scale with the tower tile (LLaVA-1.6 uses
+        # {1x2, 2x1, 2x2, 3x1, 1x3} of 336px tiles)
+        self.image_grid_pinpoints = image_grid_pinpoints or [
+            (t, 2 * t), (2 * t, t), (2 * t, 2 * t), (3 * t, t), (t, 3 * t)]
+        rng = np.random.default_rng(seed + 3)
+        d = self.lm.config.hidden_size
+        self.image_newline = jnp.asarray(
+            rng.standard_normal(d, np.float32) / np.sqrt(d))
+        return self
+
+    def encode_image_anyres(self, image: np.ndarray):
+        """One (H, W, 3) image -> (1, n_tokens, text_hidden) AnyRes
+        features: [base tile | unpadded grid w/ per-row newline]."""
+        from qdm_tpu.utils import anyres
+
+        t = self.vision_config.image_size
+        ppt = t // self.vision_config.patch_size
+        patches, grid, orig = anyres.anyres_preprocess(
+            np.asarray(image, np.float32), t, self.image_grid_pinpoints)
+        feats = self.encode_image(patches)         # (1+gh*gw, ppt*ppt, d)
+        base = feats[0]
+        packed = anyres.pack_grid_features(feats[1:], grid, ppt, orig,
+                                           self.image_newline)
+        return jnp.concatenate([base, packed], axis=0)[None]
+
+    def logits(self, input_ids, pixel_values=None, image=None):
+        """``image``: one raw (H, W, 3) image routed through AnyRes;
+        ``pixel_values``: pre-tiled batch (plain-LLaVA path)."""
+        if image is None:
+            return super().logits(input_ids, pixel_values)
+        ids = jnp.asarray(input_ids)
+        img_emb = self.encode_image_anyres(image)
+        tok_emb = self.lm.params["embed_tokens"]["embedding"][ids]
+        embeds = jnp.concatenate(
+            [jnp.broadcast_to(img_emb, (ids.shape[0],) + img_emb.shape[1:]),
+             tok_emb.astype(img_emb.dtype)], axis=1)
+        out, _ = self.lm.model.apply({"params": self.lm.params},
+                                     input_embeds=embeds)
+        return out
+
+    def generate(self, input_ids, pixel_values=None, image=None,
+                 max_new_tokens=32, engine=None, **kw):
+        if image is None:
+            return super().generate(input_ids, pixel_values,
+                                    max_new_tokens=max_new_tokens,
+                                    engine=engine, **kw)
+        ids = jnp.asarray(input_ids)
+        img_emb = self.encode_image_anyres(image)
+        tok_emb = self.lm.params["embed_tokens"]["embedding"][ids]
+        embeds = jnp.concatenate(
+            [jnp.broadcast_to(img_emb, (ids.shape[0],) + img_emb.shape[1:]),
+             tok_emb.astype(img_emb.dtype)], axis=1)
+        return (engine or self._engine()).generate_embeds(
+            embeds, max_new_tokens=max_new_tokens, **kw)
+
+
 class Qwen2VLModel:
     """Qwen2-VL-style VLM: smart-resized images (utils/vl_preprocess ==
     reference utils/qwen_vl_utils.py) -> ViT patch grid -> 2x2 patch

@@ -8,3 +8,5 @@ from qdm_tpu.evaluation.eval_utils import (  # noqa: F401
 from qdm_tpu.evaluation.humaneval import (  # noqa: F401
     eval_humaneval, check_correctness, estimate_pass_at_k)
 from qdm_tpu.evaluation.pipeline_eval import eval_quantized_pipeline  # noqa: F401
+from qdm_tpu.evaluation.captioning import (  # noqa: F401
+    cider_d, vqa_accuracy, normalize_answer)
