@@ -181,8 +181,24 @@ class CausalLM:
             lambda: self.model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 8), jnp.int32)))["params"]
         sd = loader.load_safetensors_dir(path)
-        if str(hf.get("model_type", "")).startswith("phi"):
+        mt = str(hf.get("model_type", ""))
+        if mt.startswith("phi3"):
+            sd = loader.phi3_to_llama_state_dict(
+                sd, self.config.num_attention_heads,
+                self.config.num_key_value_heads, self.config.head_dim)
+        elif mt.startswith("phi"):
             sd = loader.phi_to_llama_state_dict(sd)
+        elif mt == "opt":
+            sd = loader.opt_to_llama_state_dict(sd)
+        elif mt == "gpt_neox":
+            sd = loader.neox_to_llama_state_dict(
+                sd, self.config.num_attention_heads, self.config.head_dim)
+        elif mt == "falcon":
+            sd = loader.falcon_to_llama_state_dict(
+                sd, self.config.num_attention_heads,
+                self.config.num_key_value_heads, self.config.head_dim)
+        elif mt == "starcoder2":
+            sd = loader.starcoder2_to_llama_state_dict(sd)
         if str(hf.get("model_type", "")).startswith("deepseek") \
                 and self.config.kv_lora_rank is not None:
             # fold the interleaved rope storage into the q/kv weights
@@ -206,9 +222,98 @@ class CausalLM:
         # gemma family: (1+w) norms, sqrt(hidden)-scaled embeddings,
         # decoupled head_dim, tied embeddings by default
         is_gemma = str(hf.get("model_type", "")).startswith("gemma")
-        # phi family: parallel residual off one layernorm, ungated
-        # fc1->act->fc2 MLP, biases on every linear, partial rotary
-        is_phi = str(hf.get("model_type", "")).startswith("phi")
+        mt = str(hf.get("model_type", ""))
+        # phi-1/2 family: parallel residual off one layernorm, ungated
+        # fc1->act->fc2 MLP, biases on every linear, partial rotary.
+        # phi3 is NOT this family — it is llama-shaped (rmsnorm, gated
+        # silu, no biases, fused checkpoint projections split by the
+        # loader)
+        is_phi = mt.startswith("phi") and not mt.startswith("phi3")
+        is_opt = mt == "opt"
+        is_neox = mt == "gpt_neox"
+        is_falcon = mt == "falcon"
+        is_starcoder2 = mt == "starcoder2"
+        if is_opt:
+            # OPT: learned absolute positions (offset-2 table), ReLU
+            # ungated MLP, layernorm, biases everywhere, tied head
+            return llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf.get("ffn_dim",
+                                         4 * hf["hidden_size"]),
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hf["num_attention_heads"],
+                max_position_embeddings=hf.get(
+                    "max_position_embeddings", 2048),
+                norm_type="layernorm", mlp_act="relu", mlp_gated=False,
+                attention_bias=True, all_bias=True,
+                tie_word_embeddings=hf.get("tie_word_embeddings", True),
+                pos_emb_type="learned", learned_pos_offset=2)
+        if is_neox:
+            # gpt-neox/pythia: parallel residual with TWO norms,
+            # partial rotary (rotary_pct), layernorm, biases on every
+            # linear except the untied embed_out head
+            return llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hf["num_attention_heads"],
+                max_position_embeddings=hf.get(
+                    "max_position_embeddings", 2048),
+                rope_theta=hf.get("rotary_emb_base", 10000.0),
+                rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                norm_type="layernorm", mlp_act="gelu", mlp_gated=False,
+                attention_bias=True, all_bias=True, lm_head_bias=False,
+                parallel_residual=hf.get("use_parallel_residual", True),
+                parallel_norms=True,
+                partial_rotary_factor=hf.get("rotary_pct", 0.25),
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        if is_falcon:
+            # falcon: parallel residual (one norm on 7b, ln_attn/
+            # ln_mlp two-norm on new_decoder_architecture), MQA/GQA
+            # fused qkv split by the loader, ungated GELU, no biases
+            new_arch = hf.get("new_decoder_architecture", False)
+            hkv = (hf.get("num_kv_heads", 1) if new_arch
+                   else (1 if hf.get("multi_query", True)
+                         else hf["num_attention_heads"]))
+            return llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf.get("ffn_hidden_size",
+                                         4 * hf["hidden_size"]),
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hkv,
+                max_position_embeddings=hf.get(
+                    "max_position_embeddings", 2048),
+                rope_theta=hf.get("rope_theta", 10000.0),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                norm_type="layernorm", mlp_act="gelu", mlp_gated=False,
+                attention_bias=bool(hf.get("bias", False)),
+                all_bias=bool(hf.get("bias", False)),
+                parallel_residual=hf.get("parallel_attn", True),
+                parallel_norms=new_arch,
+                tie_word_embeddings=hf.get("tie_word_embeddings", True))
+        if is_starcoder2:
+            return llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hf.get("num_key_value_heads", 4),
+                max_position_embeddings=hf.get(
+                    "max_position_embeddings", 16384),
+                rope_theta=hf.get("rope_theta", 10000.0),
+                rms_norm_eps=hf.get("norm_epsilon", 1e-5),
+                norm_type="layernorm", mlp_act="gelu", mlp_gated=False,
+                attention_bias=hf.get("use_bias", True),
+                all_bias=hf.get("use_bias", True), lm_head_bias=False,
+                sliding_window=hf.get("sliding_window"),
+                tie_word_embeddings=hf.get("tie_word_embeddings", True))
         # qwen3 family: per-head q/k RMSNorm before rope, no attn bias
         is_qwen3 = str(hf.get("model_type", "")).startswith("qwen3")
         # gemma3: gemma2's sandwich norms + alternating windows (pattern

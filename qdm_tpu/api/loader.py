@@ -251,6 +251,141 @@ def vae_config_from_diffusers(cfg: dict):
     )
 
 
+def opt_to_llama_state_dict(sd):
+    """OPT (reference registry via upstream AutoAWQ opt shim) -> the
+    canonical LLaMA-family naming: decoder.* flattened, out_proj ->
+    o_proj, per-layer self_attn_layer_norm/final_layer_norm ->
+    input/post_attention layernorms, decoder-level final_layer_norm ->
+    norm.  fc1/fc2 already match the ungated-MLP naming.  (OPT-350m's
+    project_in/out factorized embeddings are not supported.)"""
+    out = {}
+    for key, v in sd.items():
+        if "project_in" in key or "project_out" in key:
+            raise ValueError("OPT-350m project_in/out embeddings are "
+                             "not supported")
+        k = key.replace("model.decoder.", "model.")
+        if k.startswith("model.final_layer_norm."):
+            k = k.replace("model.final_layer_norm.", "model.norm.")
+        k = k.replace("self_attn.out_proj.", "self_attn.o_proj.")
+        k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        k = k.replace("decoder.embed_tokens.", "embed_tokens.")
+        # OPT keeps fc1/fc2 directly on the layer; the module nests
+        # them under mlp/
+        k = k.replace(".fc1.", ".mlp.fc1.")
+        k = k.replace(".fc2.", ".mlp.fc2.")
+        out[k] = v
+    return out
+
+
+def neox_to_llama_state_dict(sd, heads: int, head_dim: int):
+    """GPT-NeoX/pythia -> canonical naming.  The fused query_key_value
+    is HEAD-INTERLEAVED ((heads, 3, head_dim, in) rows): de-interleave
+    into contiguous q/k/v projections.  dense -> o_proj,
+    dense_h_to_4h/dense_4h_to_h -> fc1/fc2, embed_in/embed_out ->
+    embed_tokens/lm_head."""
+    import numpy as np
+
+    out = {}
+    for key, v in sd.items():
+        if "rotary_emb" in key or key.endswith("masked_bias") \
+                or key.endswith(".attention.bias"):
+            continue
+        k = key.replace("gpt_neox.", "model.")
+        k = k.replace("model.embed_in.", "model.embed_tokens.")
+        k = k.replace("model.final_layer_norm.", "model.norm.")
+        k = k.replace("embed_out.", "lm_head.")
+        k = k.replace(".attention.dense.", ".self_attn.o_proj.")
+        k = k.replace(".mlp.dense_h_to_4h.", ".mlp.fc1.")
+        k = k.replace(".mlp.dense_4h_to_h.", ".mlp.fc2.")
+        if ".attention.query_key_value." in k:
+            v = np.asarray(v)
+            vh = v.reshape(heads, 3, head_dim, *v.shape[1:])
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[k.replace(".attention.query_key_value.",
+                              f".self_attn.{name}.")] = \
+                    vh[:, i].reshape((heads * head_dim,) + v.shape[1:])
+            continue
+        out[k] = v
+    return out
+
+
+def falcon_to_llama_state_dict(sd, heads: int, kv_heads: int,
+                               head_dim: int):
+    """Falcon -> canonical naming.  The fused query_key_value is
+    GROUP-interleaved ((kv_heads, g+2, head_dim, in): each KV group's
+    g query heads then its k and v); split into q/k/v.  7b multi_query
+    is the kv_heads=1 case.  ln_attn/ln_mlp (40b new_decoder_arch) map
+    to the two parallel norms; 7b's single input_layernorm stays."""
+    import numpy as np
+
+    g = heads // kv_heads
+    out = {}
+    for key, v in sd.items():
+        k = key.replace("transformer.h.", "model.layers.")
+        k = k.replace("transformer.word_embeddings.",
+                      "model.embed_tokens.")
+        k = k.replace("transformer.ln_f.", "model.norm.")
+        k = k.replace(".self_attention.dense.", ".self_attn.o_proj.")
+        k = k.replace(".ln_attn.", ".input_layernorm.")
+        k = k.replace(".ln_mlp.", ".post_attention_layernorm.")
+        k = k.replace(".mlp.dense_h_to_4h.", ".mlp.fc1.")
+        k = k.replace(".mlp.dense_4h_to_h.", ".mlp.fc2.")
+        if ".self_attention.query_key_value." in k:
+            v = np.asarray(v)
+            vh = v.reshape(kv_heads, g + 2, head_dim, *v.shape[1:])
+            q = vh[:, :g].reshape((heads * head_dim,) + v.shape[1:])
+            kk = vh[:, g].reshape((kv_heads * head_dim,) + v.shape[1:])
+            vv = vh[:, g + 1].reshape((kv_heads * head_dim,) + v.shape[1:])
+            for name, part in (("q_proj", q), ("k_proj", kk),
+                               ("v_proj", vv)):
+                out[k.replace(".self_attention.query_key_value.",
+                              f".self_attn.{name}.")] = part
+            continue
+        out[k] = v
+    return out
+
+
+def starcoder2_to_llama_state_dict(sd):
+    """StarCoder2 -> canonical naming: only the ungated MLP's
+    c_fc/c_proj differ (fc1/fc2)."""
+    out = {}
+    for key, v in sd.items():
+        k = key.replace(".mlp.c_fc.", ".mlp.fc1.")
+        k = k.replace(".mlp.c_proj.", ".mlp.fc2.")
+        out[k] = v
+    return out
+
+
+def phi3_to_llama_state_dict(sd, heads: int, kv_heads: int,
+                             head_dim: int):
+    """Phi-3 -> canonical naming: split the fused qkv_proj ([q;k;v]
+    rows) and gate_up_proj ([gate;up] rows)."""
+    import numpy as np
+
+    out = {}
+    for key, v in sd.items():
+        if ".self_attn.qkv_proj." in key:
+            v = np.asarray(v)
+            hq, hk = heads * head_dim, kv_heads * head_dim
+            q, kk, vv = v[:hq], v[hq:hq + hk], v[hq + hk:]
+            for name, part in (("q_proj", q), ("k_proj", kk),
+                               ("v_proj", vv)):
+                out[key.replace(".self_attn.qkv_proj.",
+                                f".self_attn.{name}.")] = part
+            continue
+        if ".mlp.gate_up_proj." in key:
+            v = np.asarray(v)
+            half = v.shape[0] // 2
+            out[key.replace(".mlp.gate_up_proj.", ".mlp.gate_proj.")] = \
+                v[:half]
+            out[key.replace(".mlp.gate_up_proj.", ".mlp.up_proj.")] = \
+                v[half:]
+            continue
+        out[key] = v
+    return out
+
+
 def deepseek_deinterleave_rope(sd, qk_nope: int, qk_rope: int):
     """Fold deepseek_v2's interleaved rope storage into the weights.
 

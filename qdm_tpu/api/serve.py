@@ -217,6 +217,10 @@ def _rope_consts(cfg, h=None, hkv=None):
     col = np.arange(n_qkv)
     col_j = col % d
     rotated = (col < w_rope) & (col_j < r)
+    if getattr(cfg, "pos_emb_type", "rope") == "learned":
+        # OPT-class: no rotary at all — all-False rotation mask makes
+        # every kernel's rope epilogue the identity (cos=1, sin=0)
+        rotated = np.zeros_like(rotated)
     partner = np.where(rotated,
                        np.where(col_j < half, col + half, col - half), col)
     return (freqs, jnp.asarray(rotated),
@@ -620,13 +624,17 @@ class DecodeEngine:
                     "scale"].astype(jnp.float32)
                 entry["ln_pf"] = lp["post_feedforward_layernorm"][
                     "scale"].astype(jnp.float32)
-            elif not cfg.parallel_residual:
+            elif not cfg.parallel_residual or getattr(
+                    cfg, "parallel_norms", False):
+                # gpt-neox: the parallel MLP branch runs off its OWN
+                # norm (parallel_norms), so ln2 is needed there too
                 entry["ln2"] = lp["post_attention_layernorm"][
                     "scale"].astype(jnp.float32)
             if cfg.norm_type == "layernorm":
                 entry["ln1_b"] = lp["input_layernorm"]["bias"].astype(
                     jnp.float32)
-                if not cfg.parallel_residual:
+                if not cfg.parallel_residual or getattr(
+                        cfg, "parallel_norms", False):
                     entry["ln2_b"] = lp["post_attention_layernorm"][
                         "bias"].astype(jnp.float32)
             if cfg.attention_bias:
@@ -772,6 +780,20 @@ class DecodeEngine:
             layers.append(entry)
         self.layers = layers
         self.embed = p["embed_tokens"]["embedding"].astype(self.dtype)
+        # OPT-class learned absolute positions: the decode step adds
+        # pos_tab[pos + offset] after the token-embed lookup (prefill
+        # runs through the module, which adds its own).  Closed over by
+        # the jitted run closures (a few-MB table, single-device only).
+        self._pos_tab = None
+        self._pos_off = 0
+        if getattr(cfg, "pos_emb_type", "rope") == "learned":
+            if self.spmd:
+                raise NotImplementedError(
+                    "learned-position (OPT-class) serving is "
+                    "single-device for now")
+            self._pos_tab = p["embed_positions"]["embedding"].astype(
+                self.dtype)
+            self._pos_off = int(getattr(cfg, "learned_pos_offset", 0))
         self.final_norm = p["norm"]["scale"].astype(jnp.float32)
         self.final_norm_b = (p["norm"]["bias"].astype(jnp.float32)
                              if cfg.norm_type == "layernorm" else None)
@@ -779,8 +801,10 @@ class DecodeEngine:
             self.w_head = self.embed.T
         else:
             self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        head_bias = (cfg.all_bias if getattr(cfg, "lm_head_bias", None)
+                     is None else cfg.lm_head_bias)
         self.head_bias = (p["lm_head"]["bias"].astype(jnp.float32)
-                          if self.all_bias and not cfg.tie_word_embeddings
+                          if head_bias and not cfg.tie_word_embeddings
                           else None)
         if getattr(cfg, "norm_plus_one", False):
             # gemma (1+w) norms: fold the +1 into the snapshotted scales
@@ -1401,14 +1425,20 @@ class DecodeEngine:
                     w["a_mlp"], w["ln2"], eps=eps, act=cfg.mlp_act)
             return x, cache
         if parallel:
-            # x + attn_out + mlp_out, both branches off the same xin;
-            # under tp each branch is a row-split partial -> psum
+            # x + attn_out + mlp_out, both branches off the same xin
+            # (gpt-neox parallel_norms: the MLP branch has its OWN
+            # norm); under tp each branch is a row-split partial -> psum
+            xin_mlp = xin
+            if getattr(cfg, "parallel_norms", False):
+                xin_mlp = _xla_norm(x, w["ln2"], w.get("ln2_b"), nt,
+                                    eps).astype(x.dtype)
             if self.mode == "bf16":
                 o_part = dk.fused_dense_decode(attn, w["w_o"],
                                                bias=w.get("b_o"),
                                                out_dtype=jnp.float32)
-                m_part = (self._ungated_mlp(xin, w) if self.ungated
-                          else dk.fused_mlp_decode(xin, w["wg"], w["wu"],
+                m_part = (self._ungated_mlp(xin_mlp, w) if self.ungated
+                          else dk.fused_mlp_decode(xin_mlp, w["wg"],
+                                                   w["wu"],
                                                    w["wd"], None, eps=eps,
                                                    act=cfg.mlp_act,
                                                    residual=False,
@@ -1423,9 +1453,9 @@ class DecodeEngine:
                                                   out_dtype=jnp.float32)
                 if "b_o" in w:
                     o_part = o_part + w["b_o"]
-                m_part = (self._ungated_mlp(xin, w) if self.ungated
+                m_part = (self._ungated_mlp(xin_mlp, w) if self.ungated
                           else dk.fused_mlp_decode_i4(
-                              xin, w["wg"], w["wu"], w["wd"],
+                              xin_mlp, w["wg"], w["wu"], w["wd"],
                               (w["sg"], w["su"], w["sd"]), w["a_mlp"],
                               None, eps=eps, act=cfg.mlp_act,
                               residual=False, group=self.i4_group,
@@ -1435,9 +1465,9 @@ class DecodeEngine:
                                                   w["a_o"],
                                                   bias=w.get("b_o"),
                                                   out_dtype=jnp.float32)
-                m_part = (self._ungated_mlp(xin, w) if self.ungated
+                m_part = (self._ungated_mlp(xin_mlp, w) if self.ungated
                           else dk.fused_mlp_decode_i8(
-                              xin, w["wg"], w["wu"], w["wd"],
+                              xin_mlp, w["wg"], w["wu"], w["wd"],
                               (w["sg"], w["su"], w["sd"]),
                               w["a_mlp"], None, eps=eps,
                               act=cfg.mlp_act, residual=False,
@@ -1489,6 +1519,27 @@ class DecodeEngine:
             x = (x.astype(jnp.float32)
                  + jax.lax.psum(part, tp_axis)).astype(x.dtype)
             return x, cache
+        if self.ungated:
+            # sequential ungated MLP (OPT/starcoder2-class): o_proj +
+            # residual, ln2 in XLA, fc1 -> act -> fc2 off it
+            if self.mode == "bf16":
+                x = dk.fused_dense_decode(attn, w["w_o"],
+                                          bias=w.get("b_o"), residual=x)
+            elif self.mode == "w8a8_static":
+                x = dk.fused_dense_decode_i8(attn, w["w_o"], w["s_o"],
+                                             w["a_o"], bias=w.get("b_o"),
+                                             residual=x)
+            else:
+                x = dk.fused_dense_decode_i4(attn, w["w_o"], w["s_o"],
+                                             w["a_o"], residual=x,
+                                             group=self.i4_group)
+                if "b_o" in w:
+                    x = (x.astype(jnp.float32) + w["b_o"]).astype(x.dtype)
+            xin2 = _xla_norm(x, w["ln2"], w.get("ln2_b"), nt,
+                             eps).astype(x.dtype)
+            x = (x.astype(jnp.float32)
+                 + self._ungated_mlp(xin2, w)).astype(x.dtype)
+            return x, cache
         if self.mode == "bf16":
             x = dk.fused_dense_decode(attn, w["w_o"], residual=x)
             x = dk.fused_mlp_decode(x, w["wg"], w["wu"], w["wd"], w["ln2"],
@@ -1537,7 +1588,8 @@ class DecodeEngine:
         with the shared expert-input scale (every expert sees the same
         normed activations) and per-expert down-projection scales."""
         cfg = self.cfg
-        act = jax.nn.silu if cfg.mlp_act == "silu" else jax.nn.gelu
+        act = {"silu": jax.nn.silu, "relu": jax.nn.relu}.get(
+            cfg.mlp_act, jax.nn.gelu)
         xin = _xla_norm(x, w["ln2"], None, cfg.norm_type,
                         cfg.rms_norm_eps).astype(x.dtype)
         logits = (xin @ w["router"]).astype(jnp.float32)      # (B, E)
@@ -1587,7 +1639,8 @@ class DecodeEngine:
         weights, the engine's calibrated fc1/fc2 input scales), the
         same scheme as the gated kernel path."""
         cfg = self.cfg
-        act = jax.nn.silu if cfg.mlp_act == "silu" else jax.nn.gelu
+        act = {"silu": jax.nn.silu, "relu": jax.nn.relu}.get(
+            cfg.mlp_act, jax.nn.gelu)
         if self.mode == "bf16":
             h = (xin @ w["w1"]).astype(jnp.float32)
             if "b_fc1" in w:
@@ -1689,6 +1742,9 @@ class DecodeEngine:
                 trig_l = self._local_trig(pos, is_rope, sign, base_idx)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
+                if self._pos_tab is not None:
+                    # OPT-class learned absolute position embedding
+                    x = x + self._pos_tab[pos + self._pos_off]
                 new_caches = []
                 for l, w in enumerate(layers):
                     # rolling sliding-window cache: write slot wraps
@@ -1762,6 +1818,8 @@ class DecodeEngine:
                 trig_l = self._local_trig(pos, is_rope, sign, base_idx)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
+                if self._pos_tab is not None:
+                    x = x + self._pos_tab[pos + self._pos_off]
                 new_caches = []
                 for l, w in enumerate(layers):
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
@@ -2480,6 +2538,11 @@ class DecodeEngine:
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")
+        if self._pos_tab is not None:
+            raise NotImplementedError(
+                "ragged serving of learned-position (OPT-class) models "
+                "needs per-row position-table adds in the ragged decode "
+                "step; use generate()")
         if self.kv_dtype == jnp.int8 and self.kv_scale_mode != "channel":
             raise NotImplementedError(
                 "ragged int8 KV runs with kv_scale_mode='channel'")
@@ -2556,6 +2619,11 @@ class DecodeEngine:
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("ragged serving is single-device")
+        if self._pos_tab is not None:
+            raise NotImplementedError(
+                "ragged serving of learned-position (OPT-class) models "
+                "needs per-row position-table adds in the ragged decode "
+                "step; use generate()")
         if self.kv_dtype == jnp.int8 and self.kv_scale_mode != "channel":
             raise NotImplementedError(
                 "ragged int8 KV runs with the channel-static scales "
@@ -3237,6 +3305,8 @@ class DecodeEngine:
                                               base_idx)
                     x = jnp.zeros((bp,), tok.dtype).at[:bq].set(tok)
                     x = embed[x]
+                    if self._pos_tab is not None:
+                        x = x + self._pos_tab[pos + self._pos_off]
                     new_caches = []
                     for l, w in enumerate(layers):
                         cv, sv = self._pick_trig(l, cosv, sinv, trig_l)

@@ -121,6 +121,19 @@ class LlamaConfig:
     first_k_dense_replace: int = 0
     routed_scaling_factor: float = 1.0
     moe_renormalize: bool = True
+    # OPT-class position handling: LEARNED absolute position embedding
+    # (embed_positions table, added to the token embeds) instead of
+    # rope.  learned_pos_offset: OPT checkpoints reserve the first 2
+    # table rows (HF OPTLearnedPositionalEmbedding offset).
+    pos_emb_type: str = "rope"            # "rope" | "learned"
+    learned_pos_offset: int = 0
+    # gpt-neox-class parallel residual with TWO norms:
+    # x + attn(ln1 x) + mlp(ln2 x) (cohere/falcon/phi share ONE norm —
+    # parallel_residual with parallel_norms=False)
+    parallel_norms: bool = False
+    # lm_head bias override (None = follow all_bias): gpt-neox has
+    # biases everywhere EXCEPT its untied embed_out head
+    lm_head_bias: Optional[bool] = None
 
     @property
     def rotary_dim(self) -> int:
@@ -211,6 +224,14 @@ def rope(x, positions, theta: float, rotary_dim: int = 0,
                            axis=-1).astype(x.dtype)
 
 
+def _mlp_act(name: str, x):
+    if name == "silu":
+        return nn.silu(x)
+    if name == "relu":                      # OPT
+        return nn.relu(x)
+    return nn.gelu(x)
+
+
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: Dtype = jnp.bfloat16
@@ -251,15 +272,16 @@ class LlamaAttention(nn.Module):
                         plus_one=cfg.norm_plus_one, name="q_norm")(q)
             k = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
                         plus_one=cfg.norm_plus_one, name="k_norm")(k)
-        rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
-        if cfg.rope_local_theta is not None and self.window is not None:
-            # gemma3 LOCAL layer: local base freq, raw positions
-            theta, pscale = cfg.rope_local_theta, 1.0
-        else:
-            theta = cfg.rope_theta
-            pscale = 1.0 / cfg.rope_scaling_factor
-        q = rope(q, positions, theta, rd, pos_scale=pscale)
-        k = rope(k, positions, theta, rd, pos_scale=pscale)
+        if cfg.pos_emb_type != "learned":      # OPT: no rotary at all
+            rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
+            if cfg.rope_local_theta is not None and self.window is not None:
+                # gemma3 LOCAL layer: local base freq, raw positions
+                theta, pscale = cfg.rope_local_theta, 1.0
+            else:
+                theta = cfg.rope_theta
+                pscale = 1.0 / cfg.rope_scaling_factor
+            q = rope(q, positions, theta, rd, pos_scale=pscale)
+            k = rope(k, positions, theta, rd, pos_scale=pscale)
 
         # cache-native layout (B, hkv, S, d): K/V live head-major so
         # cached decode contracts them with zero per-step relayout
@@ -437,7 +459,7 @@ class LlamaMLP(nn.Module):
             # phi: plain fc1 -> act -> fc2 (no gating branch)
             h = QDense(cfg.intermediate_size, use_bias=cfg.all_bias,
                        dtype=self.dtype, plan=self.plan, name="fc1")(x)
-            h = nn.silu(h) if cfg.mlp_act == "silu" else nn.gelu(h)
+            h = _mlp_act(cfg.mlp_act, h)
             return QDense(cfg.hidden_size, use_bias=cfg.all_bias,
                           dtype=self.dtype, plan=self.plan, name="fc2")(h)
         if self.plan.fuse_qkv:
@@ -451,7 +473,7 @@ class LlamaMLP(nn.Module):
                           plan=self.plan, name="gate_proj")(x)
             up = QDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
                         plan=self.plan, name="up_proj")(x)
-        act = nn.silu(gate) if cfg.mlp_act == "silu" else nn.gelu(gate)
+        act = _mlp_act(cfg.mlp_act, gate)
         return QDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                       plan=self.plan, name="down_proj")(act * up)
 
@@ -501,12 +523,15 @@ class LlamaDecoderLayer(nn.Module):
         cfg = self.config
         win = cfg.layer_window(self.layer_idx)
         if cfg.parallel_residual:
-            # cohere-style: one norm feeds attention AND the MLP
+            # cohere/falcon-style: one norm feeds attention AND the
+            # MLP; gpt-neox (parallel_norms): each branch has its own
             h = self._norm("input_layernorm")(x)
             attn, new_cache = self._attn(win)(
                 h, positions, kv_cache, cache_index, attn_start,
                 attn_prefix)
-            mlp = self._mlp()(h)
+            hm = self._norm("post_attention_layernorm")(x) \
+                if cfg.parallel_norms else h
+            mlp = self._mlp()(hm)
             return x + attn + mlp, new_cache
         h, new_cache = self._attn(win)(
             self._norm("input_layernorm")(x), positions, kv_cache,
@@ -549,6 +574,14 @@ class LlamaForCausalLM(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
             if cache_index is not None:
                 positions = positions + cache_index
+        if cfg.pos_emb_type == "learned":
+            # OPT-class learned absolute positions; the checkpoint
+            # table reserves learned_pos_offset leading rows (HF
+            # OPTLearnedPositionalEmbedding: offset 2)
+            pos_tab = nn.Embed(
+                cfg.max_position_embeddings + cfg.learned_pos_offset,
+                cfg.hidden_size, dtype=self.dtype, name="embed_positions")
+            x = x + pos_tab(positions + cfg.learned_pos_offset)
         new_caches = []
         for i in range(cfg.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
@@ -576,7 +609,9 @@ class LlamaForCausalLM(nn.Module):
             embed = self.variables["params"]["embed_tokens"]["embedding"]
             logits = x @ embed.T.astype(self.dtype)
         else:
-            logits = QDense(cfg.vocab_size, use_bias=cfg.all_bias,
+            head_bias = cfg.all_bias if cfg.lm_head_bias is None \
+                else cfg.lm_head_bias
+            logits = QDense(cfg.vocab_size, use_bias=head_bias,
                             dtype=self.dtype, plan=self.plan,
                             name="lm_head")(x)
         logits = logits.astype(jnp.float32) * cfg.logit_scale

@@ -112,6 +112,56 @@ LLM_CONFIG_PRESETS: Dict[str, llama_lib.LlamaConfig] = {
         rope_scaling_factor=8.0),
 }
 
+# OPT-1.3b geometry (reference registry's opt shim via upstream
+# AutoAWQ): learned offset-2 positions, ReLU ungated MLP, layernorm,
+# biases everywhere, tied head
+LLM_CONFIG_PRESETS["opt"] = llama_lib.LlamaConfig(
+    vocab_size=50272, hidden_size=2048, intermediate_size=8192,
+    num_hidden_layers=24, num_attention_heads=32,
+    num_key_value_heads=32, max_position_embeddings=2048,
+    norm_type="layernorm", mlp_act="relu", mlp_gated=False,
+    attention_bias=True, all_bias=True, tie_word_embeddings=True,
+    pos_emb_type="learned", learned_pos_offset=2)
+
+# gpt-neox / pythia-1.4b geometry: TWO-norm parallel residual,
+# 25% partial rotary, biases everywhere except the untied head
+LLM_CONFIG_PRESETS["gpt-neox"] = llama_lib.LlamaConfig(
+    vocab_size=50304, hidden_size=2048, intermediate_size=8192,
+    num_hidden_layers=24, num_attention_heads=16,
+    num_key_value_heads=16, max_position_embeddings=2048,
+    norm_type="layernorm", mlp_act="gelu", mlp_gated=False,
+    attention_bias=True, all_bias=True, lm_head_bias=False,
+    parallel_residual=True, parallel_norms=True,
+    partial_rotary_factor=0.25)
+
+# falcon-7b geometry: single-norm parallel residual, MQA (1 kv head),
+# ungated GELU, no biases, tied head
+LLM_CONFIG_PRESETS["falcon"] = llama_lib.LlamaConfig(
+    vocab_size=65024, hidden_size=4544, intermediate_size=18176,
+    num_hidden_layers=32, num_attention_heads=71,
+    num_key_value_heads=1, max_position_embeddings=2048,
+    norm_type="layernorm", mlp_act="gelu", mlp_gated=False,
+    parallel_residual=True, tie_word_embeddings=True)
+
+# starcoder2-3b geometry: layernorm + biased GQA + ungated GELU +
+# 4096 sliding window, tied head
+LLM_CONFIG_PRESETS["starcoder2"] = llama_lib.LlamaConfig(
+    vocab_size=49152, hidden_size=3072, intermediate_size=12288,
+    num_hidden_layers=30, num_attention_heads=24,
+    num_key_value_heads=2, max_position_embeddings=16384,
+    rope_theta=999999.4420358813, norm_type="layernorm",
+    mlp_act="gelu", mlp_gated=False, attention_bias=True,
+    all_bias=True, lm_head_bias=False, sliding_window=4096,
+    tie_word_embeddings=True)
+
+# phi-3-mini geometry: llama-shaped (rmsnorm, gated silu, no biases);
+# the checkpoint's fused qkv/gate_up projections split in the loader
+LLM_CONFIG_PRESETS["phi3"] = llama_lib.LlamaConfig(
+    vocab_size=32064, hidden_size=3072, intermediate_size=8192,
+    num_hidden_layers=32, num_attention_heads=32,
+    num_key_value_heads=32, max_position_embeddings=4096,
+    rope_theta=10000.0, sliding_window=2047)
+
 # deepseek-v2-lite geometry: MLA with plain q_proj (no q low-rank),
 # 512-latent KV + 64-dim shared rope head, deepseek MoE (64 routed
 # top-6 + 2 shared experts, first layer dense, no top-k renorm) —
