@@ -1,0 +1,154 @@
+"""Golden tests pinning the JAX LPIPS-AlexNet port (evaluation/lpips.py)
+against the PUBLISHED LPIPS spec (Zhang et al., richzhang/
+PerceptualSimilarity, 'alex' net), via an INDEPENDENT torch-CPU
+reimplementation of the exact formula — conv geometry (k11s4p2 /
+k5p2 / 3x k3p1, maxpool 3x2 after stages 1-2), post-relu taps,
+ScalingLayer constants, channel-unit-normalize (eps 1e-10), nonneg 1x1
+lin heads, spatial mean, layer sum — plus degenerate hand-computable
+cases (VERDICT r3 #5: a silent port bug must not survive until real
+weights arrive)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qdm_tpu.evaluation.lpips import (alexnet_features, lpips_distance,
+                                      random_lpips_weights)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+RNG = np.random.default_rng(97)
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def torch_lpips(img0, img1, w):
+    """The LPIPS formula implemented independently with torch ops,
+    NCHW, straight from the published architecture."""
+
+    def feats(x):                             # x (N,H,W,3) in [0,1]
+        t = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
+        t = t * 2.0 - 1.0                     # [-1, 1] as lpips expects
+        shift = torch.from_numpy(_SHIFT).view(1, 3, 1, 1)
+        scale = torch.from_numpy(_SCALE).view(1, 3, 1, 1)
+        t = (t - shift) / scale
+        cfg = [(11, 4, 2), (5, 1, 2), (3, 1, 1), (3, 1, 1), (3, 1, 1)]
+        out = []
+        h = t
+        for i, (k, s, p) in enumerate(cfg):
+            wt = torch.from_numpy(
+                np.asarray(w[f"conv{i}_w"]).transpose(3, 2, 0, 1).copy())
+            bt = torch.from_numpy(np.asarray(w[f"conv{i}_b"]))
+            h = F.conv2d(h, wt, bt, stride=s, padding=p)
+            h = F.relu(h)
+            out.append(h)
+            if i in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return out
+
+    f0, f1 = feats(img0), feats(img1)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f0, f1)):
+        def unit(x):
+            n = torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True))
+            return x / (n + 1e-10)
+
+        d = (unit(a) - unit(b)) ** 2
+        lin = torch.from_numpy(np.asarray(w[f"lin{i}_w"])).view(1, -1, 1, 1)
+        total = total + torch.mean(torch.sum(d * lin, dim=1), dim=(1, 2))
+    return total.numpy()
+
+
+def test_lpips_matches_independent_torch_reimplementation():
+    w = random_lpips_weights(seed=3)
+    a = RNG.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = RNG.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(lpips_distance(jnp.asarray(a), jnp.asarray(b), w))
+    want = torch_lpips(a, b, w)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # and a non-trivial similar pair (small perturbation)
+    c = np.clip(a + RNG.normal(0, 0.02, a.shape).astype(np.float32), 0, 1)
+    got2 = np.asarray(lpips_distance(jnp.asarray(a), jnp.asarray(c), w))
+    want2 = torch_lpips(a, c, w)
+    np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)
+    assert (got2 < got).all()                 # metric orders perturbations
+
+
+def test_feature_taps_are_post_relu_pre_pool():
+    """The published taps are AFTER each relu and BEFORE the pools:
+    for 64px input conv1 gives (64+2*2-11)//4+1 = 15, pool -> 7, conv2
+    (k5 p2) keeps 7, pool -> 3, convs 3-5 (k3 p1) keep 3."""
+    w = random_lpips_weights(seed=1)
+    x = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    f = alexnet_features(x, w)
+    assert [t.shape[1] for t in f] == [15, 7, 3, 3, 3]
+    assert [t.shape[-1] for t in f] == [64, 192, 384, 256, 256]
+    assert all(float(t.min()) >= 0 for t in f)   # post-relu
+
+
+def test_identical_images_zero_and_symmetry():
+    w = random_lpips_weights(seed=5)
+    a = jnp.asarray(RNG.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(RNG.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    assert float(jnp.max(lpips_distance(a, a, w))) < 1e-6
+    np.testing.assert_allclose(np.asarray(lpips_distance(a, b, w)),
+                               np.asarray(lpips_distance(b, a, w)),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_hand_computed_single_layer_case():
+    """Degenerate fixture where LPIPS collapses to hand arithmetic:
+    only lin0 nonzero (single 2-channel pair via 2 conv filters),
+    constant images, bias-dominated convs.
+
+    conv0 has 2 'live' filters with zero kernels and biases (1, 2): on
+    ANY input each output position is exactly (1, 2) -> unit-normalize
+    gives u = (1, 2)/sqrt(5).  Image B's conv sees biases (2, 1) ->
+    v = (2, 1)/sqrt(5).  d = sum((u - v)^2 * lin0) with lin0 = (1, 1):
+    ((1-2)^2 + (2-1)^2)/5 = 2/5 = 0.4 at every spatial position ->
+    LPIPS = 0.4 exactly (all other lins zero)."""
+    w = random_lpips_weights(seed=7)
+    w = {k: jnp.zeros_like(v) for k, v in w.items()}
+    w["conv0_b"] = jnp.zeros((64,)).at[0].set(1.0).at[1].set(2.0)
+    w["lin0_w"] = jnp.zeros((64,)).at[0].set(1.0).at[1].set(1.0)
+    a = jnp.full((1, 64, 64, 3), 0.25, jnp.float32)
+    d_same = lpips_distance(a, a, w)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-7)
+
+    w2 = {k: jnp.asarray(v) for k, v in w.items()}
+    w2["conv0_b"] = jnp.zeros((64,)).at[0].set(2.0).at[1].set(1.0)
+    f0 = alexnet_features(a * 2 - 1, w)      # prep is affine; biases
+    # dominate since kernels are zero — compute via the public API:
+    # build the distance by running each image through ITS OWN bias
+    # config is not expressible through lpips_distance, so compare
+    # feature math directly
+    f1 = alexnet_features(a * 2 - 1, w2)
+    u = np.asarray(f0[0][0, 0, 0, :2])
+    v = np.asarray(f1[0][0, 0, 0, :2])
+    np.testing.assert_allclose(u, [1.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(v, [2.0, 1.0], atol=1e-6)
+    un = u / np.sqrt((u ** 2).sum())
+    vn = v / np.sqrt((v ** 2).sum())
+    np.testing.assert_allclose(((un - vn) ** 2).sum(), 0.4, atol=1e-6)
+
+
+def test_scaling_layer_constants():
+    """The ScalingLayer shift/scale are the published lpips constants;
+    prep((x+1)/2) must reproduce (x - shift)/scale on [-1,1] inputs."""
+    w = random_lpips_weights(seed=9)
+    x01 = np.zeros((1, 64, 64, 3), np.float32)
+    x01[0, 2, 2, :] = [0.5, 0.5, 0.5]        # one bright pixel
+    # prep = ScalingLayer((x*2-1 - shift)/scale); alexnet_features
+    # takes the PREPPED tensor (lpips_distance applies prep)
+    pre = (np.asarray(x01) * 2 - 1 - _SHIFT) / _SCALE
+    f = alexnet_features(jnp.asarray(pre), w)
+    import jax
+
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(pre), w["conv0_w"], (4, 4), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + w["conv0_b"]
+    np.testing.assert_allclose(np.asarray(f[0]),
+                               np.maximum(np.asarray(ref), 0),
+                               rtol=1e-5, atol=1e-6)
