@@ -21,6 +21,7 @@ from qdm_tpu.compile_cache import enable as _enable_compile_cache
 
 _enable_compile_cache()
 import jax.numpy as jnp
+import numpy as np
 
 from qdm_tpu.api import StableDiffusion1_x
 
@@ -30,13 +31,30 @@ PROMPTS = ["a cat on a table", "a mountain at sunset", "a red bicycle",
 
 
 def timed_generate(pipe, prompts, steps, reps):
-    imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0)
-    float(jnp.sum(jnp.asarray(imgs)))
+    """Sequential generate() calls, images delivered as uint8 PNGs
+    would be (the 25 MB f32 fetch costs 1.05 s/batch through the
+    ~34 MB/s tunnel; u8 is what any real delivery ships)."""
+    imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0,
+                         output_type="u8")
+    np.asarray(imgs).sum()
     t0 = time.time()
     for _ in range(reps):
-        imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0)
-        float(jnp.sum(jnp.asarray(imgs)))
+        imgs = pipe.generate(prompts, num_inference_steps=steps, seed=0,
+                             output_type="u8")
+        np.asarray(imgs).sum()
     return (time.time() - t0) / reps
+
+
+def timed_batches(pipe, prompts, steps, n_batches):
+    """Throughput mode: generate_batches overlaps each batch's image
+    fetch with the next batch's denoise compute."""
+    pipe.generate_batches([prompts], num_inference_steps=steps, seed=0)
+    t0 = time.time()
+    outs = pipe.generate_batches([prompts] * n_batches,
+                                 num_inference_steps=steps, seed=0)
+    dt = (time.time() - t0) / n_batches
+    assert all(o.dtype == np.uint8 for o in outs)
+    return dt
 
 
 def main():
@@ -48,9 +66,11 @@ def main():
 
     pipe = StableDiffusion1_x.from_config(tiny=not on_tpu)
     dt_bf = timed_generate(pipe, prompts, steps, reps)
+    dt_bf_b = timed_batches(pipe, prompts, steps, max(reps, 2))
     out = {"metric": f"SD1.5 pipeline imgs/s end-to-end (batch {batch}, "
                      f"{steps} steps, text-enc + VAE incl.)",
-           "bf16_img_s": round(batch / dt_bf, 3)}
+           "bf16_img_s": round(batch / dt_bf, 3),
+           "bf16_batched_img_s": round(batch / dt_bf_b, 3)}
     print(json.dumps(out), flush=True)
 
     qc = {"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True,
@@ -59,9 +79,12 @@ def main():
     pipe.quantize(qc, quantType="sq", quantUnet=True, quantVAE=quant_vae,
                   calib_prompts=prompts[:4] if on_tpu else prompts[:2])
     dt_q = timed_generate(pipe, prompts, steps, reps)
+    dt_q_b = timed_batches(pipe, prompts, steps, max(reps, 2))
     key = "quant_vae_img_s" if quant_vae else "quant_img_s"
     out[key] = round(batch / dt_q, 3)
+    out["quant_batched_img_s"] = round(batch / dt_q_b, 3)
     out["vs_bf16"] = round(dt_bf / dt_q, 3)
+    out["vs_bf16_batched"] = round(dt_bf_b / dt_q_b, 3)
     print(json.dumps(out), flush=True)
 
 

@@ -687,6 +687,16 @@ class BaseDiffusionPipeline:
                            guidance_scale)
         if output_type == "latent" or not decode or "vae" not in self.components:
             return lat
+        if output_type in ("u8", "pil"):
+            # uint8 leaves the device (6 MB vs 25 MB f32 through the
+            # ~34 MB/s tunnel — see decode_latents); 'pil' quantizes
+            # to u8 anyway so nothing is lost
+            images = self.decode_latents(lat, as_uint8=True)
+            if output_type == "pil":
+                from PIL import Image
+
+                return [Image.fromarray(np.asarray(im)) for im in images]
+            return images
         images = self.decode_latents(lat)
         if output_type == "pil":
             from PIL import Image
@@ -695,15 +705,43 @@ class BaseDiffusionPipeline:
                     for im in images]
         return images
 
+    def generate_batches(self, prompt_batches, output_type: str = "u8",
+                         **kw):
+        """Pipelined multi-batch generation: batch k+1's denoise is
+        dispatched BEFORE batch k's images are fetched, so the ~0.2 s
+        device->host image transfer rides under the next batch's
+        ~2.2 s compute (the tunnel moves data while the chip works).
+        Returns a list of (N, H, W, 3) arrays (uint8 by default —
+        output_type 'np' fetches f32).  Throughput-mode counterpart of
+        generate() (reference base.py:828-850 loops generate per
+        prompt list; this is the batched serving shape)."""
+        as_u8 = output_type != "np"
+        pending, out = None, []
+        for prompts in prompt_batches:
+            lat = self.generate(prompts, decode=False,
+                                output_type="latent", **kw)
+            flat, shape = self.decode_latents_async(lat, as_uint8=as_u8)
+            if pending is not None:
+                pf, (h, w_, c) = pending
+                out.append(np.asarray(pf).reshape(-1, h, w_, c))
+            pending = (flat, shape)
+        if pending is not None:
+            pf, (h, w_, c) = pending
+            out.append(np.asarray(pf).reshape(-1, h, w_, c))
+        return out
+
     @staticmethod
     def save_images(images, prefix: str = "out"):
-        """Write (N, H, W, 3) float images as PNGs."""
+        """Write (N, H, W, 3) float [0,1] or uint8 images as PNGs."""
         from PIL import Image
 
         paths = []
-        for i, im in enumerate(np.asarray(images)):
+        arr = np.asarray(images)
+        if arr.dtype != np.uint8:
+            arr = (arr * 255).astype(np.uint8)
+        for i, im in enumerate(arr):
             p = f"{prefix}_{i:03d}.png"
-            Image.fromarray((im * 255).astype(np.uint8)).save(p)
+            Image.fromarray(im).save(p)
             paths.append(p)
         return paths
 
@@ -775,17 +813,57 @@ class BaseDiffusionPipeline:
 
         return self._cached_jit(("apply", name, id(comp), method), build)
 
-    def decode_latents(self, latents):
+    def decode_latents(self, latents, as_uint8: bool = False):
+        """VAE decode -> host images (N, H, W, 3).
+
+        The device->host fetch dominates without care: the axon tunnel
+        moves ~34 MB/s, and the NHWC image's 3-wide trailing dim is
+        lane-padded 3->128 in TPU tiled layout, so fetching the raw
+        (N,512,512,3) f32 output costs ~1.05 s/batch-8 (measured,
+        tools/bench_layout_fetch_tpu.py).  The jitted decode therefore
+        FLATTENS on device (relayout at HBM speed, the flat row is
+        lane-aligned: 0.75 s) and optionally converts to uint8 (6 MB:
+        0.23 s); the host reshapes back."""
         vae = self.components["vae"]
 
         def build():
-            return jax.jit(lambda params, lat: (
-                (vae.apply({"params": params}, lat.astype(self.dtype),
-                           method=vae.decode).astype(jnp.float32) + 1)
-                / 2).clip(0, 1))
+            def fn(params, lat):
+                img = ((vae.apply({"params": params},
+                                  lat.astype(self.dtype),
+                                  method=vae.decode)
+                        .astype(jnp.float32) + 1) / 2).clip(0, 1)
+                n, h, w_, c = img.shape
+                if as_uint8:
+                    img = jnp.round(img * 255).astype(jnp.uint8)
+                return img.reshape(n, h * w_ * c), (h, w_, c)
 
-        fn = self._cached_jit(("vae_decode", id(vae)), build)
-        return np.asarray(fn(self.params["vae"], latents))
+            return jax.jit(fn)
+
+        fn = self._cached_jit(("vae_decode", id(vae), as_uint8), build)
+        flat, (h, w_, c) = fn(self.params["vae"], latents)
+        return np.asarray(flat).reshape(-1, h, w_, c)
+
+    def decode_latents_async(self, latents, as_uint8: bool = True):
+        """Dispatch the flattened VAE decode and return (device_array,
+        shape) WITHOUT fetching — generate_batches overlaps the ~0.2 s
+        tunnel fetch of batch k with batch k+1's denoise compute."""
+        vae = self.components["vae"]
+
+        def build():
+            def fn(params, lat):
+                img = ((vae.apply({"params": params},
+                                  lat.astype(self.dtype),
+                                  method=vae.decode)
+                        .astype(jnp.float32) + 1) / 2).clip(0, 1)
+                n, h, w_, c = img.shape
+                if as_uint8:
+                    img = jnp.round(img * 255).astype(jnp.uint8)
+                return img.reshape(n, h * w_ * c), (h, w_, c)
+
+            return jax.jit(fn)
+
+        fn = self._cached_jit(("vae_decode", id(vae), as_uint8), build)
+        return fn(self.params["vae"], latents)
 
     # ------------------------------------------------------------ save/load
 
