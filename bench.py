@@ -147,6 +147,31 @@ def _backend_or_cpu() -> str:
     return jax.default_backend()
 
 
+def _e2e_pipeline_metrics(on_tpu: bool) -> dict:
+    """User-API end-to-end numbers (VERDICT r3 item 10: the round-end
+    artifact must carry BOTH the UNet-loop headline and the pipeline
+    e2e ratio).  Runs bench_pipeline.py in a bounded subprocess (own
+    HBM lifetime; a failure there cannot eat the headline line) and
+    returns its last JSON line's fields, prefixed e2e_."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_pipeline.py")
+    cmd = [sys.executable, "-u", script] + ([] if on_tpu else ["--cpu"])
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=2400 if on_tpu else 600)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+    except Exception as e:  # noqa: BLE001 - artifact must still emit
+        return {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
+    return {"e2e_quant_img_s": d.get("quant_batched_img_s"),
+            "e2e_bf16_img_s": d.get("bf16_batched_img_s"),
+            "e2e_vs_bf16": d.get("vs_bf16_batched")}
+
+
 def main():
     on_tpu = _backend_or_cpu() == "tpu"
     from qdm_tpu.models.unet import SD15_UNET, tiny_unet_config
@@ -183,14 +208,16 @@ def main():
 
     imgs_per_sec = batch / dt_q
     base_imgs_per_sec = batch / dt_base
-    print(json.dumps({
+    out = {
         "metric": "SD1.5 UNet W8A8-static images/sec/chip (512px, batch 8, 20 DDIM steps, CFG)"
         if on_tpu else "tiny-unet CPU smoke images/sec",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 4),
         "bf16_img_per_sec": round(base_imgs_per_sec, 4),
-    }))
+    }
+    out.update(_e2e_pipeline_metrics(on_tpu))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ def timed_batches(pipe, prompts, steps, n_batches):
 
 
 def main():
+    if "--cpu" in sys.argv:  # bounded offline mode (bench.py CPU smoke)
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(pos[0]) if pos else (8 if on_tpu else 2)
