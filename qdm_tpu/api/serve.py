@@ -2617,8 +2617,13 @@ class DecodeEngine:
         (first tokens, engine caches, starts) — starts (B,) are the
         per-row first valid cache slots the decode attention needs."""
         b, s = ids.shape
-        if self.spmd:
-            raise NotImplementedError("ragged serving is single-device")
+        if self.tp > 1 or self.multihost:
+            raise NotImplementedError(
+                "ragged serving shards dp-only on a single-host mesh "
+                "(the tp megakernel layers don't thread per-row start "
+                "masks yet)")
+        if self.spmd and b % self.dp:
+            raise ValueError(f"ragged batch {b} must divide dp={self.dp}")
         if self._pos_tab is not None:
             raise NotImplementedError(
                 "ragged serving of learned-position (OPT-class) models "
@@ -2694,6 +2699,16 @@ class DecodeEngine:
         tok, logits, eng = self._prefill_ragged_fn(
             params, jnp.asarray(ids), lens, caches, tp - sp)
         self._last_prefill_logits = logits
+        if self.spmd:
+            # dp batch sharding, exactly like prefill(): caches shard
+            # rows over 'data' (the size-1 'model' axis keeps the spec
+            # uniform with the tp engine), decode inputs follow inside
+            # the jitted ragged run via GSPMD propagation
+            kv_sp = P("data", "model", None, None)
+            eng = [tuple(self._put(c, kv_sp) for c in entry)
+                   for entry in eng]
+            tok = self._put(tok, P("data"))
+            self._last_prefill_logits = self._put(logits, P("data"))
         return tok, eng, (s - lens)
 
     def _make_run_ragged(self, n_tokens: int, sampler=(), eos=None):
@@ -3183,10 +3198,13 @@ class DecodeEngine:
         are per-row and pad-masked, so they equal the single-prompt
         scales exactly).  Sampled ragged decoding is
         seed-deterministic but draws batch-shaped noise, so rows
-        differ from single-prompt sampled runs.  Single-device; int8
-        KV needs kv_scale_mode='channel'
-        (quantized weights fine; the int8 KV schemes keep per-slot
-        state the ragged masks don't thread yet)."""
+        differ from single-prompt sampled runs.  Shards dp over a
+        single-host mesh's 'data' axis (caches/lens/starts follow the
+        batch sharding; tp megakernels don't thread per-row start
+        masks yet, so tp>1 raises); int8 KV needs
+        kv_scale_mode='channel' (quantized weights fine; the int8 KV
+        schemes keep per-slot state the ragged masks don't thread
+        yet)."""
         if temperature <= 0.0 and (top_k or top_p):
             raise ValueError("top_k/top_p need temperature > 0")
         prompts = [np.asarray(p).reshape(-1) for p in prompts]
@@ -3259,9 +3277,12 @@ class DecodeEngine:
         run = self._make_run_ragged(
             max_new_tokens - 1, sampler,
             eos=int(eos_token_id) if stop_early else None)
+        lens_d, starts_d = jnp.asarray(lens), jnp.asarray(starts, jnp.int32)
+        if self.spmd:  # dp: per-row vectors follow the batch sharding
+            lens_d = self._put(lens_d, P("data"))
+            starts_d = self._put(starts_d, P("data"))
         toks = run(self.layers, self.embed, self.final_norm, self._head,
-                   tok0, caches, jnp.int32(s), jnp.asarray(lens),
-                   jnp.asarray(starts, jnp.int32), key)
+                   tok0, caches, jnp.int32(s), lens_d, starts_d, key)
         gen = np.concatenate([np.asarray(tok0)[:, None], np.asarray(toks)],
                              axis=1)[:, :max_new_tokens]
         if eos_token_id is not None:

@@ -1060,6 +1060,31 @@ def test_engine_ragged_matches_per_prompt(lm):
                                       err_msg=f"kv8c row {r}")
 
 
+def test_engine_ragged_dp_matches_single_device(lm):
+    """Ragged serving over a dp mesh (batch, caches, lens and starts
+    shard over 'data'): rows must be bit-identical to the single-device
+    ragged engine, for bf16 AND channel-static int8 KV caches; tp>1
+    stays guarded (the megakernels don't thread per-row start masks)."""
+    from qdm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(33)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (3, 7, 5, 7, 2, 6, 4, 5)]
+    mesh_dp = make_mesh(8, 1)
+    for kw in (dict(mode="bf16"),
+               dict(mode="bf16", kv_dtype=jnp.int8,
+                    kv_scale_mode="channel")):
+        e1 = DecodeEngine(lm, **kw)
+        edp = DecodeEngine(lm, mesh=mesh_dp, **kw)
+        r1 = e1.generate_ragged(prompts, max_new_tokens=6)
+        rdp = edp.generate_ragged(prompts, max_new_tokens=6)
+        for r, (a, b) in enumerate(zip(r1, rdp)):
+            np.testing.assert_array_equal(a, b, err_msg=f"row {r} {kw}")
+    with pytest.raises(NotImplementedError, match="dp-only"):
+        DecodeEngine(lm, mode="bf16", mesh=make_mesh(4, 2)).generate_ragged(
+            prompts, max_new_tokens=4)
+
+
 def test_engine_stop_early_matches_scan(lm):
     """The while_loop early-exit decode must return the same tokens as
     the fixed-length scan + pad-after-eos (rows that finish keep
