@@ -8,7 +8,11 @@ the *user-facing path* (SURVEY §3.4 `generate`) carries the speedup —
 the quantize() lifecycle (SQ calibration -> static scales -> packed
 int8) is exactly what a user runs, not a hand-assembled plan.
 
-Usage: bench_pipeline.py [batch]   (default 8)
+Usage: bench_pipeline.py [batch] [--family sd15|sdxl|sd35] [--cpu]
+(default: sd15 batch 8; sdxl/sd35 default batch 4 at 1024px — the
+families' own headline shapes.  VERDICT r3 item 6: the BASELINE
+images/sec/chip axis measured at the generate() API boundary for ALL
+three pipelines.)
 """
 
 import json
@@ -57,19 +61,33 @@ def timed_batches(pipe, prompts, steps, n_batches):
     return dt
 
 
+FAMILIES = {
+    # name -> (pipeline import name, default TPU batch, metric label)
+    "sd15": ("StableDiffusion1_x", 8, "SD1.5"),
+    "sdxl": ("StableDiffusionXL", 4, "SDXL-1024px"),
+    "sd35": ("StableDiffusion3_5", 4, "SD3.5-medium-1024px"),
+}
+
+
 def main():
     if "--cpu" in sys.argv:  # bounded offline mode (bench.py CPU smoke)
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batch = int(pos[0]) if pos else (8 if on_tpu else 2)
+    fam = "sd15"
+    if "--family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+    cls_name, tpu_batch, label = FAMILIES[fam]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")
+           and a not in FAMILIES]
+    batch = int(pos[0]) if pos else (tpu_batch if on_tpu else 2)
     steps, reps = (20, 2) if on_tpu else (2, 1)
     prompts = (PROMPTS * ((batch + 7) // 8))[:batch]
 
-    pipe = StableDiffusion1_x.from_config(tiny=not on_tpu)
+    import qdm_tpu.api as api
+    pipe = getattr(api, cls_name).from_config(tiny=not on_tpu)
     dt_bf = timed_generate(pipe, prompts, steps, reps)
     dt_bf_b = timed_batches(pipe, prompts, steps, max(reps, 2))
-    out = {"metric": f"SD1.5 pipeline imgs/s end-to-end (batch {batch}, "
+    out = {"metric": f"{label} pipeline imgs/s end-to-end (batch {batch}, "
                      f"{steps} steps, text-enc + VAE incl.)",
            "bf16_img_s": round(batch / dt_bf, 3),
            "bf16_batched_img_s": round(batch / dt_bf_b, 3)}
@@ -78,7 +96,10 @@ def main():
     qc = {"w_bit": 8, "a_bit": 8, "version": "real", "quantize_act": True,
           "act_quant_type": "static", "act_quant_conv_type": "static"}
     quant_vae = "--quant-vae" in sys.argv
-    pipe.quantize(qc, quantType="sq", quantUnet=True, quantVAE=quant_vae,
+    pipe.quantize(qc, quantType="sq",
+                  quantUnet=pipe.has_unet,
+                  quantTransformer=pipe.has_transformer,
+                  quantVAE=quant_vae,
                   calib_prompts=prompts[:4] if on_tpu else prompts[:2])
     dt_q = timed_generate(pipe, prompts, steps, reps)
     dt_q_b = timed_batches(pipe, prompts, steps, max(reps, 2))
