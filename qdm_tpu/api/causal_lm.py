@@ -472,9 +472,12 @@ class CausalLM:
             layer_params = self.params[lname]
             groups_full = llama_scaling_groups(
                 {lname: layer_params},
-                norm_plus_one=self.config.norm_plus_one)
+                norm_plus_one=self.config.norm_plus_one,
+                mlp_act=self.config.mlp_act)
             groups = [dataclasses.replace(g, prev_path=g.prev_path[1:],
-                                          layer_paths=tuple(p[1:] for p in g.layer_paths))
+                                          layer_paths=tuple(p[1:] for p in g.layer_paths),
+                                          block=(g.block[0], g.block[1][1:])
+                                          if g.block else None)
                       for g in groups_full]
             layer_mod = LlamaDecoderLayer(self.config, dtype=self.dtype,
                                           plan=plan_cap)
@@ -610,7 +613,8 @@ class CausalLM:
                         break
             groups = llama_scaling_groups(
                 self.params, include_fc_groups=(method == "awq"),
-                norm_plus_one=self.config.norm_plus_one)
+                norm_plus_one=self.config.norm_plus_one,
+                mlp_act=self.config.mlp_act)
             if method == "awq":
                 self.params = awq_lib.awq_search_and_apply(
                     self.params, groups, feats, cfg)

@@ -1049,7 +1049,8 @@ class DecodeEngine:
         _, feats = lm._calibrate(cfg, np.asarray(calib_ids),
                                  capture_inputs=True)
         groups = llama_scaling_groups(lm.params, include_fc_groups=True,
-                                      norm_plus_one=lm.config.norm_plus_one)
+                                      norm_plus_one=lm.config.norm_plus_one,
+                                      mlp_act=lm.config.mlp_act)
         lm.params = awq_lib.awq_search_and_apply(lm.params, groups, feats,
                                                  cfg)
         return lm

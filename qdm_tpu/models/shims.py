@@ -76,7 +76,8 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
 
 
 def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
-                         norm_plus_one: bool = False) -> List[ScalingGroup]:
+                         norm_plus_one: bool = False,
+                         mlp_act: str = "silu") -> List[ScalingGroup]:
     """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
     input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
     -> gate/up, up_proj -> down_proj.
@@ -84,6 +85,10 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
     norm_plus_one: the model's RMSNorms use the Gemma (1+w) convention
     (set from LlamaConfig.norm_plus_one) — norm-prev groups migrate as
     w' = (1+w)/s - 1 (reference scale.py:96-99).
+
+    mlp_act: the MLP activation (LlamaConfig.mlp_act) — recorded on the
+    gate/up group's `block` spec so the AWQ search can evaluate trials
+    through the enclosing MLP (the reference's module2inspect loss).
 
     MoE blocks (Mixtral; the reference's quantizer captures the whole
     block_sparse_moe input for this group, quantizer.py:1106-1111):
@@ -148,6 +153,10 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                     layer_paths=(path + ("mlp", "gate_proj"),
                                  path + ("mlp", "up_proj")),
                     prev_plus_one=norm_plus_one,
+                    # AWQ searches this group through the enclosing MLP
+                    # (reference module2inspect); SmoothQuant ignores it
+                    block=("glu:" + mlp_act,
+                           path + ("mlp", "down_proj")),
                 ))
             if include_fc_groups:
                 v_out = sub["self_attn"]["v_proj"]["kernel"].shape[1]

@@ -11,11 +11,22 @@ Faithful to the reference math (quantize/quantizer.py):
   grid to 0.5, on <=512 sampled tokens, skipping q/k layers
   (_search_best_clip/_compute_best_clip, quantizer.py:785-863).
 
-Deviations (documented): the search loss uses the scaling group's own
-linear outputs as module2inspect (the reference uses the enclosing
-attention/MLP module for multi-layer groups); the 20-point grid runs as
-a single `lax.map` scan instead of a Python loop with state_dict
-save/restore.
+Loss target: MLP (gate, up) groups use the reference's ENCLOSING-module
+loss (module2inspect, quantizer.py:678-751) — MSE over
+down(act(gate(x)) * up(x)) with gate/up scaled+quantized in the trial
+and down fp (`search_best_scale_glu`, wired via ScalingGroup.block;
+the r3 A/B had priced the old group-linear-outputs loss at +2.7% MSE,
+tools/awq_ab.json).
+
+Deviations (documented): attention qkv groups keep the group's own
+linear outputs as the loss (the reference runs the whole attention
+module on (B, S)-shaped calib batches; the token-sampled calib_x feats
+carry no sequence structure to attend over) — q/k/v outputs feed
+attention linearly, so this is the same loss up to the softmax; MoE
+(w1, w3)-of-every-expert groups likewise (the reference's
+block_sparse_moe module2inspect needs router dispatch over full
+batches).  The 20-point grid runs as a single `lax.map` scan instead
+of a Python loop with state_dict save/restore.
 """
 
 from __future__ import annotations
@@ -77,6 +88,62 @@ def search_best_scale(x, w_cat_oi, n_bits: int = 4, group_size: int = 128,
         wq = _group_quantize_rows(wf * s[None, :], n_bits, gs, zero_point) / s[None, :]
         out = xf @ wq.T
         return jnp.mean((out - fp_out) ** 2), s
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    losses, scales = jax.lax.map(loss_for, ratios)
+    best = jnp.argmin(losses)
+    return scales[best], losses
+
+
+@functools.partial(jax.jit, static_argnames=("act", "n_bits", "group_size",
+                                             "zero_point", "n_grid",
+                                             "duo_scaling"))
+def search_best_scale_glu(x, w_gate_oi, w_up_oi, w_down_oi, act: str = "silu",
+                          n_bits: int = 4, group_size: int = 128,
+                          zero_point: bool = True, n_grid: int = 20,
+                          duo_scaling: bool = True):
+    """Enclosing-MLP AWQ scale search (the reference's module2inspect
+    loss for gate/up groups, quantizer.py:678-751): same duo-scale
+    grid as `search_best_scale`, loss = MSE of
+    down(act(gate(x)) * up(x)) with gate/up scaled+quantized per trial
+    and down left fp (the reference only swaps the group's own layers
+    during the search).
+
+    x (S, C) sampled inputs; w_gate_oi/w_up_oi (I, C); w_down_oi (H, I).
+    Returns (best_scales (C,), losses (n_grid,))."""
+    from qdm_tpu.models.llama import _mlp_act
+
+    xf = x.astype(jnp.float32)
+    wg = w_gate_oi.astype(jnp.float32)
+    wu = w_up_oi.astype(jnp.float32)
+    wd = w_down_oi.astype(jnp.float32)
+    C = xf.shape[-1]
+    gs = group_size if group_size > 0 else C
+
+    w_cat = jnp.concatenate([wg, wu], axis=0)
+    wgrp = jnp.abs(w_cat).reshape(-1, gs)
+    wgrp = wgrp / (jnp.max(wgrp, axis=1, keepdims=True) + 1e-6)
+    w_mean = wgrp.reshape(w_cat.shape).mean(axis=0)
+    x_mean = jnp.abs(xf).mean(axis=0)
+
+    def block(wg_, wu_):
+        return (_mlp_act(act, xf @ wg_.T) * (xf @ wu_.T)) @ wd.T
+
+    fp_out = block(wg, wu)
+
+    def loss_for(ratio):
+        if duo_scaling:
+            s = jnp.clip(x_mean ** ratio / (w_mean ** (1 - ratio) + 1e-4),
+                         1e-4, None)
+        else:
+            s = jnp.clip(x_mean ** ratio, 1e-4, None)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        s = jnp.where(jnp.isfinite(s), s, 1.0)
+        wg_q = _group_quantize_rows(wg * s[None, :], n_bits, gs,
+                                    zero_point) / s[None, :]
+        wu_q = _group_quantize_rows(wu * s[None, :], n_bits, gs,
+                                    zero_point) / s[None, :]
+        return jnp.mean((block(wg_q, wu_q) - fp_out) ** 2), s
 
     ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
     losses, scales = jax.lax.map(loss_for, ratios)
@@ -146,8 +213,18 @@ def awq_search_and_apply(params: dict, groups: Sequence[ScalingGroup],
         kernels = [_get_at(out, lp)["kernel"] for lp in g.layer_paths]
         w_cat = jnp.concatenate([k.T for k in kernels], axis=0)   # (N_tot, C)
         gs = rtn.resolve_group_size(w_cat.shape[-1], cfg.q_group_size) or w_cat.shape[-1]
-        s, _ = search_best_scale(x, w_cat, n_bits=cfg.w_bit, group_size=gs,
-                                 zero_point=cfg.zero_point)
+        if (g.block is not None and g.block[0].startswith("glu:")
+                and len(g.layer_paths) == 2):
+            # reference enclosing-MLP loss (module2inspect): gate/up
+            # trials evaluated through down(act(gate)*up), down fp
+            w_down = _get_at(out, g.block[1])["kernel"]
+            s, _ = search_best_scale_glu(
+                x, kernels[0].T, kernels[1].T, w_down.T,
+                act=g.block[0].split(":", 1)[1], n_bits=cfg.w_bit,
+                group_size=gs, zero_point=cfg.zero_point)
+        else:
+            s, _ = search_best_scale(x, w_cat, n_bits=cfg.w_bit, group_size=gs,
+                                     zero_point=cfg.zero_point)
         out = apply_smooth_scales(out, g, s)
         if do_clip:
             x_scaled = x / s[None, :]   # scale.py:74-79

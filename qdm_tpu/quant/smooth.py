@@ -47,12 +47,20 @@ class ScalingGroup:
     without contributing to weight_scales or being registered as
     smoothed layers.  Used for the MoE router: post_attention_layernorm
     feeds the (unquantized) gate alongside every expert's w1/w3; scaling
-    the gate kernel too keeps routing bit-invariant under migration."""
+    the gate kernel too keeps routing bit-invariant under migration.
+
+    block: enclosing-module loss spec for the AWQ scale search
+    (reference module2inspect, quantize/quantizer.py:678-751).
+    ("glu:<act>", down_path) on a (gate, up) group makes the search
+    loss MSE over down(act(gate(x)) * up(x)) — gate/up scaled+quantized
+    in the trial, down fp, exactly the reference's enclosing-MLP loss —
+    instead of the group's own linear outputs."""
 
     prev_path: Tuple[str, ...]
     layer_paths: Tuple[Tuple[str, ...], ...]
     adaln: Optional[Tuple[int, int, int]] = None
     extra_scaled: Tuple[Tuple[str, ...], ...] = ()
+    block: Optional[Tuple[str, Tuple[str, ...]]] = None
     # Gemma-convention norm prev: stored weight w is an offset, output
     # multiplies (1+w) — dividing the output by s needs
     # w' = (1+w)/s - 1 (reference scale_ln_fcs special case,

@@ -53,6 +53,80 @@ def test_clip_search_shrinks_only_helpful():
     assert (np.abs(np.asarray(clipped)) <= np.repeat(np.asarray(mv).T, 32, 0) + 1e-5).all()
 
 
+def test_glu_block_loss_search():
+    """search_best_scale_glu evaluates the reference's enclosing-MLP
+    loss (module2inspect): its best grid point must minimize the BLOCK
+    MSE over the shared duo-scale grid, and awq_search_and_apply must
+    route gate/up groups with a block spec through it (the migrated
+    params differ from the group-linear-loss choice whenever the two
+    losses pick different ratios)."""
+    from qdm_tpu.quant.awq import search_best_scale_glu
+    from qdm_tpu.quant.pseudo import pseudo_quantize_tensor
+
+    C, I, H = 64, 96, 64
+    x = jnp.asarray(RNG.standard_normal((256, C)).astype(np.float32))
+    x = x.at[:, 3].mul(15.0)
+    wg = jnp.asarray((RNG.standard_normal((C, I)) * 0.1).astype(np.float32))
+    wu = jnp.asarray((RNG.standard_normal((C, I)) * 0.1).astype(np.float32))
+    wd = jnp.asarray((RNG.standard_normal((I, H)) * 0.1).astype(np.float32))
+
+    s, losses = search_best_scale_glu(x, wg.T, wu.T, wd.T, act="silu",
+                                      n_bits=4, group_size=32)
+
+    def block(wg_, wu_):
+        import jax.nn
+        return (jax.nn.silu(x @ wg_) * (x @ wu_)) @ wd
+
+    fp = np.asarray(block(wg, wu))
+
+    def block_mse(scales):
+        sv = np.asarray(scales)[:, None]
+        gq, _, _ = pseudo_quantize_tensor((wg * sv).T, n_bits=4,
+                                          group_size=32)
+        uq, _, _ = pseudo_quantize_tensor((wu * sv).T, n_bits=4,
+                                          group_size=32)
+        q = np.asarray(block(jnp.asarray(gq).T / sv, jnp.asarray(uq).T / sv))
+        return float(((q - fp) ** 2).mean())
+
+    # the returned best is the argmin over its own grid
+    assert np.isclose(block_mse(s), float(np.asarray(losses).min()),
+                      rtol=1e-4)
+    # and awq_search_and_apply routes block groups through this search
+    params = {
+        "norm": {"scale": jnp.ones(C), "bias": jnp.zeros(C)},
+        "gate_proj": {"kernel": wg},
+        "up_proj": {"kernel": wu},
+        "down_proj": {"kernel": wd},
+    }
+    g = ScalingGroup(prev_path=("norm",),
+                     layer_paths=(("gate_proj",), ("up_proj",)),
+                     block=("glu:silu", ("down_proj",)))
+    cfg = QuantConfig(w_bit=4, q_group_size=32, zero_point=True)
+    out = awq_search_and_apply(params, [g], {"gate_proj": x}, cfg,
+                               do_clip=False)
+    np.testing.assert_allclose(
+        np.asarray(out["norm"]["scale"]),
+        1.0 / np.asarray(s), rtol=1e-5,
+        err_msg="block group did not migrate with the glu-loss scales")
+
+
+def test_llama_groups_carry_glu_block_spec():
+    """llama_scaling_groups marks the gate/up group with the enclosing
+    MLP block spec (act from config) so AWQ uses the reference loss."""
+    from qdm_tpu.models.shims import llama_scaling_groups
+
+    k = jnp.zeros((8, 8))
+    layer = {"self_attn": {f"{p}_proj": {"kernel": k}
+                           for p in ("q", "k", "v", "o")},
+             "mlp": {p: {"kernel": k}
+                     for p in ("gate_proj", "up_proj", "down_proj")},
+             "input_layernorm": {"scale": jnp.ones(8)},
+             "post_attention_layernorm": {"scale": jnp.ones(8)}}
+    groups = llama_scaling_groups({"layers_0": layer}, mlp_act="gelu")
+    blocks = [g.block for g in groups if g.block is not None]
+    assert blocks == [("glu:gelu", ("layers_0", "mlp", "down_proj"))]
+
+
 def test_awq_search_and_apply_end_to_end():
     x, w = _toy()
     params = {
