@@ -449,9 +449,11 @@ class DecodeEngine:
             # w4a8 works too: the sandwich post-norms run in XLA, the
             # pre-ff norm is the i4 MLP prologue, and the soft-cap
             # tanh lives in the (mode-independent) attention kernels
-            if self.spmd:
+            if self.tp > 1:
                 raise NotImplementedError(
-                    "gemma2-class serving is single-device for now")
+                    "gemma2-class serving is dp-only under a mesh "
+                    "(sandwich norms/softcap aren't threaded through "
+                    "the tp-split megakernels yet)")
             if merge_o:
                 raise NotImplementedError(
                     "merge_o fuses the residual the sandwich norms "
@@ -481,10 +483,11 @@ class DecodeEngine:
                 mode == "w4a8_static" and (cfg.attention_bias
                                            or cfg.norm_type != "rmsnorm"
                                            or cfg.parallel_residual)):
-            if self.spmd:
+            if self.tp > 1:
                 raise NotImplementedError(
-                    "phi/qwen3/non-canonical-w4a8 serving is "
-                    "single-device for now")
+                    "phi/qwen3/non-canonical-w4a8 serving is dp-only "
+                    "under a mesh (the XLA-side rope partner perm and "
+                    "bias epilogues assume the global head layout)")
         self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
                          else None)
         # gemma3 dual rope: windowed layers rotate with the LOCAL base
@@ -494,9 +497,11 @@ class DecodeEngine:
         self.dual_rope = getattr(cfg, "rope_local_theta", None) is not None
         self._pos_scale = 1.0 / getattr(cfg, "rope_scaling_factor", 1.0)
         if self.dual_rope:
-            if self.spmd:
+            if self.tp > 1:
                 raise NotImplementedError(
-                    "dual-rope (gemma3) serving is single-device for now")
+                    "dual-rope (gemma3) serving is dp-only under a "
+                    "mesh (the local-theta trig tables aren't built "
+                    "for tp-local fused-qkv layouts yet)")
             r = cfg.head_dim
             self._freqs_local = 1.0 / (
                 cfg.rope_local_theta
@@ -787,10 +792,11 @@ class DecodeEngine:
         self._pos_tab = None
         self._pos_off = 0
         if getattr(cfg, "pos_emb_type", "rope") == "learned":
-            if self.spmd:
+            if self.tp > 1:
                 raise NotImplementedError(
-                    "learned-position (OPT-class) serving is "
-                    "single-device for now")
+                    "learned-position (OPT-class) serving is dp-only "
+                    "under a mesh (the position table rides replicated "
+                    "in the decode closure)")
             self._pos_tab = p["embed_positions"]["embedding"].astype(
                 self.dtype)
             self._pos_off = int(getattr(cfg, "learned_pos_offset", 0))
@@ -1898,20 +1904,41 @@ class DecodeEngine:
                 cosv = jnp.where(is_rope, jnp.cos(angles)[base_idx], 1.0)
                 sinv = jnp.where(is_rope,
                                  sign * jnp.sin(angles)[base_idx], 0.0)
+                # dual-rope (gemma3, dp-only): windowed layers rotate
+                # with the local-theta tables, like the single-device
+                # body (the local [q|k|v] layout == global at tp == 1)
+                trig_l = self._local_trig(pos, is_rope, sign, base_idx)
                 x = jnp.zeros((bp,), tok.dtype).at[:b].set(tok)
                 x = embed[x]
+                if self._pos_tab is not None:
+                    # OPT-class learned positions (dp-only; the table
+                    # rides replicated in the closure)
+                    x = x + self._pos_tab[pos + self._pos_off]
                 new_caches = []
+                # dp-only (tp == 1): every device holds FULL weights,
+                # so the layer runs the single-device path (tp_axis
+                # None) — that path carries every family feature
+                # (sandwich norms, ungated MLPs, parallel residual,
+                # dual rope, biases); the tp-split branch only knows
+                # the canonical llama shape
+                ax = "model" if tp > 1 else None
                 for l, w in enumerate(layers):
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
                             if self.window else None)
-                    x, cache = self._layer(x, caches[l], w, pos, cosv,
-                                           sinv, h=h_l, hkv=hkv_l,
-                                           tp_axis="model", slot=slot)
+                    cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
+                    x, cache = self._layer(x, caches[l], w, pos, cv,
+                                           sv, h=h_l, hkv=hkv_l,
+                                           tp_axis=ax, slot=slot)
                     new_caches.append(cache)
-                logits = dk.fused_dense_decode(
-                    x, w_head, norm_scale=final_norm, eps=cfg.rms_norm_eps,
-                    norm_bias=self.final_norm_b, norm_type=cfg.norm_type,
-                    out_dtype=jnp.float32, block_n=1280)
+                if tp > 1:
+                    logits = dk.fused_dense_decode(
+                        x, w_head, norm_scale=final_norm,
+                        eps=cfg.rms_norm_eps,
+                        norm_bias=self.final_norm_b,
+                        norm_type=cfg.norm_type, out_dtype=jnp.float32,
+                        block_n=1280)
+                else:
+                    logits = self._head_logits(x, w_head, final_norm)
                 logits = logits[:b]
                 if pick is not None:
                     # dp-only (tp==1): the local logits span the full

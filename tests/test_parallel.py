@@ -146,3 +146,42 @@ def test_multihost_dryrun():
             __import__("os").path.dirname(__file__)))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multihost OK" in r.stdout
+
+
+def test_dp_serving_non_canonical_families():
+    """Every family the engine used to guard single-device now serves
+    dp over a mesh's 'data' axis token-exactly vs the single-device
+    engine: the shard_map body routes tp==1 through the single-device
+    layer path, which carries sandwich norms (gemma2), dual rope
+    (gemma3), ungated-MLP/bias/XLA-rope (phi), and learned positions
+    (OPT).  tp>1 for these families stays guarded."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_gemma3 import tiny_gemma3_config
+    from test_phi import tiny_phi_config
+    from test_zoo_families import tiny_opt
+    from qdm_tpu.api.causal_lm import CausalLM
+    from qdm_tpu.api.serve import DecodeEngine
+
+    mesh_dp = make_mesh(8, 1)
+    cases = [("gemma3", tiny_gemma3_config(), "bf16"),
+             ("phi", tiny_phi_config(), "w4a8_static"),
+             ("opt", tiny_opt(), "w8a8_static")]
+    for name, cfg, mode in cases:
+        lm = CausalLM.from_config(cfg, dtype=jnp.float32, seed=0)
+        ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (8, 7))
+        kw = {}
+        if mode != "bf16":
+            kw["act_stats"] = DecodeEngine.calibrate_scales(lm, ids)
+        t1 = DecodeEngine(lm, mode=mode, **kw).generate(ids, max_new_tokens=6)
+        tdp = DecodeEngine(lm, mode=mode, mesh=mesh_dp, **kw).generate(
+            ids, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(tdp),
+                                      err_msg=f"{name} {mode}")
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="dp-only"):
+        DecodeEngine(CausalLM.from_config(tiny_gemma3_config(),
+                                          dtype=jnp.float32, seed=0),
+                     mode="bf16", mesh=make_mesh(4, 2))
