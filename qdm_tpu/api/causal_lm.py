@@ -473,7 +473,9 @@ class CausalLM:
             groups_full = llama_scaling_groups(
                 {lname: layer_params},
                 norm_plus_one=self.config.norm_plus_one,
-                mlp_act=self.config.mlp_act)
+                mlp_act=self.config.mlp_act,
+                moe_top_k=self.config.num_experts_per_tok,
+                moe_renormalize=getattr(self.config, 'moe_renormalize', True))
             groups = [dataclasses.replace(g, prev_path=g.prev_path[1:],
                                           layer_paths=tuple(p[1:] for p in g.layer_paths),
                                           block=(g.block[0], g.block[1][1:])
@@ -614,7 +616,9 @@ class CausalLM:
             groups = llama_scaling_groups(
                 self.params, include_fc_groups=(method == "awq"),
                 norm_plus_one=self.config.norm_plus_one,
-                mlp_act=self.config.mlp_act)
+                mlp_act=self.config.mlp_act,
+                moe_top_k=self.config.num_experts_per_tok,
+                moe_renormalize=getattr(self.config, 'moe_renormalize', True))
             if method == "awq":
                 self.params = awq_lib.awq_search_and_apply(
                     self.params, groups, feats, cfg)

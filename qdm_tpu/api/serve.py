@@ -1054,9 +1054,12 @@ class DecodeEngine:
                           zero_point=zero_point)
         _, feats = lm._calibrate(cfg, np.asarray(calib_ids),
                                  capture_inputs=True)
-        groups = llama_scaling_groups(lm.params, include_fc_groups=True,
-                                      norm_plus_one=lm.config.norm_plus_one,
-                                      mlp_act=lm.config.mlp_act)
+        groups = llama_scaling_groups(
+            lm.params, include_fc_groups=True,
+            norm_plus_one=lm.config.norm_plus_one,
+            mlp_act=lm.config.mlp_act,
+            moe_top_k=lm.config.num_experts_per_tok,
+            moe_renormalize=getattr(lm.config, 'moe_renormalize', True))
         lm.params = awq_lib.awq_search_and_apply(lm.params, groups, feats,
                                                  cfg)
         return lm

@@ -77,7 +77,9 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
 
 def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                          norm_plus_one: bool = False,
-                         mlp_act: str = "silu") -> List[ScalingGroup]:
+                         mlp_act: str = "silu",
+                         moe_top_k: int = 2,
+                         moe_renormalize: bool = True) -> List[ScalingGroup]:
     """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
     input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
     -> gate/up, up_proj -> down_proj.
@@ -129,6 +131,11 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                                       for w in ("w1", "w3")),
                     extra_scaled=(moe + ("gate",),),
                     prev_plus_one=norm_plus_one,
+                    # AWQ evaluates trials through the whole sparse
+                    # block (reference module2inspect): routing is
+                    # per-token, so sampled feats suffice
+                    block=(f"moe:{mlp_act}:{moe_top_k}:"
+                           f"{int(moe_renormalize)}", moe),
                 ))
                 if include_fc_groups:
                     for e in experts:

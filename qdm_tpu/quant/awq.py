@@ -16,17 +16,19 @@ loss (module2inspect, quantizer.py:678-751) — MSE over
 down(act(gate(x)) * up(x)) with gate/up scaled+quantized in the trial
 and down fp (`search_best_scale_glu`, wired via ScalingGroup.block;
 the r3 A/B had priced the old group-linear-outputs loss at +2.7% MSE,
-tools/awq_ab.json).
+tools/awq_ab.json).  MoE (w1, w3)-of-every-expert groups likewise run
+the enclosing sparse block (`search_best_scale_moe`): routing is
+per-token, so the token-sampled feats evaluate the reference's
+block_sparse_moe module2inspect exactly — fp router + fp w2, every
+expert's w1/w3 scaled+quantized per trial.
 
 Deviations (documented): attention qkv groups keep the group's own
 linear outputs as the loss (the reference runs the whole attention
 module on (B, S)-shaped calib batches; the token-sampled calib_x feats
 carry no sequence structure to attend over) — q/k/v outputs feed
-attention linearly, so this is the same loss up to the softmax; MoE
-(w1, w3)-of-every-expert groups likewise (the reference's
-block_sparse_moe module2inspect needs router dispatch over full
-batches).  The 20-point grid runs as a single `lax.map` scan instead
-of a Python loop with state_dict save/restore.
+attention linearly, so this is the same loss up to the softmax.  The
+20-point grid runs as a single `lax.map` scan instead of a Python loop
+with state_dict save/restore.
 """
 
 from __future__ import annotations
@@ -151,6 +153,85 @@ def search_best_scale_glu(x, w_gate_oi, w_up_oi, w_down_oi, act: str = "silu",
     return scales[best], losses
 
 
+@functools.partial(jax.jit, static_argnames=("act", "top_k", "renormalize",
+                                             "n_bits", "group_size",
+                                             "zero_point", "n_grid",
+                                             "duo_scaling"))
+def search_best_scale_moe(x, w1, w3, w2, w_router, act: str = "silu",
+                          top_k: int = 2, renormalize: bool = True,
+                          n_bits: int = 4, group_size: int = 128,
+                          zero_point: bool = True, n_grid: int = 20,
+                          duo_scaling: bool = True):
+    """Enclosing-MoE-block AWQ scale search (the reference captures the
+    whole ``block_sparse_moe`` input for this group,
+    quantizer.py:1106-1111, and evaluates module2inspect = the sparse
+    block): routing is PER-TOKEN, so the token-sampled calib feats are
+    enough to evaluate the reference loss exactly — router and w2 stay
+    fp during trials, every expert's w1/w3 is scaled+quantized.
+
+    x (S, C); w1/w3 (E, C, I) stacked expert kernels; w2 (E, I, C);
+    w_router (C, E).  Routing weights depend only on fp x/router, so
+    they are computed once outside the ratio grid.
+    Returns (best_scales (C,), losses (n_grid,))."""
+    from qdm_tpu.models.llama import _mlp_act
+
+    xf = x.astype(jnp.float32)
+    W1 = w1.astype(jnp.float32)
+    W3 = w3.astype(jnp.float32)
+    W2 = w2.astype(jnp.float32)
+    E, C, I = W1.shape
+    gs = group_size if group_size > 0 else C
+
+    # duo-scale statistics over the group's concatenated weights
+    # (all experts' w1/w3), exactly like the dense search
+    w_cat = jnp.concatenate([W1.transpose(0, 2, 1).reshape(-1, C),
+                             W3.transpose(0, 2, 1).reshape(-1, C)], axis=0)
+    wgrp = jnp.abs(w_cat).reshape(-1, gs)
+    wgrp = wgrp / (jnp.max(wgrp, axis=1, keepdims=True) + 1e-6)
+    w_mean = wgrp.reshape(w_cat.shape).mean(axis=0)
+    x_mean = jnp.abs(xf).mean(axis=0)
+
+    # fp routing (models/moe.py dense-exact combine): constant across
+    # trials — the router is not in the group's layers
+    logits = xf @ w_router.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, top_k)
+    if renormalize:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    onehot = jnp.sum(jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+                     * top_w[..., None], axis=1)              # (S, E)
+
+    def block(W1_, W3_):
+        h = _mlp_act(act, jnp.einsum("sc,eci->esi", xf, W1_)) \
+            * jnp.einsum("sc,eci->esi", xf, W3_)
+        out = jnp.einsum("esi,eic->esc", h, W2)               # (E, S, C)
+        return jnp.einsum("esc,se->sc", out, onehot)
+
+    fp_out = block(W1, W3)
+
+    def qexp(W, s):
+        # (E, C, I) kernels quantized on rows of the (out, in) view
+        flat = (W * s[None, :, None]).transpose(0, 2, 1).reshape(-1, C)
+        q = _group_quantize_rows(flat, n_bits, gs, zero_point)
+        return (q.reshape(E, I, C).transpose(0, 2, 1)
+                / s[None, :, None])
+
+    def loss_for(ratio):
+        if duo_scaling:
+            s = jnp.clip(x_mean ** ratio / (w_mean ** (1 - ratio) + 1e-4),
+                         1e-4, None)
+        else:
+            s = jnp.clip(x_mean ** ratio, 1e-4, None)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        s = jnp.where(jnp.isfinite(s), s, 1.0)
+        return jnp.mean((block(qexp(W1, s), qexp(W3, s)) - fp_out) ** 2), s
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    losses, scales = jax.lax.map(loss_for, ratios)
+    best = jnp.argmin(losses)
+    return scales[best], losses
+
+
 @functools.partial(jax.jit, static_argnames=("n_bits", "group_size", "zero_point",
                                              "n_grid", "max_shrink", "n_sample_token"))
 def compute_best_clip(w_oi, x, n_bits: int = 4, group_size: int = 128,
@@ -222,6 +303,25 @@ def awq_search_and_apply(params: dict, groups: Sequence[ScalingGroup],
                 x, kernels[0].T, kernels[1].T, w_down.T,
                 act=g.block[0].split(":", 1)[1], n_bits=cfg.w_bit,
                 group_size=gs, zero_point=cfg.zero_point)
+        elif g.block is not None and g.block[0].startswith("moe:"):
+            # reference enclosing-MoE loss: the block spec is
+            # "moe:<act>:<top_k>:<renorm01>", paths alternate
+            # (e0/w1, e0/w3, e1/w1, ...); router + every w2 stay fp
+            _, act, k, rn = g.block[0].split(":")
+            moe = _get_at(out, g.block[1])
+            gk, uk = g.layer_paths[0][-1], g.layer_paths[1][-1]
+            dk_name = {"w1": "w2", "gate_proj": "down_proj"}[gk]
+            enames = [p[-2] for p in g.layer_paths[::2]]
+            # kernels are (in, out): w1/w3 (C, I), w2 (I, C) — exactly
+            # the stacked layouts the search takes
+            W1 = jnp.stack([moe[e][gk]["kernel"] for e in enames])
+            W3 = jnp.stack([moe[e][uk]["kernel"] for e in enames])
+            W2 = jnp.stack([moe[e][dk_name]["kernel"] for e in enames])
+            s, _ = search_best_scale_moe(
+                x, W1, W3, W2, moe["gate"]["kernel"],
+                act=act, top_k=int(k), renormalize=bool(int(rn)),
+                n_bits=cfg.w_bit, group_size=gs,
+                zero_point=cfg.zero_point)
         else:
             s, _ = search_best_scale(x, w_cat, n_bits=cfg.w_bit, group_size=gs,
                                      zero_point=cfg.zero_point)

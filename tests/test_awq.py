@@ -127,6 +127,57 @@ def test_llama_groups_carry_glu_block_spec():
     assert blocks == [("glu:gelu", ("layers_0", "mlp", "down_proj"))]
 
 
+def test_moe_block_loss_search():
+    """search_best_scale_moe evaluates the reference's enclosing
+    sparse-block loss: trials run every expert's scaled+quantized
+    w1/w3 through the dense-exact MoE combine (fp router + fp w2),
+    and the returned best is the argmin of that loss on its own grid."""
+    import jax
+    import jax.nn
+    from qdm_tpu.quant.awq import search_best_scale_moe
+    from qdm_tpu.quant.pseudo import pseudo_quantize_tensor
+
+    E, C, I, S, K = 4, 64, 96, 200, 2
+    x = jnp.asarray(RNG.standard_normal((S, C)).astype(np.float32))
+    x = x.at[:, 5].mul(12.0)
+    W1 = jnp.asarray((RNG.standard_normal((E, C, I)) * 0.1).astype(np.float32))
+    W3 = jnp.asarray((RNG.standard_normal((E, C, I)) * 0.1).astype(np.float32))
+    W2 = jnp.asarray((RNG.standard_normal((E, I, C)) * 0.1).astype(np.float32))
+    Wr = jnp.asarray((RNG.standard_normal((C, E)) * 0.1).astype(np.float32))
+
+    s, losses = search_best_scale_moe(x, W1, W3, W2, Wr, top_k=K,
+                                      n_bits=4, group_size=32)
+
+    probs = jax.nn.softmax(x @ Wr, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, K)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    onehot = jnp.sum(jax.nn.one_hot(top_i, E) * top_w[..., None], axis=1)
+
+    def block(W1_, W3_):
+        h = jax.nn.silu(jnp.einsum("sc,eci->esi", x, W1_)) \
+            * jnp.einsum("sc,eci->esi", x, W3_)
+        return jnp.einsum("esi,eic,se->sc", h, W2, onehot)
+
+    fp = np.asarray(block(W1, W3))
+
+    def qexp(W, sv):
+        flat = np.asarray((W * sv[None, :, None]).transpose(0, 2, 1)
+                          ).reshape(-1, C)
+        q, _, _ = pseudo_quantize_tensor(jnp.asarray(flat), n_bits=4,
+                                         group_size=32)
+        return (jnp.asarray(q).reshape(E, I, C).transpose(0, 2, 1)
+                / sv[None, :, None])
+
+    got = float(((np.asarray(block(qexp(W1, s), qexp(W3, s))) - fp) ** 2
+                 ).mean())
+    assert np.isclose(got, float(np.asarray(losses).min()), rtol=1e-4)
+    # and the searched scale beats no-scale on the block loss
+    ones = jnp.ones(C)
+    base = float(((np.asarray(block(qexp(W1, ones), qexp(W3, ones))) - fp)
+                  ** 2).mean())
+    assert got <= base * 1.001
+
+
 def test_awq_search_and_apply_end_to_end():
     x, w = _toy()
     params = {
