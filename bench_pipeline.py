@@ -62,9 +62,12 @@ def timed_batches(pipe, prompts, steps, n_batches):
 
 
 FAMILIES = {
-    # name -> (pipeline import name, default TPU batch, metric label)
+    # name -> (pipeline import name, default TPU batch, metric label).
+    # SDXL e2e runs batch 2: the bf16 A/B side OOMs at batch 4/1024px
+    # (19.6 G vs 15.75 G HBM — batch-4 SDXL is the int8 capacity
+    # regime, BENCH_NOTES "SDXL batch-4 capacity plans")
     "sd15": ("StableDiffusion1_x", 8, "SD1.5"),
-    "sdxl": ("StableDiffusionXL", 4, "SDXL-1024px"),
+    "sdxl": ("StableDiffusionXL", 2, "SDXL-1024px"),
     "sd35": ("StableDiffusion3_5", 4, "SD3.5-medium-1024px"),
 }
 
@@ -85,6 +88,10 @@ def main():
 
     import qdm_tpu.api as api
     pipe = getattr(api, cls_name).from_config(tiny=not on_tpu)
+    if fam in ("sdxl", "sd35") and on_tpu:
+        # 1024px: the VAE decoder's conv activations are the HBM peak
+        # with the denoiser resident (batch-4 SD3.5 measured OOM)
+        pipe.enable_vae_slicing(2)
     dt_bf = timed_generate(pipe, prompts, steps, reps)
     dt_bf_b = timed_batches(pipe, prompts, steps, max(reps, 2))
     out = {"metric": f"{label} pipeline imgs/s end-to-end (batch {batch}, "

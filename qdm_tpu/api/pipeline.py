@@ -65,6 +65,11 @@ class BaseDiffusionPipeline:
         # act_per_step_scales): component -> {layer_path: (n_steps,)}
         self.act_scale_luts: Dict[str, dict] = {}
         self._pending_per_step = None
+        # diffusers enable_vae_slicing parity: decode the VAE in
+        # sub-batches of this size (None = whole batch).  At 1024px the
+        # decoder's conv activations are the HBM peak — batch-4 SD3.5
+        # OOMs on the 16 GB chip with the transformer resident
+        self._vae_chunk: Optional[int] = None
 
     def with_mesh(self, mesh=None, tp: bool = False):
         """Shard sampling/calibration over a device mesh: batch over
@@ -840,8 +845,25 @@ class BaseDiffusionPipeline:
             return jax.jit(fn)
 
         fn = self._cached_jit(("vae_decode", id(vae), as_uint8), build)
+        if self._vae_chunk and latents.shape[0] > self._vae_chunk:
+            outs = []
+            for i in range(0, latents.shape[0], self._vae_chunk):
+                flat, (h, w_, c) = fn(self.params["vae"],
+                                      latents[i:i + self._vae_chunk])
+                outs.append(np.asarray(flat))
+            return np.concatenate(outs).reshape(-1, h, w_, c)
         flat, (h, w_, c) = fn(self.params["vae"], latents)
         return np.asarray(flat).reshape(-1, h, w_, c)
+
+    def enable_vae_slicing(self, chunk: int = 1):
+        """Decode the VAE in sub-batches of `chunk` samples (diffusers
+        ``enable_vae_slicing`` parity) — bounds the decoder's conv
+        activation peak, which at 1024px exceeds a 16 GB chip for
+        batch >= 4 with the denoiser resident."""
+        self._vae_chunk = int(chunk)
+
+    def disable_vae_slicing(self):
+        self._vae_chunk = None
 
     def decode_latents_async(self, latents, as_uint8: bool = True):
         """Dispatch the flattened VAE decode and return (device_array,
@@ -863,6 +885,16 @@ class BaseDiffusionPipeline:
             return jax.jit(fn)
 
         fn = self._cached_jit(("vae_decode", id(vae), as_uint8), build)
+        if self._vae_chunk and latents.shape[0] > self._vae_chunk:
+            # sliced decode: chunks run sequentially, the (small) flat
+            # outputs concatenate on device so the caller still gets
+            # ONE array to overlap-fetch
+            flats = []
+            for i in range(0, latents.shape[0], self._vae_chunk):
+                flat, shp = fn(self.params["vae"],
+                               latents[i:i + self._vae_chunk])
+                flats.append(flat)
+            return jnp.concatenate(flats), shp
         return fn(self.params["vae"], latents)
 
     # ------------------------------------------------------------ save/load

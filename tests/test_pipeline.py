@@ -413,3 +413,22 @@ def test_gptq_smooth_compose_pipeline():
 
     with pytest.raises(ValueError):
         p2.quantize(cfg, quantType="rtn", smooth=True)
+
+
+def test_vae_slicing_matches_whole_batch(pipe):
+    """enable_vae_slicing decodes in sub-batches with identical output
+    (diffusers parity; bounds the 1024px decoder activation peak), for
+    both the sync fetch path and the async/batched path."""
+    prompts = ["a cat", "a dog", "a fox"]
+    base = pipe.generate(prompts, num_inference_steps=2, seed=0,
+                         height=64, width=64, output_type="u8")
+    pipe.enable_vae_slicing(1)
+    try:
+        sliced = pipe.generate(prompts, num_inference_steps=2, seed=0,
+                               height=64, width=64, output_type="u8")
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(sliced))
+        outs = pipe.generate_batches([prompts], num_inference_steps=2,
+                                     seed=0, height=64, width=64)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(outs[0]))
+    finally:
+        pipe.disable_vae_slicing()
