@@ -90,8 +90,9 @@ def main():
     pipe = getattr(api, cls_name).from_config(tiny=not on_tpu)
     if fam in ("sdxl", "sd35") and on_tpu:
         # 1024px: the VAE decoder's conv activations are the HBM peak
-        # with the denoiser resident (batch-4 SD3.5 measured OOM)
-        pipe.enable_vae_slicing(2)
+        # with the denoiser resident (batch-4 SD3.5 AND batch-2 SDXL
+        # measured OOM) — decode one sample at a time
+        pipe.enable_vae_slicing(1)
     dt_bf = timed_generate(pipe, prompts, steps, reps)
     dt_bf_b = timed_batches(pipe, prompts, steps, max(reps, 2))
     out = {"metric": f"{label} pipeline imgs/s end-to-end (batch {batch}, "

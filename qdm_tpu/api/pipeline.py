@@ -159,14 +159,23 @@ class BaseDiffusionPipeline:
                 lambda m=m, args=args: m.init(jax.random.PRNGKey(0), *args))["params"]
 
             def init_leaf(path, leaf):
+                # store float params in the PIPELINE dtype (bf16 by
+                # default) — the Flax param_dtype default of f32 put
+                # SD3.5-medium at 9.7 GB / the SDXL UNet at 10.4 GB of
+                # weights alone, which is what ran the 16 GB chip out
+                # of HBM at 1024px (the reference's fp16 pipelines hold
+                # half-precision weights the same way); compute paths
+                # already cast per-module
                 name_ = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+                tgt = (self.dtype if jnp.issubdtype(leaf.dtype, jnp.floating)
+                       else leaf.dtype)
                 if name_ in ("kernel", "embedding"):
                     fan_in = int(np.prod(leaf.shape[:-1])) or 1
                     v = rng.standard_normal(leaf.shape, np.float32) / np.sqrt(fan_in)
-                    return jnp.asarray(v, leaf.dtype)
+                    return jnp.asarray(v, tgt)
                 if name_ == "scale":
-                    return jnp.ones(leaf.shape, leaf.dtype)
-                return jnp.zeros(leaf.shape, leaf.dtype)
+                    return jnp.ones(leaf.shape, tgt)
+                return jnp.zeros(leaf.shape, tgt)
 
             self.params[name] = jax.tree_util.tree_map_with_path(init_leaf, shapes)
             self.components[name] = m

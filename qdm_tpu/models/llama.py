@@ -378,7 +378,8 @@ class LlamaAttention(nn.Module):
         # cache (len-4) keeps the einsum: its semantics attend on the
         # DEQUANTIZED cache, not the raw local k/v.
         import os as _os
-        flash_ok = (s > 1 and s % 128 == 0 and s >= 2048
+        flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "256"))
+        flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
                     and attn_prefix is None
                     and (not self.window or s <= self.window)
                     and cfg.attn_logit_softcapping is None
