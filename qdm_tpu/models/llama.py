@@ -378,7 +378,12 @@ class LlamaAttention(nn.Module):
         # cache (len-4) keeps the einsum: its semantics attend on the
         # DEQUANTIZED cache, not the raw local k/v.
         import os as _os
-        flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "256"))
+        # threshold by measurement (tools/prefill_flash_ab_tpu.py,
+        # batch 32 BENCH_1B): flash wins at S=1024 (0.559 vs 0.611 s
+        # static-int8; 0.652 vs 0.699 bf16) and at the r3-measured
+        # ctx >= 2048 shapes; the grouped einsum keeps S <= 512
+        # (0.139/0.254 vs flash 0.156/0.269)
+        flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "1024"))
         flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
                     and attn_prefix is None
                     and (not self.window or s <= self.window)
