@@ -51,14 +51,19 @@ def timed_generate(pipe, prompts, steps, reps):
 
 def timed_batches(pipe, prompts, steps, n_batches):
     """Throughput mode: generate_batches overlaps each batch's image
-    fetch with the next batch's denoise compute."""
+    fetch with the next batch's denoise compute.  min-of-2 passes: the
+    tunnel's ~34 MB/s d2h link is shared and its congestion punishes
+    the FASTER mode more (shorter compute hides less fetch), which
+    skewed a quant/bf16 ratio 1.22 -> 1.10 between runs (r4)."""
     pipe.generate_batches([prompts], num_inference_steps=steps, seed=0)
-    t0 = time.time()
-    outs = pipe.generate_batches([prompts] * n_batches,
-                                 num_inference_steps=steps, seed=0)
-    dt = (time.time() - t0) / n_batches
-    assert all(o.dtype == np.uint8 for o in outs)
-    return dt
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        outs = pipe.generate_batches([prompts] * n_batches,
+                                     num_inference_steps=steps, seed=0)
+        best = min(best, (time.time() - t0) / n_batches)
+        assert all(o.dtype == np.uint8 for o in outs)
+    return best
 
 
 FAMILIES = {
