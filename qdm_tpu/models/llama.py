@@ -242,10 +242,24 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_start=None, attn_prefix=None):
+                 attn_start=None, attn_prefix=None,
+                 std_positions: bool = False):
         cfg = self.config
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        # Long-prefill flash routing, decided BEFORE the rope site so
+        # the q rotation can move into the kernel (see flash branch
+        # below for the full rationale and measurements)
+        import os as _os
+        flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "1024"))
+        flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
+                    and attn_prefix is None
+                    and (not self.window or s <= self.window)
+                    and cfg.attn_logit_softcapping is None
+                    and isinstance(cache_index, int) and cache_index == 0
+                    and (kv_cache is None or len(kv_cache) < 4)
+                    and jax.default_backend() == "tpu"
+                    and not _os.environ.get("QDM_DISABLE_FLASH_PREFILL"))
         if self.plan.fuse_qkv:
             # one (h+2*hkv)*d-wide projection: on the int8 path the
             # narrow unfused k/v matmuls (e.g. 2048->512) each pay
@@ -280,8 +294,17 @@ class LlamaAttention(nn.Module):
             else:
                 theta = cfg.rope_theta
                 pscale = 1.0 / cfg.rope_scaling_factor
-            q = rope(q, positions, theta, rd, pos_scale=pscale)
+            # the fused prefill kernel rotates q on VMEM tiles (the
+            # (B,S,H,D) f32 rotation pass measured ~0.09 s of the
+            # (32,1024) prefill — q is h/hkv times k's bytes); k keeps
+            # the XLA rope: the cache below stores ROPED keys
+            kernel_rope = (flash_ok and std_positions and rd == 0
+                           and attn_start is None)
+            if not kernel_rope:
+                q = rope(q, positions, theta, rd, pos_scale=pscale)
             k = rope(k, positions, theta, rd, pos_scale=pscale)
+        else:
+            kernel_rope = False
 
         # cache-native layout (B, hkv, S, d): K/V live head-major so
         # cached decode contracts them with zero per-step relayout
@@ -365,57 +388,33 @@ class LlamaAttention(nn.Module):
             else:
                 mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
-        # Long prefill: route through the Pallas causal flash kernel on
-        # the LOCAL roped k/v (with cache_index == 0 the attention
-        # window is exactly the prompt, so the cache tail is never
-        # needed).  XLA materializes the f32 (B, hkv, g, S, T) logits
-        # of the grouped einsum below whatever the alignment — measured
-        # 32 GB OOM at batch 16 x ctx 4096 (r3m); at ctx 1024 the 4.8 GB
-        # block merely FIT.  Per-row attn_start masks map onto flash
-        # segment ids (pad slots get segment 0, valid slots 1 — pad
-        # queries only see pad keys, and their outputs land in slots
-        # the decode masks out anyway).  The int8 per-token module
-        # cache (len-4) keeps the einsum: its semantics attend on the
-        # DEQUANTIZED cache, not the raw local k/v.
-        import os as _os
-        # threshold by measurement (tools/prefill_flash_ab_tpu.py,
-        # batch 32 BENCH_1B): flash wins at S=1024 (0.559 vs 0.611 s
-        # static-int8; 0.652 vs 0.699 bf16) and at the r3-measured
-        # ctx >= 2048 shapes; the grouped einsum keeps S <= 512
-        # (0.139/0.254 vs flash 0.156/0.269)
-        flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "1024"))
-        flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
-                    and attn_prefix is None
-                    and (not self.window or s <= self.window)
-                    and cfg.attn_logit_softcapping is None
-                    and isinstance(cache_index, int) and cache_index == 0
-                    and (kv_cache is None or len(kv_cache) < 4)
-                    and jax.default_backend() == "tpu"
-                    and not _os.environ.get("QDM_DISABLE_FLASH_PREFILL"))
+        # Long prefill: the fused causal flash kernel
+        # (ops/flash_prefill.py) on the LOCAL k/v (with
+        # cache_index == 0 the attention window is exactly the prompt,
+        # so the cache tail is never needed).  Native GQA (the query
+        # head's index map reads kv head ih // g — no jnp.repeat) and
+        # direct (B, S, H, D) streaming (no transposes), with q roped
+        # in-kernel on the standard-position path: the repeat +
+        # transpose + rope passes around jax's flash_attention measured
+        # ~0.3 s of the (32, 1024) prefill against ~0.015 s of
+        # attention FLOPs (tools/prefill_ablation_tpu.py).  Threshold
+        # by measurement (tools/prefill_flash_ab_tpu.py): flash wins at
+        # S >= 1024; the grouped einsum keeps S <= 512.  Per-row
+        # attn_start masks the pad keys in-kernel (pad queries attend
+        # valid keys — finite garbage the decode masks out anyway).
+        # The int8 per-token module cache (len-4) keeps the einsum: its
+        # semantics attend on the DEQUANTIZED cache, not the local k/v.
         if flash_ok:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                BlockSizes, SegmentIds, flash_attention)
+            from qdm_tpu.ops.flash_prefill import (flash_prefill_gqa,
+                                                   rope_tables)
 
-            g = h // hkv
-            kr = jnp.repeat(k, g, axis=2) if hkv < h else k   # (b,s,h,d)
-            vr = jnp.repeat(v, g, axis=2) if hkv < h else v
-            seg = None
-            if attn_start is not None:
-                valid = (jnp.arange(s)[None, :]
-                         >= attn_start[:, None]).astype(jnp.int32)
-                seg = SegmentIds(q=valid, kv=valid)
-            blk = next(bb for bb in (512, 256, 128) if s % bb == 0)
-            sizes = BlockSizes(
-                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                block_q_major_dkv=blk, block_k_major_dkv=blk,
-                block_k_dkv=blk, block_q_dkv=blk, block_k_major_dq=blk,
-                block_k_dq=blk, block_q_dq=blk)
-            of = flash_attention(
-                q.transpose(0, 2, 1, 3), kr.transpose(0, 2, 1, 3),
-                vr.transpose(0, 2, 1, 3), segment_ids=seg, causal=True,
-                sm_scale=cfg.attn_scale, block_sizes=sizes)
-            out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
-                .astype(self.dtype)
+            rc = rs = None
+            if kernel_rope:
+                rc, rs = rope_tables(s, d, theta, pos_scale=pscale)
+            of = flash_prefill_gqa(q, k, v, sm_scale=cfg.attn_scale,
+                                   rope_cos=rc, rope_sin=rs,
+                                   starts=attn_start)
+            out = of.reshape(b, s, h * d).astype(self.dtype)
             out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,
                          dtype=self.dtype, plan=self.plan,
                          name="o_proj")(out)
@@ -525,7 +524,8 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_start=None, attn_prefix=None):
+                 attn_start=None, attn_prefix=None,
+                 std_positions: bool = False):
         cfg = self.config
         win = cfg.layer_window(self.layer_idx)
         if cfg.parallel_residual:
@@ -534,14 +534,15 @@ class LlamaDecoderLayer(nn.Module):
             h = self._norm("input_layernorm")(x)
             attn, new_cache = self._attn(win)(
                 h, positions, kv_cache, cache_index, attn_start,
-                attn_prefix)
+                attn_prefix, std_positions=std_positions)
             hm = self._norm("post_attention_layernorm")(x) \
                 if cfg.parallel_norms else h
             mlp = self._mlp()(hm)
             return x + attn + mlp, new_cache
         h, new_cache = self._attn(win)(
             self._norm("input_layernorm")(x), positions, kv_cache,
-            cache_index, attn_start, attn_prefix)
+            cache_index, attn_start, attn_prefix,
+            std_positions=std_positions)
         if cfg.sandwich_norms:
             # gemma2: post-attn norm on the attention OUTPUT, then an
             # independent pre/post pair around the MLP (all residual
@@ -576,6 +577,13 @@ class LlamaForCausalLM(nn.Module):
             if cfg.scale_embeddings:          # gemma: x * sqrt(hidden)
                 x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         b, s = x.shape[:2]
+        # std_positions: canonical per-slot arange (and slot 0 start) —
+        # the precondition for the fused prefill kernel's shared
+        # in-kernel rope tables (per-row ragged positions keep the XLA
+        # rotation)
+        std_positions = positions is None and (
+            cache_index is None
+            or (isinstance(cache_index, int) and cache_index == 0))
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
             if cache_index is not None:
@@ -594,7 +602,7 @@ class LlamaForCausalLM(nn.Module):
             x, nc = LlamaDecoderLayer(cfg, dtype=self.dtype, plan=self.plan,
                                       layer_idx=i, name=f"layers_{i}")(
                 x, positions, cache_i, cache_index, attn_start,
-                attn_prefix)
+                attn_prefix, std_positions=std_positions)
             new_caches.append(nc)
         if last_logits_only is not False and last_logits_only is not None:
             # prefill wants only one position's logits: at ctx 4096

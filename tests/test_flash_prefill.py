@@ -1,0 +1,83 @@
+"""Fused prefill attention kernel (ops/flash_prefill.py): interpret-
+mode exactness vs the jnp reference, rope-table equivalence with the
+module rope, and the module routing contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qdm_tpu.ops.flash_prefill import (flash_prefill_gqa,
+                                       flash_prefill_gqa_ref, rope_tables)
+
+RNG = np.random.default_rng(7)
+
+
+def _qkv(b=2, s=256, h=8, hkv=2, d=64):
+    q = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(RNG.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    return q, k, v
+
+
+def test_kernel_matches_reference():
+    q, k, v = _qkv()
+    s, d = q.shape[1], q.shape[3]
+    sm = 1.0 / np.sqrt(d)
+    cos, sin = rope_tables(s, d, 10000.0)
+    for kw in ({}, dict(rope_cos=cos, rope_sin=sin),
+               dict(starts=np.array([0, 37])),
+               dict(rope_cos=cos, rope_sin=sin, starts=np.array([5, 128]))):
+        got = flash_prefill_gqa(q, k, v, sm, interpret=True, **kw)
+        want = flash_prefill_gqa_ref(q, k, v, sm, **kw)
+        starts = np.asarray(kw.get("starts", np.zeros(2))).astype(int)
+        for bi in range(2):  # pad-query rows are garbage by contract
+            np.testing.assert_allclose(
+                np.asarray(got[bi, starts[bi]:], np.float32),
+                np.asarray(want[bi, starts[bi]:], np.float32),
+                atol=2e-2, rtol=2e-2)
+
+
+def test_rope_tables_match_module_rope():
+    """y*cos + roll(y, d/2)*sin_signed == models/llama.py::rope, bit-
+    exact (same f32 trig, same half-pairing)."""
+    from qdm_tpu.models.llama import rope
+
+    b, s, h, d = 2, 64, 4, 64
+    x = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    for theta, pscale in ((10000.0, 1.0), (1e6, 0.125)):
+        cos, sin = rope_tables(s, d, theta, pos_scale=pscale)
+        xf = x.astype(jnp.float32)
+        got = (xf * cos[None, :, None, :]
+               + jnp.roll(xf, d // 2, axis=-1) * sin[None, :, None, :]
+               ).astype(jnp.bfloat16)
+        want = rope(x, pos, theta, pos_scale=pscale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gqa_grouping_is_exact():
+    """A query head must attend to ITS kv head (ih // g), identical to
+    materializing the repeat."""
+    q, k, v = _qkv(b=1, s=128, h=4, hkv=2)
+    sm = 0.125
+    got = flash_prefill_gqa(q, k, v, sm, interpret=True)
+    g = q.shape[2] // k.shape[2]
+    kr = jnp.repeat(k, g, axis=2)
+    vr = jnp.repeat(v, g, axis=2)
+    want = flash_prefill_gqa_ref(q, kr, vr, sm)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_module_routing_keeps_cpu_einsum():
+    """On CPU the flash path must not trigger (backend gate) — the f32
+    einsum keeps the exactness contracts every other test relies on."""
+    from qdm_tpu.api.causal_lm import CausalLM
+    from qdm_tpu.models import llama as llama_lib
+
+    lm = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                              dtype=jnp.float32, seed=0)
+    ids = RNG.integers(0, 256, (2, 8)).astype(np.int32)
+    out = lm.generate(ids, max_new_tokens=4)
+    assert out.shape == (2, 12)

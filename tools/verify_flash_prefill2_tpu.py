@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""On-chip exactness + timing of the fused prefill attention kernel
+(ops/flash_prefill.py) vs the jnp reference and the old jax-flash
+routing.  Run on the TPU: python -u tools/verify_flash_prefill2_tpu.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from qdm_tpu.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+import jax.numpy as jnp
+import numpy as np
+
+from qdm_tpu.ops.flash_prefill import (flash_prefill_gqa,
+                                       flash_prefill_gqa_ref, rope_tables)
+
+
+def main():
+    if jax.default_backend() in ("cpu",):
+        print(json.dumps({"error": "needs the TPU"}))
+        return
+    out = {"metric": "flash_prefill_gqa chip exactness + timing"}
+    rng = np.random.default_rng(0)
+
+    # exactness at a GQA serve shape (small batch keeps the ref fitting)
+    b, s, h, hkv, d = 4, 1024, 32, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    sm = 1.0 / np.sqrt(d)
+    cos, sin = rope_tables(s, d, 10000.0)
+    for name, kw in (("plain", {}),
+                     ("rope", dict(rope_cos=cos, rope_sin=sin)),
+                     ("starts", dict(starts=np.array([0, 37, 500, 999])))):
+        got = np.asarray(flash_prefill_gqa(q, k, v, sm, **kw), np.float32)
+        want = np.asarray(flash_prefill_gqa_ref(q, k, v, sm, **kw),
+                          np.float32)
+        st = np.asarray(kw.get("starts", np.zeros(b))).astype(int)
+        err = max(float(np.max(np.abs(got[bi, st[bi]:] - want[bi, st[bi]:])))
+                  for bi in range(b))
+        out[f"err_{name}"] = round(err, 5)
+        out[f"pass_{name}"] = bool(err < 0.05)
+        print(json.dumps(out), flush=True)
+
+    # timing at the (32, 1024) serve shape: new kernel vs jax flash +
+    # repeat/transpose + XLA rope (what the module used to run)
+    b = 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+
+    @jax.jit
+    def new_path(q, k, v):
+        return flash_prefill_gqa(q, k, v, sm, rope_cos=cos, rope_sin=sin)
+
+    @jax.jit
+    def old_path(q, k, v):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention)
+        from qdm_tpu.models.llama import rope
+
+        qr = rope(q, pos, 10000.0)
+        g = h // hkv
+        kr = jnp.repeat(k, g, axis=2)
+        vr = jnp.repeat(v, g, axis=2)
+        blk = 512
+        sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk, block_k_major_dq=blk,
+            block_k_dq=blk, block_q_dq=blk)
+        of = flash_attention(
+            qr.transpose(0, 2, 1, 3), kr.transpose(0, 2, 1, 3),
+            vr.transpose(0, 2, 1, 3), causal=True, sm_scale=sm,
+            block_sizes=sizes)
+        return of.transpose(0, 2, 1, 3)
+
+    for name, fn in (("new_kernel", new_path), ("old_jaxflash", old_path)):
+        o = fn(q, k, v)
+        float(jnp.sum(o.astype(jnp.float32)))
+        best = 1e9
+        for _ in range(5):
+            t0 = time.time()
+            o = fn(q, k, v)
+            float(jnp.sum(o.astype(jnp.float32)))
+            best = min(best, time.time() - t0)
+        out[f"t_{name}_ms"] = round(1e3 * best, 2)
+        print(json.dumps(out), flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
