@@ -411,10 +411,17 @@ class LlamaAttention(nn.Module):
             rc = rs = None
             if kernel_rope:
                 rc, rs = rope_tables(s, d, theta, pos_scale=pscale)
-            of = flash_prefill_gqa(q, k, v, sm_scale=cfg.attn_scale,
+            # kt/vt above ARE the kernel's (B, Hkv, S, D) layout (the
+            # cache-native transpose, local slice); q pays the one
+            # remaining head-major transpose
+            of = flash_prefill_gqa(q.transpose(0, 2, 1, 3),
+                                   k.transpose(0, 2, 1, 3),
+                                   v.transpose(0, 2, 1, 3),
+                                   sm_scale=cfg.attn_scale,
                                    rope_cos=rc, rope_sin=rs,
                                    starts=attn_start)
-            out = of.reshape(b, s, h * d).astype(self.dtype)
+            out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
+                .astype(self.dtype)
             out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,
                          dtype=self.dtype, plan=self.plan,
                          name="o_proj")(out)

@@ -70,7 +70,7 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, st_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, -1e30)
         l_ref[:] = jnp.zeros_like(l_ref)
-        qt = q_ref[0, :, 0, :].astype(jnp.float32)
+        qt = q_ref[0, 0].astype(jnp.float32)
         if do_rope:
             qt = _rope_tile(qt, cos_ref[:], sin_ref[:], d)
         # cast back to bf16 so the QK dot matches the roped-bf16
@@ -81,7 +81,7 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, st_ref, o_ref,
     # <= the q block's last query position
     @pl.when(j * bk <= i * bq + bq - 1)
     def _():
-        kt = k_ref[0, :, 0, :]
+        kt = k_ref[0, 0]
         s_qk = jax.lax.dot_general(
             qs_ref[:], kt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (bq, bk)
@@ -101,16 +101,16 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, st_ref, o_ref,
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:] = m_new
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[0, :, 0, :],
+            p.astype(jnp.bfloat16), v_ref[0, 0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (bq, D)
         acc_ref[:] = acc_ref[:] * corr + pv
 
     @pl.when(j == n_k - 1)
     def _():
-        o_ref[0, :, 0, :] = (acc_ref[:]
-                             / jnp.maximum(l_ref[:], 1e-30)
-                             ).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:]
+                       / jnp.maximum(l_ref[:], 1e-30)
+                       ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
@@ -118,11 +118,15 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, st_ref, o_ref,
 def flash_prefill_gqa(q, k, v, sm_scale: float, rope_cos=None,
                       rope_sin=None, starts=None, block_q: int = 512,
                       block_k: int = 512, interpret: bool = False):
-    """q (B, S, H, D) UN-roped (rotated in-kernel when rope tables are
-    given); k/v (B, S, Hkv, D), k already roped.  starts (B,) int32
-    optional left-pad key mask.  Returns (B, S, H, D) bf16."""
-    b, s, h, d = q.shape
-    hkv = k.shape[2]
+    """q (B, H, S, D) UN-roped (rotated in-kernel when rope tables are
+    given); k/v (B, Hkv, S, D) — the module's cache-native kt/vt
+    layout, k already roped.  starts (B,) int32 optional left-pad key
+    mask.  Returns (B, H, S, D) bf16.  (Mosaic requires the block's
+    last two dims 8/128-aligned or dim-equal, so the head axis leads —
+    kt/vt already live head-major in the module and only q pays one
+    XLA transpose.)"""
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
     g = h // hkv
     bq = min(block_q, s)
     bk = min(block_k, s)
@@ -150,18 +154,18 @@ def flash_prefill_gqa(q, k, v, sm_scale: float, rope_cos=None,
                           has_starts=has_starts),
         grid=(b, h, n_q, n_k),
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda ib, ih, i, j: (ib, i, ih, 0)),
-            pl.BlockSpec((1, bk, 1, d),
-                         lambda ib, ih, i, j, g=g: (ib, j, ih // g, 0)),
-            pl.BlockSpec((1, bk, 1, d),
-                         lambda ib, ih, i, j, g=g: (ib, j, ih // g, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, i, j: (ib, ih, i, 0)),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda ib, ih, i, j, g=g: (ib, ih // g, j, 0)),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda ib, ih, i, j, g=g: (ib, ih // g, j, 0)),
             pl.BlockSpec((bq, d), lambda ib, ih, i, j: (i, 0)),
             pl.BlockSpec((bq, d), lambda ib, ih, i, j: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d),
-                               lambda ib, ih, i, j: (ib, i, ih, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, h, d), jnp.bfloat16),
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda ib, ih, i, j: (ib, ih, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.bfloat16),
                         pltpu.VMEM((bq, d), jnp.float32),
                         pltpu.VMEM((bq, 1), jnp.float32),
@@ -177,20 +181,21 @@ def flash_prefill_gqa(q, k, v, sm_scale: float, rope_cos=None,
 
 def flash_prefill_gqa_ref(q, k, v, sm_scale: float, rope_cos=None,
                           rope_sin=None, starts=None):
-    """jnp reference with identical semantics (q roped via the same
-    sign-folded tables, causal + optional start mask, f32 softmax,
-    bf16 PV operand)."""
-    b, s, h, d = q.shape
-    hkv = k.shape[2]
+    """jnp reference with identical semantics and layouts
+    (q (B, H, S, D) roped via the same sign-folded tables; k/v
+    (B, Hkv, S, D); causal + optional start mask; f32 softmax; bf16
+    PV operand)."""
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
     qf = q.astype(jnp.float32)
     if rope_cos is not None:
         partner = jnp.roll(qf, d // 2, axis=-1)
-        qf = (qf * rope_cos[None, :, None, :]
-              + partner * rope_sin[None, :, None, :])
+        qf = (qf * rope_cos[None, None, :, :]
+              + partner * rope_sin[None, None, :, :])
     qb = qf.astype(jnp.bfloat16)
     g = h // hkv
-    qg = qb.reshape(b, s, hkv, g, d)
-    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(
+    qg = qb.reshape(b, hkv, g, s, d)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k).astype(
         jnp.float32) * sm_scale
     mask = jnp.tril(jnp.ones((s, s), bool))
     if starts is not None:
@@ -203,6 +208,6 @@ def flash_prefill_gqa_ref(q, k, v, sm_scale: float, rope_cos=None,
     probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True),
                                 1e-30)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(jnp.bfloat16),
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(jnp.bfloat16),
                      v, preferred_element_type=jnp.float32)
-    return out.reshape(b, s, h, d).astype(jnp.bfloat16)
+    return out.reshape(b, h, s, d).astype(jnp.bfloat16)

@@ -13,15 +13,15 @@ RNG = np.random.default_rng(7)
 
 
 def _qkv(b=2, s=256, h=8, hkv=2, d=64):
-    q = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.bfloat16)
-    k = jnp.asarray(RNG.standard_normal((b, s, hkv, d)), jnp.bfloat16)
-    v = jnp.asarray(RNG.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    q = jnp.asarray(RNG.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(RNG.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((b, hkv, s, d)), jnp.bfloat16)
     return q, k, v
 
 
 def test_kernel_matches_reference():
     q, k, v = _qkv()
-    s, d = q.shape[1], q.shape[3]
+    s, d = q.shape[2], q.shape[3]
     sm = 1.0 / np.sqrt(d)
     cos, sin = rope_tables(s, d, 10000.0)
     for kw in ({}, dict(rope_cos=cos, rope_sin=sin),
@@ -32,8 +32,8 @@ def test_kernel_matches_reference():
         starts = np.asarray(kw.get("starts", np.zeros(2))).astype(int)
         for bi in range(2):  # pad-query rows are garbage by contract
             np.testing.assert_allclose(
-                np.asarray(got[bi, starts[bi]:], np.float32),
-                np.asarray(want[bi, starts[bi]:], np.float32),
+                np.asarray(got[bi, :, starts[bi]:], np.float32),
+                np.asarray(want[bi, :, starts[bi]:], np.float32),
                 atol=2e-2, rtol=2e-2)
 
 
@@ -61,9 +61,9 @@ def test_gqa_grouping_is_exact():
     q, k, v = _qkv(b=1, s=128, h=4, hkv=2)
     sm = 0.125
     got = flash_prefill_gqa(q, k, v, sm, interpret=True)
-    g = q.shape[2] // k.shape[2]
-    kr = jnp.repeat(k, g, axis=2)
-    vr = jnp.repeat(v, g, axis=2)
+    g = q.shape[1] // k.shape[1]
+    kr = jnp.repeat(k, g, axis=1)
+    vr = jnp.repeat(v, g, axis=1)
     want = flash_prefill_gqa_ref(q, kr, vr, sm)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),

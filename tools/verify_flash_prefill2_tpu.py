@@ -32,9 +32,9 @@ def main():
 
     # exactness at a GQA serve shape (small batch keeps the ref fitting)
     b, s, h, hkv, d = 4, 1024, 32, 4, 64
-    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
     sm = 1.0 / np.sqrt(d)
     cos, sin = rope_tables(s, d, 10000.0)
     for name, kw in (("plain", {}),
@@ -44,7 +44,8 @@ def main():
         want = np.asarray(flash_prefill_gqa_ref(q, k, v, sm, **kw),
                           np.float32)
         st = np.asarray(kw.get("starts", np.zeros(b))).astype(int)
-        err = max(float(np.max(np.abs(got[bi, st[bi]:] - want[bi, st[bi]:])))
+        err = max(float(np.max(np.abs(got[bi, :, st[bi]:]
+                                      - want[bi, :, st[bi]:])))
                   for bi in range(b))
         out[f"err_{name}"] = round(err, 5)
         out[f"pass_{name}"] = bool(err < 0.05)
@@ -53,9 +54,9 @@ def main():
     # timing at the (32, 1024) serve shape: new kernel vs jax flash +
     # repeat/transpose + XLA rope (what the module used to run)
     b = 32
-    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
     pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
 
     @jax.jit
@@ -64,10 +65,15 @@ def main():
 
     @jax.jit
     def old_path(q, k, v):
+        # the OLD module path consumed (B, S, H, D): reconstruct it,
+        # then rope + repeat + transposes exactly as before
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
         from qdm_tpu.models.llama import rope
 
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
         qr = rope(q, pos, 10000.0)
         g = h // hkv
         kr = jnp.repeat(k, g, axis=2)
