@@ -890,6 +890,16 @@ class DecodeEngine:
         # per-tensor scales (the same scheme as the SD1.5 w8a8_xla
         # winner — no runtime quant pass, just one multiply folded into
         # the matmul epilogue); falls back to dynamic without act_stats.
+        # prefill_quant="fused": the engine-native fused-block prefill
+        # (r4) — per-token act quant INSIDE the Pallas matmuls (the
+        # SD GEGLU trick), fused [q|k|v] / [up|gate] projections, and
+        # the GQA flash kernel with in-kernel q-rope.  Dynamic-scale
+        # quality (KL ~0.003 vs static's 0.029) at better-than-static
+        # speed; falls back to the bf16 module prefill on shapes the
+        # kernels don't take (unaligned s).
+        self.prefill_fused = (prefill_quant == "fused" and mode != "bf16")
+        if prefill_quant == "fused":
+            prefill_quant = False
         self.prefill_quant = prefill_quant and mode != "bf16"
         if self.prefill_quant:
             from qdm_tpu.quant.apply import (fill_static_act_scales,
@@ -921,6 +931,8 @@ class DecodeEngine:
             # structure mid-engine)
             self._prefill_model = lm.model
             self._prefill_params = lm.params
+        if self.prefill_fused:
+            self._build_fused_prefill(p)
         # memoized jitted closures (fresh @jax.jit per call re-traces
         # every time — the measured 4.3x pipeline bug, CLAUDE.md)
         self._run_cache: Dict = {}
@@ -2117,6 +2129,159 @@ class DecodeEngine:
                 eng.append((widen(kvdm),))
         return eng
 
+    def _build_fused_prefill(self, p):
+        """Quantize + lay out the fused-prefill weights: per-layer
+        concat [q|k|v] and [up|gate] int8 (K, N) matrices with
+        per-out-channel scales — the act quant happens per-token INSIDE
+        the kernels, so no calibration is needed and prompt quality is
+        the dynamic-scale one (KL ~0.003 vs static's 0.029,
+        tools/bench_prefill_tpu.py)."""
+        cfg = self.cfg
+        if (self.spmd or self.window or self.moe
+                or getattr(cfg, "qk_norm", False)
+                or cfg.attention_bias or getattr(cfg, "all_bias", False)
+                or cfg.norm_type != "rmsnorm"
+                or cfg.parallel_residual
+                or getattr(cfg, "sandwich_norms", False)
+                or cfg.partial_rotary_factor < 1.0
+                or getattr(cfg, "rope_local_theta", None) is not None
+                or getattr(cfg, "pos_emb_type", "rope") != "rope"
+                or getattr(cfg, "norm_plus_one", False)
+                or self.kv_dtype is not None):
+            raise NotImplementedError(
+                "prefill_quant='fused' covers the canonical llama "
+                "family (rmsnorm, full rope, no biases/window/MoE, "
+                "bf16 KV, single-device) — use prefill_quant=True "
+                "elsewhere")
+
+        def qi8(w):
+            wf = w.astype(jnp.float32)
+            s = jnp.clip(jnp.max(jnp.abs(wf), axis=0), 1e-8, None) / 127.0
+            return (jnp.round(wf / s).astype(jnp.int8),
+                    s.reshape(1, -1).astype(jnp.float32))
+
+        layers = []
+        for l in range(cfg.num_hidden_layers):
+            lp = p[f"layers_{l}"]
+            at, ml = lp["self_attn"], lp["mlp"]
+            qkv_w, qkv_s = qi8(jnp.concatenate(
+                [at["q_proj"]["kernel"], at["k_proj"]["kernel"],
+                 at["v_proj"]["kernel"]], axis=1))
+            ug_w, ug_s = qi8(jnp.concatenate(
+                [ml["up_proj"]["kernel"], ml["gate_proj"]["kernel"]],
+                axis=1))
+            o_w, o_s = qi8(at["o_proj"]["kernel"])
+            dn_w, dn_s = qi8(ml["down_proj"]["kernel"])
+            layers.append({
+                "qkv_w": qkv_w, "qkv_s": qkv_s, "ug_w": ug_w,
+                "ug_s": ug_s, "o_w": o_w, "o_s": o_s, "dn_w": dn_w,
+                "dn_s": dn_s,
+                "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
+                "ln2": lp["post_attention_layernorm"]["scale"]
+                .astype(jnp.float32),
+            })
+        self._fp_weights = {
+            "layers": layers,
+            "embed": p["embed_tokens"]["embedding"].astype(self.dtype),
+        }
+
+    def _prefill_fused_run(self, ids, max_len: int):
+        """One fused-block prefill dispatch: RMSNorms/rope-k/residuals
+        in XLA (measured free), everything hot in Pallas — fused-QKV /
+        fused-[up|gate]-SwiGLU / o / down int8 matmuls with in-kernel
+        per-token act quant, and the GQA flash kernel with in-kernel
+        q-rope.  Writes the engine's combined depth-major caches
+        directly.  Returns (tok0, caches) like prefill()."""
+        b, s = ids.shape
+        tp = _round_up(max_len, 128)
+        key = ("fused_prefill", b, s, tp)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            from qdm_tpu.ops import quant_matmul as qmm
+            from qdm_tpu.ops.flash_prefill import (flash_prefill_gqa,
+                                                   flash_prefill_gqa_ref,
+                                                   rope_tables)
+
+            cfg = self.cfg
+            h, hkv, d = (cfg.num_attention_heads,
+                         cfg.num_key_value_heads, cfg.head_dim)
+            eps = cfg.rms_norm_eps
+            on_tpu = jax.default_backend() == "tpu"
+            cos, sin = rope_tables(s, d, cfg.rope_theta)
+
+            def mm(x, w, ws):
+                if on_tpu:
+                    return qmm.w8a8_matmul_fused(x, w, ws)
+                xi, xs = qmm.quantize_act_per_token_int(x, 8)
+                return qmm.w8a8_matmul_ref(xi, w, xs, ws, x.dtype)
+
+            def glu(x, w, ws):
+                zero = jnp.zeros((1, w.shape[1]), jnp.float32)
+                if on_tpu:
+                    return qmm.w8a8_geglu_fused(x, w, ws, zero, act="silu")
+                return qmm.w8a8_geglu_ref(x, w, ws, zero, act="silu")
+
+            def attn(q, k, v):
+                f = flash_prefill_gqa if on_tpu else flash_prefill_gqa_ref
+                return f(q, k, v, sm_scale=cfg.attn_scale,
+                         rope_cos=cos, rope_sin=sin)
+
+            dt = self.dtype
+
+            def norm(x, scale):
+                xf = x.astype(jnp.float32)
+                y = xf * jax.lax.rsqrt(
+                    jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+                return (y * scale).astype(dt)
+
+            w_head = self.w_head
+            final_norm = self.final_norm
+
+            @jax.jit
+            def fwd(fpw, ids):
+                m = b * s
+                x = fpw["embed"][ids].astype(dt)
+                caches = []
+                for w in fpw["layers"]:
+                    xin = norm(x, w["ln1"])
+                    qkv = mm(xin.reshape(m, -1), w["qkv_w"], w["qkv_s"])
+                    q = qkv[:, :h * d].reshape(b, s, h, d)
+                    k = qkv[:, h * d:(h + hkv) * d].reshape(b, s, hkv, d)
+                    v = qkv[:, (h + hkv) * d:].reshape(b, s, hkv, d)
+                    # k-rope in XLA (hkv/h of q's bytes; the table
+                    # formulation is bit-equal to models/llama.py rope)
+                    kf = k.astype(jnp.float32)
+                    k = (kf * cos[None, :, None, :]
+                         + jnp.roll(kf, d // 2, axis=-1)
+                         * sin[None, :, None, :]).astype(dt)
+                    kd = k.transpose(0, 2, 3, 1)       # (b, hkv, d, s)
+                    vd = v.transpose(0, 2, 3, 1)
+                    caches.append((jnp.pad(
+                        jnp.concatenate([kd, vd], axis=1).astype(self.dtype),
+                        ((0, 0),) * 3 + ((0, tp - s),)),))
+                    of = attn(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3))
+                    o = mm(of.transpose(0, 2, 1, 3).reshape(m, h * d)
+                           .astype(dt), w["o_w"], w["o_s"])
+                    x = (x.astype(jnp.float32)
+                         + o.reshape(b, s, -1)).astype(dt)
+                    xin2 = norm(x, w["ln2"])
+                    mid = glu(xin2.reshape(m, -1), w["ug_w"], w["ug_s"])
+                    dn = mm(mid.astype(dt), w["dn_w"], w["dn_s"])
+                    x = (x.astype(jnp.float32)
+                         + dn.reshape(b, s, -1)).astype(dt)
+                xl = norm(x[:, -1], final_norm)
+                logits = (xl.astype(w_head.dtype) @ w_head) \
+                    .astype(jnp.float32)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return tok, logits, caches
+
+            self._run_cache[key] = fn = fwd
+        tok, logits, caches = fn(self._fp_weights, jnp.asarray(ids))
+        self._last_prefill_logits = logits
+        return tok, caches
+
     def prefill(self, ids, max_len: int):
         """Module-path prefill writing the engine's combined [K|V]
         depth-major cache layout DIRECTLY (the llama attention's
@@ -2125,6 +2290,8 @@ class DecodeEngine:
         shard-major head permutation remain as post-passes.  Returns
         (first generated token, engine caches)."""
         b, s = ids.shape
+        if self.prefill_fused and s % 128 == 0 and s >= 256:
+            return self._prefill_fused_run(ids, max_len)
         if self.spmd and b % self.dp:
             raise ValueError(f"batch {b} must divide dp={self.dp}")
         if self.multihost:

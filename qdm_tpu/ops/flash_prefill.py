@@ -116,15 +116,20 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, st_ref, o_ref,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
                                              "block_k", "interpret"))
 def flash_prefill_gqa(q, k, v, sm_scale: float, rope_cos=None,
-                      rope_sin=None, starts=None, block_q: int = 512,
-                      block_k: int = 512, interpret: bool = False):
+                      rope_sin=None, starts=None, block_q: int = 1024,
+                      block_k: int = 1024, interpret: bool = False):
     """q (B, H, S, D) UN-roped (rotated in-kernel when rope tables are
     given); k/v (B, Hkv, S, D) — the module's cache-native kt/vt
     layout, k already roped.  starts (B,) int32 optional left-pad key
     mask.  Returns (B, H, S, D) bf16.  (Mosaic requires the block's
     last two dims 8/128-aligned or dim-equal, so the head axis leads —
     kt/vt already live head-major in the module and only q pays one
-    XLA transpose.)"""
+    XLA transpose.)
+
+    Default blocks 1024x1024 by sweep (tools/flash_prefill_sweep_tpu,
+    marginal ms/call at (32, 1024) h32/kv4 d64): 1024x1024 = 6.39,
+    512x512 = 6.78, 1024x512 = 7.18, 256x256 = 14.3; the old jax-flash
+    + repeat/transpose/rope path = 9.90."""
     b, h, s, d = q.shape
     hkv = k.shape[1]
     g = h // hkv
@@ -192,7 +197,7 @@ def flash_prefill_gqa_ref(q, k, v, sm_scale: float, rope_cos=None,
         partner = jnp.roll(qf, d // 2, axis=-1)
         qf = (qf * rope_cos[None, None, :, :]
               + partner * rope_sin[None, None, :, :])
-    qb = qf.astype(jnp.bfloat16)
+    qb = qf.astype(q.dtype)
     g = h // hkv
     qg = qb.reshape(b, hkv, g, s, d)
     logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k).astype(
@@ -208,6 +213,9 @@ def flash_prefill_gqa_ref(q, k, v, sm_scale: float, rope_cos=None,
     probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True),
                                 1e-30)
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(jnp.bfloat16),
+    # probs/output follow q's dtype: bf16 inputs reproduce the TPU
+    # kernel's bf16-probs PV semantics; f32 inputs (CPU module-parity
+    # tests) keep full precision like the module einsum path
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(q.dtype),
                      v, preferred_element_type=jnp.float32)
-    return out.reshape(b, h, s, d).astype(jnp.bfloat16)
+    return out.reshape(b, h, s, d).astype(q.dtype)

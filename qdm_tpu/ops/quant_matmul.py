@@ -262,10 +262,11 @@ def w4a16_matmul(x, qweight, scales, zeros, group_size: int = 128, **kw):
 
 
 def _w8a8_geglu_kernel(x_ref, wh_ref, wg_ref, wsh_ref, wsg_ref, bh_ref,
-                       bg_ref, o_ref, xi_ref, xs_ref):
-    """Fused GEGLU: out = (x@Wh + bh) * gelu(x@Wg + bg), both matmuls
-    int8, activations quantized once into VMEM scratch.  Avoids
-    materializing the (M, 2*inner) projection in HBM."""
+                       bg_ref, o_ref, xi_ref, xs_ref, *, act: str = "gelu"):
+    """Fused gated projection: out = (x@Wh + bh) * act(x@Wg + bg), both
+    matmuls int8, activations quantized once into VMEM scratch.  Avoids
+    materializing the (M, 2*inner) projection in HBM.  act 'gelu' is
+    the SD GEGLU; 'silu' is the llama SwiGLU (hidden = up_proj)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -285,18 +286,24 @@ def _w8a8_geglu_kernel(x_ref, wh_ref, wg_ref, wsh_ref, wsg_ref, bh_ref,
 
     h = dot(wh_ref, wsh_ref, bh_ref)
     g = dot(wg_ref, wsg_ref, bg_ref)
-    # tanh-approximate gelu: Mosaic has no erf lowering; the deviation
-    # (<3e-3 relative) is far below the int8 quantization error
-    o_ref[:] = (h * jax.nn.gelu(g, approximate=True)).astype(o_ref.dtype)
+    if act == "silu":
+        a = g * jax.lax.logistic(g)
+    else:
+        # tanh-approximate gelu: Mosaic has no erf lowering; the
+        # deviation (<3e-3 relative) is far below the int8 error
+        a = jax.nn.gelu(g, approximate=True)
+    o_ref[:] = (h * a).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "act",
+                              "interpret"))
 def w8a8_geglu_fused(x, w_i8, w_scale, bias, block_m: int = 256,
-                     block_n: int = 256, out_dtype=None,
+                     block_n: int = 256, out_dtype=None, act: str = "gelu",
                      interpret: bool = False):
-    """x (M, K) through an int8 GEGLU projection (K, 2*inner') ->
-    (M, inner').  Column layout: [hidden | gate] halves."""
+    """x (M, K) through an int8 gated projection (K, 2*inner') ->
+    (M, inner').  Column layout: [hidden | gate] halves — for the
+    llama SwiGLU pack [up | gate] with act='silu'."""
     m, k = x.shape
     kp, n2 = w_i8.shape
     half = n2 // 2
@@ -314,7 +321,7 @@ def w8a8_geglu_fused(x, w_i8, w_scale, bias, block_m: int = 256,
     nb = half // block_n
 
     out = pl.pallas_call(
-        _w8a8_geglu_kernel,
+        functools.partial(_w8a8_geglu_kernel, act=act),
         grid=(mp // bm, nb),
         in_specs=[
             pl.BlockSpec((bm, kp), lambda i, j: (i, 0)),
@@ -337,7 +344,7 @@ def w8a8_geglu_fused(x, w_i8, w_scale, bias, block_m: int = 256,
     return out[:m]
 
 
-def w8a8_geglu_ref(x, w_i8, w_scale, bias, out_dtype=None):
+def w8a8_geglu_ref(x, w_i8, w_scale, bias, out_dtype=None, act="gelu"):
     xi, xs = quantize_act_per_token_int(x, 8)
     k = x.shape[-1]
     acc = jax.lax.dot_general(xi.astype(jnp.int32), w_i8[:k].astype(jnp.int32),
@@ -345,7 +352,9 @@ def w8a8_geglu_ref(x, w_i8, w_scale, bias, out_dtype=None):
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * xs * w_scale + bias
     h, g = jnp.split(y, 2, axis=-1)
-    return (h * jax.nn.gelu(g, approximate=True)).astype(out_dtype or x.dtype)
+    a = g * jax.nn.sigmoid(g) if act == "silu" \
+        else jax.nn.gelu(g, approximate=True)
+    return (h * a).astype(out_dtype or x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1842,3 +1842,37 @@ def test_gptq_grams_chunked_capture_is_exact(lm):
         assert jnp.array_equal(g1[k], g2[k]), k
     for k in s1:
         assert jnp.array_equal(s1[k], s2[k]), k
+
+
+def test_fused_prefill_matches_dynamic_module_path(lm):
+    """prefill_quant='fused' (engine-native fused-block prefill:
+    in-kernel per-token act quant, fused [q|k|v]/[up|gate] projections,
+    GQA flash attention) produces the same greedy tokens as the
+    dynamic-int8 module prefill on f32 CPU — the concat projections
+    share the per-token input scale, so the math is identical up to op
+    order.  Unaligned prompts fall back to the module prefill."""
+    ids = np.random.default_rng(9).integers(
+        0, lm.config.vocab_size, (2, 256)).astype(np.int32)
+    stats = DecodeEngine.calibrate_scales(lm, ids[:, :32])
+    e_dyn = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                         prefill_quant="dynamic")
+    e_fus = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
+                         prefill_quant="fused")
+    t1 = e_dyn.generate(ids, max_new_tokens=6)
+    t2 = e_fus.generate(ids, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    # unaligned prompt: falls back to the snapshot module prefill
+    t3 = e_fus.generate(ids[:, :100], max_new_tokens=4)
+    assert t3.shape == (2, 104)
+    # non-canonical configs refuse the fused path with guidance
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_gemma2 import tiny_gemma2_config
+    from qdm_tpu.api.causal_lm import CausalLM
+
+    g2 = CausalLM.from_config(tiny_gemma2_config(), dtype=jnp.float32,
+                              seed=0)
+    with pytest.raises(NotImplementedError, match="canonical"):
+        DecodeEngine(g2, mode="w8a8_static",
+                     act_stats=DecodeEngine.calibrate_scales(g2, ids[:, :16]),
+                     prefill_quant="fused")
