@@ -2180,8 +2180,15 @@ class DecodeEngine:
                 "ln2": lp["post_attention_layernorm"]["scale"]
                 .astype(jnp.float32),
             })
+        # STACKED (L, ...) leaves: the fused forward runs one
+        # lax.scan over layers — the unrolled 22-layer graph kept
+        # every layer's qkv/mid buffers live (11.5 GB of XLA temps,
+        # measured memory_analysis) where scan bounds temps to one
+        # layer's working set
+        stacked = {k: jnp.stack([lay[k] for lay in layers])
+                   for k in layers[0]}
         self._fp_weights = {
-            "layers": layers,
+            "layers": stacked,
             "embed": p["embed_tokens"]["embedding"].astype(self.dtype),
         }
 
@@ -2241,8 +2248,8 @@ class DecodeEngine:
             def fwd(fpw, ids):
                 m = b * s
                 x = fpw["embed"][ids].astype(dt)
-                caches = []
-                for w in fpw["layers"]:
+
+                def layer(x, w):
                     xin = norm(x, w["ln1"])
                     qkv = mm(xin.reshape(m, -1), w["qkv_w"], w["qkv_s"])
                     q = qkv[:, :h * d].reshape(b, s, h, d)
@@ -2256,9 +2263,9 @@ class DecodeEngine:
                          * sin[None, :, None, :]).astype(dt)
                     kd = k.transpose(0, 2, 3, 1)       # (b, hkv, d, s)
                     vd = v.transpose(0, 2, 3, 1)
-                    caches.append((jnp.pad(
+                    cache = jnp.pad(
                         jnp.concatenate([kd, vd], axis=1).astype(self.dtype),
-                        ((0, 0),) * 3 + ((0, tp - s),)),))
+                        ((0, 0),) * 3 + ((0, tp - s),))
                     of = attn(q.transpose(0, 2, 1, 3),
                               k.transpose(0, 2, 1, 3),
                               v.transpose(0, 2, 1, 3))
@@ -2271,15 +2278,20 @@ class DecodeEngine:
                     dn = mm(mid.astype(dt), w["dn_w"], w["dn_s"])
                     x = (x.astype(jnp.float32)
                          + dn.reshape(b, s, -1)).astype(dt)
+                    return x, cache
+
+                x, cache_stack = jax.lax.scan(layer, x, fpw["layers"])
                 xl = norm(x[:, -1], final_norm)
                 logits = (xl.astype(w_head.dtype) @ w_head) \
                     .astype(jnp.float32)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return tok, logits, caches
+                return tok, logits, cache_stack
 
             self._run_cache[key] = fn = fwd
-        tok, logits, caches = fn(self._fp_weights, jnp.asarray(ids))
+        tok, logits, cache_stack = fn(self._fp_weights, jnp.asarray(ids))
         self._last_prefill_logits = logits
+        caches = [(cache_stack[l],)
+                  for l in range(self.cfg.num_hidden_layers)]
         return tok, caches
 
     def prefill(self, ids, max_len: int):

@@ -677,6 +677,11 @@ def w8a8_matmul_fused(x, w_i8, w_scale, block_m: int = 512,
     if kp > 2560:
         block_m = min(block_m, 256)
         block_n = min(block_n, 256)
+    if kp > 4608:
+        # (256, 5632) x-block + scratch + double-buffered weights blew
+        # the 16 MB scoped-vmem stack by 880 KB (llama down_proj,
+        # K=5632, measured) — halve the m block
+        block_m = min(block_m, 128)
     block_n = _pick_block(n, block_n)
     bm = min(block_m, _round_up(m, 16))
     mp = _round_up(m, bm)
