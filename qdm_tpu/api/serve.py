@@ -911,7 +911,13 @@ class DecodeEngine:
             w8 = LayerQuantSpec(
                 mode="w8a8_xla", w_bits=8, a_bits=8, quantize_act=True,
                 act_quant="static" if static else "per_token")
-            pplan = QuantPlan(default=w8).with_rule("lm_head", None)
+            # "static_i8attn": static weights/acts PLUS int8 QK/PV
+            # attention on the flash-prefill path (quantize_bmm_input
+            # semantics — plan.int8_bmm routes it in the module)
+            pplan = QuantPlan(
+                default=w8,
+                int8_bmm=(prefill_quant == "static_i8attn"),
+            ).with_rule("lm_head", None)
             self._prefill_model = type(lm.model)(config=cfg,
                                                  dtype=self.dtype,
                                                  plan=pplan)

@@ -419,7 +419,14 @@ class LlamaAttention(nn.Module):
                                    v.transpose(0, 2, 1, 3),
                                    sm_scale=cfg.attn_scale,
                                    rope_cos=rc, rope_sin=rs,
-                                   starts=attn_start)
+                                   starts=attn_start,
+                                   # int8 QK/PV (quantize_bmm_input
+                                   # semantics): both attention dots on
+                                   # the int8 MXU — at d=64 bf16 pays
+                                   # the 128-lane padding, so int8's 2x
+                                   # is real here (unlike the diffusion
+                                   # D=40/80 shapes)
+                                   qk_int8=self.plan.int8_bmm)
             out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
                 .astype(self.dtype)
             out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,

@@ -70,7 +70,10 @@ class MLAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_start=None, attn_prefix=None):
+                 attn_start=None, attn_prefix=None,
+                 std_positions: bool = False):
+        # std_positions is the llama-attention fused-flash-rope routing
+        # hint; MLA keeps its own latent attention path (unused here)
         cfg = self.config
         b, s, _ = x.shape
         h = cfg.num_attention_heads

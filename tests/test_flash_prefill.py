@@ -81,3 +81,25 @@ def test_module_routing_keeps_cpu_einsum():
     ids = RNG.integers(0, 256, (2, 8)).astype(np.int32)
     out = lm.generate(ids, max_new_tokens=4)
     assert out.shape == (2, 12)
+
+
+def test_kernel_int8_matches_reference():
+    """qk_int8 variant (int8 QK/PV, quantize_bmm_input semantics):
+    interpret-mode kernel == the jnp reference at the whole-sequence
+    k block (identical per-row q / per-token k / per-(h,d) v / int8
+    prob quantization)."""
+    q, k, v = _qkv()
+    s, d = q.shape[2], q.shape[3]
+    sm = 1.0 / np.sqrt(d)
+    cos, sin = rope_tables(s, d, 10000.0)
+    for kw in ({}, dict(rope_cos=cos, rope_sin=sin),
+               dict(starts=np.array([0, 37]))):
+        got = flash_prefill_gqa(q, k, v, sm, qk_int8=True,
+                                interpret=True, **kw)
+        want = flash_prefill_gqa_ref(q, k, v, sm, qk_int8=True, **kw)
+        starts = np.asarray(kw.get("starts", np.zeros(2))).astype(int)
+        for bi in range(2):
+            np.testing.assert_allclose(
+                np.asarray(got[bi, :, starts[bi]:], np.float32),
+                np.asarray(want[bi, :, starts[bi]:], np.float32),
+                atol=3e-2, rtol=3e-2)

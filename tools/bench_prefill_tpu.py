@@ -63,7 +63,7 @@ def main():
     out = {"metric": f"prefill A/B (batch {batch}, ctx {ctx})"}
     logits = {}
     for name, pq in (("bf16", False), ("dyn", "dynamic"), ("static", True),
-                 ("fused", "fused")):
+                 ("static_i8attn", "static_i8attn"), ("fused", "fused")):
         eng = DecodeEngine(lm, mode="w8a8_static", act_stats=stats,
                            prefill_quant=pq)
         tok0, caches = eng.prefill(ids, max_len)      # compile + warm
@@ -86,7 +86,7 @@ def main():
         print(json.dumps(out), flush=True)
 
         # legacy serve accounting (prefill + n_new steps)
-        if name in ("bf16", "static", "fused"):
+        if name in ("bf16", "static", "static_i8attn", "fused"):
             float(np.sum(eng.generate(ids, n_new)))
             t0 = time.time()
             reps = 3
