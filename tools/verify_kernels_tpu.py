@@ -131,6 +131,45 @@ def main():
     d = _maxdiff(out, ref)
     results["w8a8_geglu_fused"] = {"max_abs_diff": d, "tol": 1e-2,
                                    "pass": d <= 1e-2}
+    out = qmm.w8a8_geglu_fused(x, wi9, ws9, bias9, out_dtype=jnp.float32,
+                               act="silu")
+    ref = qmm.w8a8_geglu_ref(x, wi9, ws9, bias9, out_dtype=jnp.float32,
+                             act="silu")
+    d = _maxdiff(out, ref)
+    results["w8a8_swiglu_fused"] = {"max_abs_diff": d, "tol": 1e-2,
+                                    "pass": d <= 1e-2}
+
+    # ---- fused prefill attention (r4): GQA flash + in-kernel q-rope,
+    # bf16 online-softmax — ULP-level tolerance vs the jnp reference
+    # (same contract as the jax flash kernel it replaced)
+    from qdm_tpu.ops import flash_prefill as fpk
+
+    bp_, sp_, hp_, hkvp_, dp_ = 2, 512, 8, 2, 64
+    rngf = np.random.default_rng(23)
+    qf_ = jnp.asarray(rngf.standard_normal((bp_, hp_, sp_, dp_)),
+                      jnp.bfloat16)
+    kf_ = jnp.asarray(rngf.standard_normal((bp_, hkvp_, sp_, dp_)),
+                      jnp.bfloat16)
+    vf_ = jnp.asarray(rngf.standard_normal((bp_, hkvp_, sp_, dp_)),
+                      jnp.bfloat16)
+    cosf, sinf = fpk.rope_tables(sp_, dp_, 10000.0)
+    smf = float(dp_) ** -0.5
+    for nm, kwf in (("flash_prefill_gqa", {}),
+                    ("flash_prefill_gqa_rope",
+                     dict(rope_cos=cosf, rope_sin=sinf)),
+                    ("flash_prefill_gqa_starts",
+                     dict(starts=np.array([0, 100]))),
+                    ("flash_prefill_gqa_i8",
+                     dict(qk_int8=True, rope_cos=cosf, rope_sin=sinf))):
+        of_ = fpk.flash_prefill_gqa(qf_, kf_, vf_, smf, **kwf)
+        rf_ = fpk.flash_prefill_gqa_ref(qf_, kf_, vf_, smf, **kwf)
+        stf = np.asarray(kwf.get("starts", np.zeros(bp_))).astype(int)
+        d = max(float(np.max(np.abs(
+            np.asarray(of_[bi2, :, stf[bi2]:], np.float32)
+            - np.asarray(rf_[bi2, :, stf[bi2]:], np.float32))))
+            for bi2 in range(bp_))
+        tolf = 0.05
+        results[nm] = {"max_abs_diff": d, "tol": tolf, "pass": d <= tolf}
 
     # ---- fused int8 flash attention
     from qdm_tpu.ops import flash_int8 as fi8
