@@ -199,6 +199,8 @@ class CausalLM:
                 self.config.num_key_value_heads, self.config.head_dim)
         elif mt == "starcoder2":
             sd = loader.starcoder2_to_llama_state_dict(sd)
+        elif mt == "baichuan":
+            sd = loader.baichuan_to_llama_state_dict(sd)
         if str(hf.get("model_type", "")).startswith("deepseek") \
                 and self.config.kv_lora_rank is not None:
             # fold the interleaved rope storage into the q/kv weights
@@ -233,6 +235,29 @@ class CausalLM:
         is_neox = mt == "gpt_neox"
         is_falcon = mt == "falcon"
         is_starcoder2 = mt == "starcoder2"
+        if mt == "baichuan":
+            # baichuan: llama-shaped with a fused W_pack projection
+            # (split by the loader).  7B uses rope; 13B-class uses
+            # ALIBI — the HF config carries no explicit flag, so the
+            # established heuristic is the geometry (13B: hidden 5120,
+            # 40 heads; Baichuan2 configs ship position_embedding for
+            # some revisions — honored when present)
+            alibi = (str(hf.get("position_embedding", "")).lower()
+                     == "alibi" or hf["hidden_size"] >= 5120)
+            return llama_lib.LlamaConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                num_key_value_heads=hf["num_attention_heads"],
+                max_position_embeddings=hf.get(
+                    "model_max_length",
+                    hf.get("max_position_embeddings", 4096)),
+                rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+                pos_emb_type="alibi" if alibi else "rope",
+                tie_word_embeddings=hf.get("tie_word_embeddings",
+                                           False))
         if is_opt:
             # OPT: learned absolute positions (offset-2 table), ReLU
             # ungated MLP, layernorm, biases everywhere, tied head

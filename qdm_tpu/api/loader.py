@@ -482,3 +482,22 @@ def qwen1_to_llama_state_dict(sd):
         else:
             out[base + sub] = v
     return out
+
+
+def baichuan_to_llama_state_dict(sd: dict) -> dict:
+    """Baichuan -> canonical naming: the only delta is the fused
+    W_pack attention projection ([q; k; v] rows, no bias) — split it;
+    every other key is already llama-named."""
+    import numpy as np
+
+    out = {}
+    for key, v in sd.items():
+        if key.endswith("self_attn.W_pack.weight"):
+            base = key[: -len("W_pack.weight")]
+            q, k, vv = np.split(np.asarray(v), 3, axis=0)
+            out[base + "q_proj.weight"] = q
+            out[base + "k_proj.weight"] = k
+            out[base + "v_proj.weight"] = vv
+        else:
+            out[key] = v
+    return out

@@ -791,6 +791,11 @@ class DecodeEngine:
         # the jitted run closures (a few-MB table, single-device only).
         self._pos_tab = None
         self._pos_off = 0
+        if getattr(cfg, "pos_emb_type", "rope") == "alibi":
+            raise NotImplementedError(
+                "alibi (baichuan-13b-class) serving runs through the "
+                "module path (CausalLM.generate) — the decode "
+                "megakernels carry rope trig, not additive biases")
         if getattr(cfg, "pos_emb_type", "rope") == "learned":
             if self.tp > 1:
                 raise NotImplementedError(

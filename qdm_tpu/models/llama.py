@@ -125,7 +125,9 @@ class LlamaConfig:
     # (embed_positions table, added to the token embeds) instead of
     # rope.  learned_pos_offset: OPT checkpoints reserve the first 2
     # table rows (HF OPTLearnedPositionalEmbedding offset).
-    pos_emb_type: str = "rope"            # "rope" | "learned"
+    # "alibi" (baichuan-13b-class): no rotary, linear per-head
+    # attention bias slopes_h * min(k_pos - q_pos, 0) (bloom slopes)
+    pos_emb_type: str = "rope"            # "rope" | "learned" | "alibi"
     learned_pos_offset: int = 0
     # gpt-neox-class parallel residual with TWO norms:
     # x + attn(ln1 x) + mlp(ln2 x) (cohere/falcon/phi share ONE norm —
@@ -253,6 +255,7 @@ class LlamaAttention(nn.Module):
         import os as _os
         flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "1024"))
         flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
+                    and cfg.pos_emb_type != "alibi"
                     and attn_prefix is None
                     and (not self.window or s <= self.window)
                     and cfg.attn_logit_softcapping is None
@@ -286,7 +289,8 @@ class LlamaAttention(nn.Module):
                         plus_one=cfg.norm_plus_one, name="q_norm")(q)
             k = RMSNorm(epsilon=cfg.rms_norm_eps, dtype=self.dtype,
                         plus_one=cfg.norm_plus_one, name="k_norm")(k)
-        if cfg.pos_emb_type != "learned":      # OPT: no rotary at all
+        if cfg.pos_emb_type not in ("learned", "alibi"):
+            # OPT (learned) and baichuan-13b-class (alibi): no rotary
             rd = cfg.rotary_dim if cfg.partial_rotary_factor < 1.0 else 0
             if cfg.rope_local_theta is not None and self.window is not None:
                 # gemma3 LOCAL layer: local base freq, raw positions
@@ -435,6 +439,19 @@ class LlamaAttention(nn.Module):
             return out, new_cache
 
         kspec = "bhdk" if depth_major else "bhkd"
+        alibi = None
+        if cfg.pos_emb_type == "alibi":
+            # baichuan-13b-class linear attention bias (the bloom
+            # slopes, models/bloom.py): slopes_h * min(k_pos - q_pos, 0)
+            from qdm_tpu.models.bloom import alibi_slopes
+
+            T = kt.shape[3] if depth_major else kt.shape[2]
+            q_pos = ((0 if cache_index is None else cache_index)
+                     + jnp.arange(s))
+            rel = (jnp.arange(T)[None, :]
+                   - q_pos[:, None]).astype(jnp.float32)
+            alibi = (jnp.asarray(alibi_slopes(h))[:, None, None]
+                     * jnp.minimum(rel, 0.0))           # (h, s, T)
         if hkv < h:
             # GQA: group the query heads; K/V are contracted in their
             # cache-native layout directly — no materialized repeat
@@ -444,6 +461,8 @@ class LlamaAttention(nn.Module):
             qg = q.reshape(b, s, hkv, g, d)
             logits = jnp.einsum(f"bqhgd,{kspec}->bhgqk", qg, kt).astype(
                 jnp.float32) * cfg.attn_scale
+            if alibi is not None:
+                logits = logits + alibi.reshape(hkv, g, s, -1)[None]
             if cfg.attn_logit_softcapping:
                 c = cfg.attn_logit_softcapping
                 logits = c * jnp.tanh(logits / c)
@@ -454,6 +473,8 @@ class LlamaAttention(nn.Module):
         else:
             logits = jnp.einsum(f"bqhd,{kspec}->bhqk", q, kt).astype(
                 jnp.float32) * cfg.attn_scale
+            if alibi is not None:
+                logits = logits + alibi[None]
             if cfg.attn_logit_softcapping:
                 c = cfg.attn_logit_softcapping
                 logits = c * jnp.tanh(logits / c)

@@ -194,6 +194,25 @@ LLM_CONFIG_PRESETS["deepseek-v2"] = llama_lib.LlamaConfig(
 LLM_CONFIG_PRESETS["tiny-deepseek"] = llama_lib.tiny_deepseek_config()
 
 # cohere: parallel attention+FFN residual, tied embeddings, logit scale
+# baichuan-7b geometry (llama-shaped, fused W_pack split by the
+# loader); baichuan-13b class uses alibi instead of rope (module-path
+# generation; the engine's rope megakernels guard it)
+LLM_CONFIG_PRESETS["baichuan-7b"] = llama_lib.LlamaConfig(
+    vocab_size=64000, hidden_size=4096, intermediate_size=11008,
+    num_hidden_layers=32, num_attention_heads=32,
+    num_key_value_heads=32, max_position_embeddings=4096)
+LLM_CONFIG_PRESETS["baichuan-13b"] = llama_lib.LlamaConfig(
+    vocab_size=64000, hidden_size=5120, intermediate_size=13696,
+    num_hidden_layers=40, num_attention_heads=40,
+    num_key_value_heads=40, max_position_embeddings=4096,
+    pos_emb_type="alibi")
+# yi-6b geometry: pure llama arch (01-ai configs ship model_type
+# "llama"; the generic mapping covers real checkpoints directly)
+LLM_CONFIG_PRESETS["yi-6b"] = llama_lib.LlamaConfig(
+    vocab_size=64000, hidden_size=4096, intermediate_size=11008,
+    num_hidden_layers=32, num_attention_heads=32,
+    num_key_value_heads=4, rope_theta=5000000.0,
+    max_position_embeddings=4096)
 LLM_CONFIG_PRESETS["cohere"] = llama_lib.LlamaConfig(
     norm_type="layernorm", parallel_residual=True,
     tie_word_embeddings=True, logit_scale=0.0625)
