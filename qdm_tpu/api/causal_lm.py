@@ -349,6 +349,18 @@ class CausalLM:
         # architecture the reference's quantizer names explicitly,
         # quantizer.py:1106-1116)
         is_deepseek = str(hf.get("model_type", "")).startswith("deepseek")
+        if str(hf.get("model_type", "")).startswith("deepseek_v3"):
+            # V3 routing is NOT V2 semantics: sigmoid scores with
+            # e_score_correction_bias, group-limited top-k, and
+            # norm_topk_prob=True renormalization COMBINED with
+            # routed_scaling_factor (V2 applies the factor only when
+            # not renormalizing).  Mapping a V3 checkpoint onto the V2
+            # path would load without error and be silently wrong.
+            raise NotImplementedError(
+                "deepseek_v3 checkpoints are not supported (sigmoid "
+                "score routing + group-limited top-k + score "
+                "correction bias are unimplemented); deepseek_v2 "
+                "family checkpoints are")
         return llama_lib.LlamaConfig(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],

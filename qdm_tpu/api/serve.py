@@ -22,6 +22,17 @@ Modes
   Decode weight HBM traffic halves again vs int8; this is the
   AWQ-style W4A8 serving mode.
 
+Exactness caveat: "token-exact" engine claims are pinned on the f32
+CPU suite against the NON-flash module prefill.  On TPU, prompts
+S >= 1024 route through the flash prefill kernel
+(ops/flash_prefill.py; QDM_FLASH_PREFILL_MIN), whose online-softmax
+reassociation is sub-ULP in bf16 but CAN flip near-tied argmaxes —
+measured tok0 agreement across prefill paths is 0.72-0.97 on
+random-weight models (BENCH_NOTES r4; real checkpoints have far fewer
+near-ties).  Set QDM_DISABLE_FLASH_PREFILL=1 to force the einsum
+prefill when bit-stability across program shapes matters more than
+prefill speed.
+
 The engine extracts weights once from a :class:`CausalLM`'s canonical
 (unfused) params; the KV cache is ONE combined [K|V] depth-major array
 (B, 2*hkv, d, T) per layer — a single dynamic_update_slice per step,
@@ -2225,7 +2236,12 @@ class DecodeEngine:
                          cfg.num_key_value_heads, cfg.head_dim)
             eps = cfg.rms_norm_eps
             on_tpu = jax.default_backend() == "tpu"
-            cos, sin = rope_tables(s, d, cfg.rope_theta)
+            # linear rope scaling folds into the tables exactly as the
+            # module's rope() folds it (pos_scale = 1/factor) — without
+            # this a linear-scaled checkpoint would prefill keys at
+            # unscaled positions while decode applies self._pos_scale
+            cos, sin = rope_tables(s, d, cfg.rope_theta,
+                                   pos_scale=self._pos_scale)
 
             def mm(x, w, ws):
                 if on_tpu:

