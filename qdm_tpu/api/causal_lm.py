@@ -449,6 +449,13 @@ class CausalLM:
             # MoE router stays fp (AutoAWQ mixtral modules_to_not_convert
             # = ["gate"]): a handful of FLOPs that steer every token
             plan = plan.with_rule("block_sparse_moe/gate", None)
+            if getattr(self.config, "moe_layout", "mixtral") == "deepseek":
+                # deepseek router path is 'mlp/gate'; the substring rule
+                # also catches 'mlp/gate_proj', so re-apply the default
+                # spec to gate_proj AFTER (last matching rule wins)
+                plan = plan.with_rule("mlp/gate", None)
+                plan = plan.with_rule("mlp/gate_proj",
+                                      spec_from_config(cfg, conv=False))
         return plan
 
     def _calibrate(self, cfg: QuantConfig, calib_ids: np.ndarray,

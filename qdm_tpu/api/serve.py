@@ -313,6 +313,16 @@ class DecodeEngine:
             raise ValueError("gptq_grams places quantized weight codes; "
                              "bf16 mode has none (use w8a8/w4a8_static)")
         cfg = lm.config
+        # DeepSeek-V2 MLA (models/mla.py): the engine serves the
+        # ABSORBED form against the (B, T, r+dr) latent cache — its own
+        # extraction + layer path (_init_mla / _mla_layer)
+        self.mla = getattr(cfg, "kv_lora_rank", None) is not None
+        if self.mla:
+            self._init_mla(lm, mode, act_stats, act_margin, kv_dtype,
+                           unroll, merge_o, mesh, prefill_quant,
+                           head_quant, kv_scale_mode, kv_margin,
+                           gptq_grams)
+            return
         # Mixtral-family sparse MoE: the attention half serves through
         # the same megakernels; the expert MLP runs as stacked-expert
         # XLA einsums ('bk,ekf->ebf' batched over E — dense-exact, the
@@ -968,6 +978,387 @@ class DecodeEngine:
         self._rebase_fn = None
         self._last_prefill_logits = None
 
+    # ------------------------------------------------------------------ MLA
+
+    def _init_mla(self, lm, mode, act_stats, act_margin, kv_dtype,
+                  unroll, merge_o, mesh, prefill_quant, head_quant,
+                  kv_scale_mode, kv_margin, gptq_grams):
+        """DeepSeek-V2 MLA engine setup (models/mla.py is the module
+        family; the reference names deepseek_v2 in its quantizer input
+        capture, /root/reference/quantize/quantizer.py:1106-1116).
+
+        The engine serves the ABSORBED form: fold W_UK (the per-head
+        nope-key up-projection inside kv_b_proj) into the query and
+        W_UV into the attention output, and attend DIRECTLY against the
+        (B, T, r + dr) latent cache as a single MQA head of width
+        r + dr.  Algebraically identical to the module's explicit form
+        (q_nope . (W_UK c) == (W_UK^T q_nope) . c); the decode step
+        reads r + dr floats/token of cache instead of 2*h*d — the
+        HBM-bound-decode win MLA exists for (BENCH_NOTES: decode rides
+        the HBM roofline).
+
+        Supported: mode 'bf16' / 'w8a8_static', single device,
+        generate()/prefill() (module-path prefill writes the latent
+        cache natively — MLAAttention's len-1-tuple branch).  The MLA
+        attention decode runs as XLA einsums, not megakernels: the
+        whole step is a handful of dense contractions whose traffic is
+        dominated by weights + the (tiny) latent cache; on w8a8_static
+        the projections run as static-scale int8 XLA matmuls (the SD1.5
+        w8a8_xla winner scheme).  The absorbed W_UK/W_UV tensors stay
+        bf16: they contract against q/attention-outputs, a path with no
+        calibrated activation scale (and only ~2x h*d*r params/layer).
+        """
+        cfg = self.cfg = lm.config
+        if mode == "w4a8_static":
+            raise NotImplementedError(
+                "MLA serving modes are 'bf16' and 'w8a8_static' (the "
+                "i4 planar kernels are built around fused-qkv rope "
+                "epilogues MLA does not use; its projections run as "
+                "static-int8 XLA matmuls)")
+        if mesh is not None:
+            raise NotImplementedError(
+                "MLA serving is single-device (the latent cache is "
+                "MQA-shaped — tp would shard only query heads; dp "
+                "sharding of the (B, T, r+dr) cache is unimplemented); "
+                "pass mesh=None")
+        if kv_dtype is not None:
+            raise NotImplementedError(
+                "quantized-KV MLA serving: the latent cache is already "
+                "r+dr (~576) floats/token, 10-50x under MHA KV; serve "
+                "with kv_dtype=None")
+        for flag, name in ((merge_o, "merge_o"),
+                           (head_quant, "head_quant"),
+                           (prefill_quant, "prefill_quant"),
+                           (gptq_grams, "gptq_grams")):
+            if flag:
+                raise NotImplementedError(
+                    f"{name} is not supported on the MLA engine path "
+                    "(supported: bf16 / w8a8_static decode, module "
+                    "prefill)")
+        if (cfg.attention_bias or cfg.sliding_window
+                or cfg.norm_type != "rmsnorm"):
+            raise NotImplementedError(
+                "the MLA engine assumes the deepseek shape: rmsnorm, "
+                "no attention bias, no sliding window")
+        if cfg.num_experts > 0 and cfg.moe_layout != "deepseek":
+            raise NotImplementedError(
+                "MLA engine MoE support follows the deepseek layout "
+                "(mlp.gate router / mlp.experts_N / shared_experts)")
+
+        # single-device, no special positional machinery
+        self.mesh = None
+        self.tp = self.dp = 1
+        self.spmd = self.multihost = False
+        self.moe = False          # _mla_layer handles deepseek MoE itself
+        self.lm = lm
+        self.mode = mode
+        self.dtype = lm.dtype
+        self.kv_dtype = None
+        self.kv_scale_mode = "token"
+        self.kv_margin = float(kv_margin)
+        self._kv_qmax = 127.0
+        self.window = None
+        self._layer_windows = [None] * cfg.num_hidden_layers
+        self.sandwich = False
+        self.attn_softcap = 0.0
+        self.final_softcap = float(
+            getattr(cfg, "final_logit_softcapping", None) or 0.0)
+        self._q_scale_ratio = 1.0
+        self.block_b = 2
+        self.unroll = unroll
+        self.merge_o = False
+        self.ungated = False
+        self.all_bias = False
+        self.qk_norm = False
+        self.rope_in_xla = False
+        self._partner = None
+        self.dual_rope = False
+        self._freqs_local = None
+        self._pos_scale = 1.0
+        self._pos_tab = None
+        self._pos_off = 0
+        self.head_quant = None
+        self.prefill_fused = False
+        self.prefill_quant = False
+        # SNAPSHOT prefill module+params (same rationale as __init__)
+        self._prefill_model = lm.model
+        self._prefill_params = lm.params
+
+        dr = cfg.qk_rope_head_dim
+        # module rope() formula at d=dr (models/mla.py::mla_rope)
+        self._mla_freqs = 1.0 / (
+            cfg.rope_theta ** (jnp.arange(0, dr, 2, jnp.float32) / dr))
+
+        p = lm.params
+        if _params_packed(p):
+            from qdm_tpu.models import llama as llama_lib
+            from qdm_tpu.quant import apply as qapply
+
+            tmpl = llama_lib.LlamaForCausalLM(config=cfg, dtype=lm.dtype)
+            shapes = jax.eval_shape(
+                lambda: tmpl.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8), jnp.int32)))["params"]
+            p = qapply.unpack_params(p, lm.plan, shapes)
+
+        def scale_of(key):
+            if key not in act_stats:
+                raise ValueError(
+                    f"act_stats missing {key!r} — calibrate with "
+                    "DecodeEngine.calibrate_scales on this model")
+            s = jnp.clip(jnp.max(act_stats[key]), 1e-5, None) / 127.0
+            return (s * act_margin).astype(jnp.float32)
+
+        i8 = mode == "w8a8_static"
+
+        def q8(w, key):
+            """(codes, per-oc scales, static act scale) triple; bf16
+            mode returns the raw kernel."""
+            if not i8:
+                return w.astype(self.dtype)
+            codes, ws = _quant_w(w)
+            return (codes, ws, scale_of(key).reshape(1))
+
+        h = cfg.num_attention_heads
+        dn, dv, r = cfg.qk_nope_head_dim, cfg.v_head_dim, cfg.kv_lora_rank
+        layers = []
+        for l in range(cfg.num_hidden_layers):
+            lp = p[f"layers_{l}"]
+            at = lp["self_attn"]
+            pre = f"layers_{l}"
+            e = {
+                "ln1": lp["input_layernorm"]["scale"].astype(jnp.float32),
+                "ln2": lp["post_attention_layernorm"][
+                    "scale"].astype(jnp.float32),
+                "kvn": at["kv_a_layernorm"]["scale"].astype(jnp.float32),
+            }
+            if cfg.q_lora_rank:
+                e["qan"] = at["q_a_layernorm"]["scale"].astype(jnp.float32)
+                e["w_qa"] = q8(at["q_a_proj"]["kernel"],
+                               f"{pre}/self_attn/q_a_proj")
+                e["w_qb"] = q8(at["q_b_proj"]["kernel"],
+                               f"{pre}/self_attn/q_b_proj")
+            else:
+                e["w_q"] = q8(at["q_proj"]["kernel"],
+                              f"{pre}/self_attn/q_proj")
+            e["w_kva"] = q8(at["kv_a_proj_with_mqa"]["kernel"],
+                            f"{pre}/self_attn/kv_a_proj_with_mqa")
+            e["w_o"] = q8(at["o_proj"]["kernel"],
+                          f"{pre}/self_attn/o_proj")
+            # absorbed kv_b split: (r, h, dn) keys / (r, h, dv) values
+            kv_b = at["kv_b_proj"]["kernel"].astype(self.dtype) \
+                .reshape(r, h, dn + dv)
+            e["w_uk"] = kv_b[..., :dn]
+            e["w_uv"] = kv_b[..., dn:]
+
+            mlp = lp["mlp"]
+            is_moe = (cfg.num_experts > 0
+                      and l >= cfg.first_k_dense_replace)
+            if not is_moe:
+                e["wg"] = q8(mlp["gate_proj"]["kernel"],
+                             f"{pre}/mlp/gate_proj")
+                e["wu"] = q8(mlp["up_proj"]["kernel"],
+                             f"{pre}/mlp/gate_proj")  # same input scale
+                e["wd"] = q8(mlp["down_proj"]["kernel"],
+                             f"{pre}/mlp/down_proj")
+            else:
+                n_e = cfg.num_experts
+                e["router"] = mlp["gate"]["kernel"].astype(self.dtype)
+                Wg = jnp.stack([mlp[f"experts_{x}"]["gate_proj"]["kernel"]
+                                for x in range(n_e)]).astype(self.dtype)
+                Wu = jnp.stack([mlp[f"experts_{x}"]["up_proj"]["kernel"]
+                                for x in range(n_e)]).astype(self.dtype)
+                Wd = jnp.stack([mlp[f"experts_{x}"]["down_proj"]["kernel"]
+                                for x in range(n_e)]).astype(self.dtype)
+                if i8:
+                    e["Wg"], e["sWg"] = _quant_w_stacked(Wg)
+                    e["Wu"], e["sWu"] = _quant_w_stacked(Wu)
+                    e["Wd"], e["sWd"] = _quant_w_stacked(Wd)
+                    # shared expert-input scale (all experts see the
+                    # same normed stream) + per-expert down scales
+                    e["a_moe"] = scale_of(
+                        f"{pre}/mlp/experts_0/gate_proj").reshape(1)
+                    e["a_wd"] = jnp.stack(
+                        [scale_of(f"{pre}/mlp/experts_{x}/down_proj")
+                         for x in range(n_e)])
+                else:
+                    e["Wg"], e["Wu"], e["Wd"] = Wg, Wu, Wd
+                if getattr(cfg, "n_shared_experts", 0):
+                    sh = mlp["shared_experts"]
+                    e["sh_g"] = q8(sh["gate_proj"]["kernel"],
+                                   f"{pre}/mlp/shared_experts/gate_proj")
+                    e["sh_u"] = q8(sh["up_proj"]["kernel"],
+                                   f"{pre}/mlp/shared_experts/gate_proj")
+                    e["sh_d"] = q8(sh["down_proj"]["kernel"],
+                                   f"{pre}/mlp/shared_experts/down_proj")
+            layers.append(e)
+        self.layers = layers
+        self.embed = p["embed_tokens"]["embedding"].astype(self.dtype)
+        self.final_norm = p["norm"]["scale"].astype(jnp.float32)
+        self.final_norm_b = None
+        if cfg.tie_word_embeddings:
+            self.w_head = self.embed.T
+        else:
+            self.w_head = p["lm_head"]["kernel"].astype(self.dtype)
+        self.head_bias = None
+        self._head = self.w_head
+        self._run_cache = {}
+        self._score_cache = {}
+        self._prefill_fn = None
+        self._prefix_fn = None
+        self._prefixed_fn = None
+        self._prefixed_ragged_fn = None
+        self._prefill_ragged_fn = None
+        self._admit_scatter_fn = None
+        self._rebase_fn = None
+        self._last_prefill_logits = None
+
+    def _mla_guard(self, feature: str):
+        if getattr(self, "mla", False):
+            raise NotImplementedError(
+                f"{feature} is not implemented on the MLA (DeepSeek-V2) "
+                "engine path — supported: generate()/prefill() decode "
+                "in bf16 or w8a8_static on a single device against the "
+                "(B, T, r+dr) latent cache (api/serve.py::_mla_layer)")
+
+    def _mla_mm(self, x, w, out_f32: bool = False):
+        """bf16 matmul or static-scale int8 XLA matmul, by extraction
+        format (raw kernel vs (codes, w_scales, act_scale) triple)."""
+        if not isinstance(w, tuple):
+            y = x @ w
+            return y.astype(jnp.float32) if out_f32 else y
+        codes, ws, a = w
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a),
+                      -127, 127).astype(jnp.int8)
+        y = jnp.dot(xq, codes, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * (ws * a)
+        return y if out_f32 else y.astype(x.dtype)
+
+    def _mla_layer(self, x, cache, w, pos):
+        """One MLA decoder layer, absorbed-form decode (see _init_mla).
+        x (bp, D) padded rows; cache ((B, T, r + dr),); pos traced
+        scalar.  Returns (x, cache)."""
+        cfg = self.cfg
+        h = cfg.num_attention_heads
+        dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        dv, r = cfg.v_head_dim, cfg.kv_lora_rank
+        qd = dn + dr
+        eps = cfg.rms_norm_eps
+        dt = x.dtype
+        bp = x.shape[0]
+        (C,) = cache
+        b = C.shape[0]
+
+        # rope at scalar pos on the dr-wide slice — the module's rope()
+        # formula exactly (f32 trig, half-split rotation)
+        ang = pos.astype(jnp.float32) * self._mla_freqs        # (dr/2,)
+        cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+
+        def rot(y):                                            # (.., dr)
+            yf = y.astype(jnp.float32)
+            y1, y2 = yf[..., : dr // 2], yf[..., dr // 2:]
+            return jnp.concatenate([y1 * cosv - y2 * sinv,
+                                    y2 * cosv + y1 * sinv],
+                                   axis=-1).astype(dt)
+
+        xn = _xla_norm(x, w["ln1"], None, "rmsnorm", eps).astype(dt)
+        if cfg.q_lora_rank:
+            q = self._mla_mm(xn, w["w_qa"])
+            q = _xla_norm(q, w["qan"], None, "rmsnorm", eps).astype(dt)
+            q = self._mla_mm(q, w["w_qb"])
+        else:
+            q = self._mla_mm(xn, w["w_q"])
+        q = q.reshape(bp, h, qd)
+        q_nope, q_pe = q[..., :dn], rot(q[..., dn:])
+
+        lat = self._mla_mm(xn, w["w_kva"])                     # (bp, r+dr)
+        c_kv = _xla_norm(lat[..., :r], w["kvn"], None, "rmsnorm",
+                         eps).astype(dt)
+        k_pe = rot(lat[..., r:])
+        rows = jnp.concatenate([c_kv, k_pe], axis=-1)[:b] \
+            .astype(C.dtype)                                   # (b, W)
+        C = jax.lax.dynamic_update_slice(C, rows[:, None], (0, pos, 0))
+
+        # absorbed attention on the real rows: one MQA head of width
+        # r + dr (W_UK^T q_nope rides the r part, q_pe the dr part)
+        Cf = C.astype(jnp.float32)
+        q_abs = jnp.einsum("bhd,rhd->bhr", q_nope[:b].astype(jnp.float32),
+                           w["w_uk"].astype(jnp.float32))
+        logits = (jnp.einsum("bhr,btr->bht", q_abs, Cf[..., :r])
+                  + jnp.einsum("bhp,btp->bht",
+                               q_pe[:b].astype(jnp.float32), Cf[..., r:])
+                  ) * cfg.attn_scale
+        t_ids = jnp.arange(C.shape[1])
+        logits = jnp.where(t_ids[None, None] <= pos, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1)                # (b, h, T)
+        o_lat = jnp.einsum("bht,btr->bhr", probs, Cf[..., :r])
+        out = jnp.einsum("bhr,rhv->bhv", o_lat,
+                         w["w_uv"].astype(jnp.float32)) \
+            .reshape(b, h * dv).astype(dt)
+        if bp > b:
+            out = jnp.pad(out, ((0, bp - b), (0, 0)))
+        o = self._mla_mm(out, w["w_o"], out_f32=True)
+        x = (x.astype(jnp.float32) + o).astype(dt)
+
+        xin = _xla_norm(x, w["ln2"], None, "rmsnorm", eps).astype(dt)
+        if "router" not in w:   # dense MLP layer (first-k / no MoE)
+            g = self._mla_mm(xin, w["wg"], out_f32=True)
+            u = self._mla_mm(xin, w["wu"], out_f32=True)
+            mid = (jax.nn.silu(g) * u).astype(dt)
+            m = self._mla_mm(mid, w["wd"], out_f32=True)
+        else:
+            m = self._mla_moe_mlp(xin, w)
+        return (x.astype(jnp.float32) + m).astype(dt), (C,)
+
+    def _mla_moe_mlp(self, xin, w):
+        """deepseek-v2 MoE decode MLP (dense-exact, models/moe.py
+        semantics): softmax router, top-k WITHOUT renormalization
+        scaled by routed_scaling_factor (norm_topk_prob=False in every
+        v2 config; moe_renormalize=True follows the module's renorm
+        branch), always-on shared experts added to the routed output.
+        Routed experts run as stacked-expert batched einsums — int8
+        with the shared expert-input scale + per-expert down scales
+        under w8a8_static (the mixtral engine scheme)."""
+        cfg = self.cfg
+        logits = (xin @ w["router"]).astype(jnp.float32)       # (B, E)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        if getattr(cfg, "moe_renormalize", True):
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        else:
+            top_w = top_w * jnp.float32(
+                getattr(cfg, "routed_scaling_factor", 1.0))
+        w_be = jnp.sum(jax.nn.one_hot(top_i, cfg.num_experts,
+                                      dtype=jnp.float32)
+                       * top_w[..., None], axis=1)             # (B, E)
+        if self.mode == "bf16":
+            g = jnp.einsum("bk,ekf->ebf", xin, w["Wg"])
+            u = jnp.einsum("bk,ekf->ebf", xin, w["Wu"])
+            y = jnp.einsum("ebf,efk->ebk", jax.nn.silu(g) * u,
+                           w["Wd"]).astype(jnp.float32)
+        else:
+            a = w["a_moe"]
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a),
+                          -127, 127).astype(jnp.int8)
+            g = jnp.einsum("bk,ekf->ebf", xq, w["Wg"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sWg"] * a)
+            u = jnp.einsum("bk,ekf->ebf", xq, w["Wu"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sWu"] * a)
+            hmid = jax.nn.silu(g) * u
+            a2 = w["a_wd"][:, None, None]                      # (E,1,1)
+            hq = jnp.clip(jnp.round(hmid / a2), -127, 127).astype(jnp.int8)
+            y = jnp.einsum("ebf,efk->ebk", hq, w["Wd"],
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * (w["sWd"] * a2)
+        out = jnp.einsum("ebk,be->bk", y, w_be)                # f32
+        if "sh_g" in w:
+            sg = self._mla_mm(xin, w["sh_g"], out_f32=True)
+            su = self._mla_mm(xin, w["sh_u"], out_f32=True)
+            smid = (jax.nn.silu(sg) * su).astype(xin.dtype)
+            out = out + self._mla_mm(smid, w["sh_d"], out_f32=True)
+        return out
+
     def _make_pick(self, sampler, cap_logits: bool = True):
         if not sampler:
             return None
@@ -1260,6 +1651,10 @@ class DecodeEngine:
         slot per row (left-padded ragged batches).  slot: cache write
         index when it differs from pos (rolling sliding-window cache:
         slot = pos % window; the attention mask stays on pos)."""
+        if getattr(self, "mla", False):
+            # MLA (DeepSeek-V2): absorbed-form latent-cache layer; the
+            # fused-qkv trig/slot machinery does not apply
+            return self._mla_layer(x, cache, w, pos)
         cfg = self.cfg
         h = cfg.num_attention_heads if h is None else h
         hkv = cfg.num_key_value_heads if hkv is None else hkv
@@ -2042,9 +2437,15 @@ class DecodeEngine:
 
     def init_cache(self, batch: int, max_len: int):
         """Combined [K | V] cache (B, 2*hkv, d, T): one array per layer
-        so the per-step write is a single dynamic_update_slice."""
+        so the per-step write is a single dynamic_update_slice.  MLA:
+        the (B, T, r + dr) latent cache instead (module-native — the
+        MLAAttention len-1-tuple branch writes it directly)."""
         cfg = self.cfg
         tp = _round_up(max_len, 128)
+        if getattr(self, "mla", False):
+            width = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            return [(jnp.zeros((batch, tp, width), self.dtype),)
+                    for _ in range(cfg.num_hidden_layers)]
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
         if self.kv_dtype == "int4":
             return [(jnp.zeros(shape[:2] + (cfg.head_dim // 2, tp),
@@ -2083,6 +2484,11 @@ class DecodeEngine:
         length exceeds the window).  Per-LAYER geometry: windowed
         layers re-lay/pad to the window; global layers (gemma2/3
         alternation) pad by `pad` to the full serving length."""
+        if getattr(self, "mla", False):
+            # latent caches (B, T, r + dr): pad the T axis to the
+            # serving length; no quantization / head perms apply
+            return [(jnp.pad(C, ((0, 0), (0, pad), (0, 0))),)
+                    for (C,) in caches]
         if roll_s is not None:
             roll = True
         gather = None
@@ -2359,9 +2765,15 @@ class DecodeEngine:
         assert tp >= sp, (max_len, s)
         model, params = self._prefill_model, self._prefill_params
         cfg = self.cfg
-        caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads, cfg.head_dim,
-                              sp), self.dtype),)
-                  for _ in range(cfg.num_hidden_layers)]
+        if getattr(self, "mla", False):
+            # module-native latent caches; finalize pads T to tp
+            width = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            caches = [(jnp.zeros((b, sp, width), self.dtype),)
+                      for _ in range(cfg.num_hidden_layers)]
+        else:
+            caches = [(jnp.zeros((b, 2 * cfg.num_key_value_heads,
+                                  cfg.head_dim, sp), self.dtype),)
+                      for _ in range(cfg.num_hidden_layers)]
 
         if self._prefill_fn is None:
             finalize = self._kv_finalize
@@ -2400,6 +2812,7 @@ class DecodeEngine:
         stack).  Decode steps after this are ordinary token steps
         through the megakernels.  Returns (first generated token,
         engine caches)."""
+        self._mla_guard("prefill_embeds (VLM-embeds serving)")
         self._window_guard(max_len, "prefill_embeds (VLM serving)")
         b, s, _ = embeds.shape
         if self.spmd:
@@ -2491,6 +2904,7 @@ class DecodeEngine:
         prefill, so an S x S einsum would materialize f32 logits; the
         chunked scan bounds that at C x S, and the finalize re-lays the
         last-window positions into the rolling cache."""
+        self._mla_guard("prefill_chunked")
         b, s = ids.shape
         if self.spmd:
             raise NotImplementedError("chunked prefill is single-device")
@@ -2686,6 +3100,7 @@ class DecodeEngine:
         quantization happens after the suffix prefill so the
         channel-static scales span prefix+suffix exactly like a full
         prefill's would)."""
+        self._mla_guard("precompute_prefix (prefix caching)")
         if self.spmd:
             raise NotImplementedError("prefix caching is single-device")
         ids = np.asarray(prefix_ids)
@@ -2853,6 +3268,7 @@ class DecodeEngine:
         out of every attention (the model's ``attn_start``).  Returns
         (first tokens, engine caches, starts) — starts (B,) are the
         per-row first valid cache slots the decode attention needs."""
+        self._mla_guard("prefill_ragged")
         b, s = ids.shape
         if self.tp > 1 or self.multihost:
             raise NotImplementedError(
@@ -3152,6 +3568,7 @@ class DecodeEngine:
         left-padded suffix batch.  On the first chunk (ci == 0) with a
         prefix, paste the prefix KV first.  Returns (last-position
         logits of this chunk, updated mini caches)."""
+        self._mla_guard("the continuous batcher's admission path")
         model, params = self._prefill_model, self._prefill_params
         if kvpre is not None and ci == 0:
             paste = self._run_cache.get("admit_paste")
@@ -3442,6 +3859,7 @@ class DecodeEngine:
         kv_scale_mode='channel' (quantized weights fine; the int8 KV
         schemes keep per-slot state the ragged masks don't thread
         yet)."""
+        self._mla_guard("generate_ragged")
         if temperature <= 0.0 and (top_k or top_p):
             raise ValueError("top_k/top_p need temperature > 0")
         prompts = [np.asarray(p).reshape(-1) for p in prompts]
@@ -3534,6 +3952,7 @@ class DecodeEngine:
         path's ``logits``, so KL/perplexity evaluation can measure the
         engine's EXACT serving numerics (static act scales, int8/int4
         weight codes, kernel arithmetic).  Single-device only."""
+        self._mla_guard("score")
         assert not self.spmd, "score() is a single-device eval path"
         ids = jnp.asarray(input_ids)
         b, s = ids.shape

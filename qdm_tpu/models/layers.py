@@ -115,6 +115,17 @@ class QDense(nn.Module):
                      init_fn=lambda: jnp.zeros((rows, in_features), jnp.float32),
                      reduce_fn=lambda a, b: b)
 
+        if self.plan.capture_seq and x.ndim == 3 and any(
+                pat in _path_str(self) for pat in self.plan.capture_seq_on):
+            # sequence-shaped block for the AWQ attention-module loss
+            # (quant/plan.py capture_seq): first nb batch rows, FULL
+            # sequence — sampled token rows cannot attend
+            nb = min(self.plan.capture_seq, x.shape[0])
+            self.sow("calib_s", "xs", x[:nb].astype(jnp.float32),
+                     init_fn=lambda: jnp.zeros((nb,) + x.shape[1:],
+                                               jnp.float32),
+                     reduce_fn=lambda a, b: b)
+
         if self.plan.capture_gram:
             # exact input second moments over ALL calibration tokens in
             # bounded (C, C) memory — the GPTQ Hessian (quant/gptq.py)

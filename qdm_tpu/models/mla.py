@@ -22,15 +22,21 @@ decode rides the HBM roofline).
 Module naming mirrors HF deepseek_v2 keys (q_a_proj/q_a_layernorm/
 q_b_proj or plain q_proj for -lite, kv_a_proj_with_mqa/kv_a_layernorm/
 kv_b_proj, o_proj), every projection a QDense, so the safetensors
-loader and the full RTN/SmoothQuant/AWQ/GPTQ lifecycle apply unchanged.
+loader, RTN fake/packed quantization, and the SmoothQuant/AWQ
+migrations (MLA-specific scaling groups, models/shims.py) apply —
+tests/test_mla.py covers the quantize lifecycle, the migration
+invariance, and CausalLM.serve(smooth=|awq=True).
 
 This module uses the EXPLICIT form (materialize per-head k_nope/v via
 kv_b_proj) for both prefill and cached decode — the quantization-
 faithful path where kv_b_proj is an ordinary quantized linear.  The
-DecodeEngine serves the ABSORBED form (fold W_UK into the query and
-W_UV into the output, attend directly against the latent cache as a
-single (r+dr)-wide MQA head); the two are algebraically identical and
-tested against each other (tests/test_mla.py).
+DecodeEngine serves the ABSORBED form (serve.py::_mla_layer: fold
+W_UK into the query and W_UV into the output, attend directly against
+the latent cache as a single (r+dr)-wide MQA head) in bf16 or
+w8a8_static on a single device; greedy engine tokens equal the
+module's explicit-form generate on the f32 CPU suite
+(tests/test_mla.py::test_engine_bf16_matches_module), and unsupported
+engine surfaces raise actionable NotImplementedErrors.
 
 Cache format: one tensor per layer, ``(B, T, r + dr)`` = [c_kv | roped
 k_pe] rows, passed as a 1-tuple like the other module cache formats.

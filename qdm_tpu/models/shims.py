@@ -101,6 +101,87 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
     for path, sub in _walk(params):
         if path and re.fullmatch(r"layers_\d+", path[-1]) and "self_attn" in sub:
             mlp = sub.get("mlp", {})
+            at = sub["self_attn"]
+            if "kv_a_proj_with_mqa" in at:
+                # MLA (DeepSeek-V2, models/mla.py) — there is no
+                # q/k/v_proj.  input_layernorm feeds the q head
+                # (q_a_proj or plain q_proj) AND the shared latent
+                # projection; the two inner RMSNorms each feed one
+                # linear.  No v->o group: v comes out of the shared
+                # latent via kv_b_proj, so there is no fc->fc
+                # migration site (the latent feeds k AND v jointly).
+                q_head = "q_a_proj" if "q_a_proj" in at else "q_proj"
+                groups.append(ScalingGroup(
+                    prev_path=path + ("input_layernorm",),
+                    layer_paths=(path + ("self_attn", q_head),
+                                 path + ("self_attn",
+                                         "kv_a_proj_with_mqa")),
+                    prev_plus_one=norm_plus_one,
+                ))
+                if "q_a_layernorm" in at:
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("self_attn", "q_a_layernorm"),
+                        layer_paths=(path + ("self_attn", "q_b_proj"),),
+                    ))
+                groups.append(ScalingGroup(
+                    prev_path=path + ("self_attn", "kv_a_layernorm"),
+                    layer_paths=(path + ("self_attn", "kv_b_proj"),),
+                ))
+                if "experts_0" in mlp:
+                    # deepseek MoE layout (HF mlp.* naming): router
+                    # 'gate' rides extra_scaled (bit-invariant
+                    # routing); always-on shared experts see the SAME
+                    # normed stream, so their gate/up join the group
+                    # (appended after the alternating expert pairs —
+                    # the AWQ moe-loss handler stacks only the
+                    # experts_N entries)
+                    moe = path + ("mlp",)
+                    experts = sorted(
+                        (k for k in mlp
+                         if re.fullmatch(r"experts_\d+", k)),
+                        key=lambda k: int(k.split("_")[1]))
+                    lps = [moe + (e, w) for e in experts
+                           for w in ("gate_proj", "up_proj")]
+                    if "shared_experts" in mlp:
+                        lps += [moe + ("shared_experts", "gate_proj"),
+                                moe + ("shared_experts", "up_proj")]
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("post_attention_layernorm",),
+                        layer_paths=tuple(lps),
+                        extra_scaled=(moe + ("gate",),),
+                        prev_plus_one=norm_plus_one,
+                        block=(f"moe:{mlp_act}:{moe_top_k}:"
+                               f"{int(moe_renormalize)}", moe),
+                    ))
+                    if include_fc_groups:
+                        for e in experts:
+                            groups.append(ScalingGroup(
+                                prev_path=moe + (e, "up_proj"),
+                                layer_paths=(moe + (e, "down_proj"),),
+                            ))
+                        if "shared_experts" in mlp:
+                            groups.append(ScalingGroup(
+                                prev_path=moe + ("shared_experts",
+                                                 "up_proj"),
+                                layer_paths=(moe + ("shared_experts",
+                                                    "down_proj"),),
+                            ))
+                elif "gate_proj" in mlp:
+                    # dense (first_k_dense_replace) deepseek layers
+                    groups.append(ScalingGroup(
+                        prev_path=path + ("post_attention_layernorm",),
+                        layer_paths=(path + ("mlp", "gate_proj"),
+                                     path + ("mlp", "up_proj")),
+                        prev_plus_one=norm_plus_one,
+                        block=("glu:" + mlp_act,
+                               path + ("mlp", "down_proj")),
+                    ))
+                    if include_fc_groups:
+                        groups.append(ScalingGroup(
+                            prev_path=path + ("mlp", "up_proj"),
+                            layer_paths=(path + ("mlp", "down_proj"),),
+                        ))
+                continue
             has_post_ln = ("post_attention_layernorm" in sub
                            or "pre_feedforward_layernorm" in sub)
             qkv_paths = [path + ("self_attn", "q_proj"),

@@ -311,7 +311,18 @@ def awq_search_and_apply(params: dict, groups: Sequence[ScalingGroup],
             moe = _get_at(out, g.block[1])
             gk, uk = g.layer_paths[0][-1], g.layer_paths[1][-1]
             dk_name = {"w1": "w2", "gate_proj": "down_proj"}[gk]
-            enames = [p[-2] for p in g.layer_paths[::2]]
+            import re as _re
+
+            # deepseek groups append shared_experts gate/up AFTER the
+            # alternating experts_N pairs (they share the normed input
+            # and must migrate with the group); only the experts_N
+            # entries stack into the routed-MoE loss.  The shared
+            # expert's own quantization sensitivity to the trial scale
+            # is not measured — a documented approximation (its width
+            # differs from the routed experts', so it cannot join the
+            # stacked loss; its weights still migrate and clip).
+            enames = [p[-2] for p in g.layer_paths[::2]
+                      if _re.fullmatch(r"experts_\d+", p[-2])]
             # kernels are (in, out): w1/w3 (C, I), w2 (I, C) — exactly
             # the stacked layouts the search takes
             W1 = jnp.stack([moe[e][gk]["kernel"] for e in enames])

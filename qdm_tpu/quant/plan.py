@@ -79,6 +79,14 @@ class QuantPlan:
     # rows starves H: rank << C makes error compensation point into
     # unsampled directions and LOSE to RTN — measured)
     capture_gram: bool = False
+    # sow SEQUENCE-shaped input blocks ('calib_s' col): the first
+    # capture_seq batch rows of the full (B, S, C) input, at layers
+    # whose path contains a capture_seq_on pattern.  The AWQ attention
+    # -group search needs sequence structure to evaluate the
+    # reference's whole-attention-module loss (quantizer.py:605-676) —
+    # token-sampled rows cannot attend.
+    capture_seq: int = 0
+    capture_seq_on: Tuple[str, ...] = ("q_proj", "q_a_proj")
     fuse_qkv: bool = False         # fused q/k/v projections (fused_utils.py:45-142)
     fuse_ln: bool = False          # fold LayerNorms into the following packed matmul
     # run self-attention BMMs on the int8 MXU (real-kernel version of
@@ -97,10 +105,11 @@ class QuantPlan:
             self, rules=self.rules + ((pattern, spec if spec is not None else NO_QUANT),))
 
     def with_capture(self, capture: bool = True, inputs: bool = False,
-                     gram: bool = False) -> "QuantPlan":
+                     gram: bool = False, seq: int = 0) -> "QuantPlan":
         return dataclasses.replace(self, capture_stats=capture,
                                    capture_inputs=inputs,
-                                   capture_gram=gram)
+                                   capture_gram=gram,
+                                   capture_seq=seq)
 
     def with_default(self, spec: LayerQuantSpec) -> "QuantPlan":
         return dataclasses.replace(self, default=spec)
