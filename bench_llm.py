@@ -960,7 +960,94 @@ def qknorm_main():
         del lm, stats
 
 
+def stream_main():
+    """--stream: the r5 verdict's realistic request stream — 64
+    requests, ~1k-token cold prompts, ~128 new tokens each — through
+    the ContinuousBatcher with INTERLEAVED prefill/decode scheduling
+    (admit_chunk: incoming requests' prefills advance in fixed-size
+    chunks BETWEEN decode steps of the live batch, hiding prompt cost
+    instead of serializing it) vs one-shot admissions vs the
+    sequential static-batch baseline (the 'legacy' accounting whose
+    batch-32/ctx-1024/32-new row reads 1738 tok/s).  Two budget
+    mixes: uniform 128 (the verdict's literal shape — admissions
+    arrive in waves) and a [32, 224] spread around the same mean (the
+    regime continuous batching exists for).  Exactness: a sample of
+    requests re-served single-prompt must match token-for-token."""
+    from qdm_tpu.api.serve import DecodeEngine
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    n_req, rows, chunk = (64, 32, 16) if on_tpu else (6, 2, 4)
+    plen = (960, 1025) if on_tpu else (3, 8)
+    cap = 2560 if on_tpu else 256
+
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
+               for n in rng.integers(plen[0], plen[1], n_req)]
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    eng = lm.serve(mode="w8a8_static",
+                   calib_ids=np.asarray(prompts[0])[None]) if on_tpu \
+        else DecodeEngine(lm, mode="bf16")
+    mixes = {
+        "uniform128": [128 if on_tpu else 4] * n_req,
+        "spread": [int(b) for b in rng.integers(
+            *((32, 225) if on_tpu else (2, 7)), n_req)],
+    }
+    out = {"metric": "LLM request-stream serving (interleaved "
+                     "prefill/decode)",
+           "n_requests": n_req, "rows": rows, "prompt_range": list(plen)}
+    for mix, budgets in mixes.items():
+        out[f"{mix}_gen_tokens"] = int(sum(budgets))
+        for ac in ((0, 128) if on_tpu else (0, 4)):
+            cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk,
+                                   capacity=cap, admit_chunk=ac)
+            cb.run(prompts[: rows + 2], max_new_tokens=4)   # warm jits
+            t0 = time.time()
+            outs = cb.run(prompts, max_new_tokens=budgets)
+            dt = time.time() - t0
+            n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
+            st = cb.last_stats
+            tag = f"{mix}_ac{ac}"
+            out[f"{tag}_tok_s"] = round(n_gen / dt, 1)
+            out[f"{tag}_p95_ttft_s"] = round(st["p95_ttft"], 3)
+            out[f"{tag}_p95_stall_s"] = round(st["p95_stall_s"], 3)
+            print(json.dumps(out), flush=True)
+            if ac and mix == "spread":
+                # exactness spot-check: a sample of requests re-served
+                # single-prompt must match token-for-token
+                exact = 0
+                sample = [0, n_req // 3, 2 * n_req // 3, n_req - 1]
+                for i in sample:
+                    solo = eng.generate_ragged([prompts[i]],
+                                               max_new_tokens=budgets[i])
+                    exact += int(np.array_equal(
+                        np.asarray(solo[0]), np.asarray(outs[i])))
+                out["exact_rows"] = f"{exact}/{len(sample)}"
+        # static baseline per mix: fixed batches in arrival order,
+        # each decoded to its longest budget
+        t0 = time.time()
+        n_gen_s = 0
+        for i in range(0, n_req, rows):
+            bp = prompts[i:i + rows]
+            bb = budgets[i:i + rows]
+            eng.generate_ragged(bp, max_new_tokens=max(bb))
+            n_gen_s += sum(bb)
+        dt_s = time.time() - t0
+        out[f"{mix}_static_tok_s"] = round(n_gen_s / dt_s, 1)
+        best = max(out.get(f"{mix}_ac0_tok_s", 0),
+                   out.get(f"{mix}_ac128_tok_s",
+                           out.get(f"{mix}_ac4_tok_s", 0)))
+        out[f"{mix}_continuous_vs_static"] = round(
+            best / out[f"{mix}_static_tok_s"], 3)
+        print(json.dumps(out), flush=True)
+
+
 def main():
+    if "--stream" in sys.argv:
+        stream_main()
+        return
     if "--gemma2" in sys.argv:
         gemma2_main()
         return

@@ -459,20 +459,25 @@ class CausalLM:
         return plan
 
     def _calibrate(self, cfg: QuantConfig, calib_ids: np.ndarray,
-                   capture_inputs: bool, capture_gram: bool = False):
+                   capture_inputs: bool, capture_gram: bool = False,
+                   capture_seq: int = 0):
         """capture_inputs: sampled input rows (AWQ).  capture_gram:
         per-layer X^T X Gram matrices summed over ALL calibration
         tokens (GPTQ Hessians — full-data, bounded (C, C) memory);
-        returned in the same feats dict, keyed by layer path."""
+        returned in the same feats dict, keyed by layer path.
+        capture_seq > 0: additionally capture (nb, S, C) SEQUENCE
+        blocks at q-projection inputs (keyed '<path>::seq') — the AWQ
+        attention-module loss needs sequence structure to attend."""
         plan = self.plan.with_capture(True, inputs=capture_inputs,
-                                      gram=capture_gram)
+                                      gram=capture_gram, seq=capture_seq)
         model = llama_lib.LlamaForCausalLM(config=self.config, dtype=self.dtype,
                                            plan=plan)
         run = RunningMeanMax()
         feats: Dict[str, list] = {}
         grams: Dict[str, jnp.ndarray] = {}
         mutable = (["calib"] + (["calib_x"] if capture_inputs else [])
-                   + (["calib_h"] if capture_gram else []))
+                   + (["calib_h"] if capture_gram else [])
+                   + (["calib_s"] if capture_seq else []))
 
         @jax.jit
         def fwd(params, ids):
@@ -481,14 +486,19 @@ class CausalLM:
             xs = flatten_calib(mut["calib_x"], leaf="x") if capture_inputs else {}
             hs = (flatten_calib(mut["calib_h"], leaf="h")
                   if capture_gram else {})
-            return stats, xs, hs
+            ss = (flatten_calib(mut.get("calib_s", {}), leaf="xs")
+                  if capture_seq else {})
+            return stats, xs, hs, ss
 
         bs = cfg.calib.batch_size
         for i in range(0, calib_ids.shape[0], bs):
-            stats, xs, hs = fwd(self.params, jnp.asarray(calib_ids[i:i + bs]))
+            stats, xs, hs, ss = fwd(self.params,
+                                    jnp.asarray(calib_ids[i:i + bs]))
             run.update(stats)
             for k, v in xs.items():
                 feats.setdefault(k, []).append(v)
+            for k, v in ss.items():
+                feats.setdefault(k + "::seq", []).append(v)
             for k, v in hs.items():
                 grams[k] = grams[k] + v if k in grams else v
         input_feats = {k: jnp.concatenate(v, axis=0) for k, v in feats.items()}
@@ -511,7 +521,9 @@ class CausalLM:
 
         layer_names = sorted((k for k in self.params if k.startswith("layers_")),
                              key=lambda k: int(k.split("_")[1]))
-        plan_cap = self.plan.with_capture(True, inputs=True)
+        from qdm_tpu.models.shims import attn_geom_from_config
+
+        plan_cap = self.plan.with_capture(True, inputs=True, seq=4)
         for lname in layer_names:
             layer_params = self.params[lname]
             groups_full = llama_scaling_groups(
@@ -519,7 +531,8 @@ class CausalLM:
                 norm_plus_one=self.config.norm_plus_one,
                 mlp_act=self.config.mlp_act,
                 moe_top_k=self.config.num_experts_per_tok,
-                moe_renormalize=getattr(self.config, 'moe_renormalize', True))
+                moe_renormalize=getattr(self.config, 'moe_renormalize', True),
+                attn_geom=attn_geom_from_config(self.config))
             groups = [dataclasses.replace(g, prev_path=g.prev_path[1:],
                                           layer_paths=tuple(p[1:] for p in g.layer_paths),
                                           block=(g.block[0], g.block[1][1:])
@@ -528,10 +541,13 @@ class CausalLM:
             layer_mod = LlamaDecoderLayer(self.config, dtype=self.dtype,
                                           plan=plan_cap)
             (_, _), mut = layer_mod.apply({"params": layer_params}, x, positions,
-                                          mutable=["calib", "calib_x"])
+                                          mutable=["calib", "calib_x",
+                                                   "calib_s"])
             from qdm_tpu.calib.stats import flatten_calib
 
             feats = flatten_calib(mut["calib_x"], leaf="x")
+            feats.update({k + "::seq": v for k, v in flatten_calib(
+                mut.get("calib_s", {}), leaf="xs").items()})
             new_layer = awq_lib.awq_search_and_apply(layer_params, groups,
                                                      feats, cfg)
             new_layer = qapply.fake_quantize_params(
@@ -651,18 +667,25 @@ class CausalLM:
                     tokenizer=tokenizer, n_samples=min(cfg.calib.n_samples, 32),
                     max_seq_len=cfg.calib.max_seq_len)
             stats, feats = self._calibrate(cfg, np.asarray(calib_data),
-                                           capture_inputs=(method == "awq"))
+                                           capture_inputs=(method == "awq"),
+                                           capture_seq=(4 if method == "awq"
+                                                        else 0))
             if qk_before is not None and feats:
                 for key, rows in feats.items():
-                    if "layers_0" in key and "q_proj" in key:
+                    if ("layers_0" in key and "q_proj" in key
+                            and not key.endswith("::seq")):
                         attn_x = np.asarray(rows)
                         break
+            from qdm_tpu.models.shims import attn_geom_from_config
+
             groups = llama_scaling_groups(
                 self.params, include_fc_groups=(method == "awq"),
                 norm_plus_one=self.config.norm_plus_one,
                 mlp_act=self.config.mlp_act,
                 moe_top_k=self.config.num_experts_per_tok,
-                moe_renormalize=getattr(self.config, 'moe_renormalize', True))
+                moe_renormalize=getattr(self.config, 'moe_renormalize', True),
+                attn_geom=(attn_geom_from_config(self.config)
+                           if method == "awq" else None))
             if method == "awq":
                 self.params = awq_lib.awq_search_and_apply(
                     self.params, groups, feats, cfg)

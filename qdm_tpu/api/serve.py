@@ -1478,13 +1478,16 @@ class DecodeEngine:
         cfg = QuantConfig(w_bit=w_bits, q_group_size=group_size,
                           zero_point=zero_point)
         _, feats = lm._calibrate(cfg, np.asarray(calib_ids),
-                                 capture_inputs=True)
+                                 capture_inputs=True, capture_seq=4)
+        from qdm_tpu.models.shims import attn_geom_from_config
+
         groups = llama_scaling_groups(
             lm.params, include_fc_groups=True,
             norm_plus_one=lm.config.norm_plus_one,
             mlp_act=lm.config.mlp_act,
             moe_top_k=lm.config.num_experts_per_tok,
-            moe_renormalize=getattr(lm.config, 'moe_renormalize', True))
+            moe_renormalize=getattr(lm.config, 'moe_renormalize', True),
+            attn_geom=attn_geom_from_config(lm.config))
         lm.params = awq_lib.awq_search_and_apply(lm.params, groups, feats,
                                                  cfg)
         return lm

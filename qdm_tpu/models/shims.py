@@ -75,11 +75,32 @@ def clip_text_scaling_groups(params: dict) -> List[ScalingGroup]:
     return groups
 
 
+def attn_geom_from_config(cfg) -> "str | None":
+    """AWQ attention-module loss geometry spec for ScalingGroup.block
+    ("attn:<h>:<hkv>:<d>:<rope_theta>:<attn_scale>"), or None for
+    architectures whose attention forward the search does not model
+    (qk-norm, partial rotary, learned/alibi positions, soft-caps,
+    dual rope, MLA) — those keep the group-linear-outputs loss.
+    sliding_window is deliberately ignored: calib sequences (<=512)
+    sit far inside every real window, where the banded mask equals
+    the causal one."""
+    if (getattr(cfg, "qk_norm", False)
+            or getattr(cfg, "partial_rotary_factor", 1.0) < 1.0
+            or getattr(cfg, "pos_emb_type", "rope") != "rope"
+            or getattr(cfg, "attn_logit_softcapping", None)
+            or getattr(cfg, "rope_local_theta", None) is not None
+            or getattr(cfg, "kv_lora_rank", None) is not None):
+        return None
+    return (f"attn:{cfg.num_attention_heads}:{cfg.num_key_value_heads}:"
+            f"{cfg.head_dim}:{cfg.rope_theta}:{cfg.attn_scale}")
+
+
 def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                          norm_plus_one: bool = False,
                          mlp_act: str = "silu",
                          moe_top_k: int = 2,
-                         moe_renormalize: bool = True) -> List[ScalingGroup]:
+                         moe_renormalize: bool = True,
+                         attn_geom: "str | None" = None) -> List[ScalingGroup]:
     """LLaMA-family groups (reference llava.py:42-90 / qwen2.py:37-85):
     input_layernorm -> q/k/v, v_proj -> o_proj, post_attention_layernorm
     -> gate/up, up_proj -> down_proj.
@@ -199,6 +220,12 @@ def llama_scaling_groups(params: dict, include_fc_groups: bool = True,
                 prev_path=path + ("input_layernorm",),
                 layer_paths=tuple(qkv_paths),
                 prev_plus_one=norm_plus_one,
+                # pure q/k/v groups evaluate the reference's whole
+                # -attention-module loss when the caller supplies the
+                # geometry (attn_geom_from_config); parallel-residual
+                # groups fold mlp fcs in and keep the linear loss
+                block=((attn_geom, path + ("self_attn",))
+                       if attn_geom and len(qkv_paths) == 3 else None),
             ))
             if "block_sparse_moe" in sub:
                 moe = path + ("block_sparse_moe",)

@@ -22,13 +22,18 @@ per-token, so the token-sampled feats evaluate the reference's
 block_sparse_moe module2inspect exactly — fp router + fp w2, every
 expert's w1/w3 scaled+quantized per trial.
 
-Deviations (documented): attention qkv groups keep the group's own
-linear outputs as the loss (the reference runs the whole attention
-module on (B, S)-shaped calib batches; the token-sampled calib_x feats
-carry no sequence structure to attend over) — q/k/v outputs feed
-attention linearly, so this is the same loss up to the softmax.  The
-20-point grid runs as a single `lax.map` scan instead of a Python loop
-with state_dict save/restore.
+Attention qkv groups ALSO run the reference's enclosing-module loss
+(`search_best_scale_attn`, r5): sequence-shaped calib blocks captured
+via QuantPlan.capture_seq, each trial scoring the FULL attention
+forward (rope, causal softmax, GQA, fp o_proj) — closing the last
+loss-target deviation (tools/awq_attn_ab.json: prod_over_B = 1.0 vs a
+hand-written reference-semantics search; the old group-linear loss was
+0.8-6% worse final MSE per layer).  Architectures whose attention the
+search does not model (qk-norm, partial rotary, alibi/learned
+positions, soft-caps, dual rope, MLA) keep the group-linear loss —
+shims.attn_geom_from_config gates this.  The 20-point grid runs as a
+single `lax.map` scan instead of a Python loop with state_dict
+save/restore.
 """
 
 from __future__ import annotations
@@ -146,6 +151,91 @@ def search_best_scale_glu(x, w_gate_oi, w_up_oi, w_down_oi, act: str = "silu",
         wu_q = _group_quantize_rows(wu * s[None, :], n_bits, gs,
                                     zero_point) / s[None, :]
         return jnp.mean((block(wg_q, wu_q) - fp_out) ** 2), s
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    losses, scales = jax.lax.map(loss_for, ratios)
+    best = jnp.argmin(losses)
+    return scales[best], losses
+
+
+@functools.partial(jax.jit, static_argnames=("h", "hkv", "d", "rope_theta",
+                                             "attn_scale", "n_bits",
+                                             "group_size", "zero_point",
+                                             "n_grid", "duo_scaling"))
+def search_best_scale_attn(x_seq, wq_oi, wk_oi, wv_oi, wo_oi,
+                           h: int, hkv: int, d: int,
+                           rope_theta: float, attn_scale: float,
+                           bq=None, bk=None, bv=None, bo=None,
+                           n_bits: int = 4, group_size: int = 128,
+                           zero_point: bool = True, n_grid: int = 20,
+                           duo_scaling: bool = True):
+    """Whole-attention-module AWQ scale search — the reference's
+    module2inspect loss for qkv groups (quantizer.py:605-676,678-751):
+    each trial scales+quantizes q/k/v, runs the FULL attention forward
+    (rope, causal softmax, GQA grouping, fp o_proj — the reference
+    leaves non-group layers fp during the search) on SEQUENCE-shaped
+    calib blocks, and scores MSE of the attention output.  Token
+    -sampled feats cannot attend, hence the dedicated capture
+    (QuantPlan.capture_seq -> 'calib_s').
+
+    x_seq (NB, S, C); wq/wk/wv_oi (N, C) out-in; wo_oi (C, h*d) out-in.
+    Biases optional (qwen2-class), fp and constant across trials like
+    the reference's.  Returns (best_scales (C,), losses (n_grid,))."""
+    from qdm_tpu.models.llama import rope
+
+    nb, S, C = x_seq.shape
+    xf = x_seq.astype(jnp.float32)
+    wq = wq_oi.astype(jnp.float32)
+    wk = wk_oi.astype(jnp.float32)
+    wv = wv_oi.astype(jnp.float32)
+    wo = wo_oi.astype(jnp.float32)
+    gs = group_size if group_size > 0 else C
+
+    w_cat = jnp.concatenate([wq, wk, wv], axis=0)
+    wgrp = jnp.abs(w_cat).reshape(-1, gs)
+    wgrp = wgrp / (jnp.max(wgrp, axis=1, keepdims=True) + 1e-6)
+    w_mean = wgrp.reshape(w_cat.shape).mean(axis=0)
+    x_mean = jnp.abs(xf).mean(axis=(0, 1))
+
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (nb, S))
+    mask = jnp.tril(jnp.ones((S, S), bool))
+    g = h // hkv
+
+    def module_fwd(wq_, wk_, wv_):
+        q = jnp.einsum("bsc,nc->bsn", xf, wq_)
+        k = jnp.einsum("bsc,nc->bsn", xf, wk_)
+        v = jnp.einsum("bsc,nc->bsn", xf, wv_)
+        if bq is not None:
+            q, k, v = q + bq, k + bk, v + bv
+        q = rope(q.reshape(nb, S, h, d), pos, rope_theta)
+        k = rope(k.reshape(nb, S, hkv, d), pos, rope_theta)
+        v = v.reshape(nb, S, hkv, d)
+        qg = q.reshape(nb, S, hkv, g, d)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * attn_scale
+        logits = jnp.where(mask[None, None, None], logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(nb, S,
+                                                                h * d)
+        out = jnp.einsum("bsn,cn->bsc", out, wo)
+        return out + bo if bo is not None else out
+
+    fp_out = module_fwd(wq, wk, wv)
+
+    def loss_for(ratio):
+        if duo_scaling:
+            s = jnp.clip(x_mean ** ratio / (w_mean ** (1 - ratio) + 1e-4),
+                         1e-4, None)
+        else:
+            s = jnp.clip(x_mean ** ratio, 1e-4, None)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        s = jnp.where(jnp.isfinite(s), s, 1.0)
+
+        def q_(w):
+            return _group_quantize_rows(w * s[None, :], n_bits, gs,
+                                        zero_point) / s[None, :]
+
+        out = module_fwd(q_(wq), q_(wk), q_(wv))
+        return jnp.mean((out - fp_out) ** 2), s
 
     ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
     losses, scales = jax.lax.map(loss_for, ratios)
@@ -331,6 +421,27 @@ def awq_search_and_apply(params: dict, groups: Sequence[ScalingGroup],
             s, _ = search_best_scale_moe(
                 x, W1, W3, W2, moe["gate"]["kernel"],
                 act=act, top_k=int(k), renormalize=bool(int(rn)),
+                n_bits=cfg.w_bit, group_size=gs,
+                zero_point=cfg.zero_point)
+        elif (g.block is not None and g.block[0].startswith("attn:")
+                and len(g.layer_paths) == 3
+                and (key + "::seq") in input_feats):
+            # reference enclosing-ATTENTION loss (module2inspect over
+            # the whole self_attn module on sequence-shaped calib
+            # blocks, quantizer.py:605-676): block spec
+            # "attn:<h>:<hkv>:<d>:<rope_theta>:<attn_scale>", path =
+            # the self_attn subtree (for the fp o_proj + biases)
+            _, hh, hkvv, dd, theta, scl = g.block[0].split(":")
+            at = _get_at(out, g.block[1])
+            bqs = [_get_at(out, lp).get("bias") for lp in g.layer_paths]
+            s, _ = search_best_scale_attn(
+                input_feats[key + "::seq"],
+                kernels[0].T, kernels[1].T, kernels[2].T,
+                at["o_proj"]["kernel"].T,
+                h=int(hh), hkv=int(hkvv), d=int(dd),
+                rope_theta=float(theta), attn_scale=float(scl),
+                bq=bqs[0], bk=bqs[1], bv=bqs[2],
+                bo=at["o_proj"].get("bias"),
                 n_bits=cfg.w_bit, group_size=gs,
                 zero_point=cfg.zero_point)
         else:

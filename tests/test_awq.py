@@ -190,3 +190,121 @@ def test_awq_search_and_apply_end_to_end():
     # norm absorbed 1/s, fc took s
     assert not np.allclose(np.asarray(out["norm"]["scale"]), 1.0)
     assert not np.array_equal(np.asarray(out["fc"]["kernel"]), np.asarray(w.T))
+
+
+def test_attn_module_loss_matches_reference_semantics():
+    """search_best_scale_attn (the r5 closure of the LAST loss-target
+    deviation) must pick exactly the scales of a hand-written
+    reference-semantics search: duo-scale grid, each trial quantizing
+    q/k/v as Q(w*s)/s, loss = MSE of the whole attention module's
+    output (rope, causal softmax, GQA, fp o_proj) on sequence-shaped
+    inputs — quantizer.py:605-676,678-751.  Full-scale version:
+    tools/awq_attn_ab.py (prod_over_B = 1.0 on 4 outlier-injected
+    layers)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from qdm_tpu.quant.awq import (_group_quantize_rows,
+                                   search_best_scale_attn)
+
+    h, hkv, d, C, S, nb = 2, 1, 8, 16, 24, 2
+    gs, nbits = 8, 4
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((nb, S, C)), jnp.float32)
+    x = x.at[:, :, 3].multiply(9.0)          # an outlier channel
+    wq = jnp.asarray(rng.standard_normal((h * d, C)), jnp.float32) * 0.3
+    wk = jnp.asarray(rng.standard_normal((hkv * d, C)), jnp.float32) * 0.3
+    wv = jnp.asarray(rng.standard_normal((hkv * d, C)), jnp.float32) * 0.3
+    wo = jnp.asarray(rng.standard_normal((C, h * d)), jnp.float32) * 0.3
+    theta, scale = 10000.0, d ** -0.5
+
+    def fwd(wq_, wk_, wv_):
+        q = (x @ wq_.T).reshape(nb, S, h, d)
+        k = (x @ wk_.T).reshape(nb, S, hkv, d)
+        v = (x @ wv_.T).reshape(nb, S, hkv, d)
+        inv = 1.0 / (theta ** (np.arange(0, d, 2, np.float32) / d))
+        ang = np.arange(S, dtype=np.float32)[:, None] * inv
+        cos = jnp.asarray(np.cos(ang))[None, :, None, :]
+        sin = jnp.asarray(np.sin(ang))[None, :, None, :]
+
+        def rope_(t):
+            a, b = t[..., :d // 2], t[..., d // 2:]
+            return jnp.concatenate([a * cos - b * sin,
+                                    b * cos + a * sin], -1)
+
+        q, k = rope_(q), rope_(k)
+        k = jnp.repeat(k, h // hkv, 2)
+        v = jnp.repeat(v, h // hkv, 2)
+        lg = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        lg = jnp.where(jnp.asarray(np.tril(np.ones((S, S), bool)))[None,
+                                                                   None],
+                       lg, -1e9)
+        o = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(lg, -1),
+                       v).reshape(nb, S, h * d)
+        return o @ wo.T
+
+    w_cat = jnp.concatenate([wq, wk, wv], 0)
+    wg = jnp.abs(w_cat).reshape(-1, gs)
+    w_mean = (wg / (wg.max(1, keepdims=True) + 1e-6)).reshape(
+        w_cat.shape).mean(0)
+    x_mean = jnp.abs(x).mean((0, 1))
+    fp = fwd(wq, wk, wv)
+    best, best_loss = None, np.inf
+    for i in range(20):
+        r = i / 20
+        s = jnp.clip(x_mean ** r / (w_mean ** (1 - r) + 1e-4), 1e-4, None)
+        s = s / jnp.sqrt(s.max() * s.min())
+
+        def q_(w):
+            return _group_quantize_rows(w * s[None], nbits, gs,
+                                        True) / s[None]
+
+        loss = float(jnp.mean((fwd(q_(wq), q_(wk), q_(wv)) - fp) ** 2))
+        if loss < best_loss:
+            best, best_loss = s, loss
+
+    got, _ = search_best_scale_attn(x, wq, wk, wv, wo.T, h=h, hkv=hkv,
+                                    d=d, rope_theta=theta,
+                                    attn_scale=scale, n_bits=nbits,
+                                    group_size=gs, zero_point=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(best),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_awq_quantize_uses_attn_loss_end_to_end():
+    """CausalLM.quantize('awq') wires the sequence capture + attention
+    block spec: the qkv groups carry the attn geometry, '::seq' feats
+    are captured, and the result still round-trips a forward."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qdm_tpu.api.causal_lm import CausalLM
+    from qdm_tpu.config import QuantConfig
+    from qdm_tpu.models import llama as llama_lib
+    from qdm_tpu.models.shims import (attn_geom_from_config,
+                                      llama_scaling_groups)
+
+    lm = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                              dtype=jnp.float32, seed=3)
+    geom = attn_geom_from_config(lm.config)
+    assert geom and geom.startswith("attn:4:2:16:")
+    groups = llama_scaling_groups(lm.params, attn_geom=geom)
+    qkv = [g for g in groups if g.prev_path[-1] == "input_layernorm"]
+    assert qkv and all(g.block and g.block[0] == geom for g in qkv)
+
+    cfg = QuantConfig(w_bit=4, q_group_size=32, zero_point=True)
+    _, feats = lm._calibrate(cfg, np.random.default_rng(0).integers(
+        0, 256, (2, 16)).astype(np.int32), capture_inputs=True,
+        capture_seq=2)
+    assert "layers_0/self_attn/q_proj::seq" in feats
+    assert feats["layers_0/self_attn/q_proj::seq"].ndim == 3
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 256, (2, 16)).astype(np.int32)
+    lm.quantize(quant_config={"w_bit": 4, "q_group_size": 32,
+                              "zero_point": True, "version": "fake"},
+                quantType="awq", calib_data=ids)
+    out = lm.generate(ids[:, :8], max_new_tokens=2)
+    assert np.isfinite(np.asarray(lm.logits(ids[:1, :4]))).all()
+    assert out.shape == (2, 10)
