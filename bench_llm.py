@@ -1044,7 +1044,102 @@ def stream_main():
         print(json.dumps(out), flush=True)
 
 
+def mla_main():
+    """--mla: the MLA latent-cache decode win on chip (VERDICT r4 #1
+    done-criterion).  DeepSeek-v2-lite attention geometry (h16,
+    dn128/dr64/dv128, r512 — the latent cache is r+dr = 576
+    floats/token) vs an MHA model of equal size (h16 d128: the cache
+    is 2*h*d = 4096 floats/token, 7.1x more).  Large-batch long-ctx
+    decode is cache-read-bound (BENCH_NOTES: decode rides the HBM
+    roofline), so the latent cache is exactly the axis the engine's
+    absorbed-form MLA path (serve.py::_mla_layer) exists to exploit —
+    in BANDWIDTH (tok/s at a shape both fit) and in CAPACITY (legs
+    where the MHA cache alone blows the 16 GB chip are recorded as
+    OOM; MLA serves them with room to spare).  Decode-only marginal,
+    (t(40)-t(8))/32, min-of-reps."""
+    import dataclasses as _dc
+
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    legs = ([(16, 1024), (16, 2048), (32, 1024), (32, 4096)]
+            if on_tpu else [(2, 32)])
+    prefill = 128 if on_tpu else 8
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        cfg_mla = llama_lib.LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=16,
+            num_key_value_heads=16, max_position_embeddings=16384,
+            q_lora_rank=None, kv_lora_rank=512, qk_nope_head_dim=128,
+            qk_rope_head_dim=64, v_head_dim=128)
+        cfg_mha = llama_lib.LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=16,
+            num_key_value_heads=16, head_dim_override=128,
+            max_position_embeddings=16384)
+    else:
+        cfg_mla = llama_lib.tiny_deepseek_config(
+            q_lora_rank=None, num_experts=0, n_shared_experts=0,
+            first_k_dense_replace=0)
+        cfg_mha = llama_lib.tiny_llama_config()
+    out = {"metric": "MLA latent-cache decode",
+           "cache_floats_per_token": {
+               "mla": (cfg_mla.kv_lora_rank + cfg_mla.qk_rope_head_dim),
+               "mha": 2 * cfg_mha.num_key_value_heads * cfg_mha.head_dim}}
+    for name, cfg in (("mla", cfg_mla), ("mha", cfg_mha)):
+        lm = CausalLM.from_config(cfg, dtype=dtype)
+        out[f"{name}_params_M"] = round(sum(
+            np.prod(x.shape) for x in jax.tree.leaves(lm.params)) / 1e6)
+        ids0 = np.random.default_rng(0).integers(0, cfg.vocab_size,
+                                                 (2, prefill))
+        stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids0))
+        for ename, kw in (("bf16", {"mode": "bf16"}),
+                          ("w8a8", {"mode": "w8a8_static",
+                                    "act_stats": stats})):
+            eng = DecodeEngine(lm, **kw)
+            for batch, ctx in legs:
+                tag = f"{name}_{ename}_b{batch}_ctx{ctx}"
+                ids = np.random.default_rng(0).integers(
+                    0, cfg.vocab_size, (batch, prefill))
+                try:
+                    tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
+                    jax.block_until_ready(caches[0][0])
+                    args = (eng.layers, eng.embed, eng.final_norm,
+                            eng._head)
+
+                    def t(n):
+                        run = eng._make_run(n)
+                        best = 1e9
+                        run(*args, tok0, caches, jnp.int32(ctx))
+                        for _ in range(5):
+                            t0 = time.time()
+                            float(jnp.sum(run(*args, tok0, caches,
+                                              jnp.int32(ctx))))
+                            best = min(best, time.time() - t0)
+                        return best
+
+                    dt = (t(40) - t(8)) / 32
+                    out[tag + "_decode_tok_s"] = round(batch / dt, 1)
+                    del caches
+                except Exception as e:
+                    # the MHA cache (4096 f/t) at batch-32 long ctx
+                    # exceeds the 16 GB chip — itself the capacity half
+                    # of the MLA story
+                    out[tag] = ("OOM" if "RESOURCE_EXHAUSTED" in str(e)
+                                else f"ERR: {str(e)[:60]}")
+                print(json.dumps(out), flush=True)
+            del eng
+        del lm, stats
+
+
 def main():
+    if "--b1" in sys.argv:
+        b1_main()
+        return
+    if "--mla" in sys.argv:
+        mla_main()
+        return
     if "--stream" in sys.argv:
         stream_main()
         return

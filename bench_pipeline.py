@@ -96,8 +96,14 @@ def main():
     if fam in ("sdxl", "sd35") and on_tpu:
         # 1024px: the VAE decoder's conv activations are the HBM peak
         # with the denoiser resident (batch-4 SD3.5 AND batch-2 SDXL
-        # measured OOM) — decode one sample at a time
-        pipe.enable_vae_slicing(1)
+        # measured OOM at f32 params) — decode `--vae-chunk` samples
+        # at a time (default 1; chunk 2 is the r5 lever now that
+        # pipelines hold bf16-resident params — half the sliced-decode
+        # dispatches if it fits)
+        vc = 1
+        if "--vae-chunk" in sys.argv:
+            vc = int(sys.argv[sys.argv.index("--vae-chunk") + 1])
+        pipe.enable_vae_slicing(vc)
     dt_bf = timed_generate(pipe, prompts, steps, reps)
     dt_bf_b = timed_batches(pipe, prompts, steps, max(reps, 2))
     out = {"metric": f"{label} pipeline imgs/s end-to-end (batch {batch}, "

@@ -135,22 +135,35 @@ def main():
                 capture(params, lat2, t, ctx2, pool2))["calib"])
 
         row = {"batch": batch, "px": latent * 8}
-        dt = time_sd35(make_sd35_loop(base_model, steps), params, args, reps)
-        row["bf16"] = round(batch / dt, 3)
-        print(json.dumps(row), flush=True)
-        for name, plan in plans.items():
-            p = params
-            if plan.fuse_qkv:
-                from qdm_tpu.quant.apply import fuse_qkv_params
-                p = fuse_qkv_params(params)
-            qp = fill_static_act_scales(pack_params(p, plan), stats)
-            del p
-            q_model = MMDiT(config=cfg, dtype=jnp.bfloat16, plan=plan)
-            dt_q = time_sd35(make_sd35_loop(q_model, steps), qp, args, reps)
-            row[name] = round(batch / dt_q, 3)
-            row[name + "_x"] = round(row[name] / row["bf16"], 3)
-            del qp
+        # --mask-pad: A/B the 128-pad key mask (mask_ctx_pad — restores
+        # the reference's unaligned joint-attention numerics via flash
+        # segment ids; tests pin the parity, this measures the cost)
+        masks = ((False, True) if "--mask-pad" in sys.argv else (False,))
+        import dataclasses as _dc
+        for m in masks:
+            cfg_m = _dc.replace(cfg, mask_ctx_pad=True) if m else cfg
+            tag = "_mask" if m else ""
+            model_m = (MMDiT(config=cfg_m, dtype=jnp.bfloat16)
+                       if m else base_model)
+            dt = time_sd35(make_sd35_loop(model_m, steps), params, args,
+                           reps)
+            row["bf16" + tag] = round(batch / dt, 3)
             print(json.dumps(row), flush=True)
+            for name, plan in plans.items():
+                p = params
+                if plan.fuse_qkv:
+                    from qdm_tpu.quant.apply import fuse_qkv_params
+                    p = fuse_qkv_params(params)
+                qp = fill_static_act_scales(pack_params(p, plan), stats)
+                del p
+                q_model = MMDiT(config=cfg_m, dtype=jnp.bfloat16, plan=plan)
+                dt_q = time_sd35(make_sd35_loop(q_model, steps), qp, args,
+                                 reps)
+                row[name + tag] = round(batch / dt_q, 3)
+                row[name + tag + "_x"] = round(row[name + tag]
+                                               / row["bf16" + tag], 3)
+                del qp
+                print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -511,6 +511,9 @@ class DecodeEngine:
                     "bias epilogues assume the global head layout)")
         self._partner = (_rope_consts(cfg)[4] if self.rope_in_xla
                          else None)
+        # full partner perm for the batch-1 bf16 XLA-layer variant
+        # (_layer_xla_b1), kept regardless of rope_in_xla
+        self._partner_any = _rope_consts(cfg)[4]
         # gemma3 dual rope: windowed layers rotate with the LOCAL base
         # freq at raw positions; global layers fold the linear scaling
         # factor into their freqs (exactly as the module's rope() does,
@@ -1639,6 +1642,78 @@ class DecodeEngine:
             return trig_l
         return cosv, sinv
 
+    def _xla_ok_b1(self, b: int) -> bool:
+        """True when the batch-1 bf16 XLA-layer decode variant applies
+        (see _layer_xla_b1): canonical rope/rmsnorm llama family, bf16
+        KV, single device.  At batch 1 the megakernels' 3 pallas
+        launches/layer cost more than XLA's fused graph (measured
+        0.88x module, BENCH_NOTES r3) — there is no batch to amortize
+        them, so the engine runs the same extracted weights through
+        XLA ops instead."""
+        cfg = self.cfg
+        return (b == 1 and self.mode == "bf16" and not self.spmd
+                and not self.moe and not getattr(self, "mla", False)
+                and not self.ungated and not self.all_bias
+                and not cfg.parallel_residual and not self.sandwich
+                and not self.qk_norm and not self.dual_rope
+                and self.window is None and self.kv_dtype is None
+                and not self.attn_softcap
+                and getattr(cfg, "pos_emb_type", "rope") == "rope"
+                and cfg.norm_type == "rmsnorm"
+                and self.head_quant is None)
+
+    def _layer_xla_b1(self, x, cache, w, pos, cosv, sinv):
+        """Batch-1 bf16 decode layer as pure XLA ops on the engine's
+        extracted weights (fused [q|k|v], head-major combined cache):
+        same math as the megakernels, zero pallas launches — the
+        batch-1 overhead fix (BENCH_NOTES r3: engine bf16 0.88x module
+        at B=1 from per-launch fixed cost; XLA fuses the whole layer
+        graph)."""
+        cfg = self.cfg
+        h, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        g = h // hkv
+        eps = cfg.rms_norm_eps
+        bp = x.shape[0]
+        (kv,) = cache
+        b = kv.shape[0]
+
+        xn = _xla_norm(x, w["ln1"], None, "rmsnorm", eps).astype(x.dtype)
+        qkv = xn @ w["w_qkv"]
+        if "b_qkv" in w:
+            qkv = (qkv.astype(jnp.float32) + w["b_qkv"]).astype(qkv.dtype)
+        # rope with the run body's shared trig vectors — the kernels'
+        # exact lane-roll-partner formula (y*cos + y[partner]*sin)
+        qf = qkv.astype(jnp.float32)
+        qkv = (qf * cosv + qf[:, self._partner_any] * sinv).astype(
+            qkv.dtype)
+        q = qkv[:, : h * d].reshape(bp, hkv, g, d)
+        if self._q_scale_ratio != 1.0:
+            q = (q.astype(jnp.float32) * self._q_scale_ratio).astype(
+                q.dtype)
+        kv_new = qkv[:b, h * d:].reshape(b, 2 * hkv, d)
+        kv = jax.lax.dynamic_update_slice(
+            kv, kv_new.astype(kv.dtype)[:, :, :, None], (0, 0, 0, pos))
+        kt, vt = kv[:, :hkv], kv[:, hkv:]            # (B, hkv, d, T)
+        logits = jnp.einsum("bhgd,bhdt->bhgt", q[:b], kt).astype(
+            jnp.float32) * (d ** -0.5)
+        t_ids = jnp.arange(kv.shape[-1])
+        logits = jnp.where(t_ids[None, None, None] <= pos, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhgt,bhdt->bhgd", probs, vt).reshape(b, h * d)
+        if bp > b:
+            attn = jnp.pad(attn, ((0, bp - b), (0, 0)))
+        x = (x.astype(jnp.float32)
+             + (attn @ w["w_o"]).astype(jnp.float32)).astype(x.dtype)
+        xn2 = _xla_norm(x, w["ln2"], None, "rmsnorm", eps).astype(x.dtype)
+        act = {"silu": jax.nn.silu, "relu": jax.nn.relu}.get(
+            cfg.mlp_act, jax.nn.gelu)
+        mid = (act((xn2 @ w["wg"]).astype(jnp.float32))
+               * (xn2 @ w["wu"]).astype(jnp.float32)).astype(x.dtype)
+        x = (x.astype(jnp.float32)
+             + (mid @ w["wd"]).astype(jnp.float32)).astype(x.dtype)
+        return x, (kv,)
+
     def _layer(self, x, cache, w, pos, cosv, sinv, h=None, hkv=None,
                tp_axis=None, rope_xla=None, attn_starts=None, slot=None):
         """One decoder layer.  h/hkv default to the model's head counts;
@@ -2173,6 +2248,7 @@ class DecodeEngine:
                 key=None):
             b = tok0.shape[0]
             bp = max(_round_up(b, 8), 8)
+            use_xla = self._xla_ok_b1(b)
 
             def body(carry, i):
                 tok, caches = carry
@@ -2196,8 +2272,14 @@ class DecodeEngine:
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
                             if self.window else None)
                     cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
-                    x, cache = self._layer(x, caches[l], w, pos, cv, sv,
-                                           slot=slot)
+                    if use_xla:
+                        # batch-1 bf16: pure-XLA layer (no pallas
+                        # launches to amortize — _layer_xla_b1)
+                        x, cache = self._layer_xla_b1(x, caches[l], w,
+                                                      pos, cv, sv)
+                    else:
+                        x, cache = self._layer(x, caches[l], w, pos,
+                                               cv, sv, slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:
@@ -2250,6 +2332,8 @@ class DecodeEngine:
                 i, _, done, _, _ = st
                 return (i < n_tokens) & ~jnp.all(done)
 
+            use_xla = self._xla_ok_b1(tok0.shape[0])
+
             def body(st):
                 i, tok, done, caches, buf = st
                 pos = start_pos + i
@@ -2267,8 +2351,12 @@ class DecodeEngine:
                     slot = (jnp.mod(pos, caches[l][0].shape[-1])
                             if self.window else None)
                     cv, sv = self._pick_trig(l, cosv, sinv, trig_l)
-                    x, cache = self._layer(x, caches[l], w, pos, cv, sv,
-                                           slot=slot)
+                    if use_xla:
+                        x, cache = self._layer_xla_b1(x, caches[l], w,
+                                                      pos, cv, sv)
+                    else:
+                        x, cache = self._layer(x, caches[l], w, pos,
+                                               cv, sv, slot=slot)
                     new_caches.append(cache)
                 logits = self._head_logits(x, w_head, final_norm)
                 if pick is None:

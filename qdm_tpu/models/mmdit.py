@@ -38,6 +38,18 @@ class MMDiTConfig:
     attention_head_dim: int = 64
     num_attention_heads: int = 24
     joint_attention_dim: int = 4096  # T5 / padded-CLIP context width
+    # mask the 128-pad ctx tokens out of every real token's softmax
+    # (key-side segment mask): restores the reference's UNALIGNED
+    # 333+4096 joint-attention numerics exactly while the pad keeps
+    # XLA/Pallas on the fused aligned schedule.  Off by default until
+    # the chip cost is measured (bench_sd35.py --mask-pad A/B).
+    mask_ctx_pad: bool = False
+    # joint-sequence alignment target (128 = the TPU lane/fusion
+    # requirement).  1 disables padding entirely — the reference's
+    # unaligned run, usable off-TPU (tests build the ground truth for
+    # mask_ctx_pad with it; on TPU an unaligned joint seq materializes
+    # the f32 logits and OOMs, BENCH_NOTES).
+    pad_align: int = 128
     caption_projection_dim: int = 1536
     pooled_projection_dim: int = 2048
     pos_embed_max_size: int = 192
@@ -88,7 +100,7 @@ class JointAttention(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x, ctx):
+    def __call__(self, x, ctx, ctx_pad: int = 0):
         cfg = self.config
         h, d = cfg.num_attention_heads, cfg.attention_head_dim
         inner = h * d
@@ -123,7 +135,15 @@ class JointAttention(nn.Module):
         q = jnp.concatenate([qc, qx], axis=1)
         k = jnp.concatenate([kc, kx], axis=1)
         v = jnp.concatenate([vc, vx], axis=1)
-        out = dot_product_attention(q, k, v).reshape(b, sc + sx, inner)
+        key_keep = None
+        if ctx_pad:
+            # joint layout is [ctx | image]; the pad rows are the ctx
+            # tail — drop them from every softmax (reference-exact;
+            # ops/attention.py runs flash via segment ids)
+            key_keep = jnp.ones((sc + sx,), bool).at[
+                sc - ctx_pad:sc].set(False)
+        out = dot_product_attention(q, k, v, key_keep=key_keep).reshape(
+            b, sc + sx, inner)
         out_ctx, out_x = out[:, :sc], out[:, sc:]
         out_x = QDense(cfg.hidden_size, dtype=self.dtype, plan=self.plan,
                        name="to_out_0")(out_x)
@@ -154,7 +174,7 @@ class JointTransformerBlock(nn.Module):
     plan: QuantPlan = NO_PLAN
 
     @nn.compact
-    def __call__(self, x, ctx, temb):
+    def __call__(self, x, ctx, temb, ctx_pad: int = 0):
         cfg = self.config
         dim = cfg.hidden_size
         hx, (gate_attn_x, shift2_x, scale2_x, gate_mlp_x) = AdaLayerNormZero(
@@ -176,7 +196,8 @@ class JointTransformerBlock(nn.Module):
 
         attn_x, attn_c = JointAttention(cfg, self.context_pre_only,
                                         dtype=self.dtype, plan=self.plan,
-                                        name="attn")(hx, hc)
+                                        name="attn")(hx, hc,
+                                                     ctx_pad=ctx_pad)
         x = x + gate_attn_x * attn_x
         h2 = LayerNorm(use_scale=False, use_bias=False, dtype=self.dtype,
                        name="norm2")(x)
@@ -225,7 +246,7 @@ class MMDiT(nn.Module):
         # (prompt embeds are zero-padded to max_sequence_length and the
         # transformer runs with no attention mask).
         n_img = (hh // p) * (ww // p)
-        pad = (-(n_img + encoder_hidden_states.shape[1])) % 128
+        pad = (-(n_img + encoder_hidden_states.shape[1])) % cfg.pad_align
         if pad:
             encoder_hidden_states = jnp.pad(
                 encoder_hidden_states, ((0, 0), (0, pad), (0, 0)))
@@ -265,7 +286,9 @@ class MMDiT(nn.Module):
             last = i == cfg.num_layers - 1
             x, ctx = JointTransformerBlock(
                 cfg, context_pre_only=last, dtype=self.dtype, plan=self.plan,
-                name=f"transformer_blocks_{i}")(x, ctx, temb)
+                name=f"transformer_blocks_{i}")(
+                x, ctx, temb,
+                ctx_pad=pad if cfg.mask_ctx_pad else 0)
 
         # --- AdaLN final + unpatchify
         mod = QDense(dim * 2, dtype=self.dtype, plan=self.plan,

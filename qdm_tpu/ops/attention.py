@@ -39,9 +39,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale):
-    # q: (B, Sq, H, D), k/v: (B, Skv, H, D)
+def _xla_attention(q, k, v, scale, key_keep=None):
+    # q: (B, Sq, H, D), k/v: (B, Skv, H, D); key_keep (Skv,) bool masks
+    # dropped keys out of every query's softmax
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_keep is not None:
+        logits = jnp.where(key_keep[None, None, None], logits, -1e9)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -77,9 +80,9 @@ def _int8_attention(q, k, v, scale):
             * vs).astype(q.dtype)
 
 
-def _flash(q, k, v, scale, block: int):
+def _flash(q, k, v, scale, block: int, key_keep=None):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, flash_attention)
+        BlockSizes, SegmentIds, flash_attention)
 
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     b = block
@@ -88,7 +91,18 @@ def _flash(q, k, v, scale, block: int):
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
         block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
     )
-    out = flash_attention(qt, kt, vt, sm_scale=scale, block_sizes=block_sizes)
+    segment_ids = None
+    if key_keep is not None:
+        # kept keys in segment 0, dropped (pad) keys in segment 1:
+        # real queries attend exactly the kept keys (reference-exact
+        # softmax), pad queries attend only each other (row-local
+        # garbage the caller's downstream never reads) — the kernel
+        # keeps its fused schedule
+        seg = jnp.where(jnp.asarray(key_keep, bool), 0, 1).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg[None], (q.shape[0], q.shape[1]))
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    out = flash_attention(qt, kt, vt, segment_ids=segment_ids,
+                          sm_scale=scale, block_sizes=block_sizes)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -99,18 +113,24 @@ _LONG_SEQ_ROWS_XLA = 32768
 
 @functools.partial(jax.named_call, name="attention")
 def dot_product_attention(q, k, v, scale: float | None = None,
-                          quantized: bool = False):
+                          quantized: bool = False, key_keep=None):
     """Multi-head attention; q (B, Sq, H, D), k/v (B, Skv, H, D).
 
     quantized=True runs both BMMs on the int8 MXU (self-attention at
     large batch x seq on TPU only; the 77-token cross-attention stays
-    bf16 — it is cheap and its v ranges are context-dependent)."""
+    bf16 — it is cheap and its v ranges are context-dependent).
+
+    key_keep (Skv,) bool: drop the False keys from every query's
+    softmax (the MMDiT 128-pad mask, models/mmdit.py).  Flash paths
+    keep their fused schedule via segment ids (pad keys in their own
+    segment); the int8 flash kernel carries no segment plumbing, so a
+    masked quantized call runs the masked bf16 XLA path instead."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     b_sz, s = q.shape[0], q.shape[1]
     uniform = (jax.default_backend() == "tpu" and s == k.shape[1]
                and s % 128 == 0)
-    if uniform and s >= 256 and quantized:
+    if uniform and s >= 256 and quantized and key_keep is None:
         # attention-input quantization requested (reference's
         # quantize_bmm_input): the fused int8 flash kernel is the
         # fastest int8 implementation at every shape (bench_attn_int8)
@@ -121,14 +141,14 @@ def dot_product_attention(q, k, v, scale: float | None = None,
     if uniform and 256 <= s <= 1024:
         # whole sequence in one VMEM-resident block: 2x over multi-block
         # flash and XLA at batch-8 CFG (bench_attn.py)
-        return _flash(q, k, v, scale, block=s)
+        return _flash(q, k, v, scale, block=s, key_keep=key_keep)
     if uniform and s >= 2048:
         if b_sz * s >= _LONG_SEQ_ROWS_XLA and s % 512 == 0:
             # big-batch long-seq: bf16 XLA softmax beats multi-block
             # flash (7.0 vs 9.9 ms at B=16 S=4096).  Only when s is
             # 512-aligned — on unaligned seqs XLA's fused attention
             # schedule can bail and materialize the f32 logits.
-            return _xla_attention(q, k, v, scale)
+            return _xla_attention(q, k, v, scale, key_keep=key_keep)
         # multi-block flash (wins at small batch: 1.22 ms vs 2.95 XLA
         # at B=2 S=4096); the kernel needs block | seq.  512 is the
         # measured sweet spot (bench_attn.py); for seqs it doesn't
@@ -136,5 +156,5 @@ def dot_product_attention(q, k, v, scale: float | None = None,
         # to the largest dividing 128-multiple (640 there).
         block = next(bb for bb in (512, 1024, 896, 768, 640, 384, 256, 128)
                      if bb <= s and s % bb == 0)
-        return _flash(q, k, v, scale, block=block)
-    return _xla_attention(q, k, v, scale)
+        return _flash(q, k, v, scale, block=block, key_keep=key_keep)
+    return _xla_attention(q, k, v, scale, key_keep=key_keep)

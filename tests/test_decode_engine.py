@@ -1876,3 +1876,34 @@ def test_fused_prefill_matches_dynamic_module_path(lm):
         DecodeEngine(g2, mode="w8a8_static",
                      act_stats=DecodeEngine.calibrate_scales(g2, ids[:, :16]),
                      prefill_quant="fused")
+
+
+def test_engine_bf16_batch1_xla_variant_matches_module():
+    """Batch-1 bf16 decode routes through the pure-XLA layer variant
+    (_layer_xla_b1 — the r5 fix for the measured 0.88x per-launch
+    overhead at B=1); greedy tokens must equal CausalLM.generate, and
+    the variant must actually engage (and not at batch 2)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qdm_tpu.api.causal_lm import CausalLM
+    from qdm_tpu.api.serve import DecodeEngine
+    from qdm_tpu.models import llama as llama_lib
+
+    lm = CausalLM.from_config(llama_lib.tiny_llama_config(),
+                              dtype=jnp.float32, seed=61)
+    eng = DecodeEngine(lm, mode="bf16")
+    assert eng._xla_ok_b1(1) and not eng._xla_ok_b1(2)
+    rng = np.random.default_rng(3)
+    for b in (1, 2):
+        ids = rng.integers(0, 256, (b, 6))
+        want = np.asarray(lm.generate(ids, max_new_tokens=6))
+        got = np.asarray(eng.generate(ids, max_new_tokens=6))
+        np.testing.assert_array_equal(got[:, 6:], want[:, 6:])
+    # stop_early path takes the same variant
+    g = np.asarray(eng.generate(rng.integers(0, 256, (1, 6)),
+                                max_new_tokens=6))
+    eos = int(g[0, 6])
+    e = np.asarray(eng.generate(g[:, :6], max_new_tokens=6,
+                                eos_token_id=eos, stop_early=True))
+    assert (e[0, 6] == eos)
