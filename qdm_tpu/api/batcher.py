@@ -49,7 +49,8 @@ class ContinuousBatcher:
     between chunks."""
 
     def __init__(self, engine, max_batch: int = 4, chunk: int = 8,
-                 capacity: int = 1024, admit_chunk: int = 0):
+                 capacity: int = 1024, admit_chunk: int = 0,
+                 admit_batch: int = 0, admit_min_free: int = 1):
         if engine.spmd:
             raise NotImplementedError("continuous batching is single-device")
         self.eng = engine
@@ -63,6 +64,17 @@ class ContinuousBatcher:
         # chunks is the measured max_stall_s source).  0 = admit in
         # one shot (lowest total admission cost, biggest stall).
         self.admit_chunk = int(admit_chunk)
+        # admit_batch > 0 caps the admission mini-prefill at that many
+        # ROWS (one fixed jit shape, like the full-width one): the
+        # fixed (max_batch, width) mini-prefill does max_batch rows of
+        # work however few rows are admitted — on variable-budget
+        # streams (rows retiring 1-2 at a time) that made admission
+        # work dominate the stream (r5 --stream spread leg).
+        # admit_min_free defers admission until that many rows are
+        # free (or no bigger wave can ever form), so small waves
+        # coalesce; TTFT trades against throughput.
+        self.admit_batch = int(admit_batch)
+        self.admit_min_free = max(1, int(admit_min_free))
         self.last_stats = None       # per-request latency metrics (run())
 
     def run(self, prompts: Sequence[np.ndarray], max_new_tokens=32,
@@ -131,6 +143,8 @@ class ContinuousBatcher:
                     for s in per_request_seeds] if sampler else None
         queue = list(range(len(prompts)))
         n_rows = min(self.max_batch, len(prompts))
+        m_adm = min(self.admit_batch, n_rows) if self.admit_batch \
+            else n_rows
 
         # ---- initial fill.  Without a prefix: one ragged prefill over
         # the first batch (capacity-length caches), padded to the
@@ -222,28 +236,39 @@ class ContinuousBatcher:
         def take_admissible():
             free = [r for r in range(n_rows) if not active[r]]
             take = []
-            while queue and len(take) < len(free) \
+            while queue and len(take) < min(len(free), m_adm) \
                     and p0 + len(prompts[queue[0]]) <= p:
                 take.append(queue.pop(0))   # arrival order; a too-long
                 # head prompt blocks until p grows (no reordering)
             return free, take
+
+        def defer(free, take):
+            """Coalesce small admission waves (admit_min_free): put
+            the taken requests back and wait for more rows to retire —
+            unless no bigger wave can ever form (queue exhausted or
+            nothing left decoding)."""
+            if (len(take) and len(take) < self.admit_min_free
+                    and len(take) < m_adm and queue and any(active)):
+                queue[:0] = take
+                return True
+            return False
 
         def start_admission():
             """Begin a chunked admission job over all currently
             admissible requests (interleaved mode): the mini-prefill
             advances one admit_chunk slice per decode chunk."""
             free, take = take_admissible()
-            if not take:
+            if not take or defer(free, take):
                 return
-            rows_ = free[: len(take)] + [-1] * (n_rows - len(take))
+            rows_ = free[: len(take)] + [-1] * (m_adm - len(take))
             lens_ = np.asarray(
                 [len(prompts[i]) for i in take]
-                + [1] * (n_rows - len(take)), np.int32)
-            ids = np.zeros((n_rows, s_adm), np.int32)
+                + [1] * (m_adm - len(take)), np.int32)
+            ids = np.zeros((m_adm, s_adm), np.int32)
             for j, i in enumerate(take):
                 ids[j, s_adm - len(prompts[i]):] = prompts[i]
             cfg = eng.cfg
-            mini = [(jnp.zeros((n_rows, 2 * cfg.num_key_value_heads,
+            mini = [(jnp.zeros((m_adm, 2 * cfg.num_key_value_heads,
                                 cfg.head_dim, p0 + s_adm), eng.dtype),)
                     for _ in range(cfg.num_hidden_layers)]
             job.update(rows=rows_, take=take, ids=ids,
@@ -272,7 +297,7 @@ class ContinuousBatcher:
 
                 keys_ = jnp.asarray(np.stack(
                     [req_keys[i] for i in job["take"]]
-                    + [dummy_key] * (n_rows - len(job["take"]))))
+                    + [dummy_key] * (m_adm - len(job["take"]))))
                 toks = eng._pick0(sampler)(logits,
                                            fold_key(keys_, 2 ** 32 - 1))
             else:
@@ -301,13 +326,13 @@ class ContinuousBatcher:
                     start_admission()
                 return
             free, take = take_admissible()
-            if not take:
+            if not take or defer(free, take):
                 return
-            rows_ = free[: len(take)] + [-1] * (n_rows - len(take))
+            rows_ = free[: len(take)] + [-1] * (m_adm - len(take))
             pr_ = [prompts[i] for i in take] \
-                + [dummy] * (n_rows - len(take))
+                + [dummy] * (m_adm - len(take))
             keys_ = ([req_keys[i] for i in take]
-                     + [dummy_key] * (n_rows - len(take))) \
+                     + [dummy_key] * (m_adm - len(take))) \
                 if sampler else None
             toks, caches, sts, lns = eng.admit_rows(
                 caches, rows_, pr_, p, sampler=sampler, keys=keys_,

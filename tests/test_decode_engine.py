@@ -1907,3 +1907,28 @@ def test_engine_bf16_batch1_xla_variant_matches_module():
     e = np.asarray(eng.generate(g[:, :6], max_new_tokens=6,
                                 eos_token_id=eos, stop_early=True))
     assert (e[0, 6] == eos)
+
+
+def test_continuous_batching_admit_batch_and_deferral(lm):
+    """admit_batch caps the admission mini-prefill at a fixed small
+    row count and admit_min_free coalesces waves (the r5 fix for
+    variable-budget streams where full-width admissions dominated) —
+    per-request outputs must stay bit-equal to single-prompt
+    generates, with variable budgets forcing mid-stream waves."""
+    from qdm_tpu.api.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(0, 256, (n,)).astype(np.int32)
+               for n in (3, 7, 5, 9, 4, 6, 8, 5, 7)]
+    budgets = [4, 9, 3, 7, 5, 8, 4, 6, 5]
+    eng = DecodeEngine(lm, mode="bf16")
+    for kw in (dict(admit_batch=2, admit_min_free=2),
+               dict(admit_batch=1),
+               dict(admit_batch=2, admit_min_free=2, admit_chunk=4)):
+        cb = ContinuousBatcher(eng, max_batch=3, chunk=4, capacity=256,
+                               **kw)
+        outs = cb.run(prompts, max_new_tokens=budgets)
+        for i, prm in enumerate(prompts):
+            single = eng.generate(prm[None], max_new_tokens=budgets[i])[0]
+            np.testing.assert_array_equal(outs[i], single,
+                                          err_msg=f"req {i} {kw}")

@@ -6,6 +6,8 @@ cd /root/repo
 set -x
 python -u bench_llm.py --mla > /tmp/q5b_mla.log 2>&1
 echo MLA2_DONE
+python -u bench_llm.py --stream > /tmp/q5b_stream.log 2>&1
+echo STREAM2_DONE
 python -u bench_llm.py --b1 > /tmp/q5b_b1.log 2>&1
 echo B1_DONE
 python -u bench_sd35.py 4 --mask-pad > /tmp/q5b_maskpad.log 2>&1
