@@ -987,13 +987,23 @@ def stream_main():
     prompts = [rng.integers(0, cfg.vocab_size, (int(n),)).astype(np.int32)
                for n in rng.integers(plen[0], plen[1], n_req)]
     lm = CausalLM.from_config(cfg, dtype=dtype)
-    eng = lm.serve(mode="w8a8_static",
+    # prefill_quant=True: the static-int8 prefill path serves the
+    # initial ragged prefill AND every admission mini-prefill (all
+    # prefill flavors run the engine's snapshot model) — 0.454 vs
+    # 0.58 s at (32, 1024), BENCH_NOTES r4
+    eng = lm.serve(mode="w8a8_static", prefill_quant=True,
                    calib_ids=np.asarray(prompts[0])[None]) if on_tpu \
         else DecodeEngine(lm, mode="bf16")
+    longtail = ([64] * (n_req - n_req // 5) + [512] * (n_req // 5)) \
+        if on_tpu else [2] * (n_req - 1) + [6]
+    rng.shuffle(longtail)
     mixes = {
         "uniform128": [128 if on_tpu else 4] * n_req,
         "spread": [int(b) for b in rng.integers(
             *((32, 225) if on_tpu else (2, 7)), n_req)],
+        # 20% of requests decode 8x longer: static batches decode every
+        # row to the batch max — the regime continuous batching wins
+        "longtail": [int(b) for b in longtail],
     }
     out = {"metric": "LLM request-stream serving (interleaved "
                      "prefill/decode)",
@@ -1021,6 +1031,8 @@ def stream_main():
                                                         (4, 2, 2)]
         if mix == "spread" and on_tpu:
             legs += [(0, 8, 4), (128, 8, 4)]
+        if mix == "longtail" and on_tpu:
+            legs = [(0, 0, 1), (0, 8, 4)]
         for ac, ab, mf in legs:
             cb = ContinuousBatcher(eng, max_batch=rows, chunk=chunk,
                                    capacity=cap, admit_chunk=ac,
@@ -1036,17 +1048,23 @@ def stream_main():
             out[f"{tag}_p95_ttft_s"] = round(st["p95_ttft"], 3)
             out[f"{tag}_p95_stall_s"] = round(st["p95_stall_s"], 3)
             print(json.dumps(out), flush=True)
-            if ac and mix == "spread":
-                # exactness spot-check: a sample of requests re-served
-                # single-prompt must match token-for-token
-                exact = 0
+            if (ac or ab) and mix == "spread":
+                # agreement spot-check vs single-prompt serving.  The
+                # BIT-exactness contract is pinned on the f32 CPU suite
+                # (test_continuous_batching_*); on-chip bf16 shows the
+                # documented program-shape argmax sensitivity (prefill
+                # widths differ between the stream and a single-prompt
+                # run), so report the token-agreement fraction
+                agree, tot = 0, 0
                 sample = [0, n_req // 3, 2 * n_req // 3, n_req - 1]
                 for i in sample:
-                    solo = eng.generate_ragged([prompts[i]],
-                                               max_new_tokens=budgets[i])
-                    exact += int(np.array_equal(
-                        np.asarray(solo[0]), np.asarray(outs[i])))
-                out[f"exact_rows_{tag}"] = f"{exact}/{len(sample)}"
+                    solo = np.asarray(eng.generate_ragged(
+                        [prompts[i]], max_new_tokens=budgets[i])[0])
+                    got = np.asarray(outs[i])
+                    nn = min(len(solo), len(got))
+                    agree += int((solo[:nn] == got[:nn]).sum())
+                    tot += nn
+                out[f"agree_{tag}"] = round(agree / tot, 4)
         # static baseline per mix: fixed batches in arrival order,
         # each decoded to its longest budget.  WARM every jit shape
         # the timed loop hits first (the decode scan is per-length;
@@ -1091,7 +1109,7 @@ def mla_main():
     from qdm_tpu.api.serve import DecodeEngine
 
     on_tpu = jax.default_backend() == "tpu"
-    legs = ([(16, 1024), (16, 2048), (32, 1024), (32, 4096)]
+    legs = ([(16, 512), (16, 1024), (16, 2048), (32, 1024), (32, 4096)]
             if on_tpu else [(2, 32)])
     prefill = 128 if on_tpu else 8
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -1116,7 +1134,10 @@ def mla_main():
            "cache_floats_per_token": {
                "mla": (cfg_mla.kv_lora_rank + cfg_mla.qk_rope_head_dim),
                "mha": 2 * cfg_mha.num_key_value_heads * cfg_mha.head_dim}}
-    for name, cfg in (("mla", cfg_mla), ("mha", cfg_mha)):
+    # MHA first: its caches are the big ones — run them against a
+    # clean HBM (the first ordering left the MLA model's arrays/jit
+    # constants resident and every MHA leg read OOM)
+    for name, cfg in (("mha", cfg_mha), ("mla", cfg_mla)):
         lm = CausalLM.from_config(cfg, dtype=dtype)
         out[f"{name}_params_M"] = round(sum(
             np.prod(x.shape) for x in jax.tree.leaves(lm.params)) / 1e6)
@@ -1159,7 +1180,12 @@ def mla_main():
                                 else f"ERR: {str(e)[:60]}")
                 print(json.dumps(out), flush=True)
             del eng
+            jax.clear_caches()
         del lm, stats
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
 
 
 def main():

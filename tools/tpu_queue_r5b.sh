@@ -16,4 +16,8 @@ python -u bench_pipeline.py --family sd35 --vae-chunk 2 > /tmp/q5b_sd35c2.log 2>
 echo SD35_C2_DONE
 python -u bench_pipeline.py --family sd35 > /tmp/q5b_sd35c1.log 2>&1
 echo SD35_C1_DONE
+python -u bench_llm.py --mla > /tmp/q5b_mla2.log 2>&1
+echo MLA3_DONE
+python -u bench_llm.py --stream > /tmp/q5b_stream2.log 2>&1
+echo STREAM3_DONE
 echo QUEUE_5B_DONE
