@@ -1188,6 +1188,74 @@ def mla_main():
         jax.clear_caches()
 
 
+def b1_main():
+    """--b1: the batch-1 decode ladder (VERDICT r4 weak #4).  Engine
+    bf16 at B=1 measured 0.88x the module path in r3 (3 pallas
+    launches/layer with no batch to amortize them); r5 routes batch-1
+    bf16 through the pure-XLA layer variant (_layer_xla_b1) on the
+    engine's extracted fused weights.  Rows: module bf16, engine bf16
+    (XLA variant), engine w8a8/w4a8 for the ladder context.
+    Decode-only marginal, (t(40)-t(8))/32."""
+    from qdm_tpu.api.serve import DecodeEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = BENCH_1B if on_tpu else llama_lib.tiny_llama_config()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    ctx = 1024 if on_tpu else 32
+    prefill = 128 if on_tpu else 8
+    lm = CausalLM.from_config(cfg, dtype=dtype)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, prefill))
+    out = {"metric": f"batch-1 decode tok/s (ctx {ctx})"}
+
+    # module path baseline: jitted prefill+scan loop
+    run_mod = decode_loop(lm.model, lm.params, jnp.asarray(ids), 40,
+                          ctx + 41)
+    run_mod8 = decode_loop(lm.model, lm.params, jnp.asarray(ids), 8,
+                           ctx + 41)
+    for _ in range(2):
+        float(jnp.sum(run_mod(lm.params, jnp.asarray(ids))))
+        float(jnp.sum(run_mod8(lm.params, jnp.asarray(ids))))
+    best40 = best8 = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(run_mod(lm.params, jnp.asarray(ids))))
+        best40 = min(best40, time.time() - t0)
+        t0 = time.time()
+        float(jnp.sum(run_mod8(lm.params, jnp.asarray(ids))))
+        best8 = min(best8, time.time() - t0)
+    out["module_bf16_tok_s"] = round(32 / (best40 - best8), 1)
+    print(json.dumps(out), flush=True)
+
+    stats = DecodeEngine.calibrate_scales(lm, np.asarray(ids))
+    rows = [("engine_bf16_xla_b1", {"mode": "bf16"}),
+            ("engine_w8a8", {"mode": "w8a8_static", "act_stats": stats}),
+            ("engine_w4a8", {"mode": "w4a8_static", "act_stats": stats})]
+    for name, kw in rows:
+        eng = DecodeEngine(lm, **kw)
+        tok0, caches = eng.prefill(np.asarray(ids), ctx + 41)
+        jax.block_until_ready(caches[0][0])
+        args = (eng.layers, eng.embed, eng.final_norm, eng._head)
+
+        def t(n):
+            run = eng._make_run(n)
+            best = 1e9
+            run(*args, tok0, caches, jnp.int32(ctx))
+            for _ in range(5):
+                t0 = time.time()
+                float(jnp.sum(run(*args, tok0, caches, jnp.int32(ctx))))
+                best = min(best, time.time() - t0)
+            return best
+
+        dt = (t(40) - t(8)) / 32
+        out[f"{name}_tok_s"] = round(1 / dt, 1)
+        print(json.dumps(out), flush=True)
+        del eng, caches
+    if "engine_bf16_xla_b1_tok_s" in out:
+        out["engine_bf16_vs_module"] = round(
+            out["engine_bf16_xla_b1_tok_s"] / out["module_bf16_tok_s"], 3)
+        print(json.dumps(out), flush=True)
+
+
 def main():
     if "--b1" in sys.argv:
         b1_main()

@@ -20,4 +20,6 @@ python -u bench_llm.py --mla > /tmp/q5b_mla2.log 2>&1
 echo MLA3_DONE
 python -u bench_llm.py --stream > /tmp/q5b_stream2.log 2>&1
 echo STREAM3_DONE
+python -u bench_llm.py --b1 > /tmp/q5b_b1b.log 2>&1
+echo B1B_DONE
 echo QUEUE_5B_DONE
