@@ -1091,6 +1091,15 @@ class DecodeEngine:
         # module rope() formula at d=dr (models/mla.py::mla_rope)
         self._mla_freqs = 1.0 / (
             cfg.rope_theta ** (jnp.arange(0, dr, 2, jnp.float32) / dr))
+        # engine latent-cache layout: the absorbed attention IS one MQA
+        # head of width r+dr, so it runs through the SAME combined
+        # [K|V] depth-major decode kernels as every other family —
+        # kv (B, 2, dpad, T), dpad = round_up(r+dr, 128):
+        # K row = [c_kv | roped k_pe | 0], V row = [c_kv | 0 | 0].
+        # 2*dpad (1280 for deepseek geometry) floats/token — 3.2x under
+        # the equal-size MHA 4096 (the un-duplicated 576-wide module
+        # cache remains the capacity floor on the module path).
+        self._mla_dpad = _round_up(cfg.kv_lora_rank + dr, 128)
 
         p = lm.params
         if _params_packed(p):
@@ -1277,23 +1286,33 @@ class DecodeEngine:
         c_kv = _xla_norm(lat[..., :r], w["kvn"], None, "rmsnorm",
                          eps).astype(dt)
         k_pe = rot(lat[..., r:])
-        rows = jnp.concatenate([c_kv, k_pe], axis=-1)[:b] \
-            .astype(C.dtype)                                   # (b, W)
-        C = jax.lax.dynamic_update_slice(C, rows[:, None], (0, pos, 0))
+        dpad = self._mla_dpad
+        krow = jnp.concatenate(
+            [c_kv, k_pe, jnp.zeros((bp, dpad - r - dr), dt)], axis=-1)[:b]
+        vrow = jnp.concatenate(
+            [c_kv, jnp.zeros((bp, dpad - r), dt)], axis=-1)[:b]
+        new = jnp.stack([krow, vrow], axis=1).astype(C.dtype)  # (b,2,dpad)
+        C = jax.lax.dynamic_update_slice(C, new[:, :, :, None],
+                                         (0, 0, 0, pos))
 
-        # absorbed attention on the real rows: one MQA head of width
-        # r + dr (W_UK^T q_nope rides the r part, q_pe the dr part)
-        Cf = C.astype(jnp.float32)
-        q_abs = jnp.einsum("bhd,rhd->bhr", q_nope[:b].astype(jnp.float32),
+        # absorbed attention as ONE MQA head through the combined-cache
+        # decode kernel (hkv=1, g=h, d=dpad — see _init_mla; the XLA
+        # einsum form measured ~4x off the roofline from the (B,h,T)
+        # f32 logits round trips).  Pad lanes are zero in q AND K, so
+        # they add nothing to any logit; the V pad/rope lanes produce
+        # zeros the [..., :r] slice drops.  sm_scale carries the MLA
+        # 1/sqrt(dn+dr) in place of the kernel's 1/sqrt(dpad).
+        q_abs = jnp.einsum("bhd,rhd->bhr", q_nope.astype(jnp.float32),
                            w["w_uk"].astype(jnp.float32))
-        logits = (jnp.einsum("bhr,btr->bht", q_abs, Cf[..., :r])
-                  + jnp.einsum("bhp,btp->bht",
-                               q_pe[:b].astype(jnp.float32), Cf[..., r:])
-                  ) * cfg.attn_scale
-        t_ids = jnp.arange(C.shape[1])
-        logits = jnp.where(t_ids[None, None] <= pos, logits, -1e9)
-        probs = jax.nn.softmax(logits, axis=-1)                # (b, h, T)
-        o_lat = jnp.einsum("bht,btr->bhr", probs, Cf[..., :r])
+        q_eff = jnp.concatenate(
+            [q_abs.astype(dt), q_pe,
+             jnp.zeros((bp, h, dpad - r - dr), dt)],
+            axis=-1)[:b, None]                                 # (b,1,h,dpad)
+        bb = self.block_b if b % self.block_b == 0 else 1
+        attn = dk.decode_attention_kv(q_eff, C, pos,
+                                      sm_scale=float(cfg.attn_scale),
+                                      block_b=bb)              # (b,1,h,dpad)
+        o_lat = attn[:, 0, :, :r].astype(jnp.float32)
         out = jnp.einsum("bhr,rhv->bhv", o_lat,
                          w["w_uv"].astype(jnp.float32)) \
             .reshape(b, h * dv).astype(dt)
@@ -2534,8 +2553,8 @@ class DecodeEngine:
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         if getattr(self, "mla", False):
-            width = cfg.kv_lora_rank + cfg.qk_rope_head_dim
-            return [(jnp.zeros((batch, tp, width), self.dtype),)
+            return [(jnp.zeros((batch, 2, self._mla_dpad, tp),
+                               self.dtype),)
                     for _ in range(cfg.num_hidden_layers)]
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
         if self.kv_dtype == "int4":
@@ -2576,10 +2595,20 @@ class DecodeEngine:
         layers re-lay/pad to the window; global layers (gemma2/3
         alternation) pad by `pad` to the full serving length."""
         if getattr(self, "mla", False):
-            # latent caches (B, T, r + dr): pad the T axis to the
-            # serving length; no quantization / head perms apply
-            return [(jnp.pad(C, ((0, 0), (0, pad), (0, 0))),)
-                    for (C,) in caches]
+            # module latent caches (B, S, r+dr) -> the engine's
+            # combined MQA layout (B, 2, dpad, T): K row = [c|kpe|0],
+            # V row = [c|0|0] (_init_mla), T padded to the serving
+            # length — one cheap transpose at prefill time
+            r = self.cfg.kv_lora_rank
+            dpad = self._mla_dpad
+            out = []
+            for (C,) in caches:
+                ct = C.transpose(0, 2, 1)          # (B, W, S)
+                wdt = ct.shape[1]
+                k = jnp.pad(ct, ((0, 0), (0, dpad - wdt), (0, pad)))
+                v = jnp.pad(ct[:, :r], ((0, 0), (0, dpad - r), (0, pad)))
+                out.append((jnp.stack([k, v], axis=1),))
+            return out
         if roll_s is not None:
             roll = True
         gather = None

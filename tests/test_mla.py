@@ -453,3 +453,32 @@ def test_serve_smooth_and_awq_mla():
     eng2 = lm2.serve(ids, mode="w8a8_static", awq=True)
     c = np.asarray(eng2.generate(ids[:, :6], max_new_tokens=3))
     assert c.shape == (2, 9)
+
+
+def test_mla_combined_layout_kernel_parity():
+    """The engine's MLA attention rides the combined-cache decode
+    kernels as one MQA head (hkv=1, d=dpad=640, zero pad lanes —
+    serve.py::_mla_layer).  Pin that kernel shape against the
+    reference attention in interpret mode (single-pass AND T-blocked
+    flash variants), so a Mosaic block-rule regression surfaces here
+    instead of as a chip compile error."""
+    from qdm_tpu.ops import decode_kernels as dk
+
+    rng = np.random.default_rng(5)
+    b, h, dpad, T, r, dr = 2, 4, 640, 256, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, 1, h, dpad)), jnp.float32)
+    q = q.at[..., r + dr:].set(0.0)
+    kv = jnp.asarray(rng.standard_normal((b, 2, dpad, T)), jnp.float32)
+    kv = kv.at[:, 0, r + dr:].set(0.0).at[:, 1, r:].set(0.0)
+    pos = jnp.int32(100)
+    sc = (128 + 64) ** -0.5
+    want = dk.decode_attention_ref(
+        q, kv[:, :1], kv[:, 1:].transpose(0, 1, 3, 2), pos, sm_scale=sc)
+    got = dk.decode_attention_kv_pallas(q, kv, pos, block_b=1,
+                                        interpret=True, sm_scale=sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)
+    got2 = dk.decode_attention_kv_flash_pallas(q, kv, pos, block_t=128,
+                                               interpret=True, sm_scale=sc)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)
