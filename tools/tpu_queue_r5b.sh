@@ -18,8 +18,12 @@ python -u bench_pipeline.py --family sd35 > /tmp/q5b_sd35c1.log 2>&1
 echo SD35_C1_DONE
 python -u bench_llm.py --mla > /tmp/q5b_mla2.log 2>&1
 echo MLA3_DONE
-python -u bench_llm.py --stream > /tmp/q5b_stream2.log 2>&1
-echo STREAM3_DONE
 python -u bench_llm.py --b1 > /tmp/q5b_b1b.log 2>&1
 echo B1B_DONE
+python -u bench_llm.py --stream > /tmp/q5b_stream2.log 2>&1
+echo STREAM3_DONE
+python -u bench_sd35.py 4 --mask-pad > /tmp/q5b_maskpad2.log 2>&1
+echo MASKPAD2_DONE
+python -u bench.py > /tmp/q5b_bench.log 2>&1
+echo BENCH_DONE
 echo QUEUE_5B_DONE
