@@ -85,8 +85,13 @@ def main():
     if "--family" in sys.argv:
         fam = sys.argv[sys.argv.index("--family") + 1]
     cls_name, tpu_batch, label = FAMILIES[fam]
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")
-           and a not in FAMILIES]
+    argv = sys.argv[1:]
+    # drop flag VALUES (--family X / --vae-chunk N) before reading the
+    # positional batch — "--vae-chunk 2" must not become batch 2
+    skip = {i + 1 for i, a in enumerate(argv)
+            if a in ("--family", "--vae-chunk")}
+    pos = [a for i, a in enumerate(argv) if i not in skip
+           and not a.startswith("--") and a not in FAMILIES]
     batch = int(pos[0]) if pos else (tpu_batch if on_tpu else 2)
     steps, reps = (20, 2) if on_tpu else (2, 1)
     prompts = (PROMPTS * ((batch + 7) // 8))[:batch]

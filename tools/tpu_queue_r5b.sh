@@ -16,6 +16,8 @@ python -u bench_pipeline.py --family sd35 --vae-chunk 2 > /tmp/q5b_sd35c2.log 2>
 echo SD35_C2_DONE
 python -u bench_pipeline.py --family sd35 > /tmp/q5b_sd35c1.log 2>&1
 echo SD35_C1_DONE
+python -u bench_pipeline.py --family sd35 --vae-chunk 2 4 > /tmp/q5b_sd35c2b.log 2>&1
+echo SD35_C2B_DONE
 python -u bench_llm.py --mla > /tmp/q5b_mla2.log 2>&1
 echo MLA3_DONE
 python -u bench_llm.py --b1 > /tmp/q5b_b1b.log 2>&1
