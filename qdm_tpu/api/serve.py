@@ -1308,11 +1308,28 @@ class DecodeEngine:
             [q_abs.astype(dt), q_pe,
              jnp.zeros((bp, h, dpad - r - dr), dt)],
             axis=-1)[:b, None]                                 # (b,1,h,dpad)
-        bb = self.block_b if b % self.block_b == 0 else 1
-        attn = dk.decode_attention_kv(q_eff, C, pos,
-                                      sm_scale=float(cfg.attn_scale),
-                                      block_b=bb)              # (b,1,h,dpad)
-        o_lat = attn[:, 0, :, :r].astype(jnp.float32)
+        import os as _os
+
+        if _os.environ.get("QDM_MLA_XLA_ATTN"):
+            # escape hatch: same combined layout through XLA einsums
+            # (the softmax chain materializes (b,h,T) f32 logits —
+            # measured ~4x off the roofline; use only if the kernel
+            # shape ever regresses on a backend)
+            Kc = C[:, 0].astype(jnp.float32)                   # (b,dpad,T)
+            Vc = C[:, 1].astype(jnp.float32)
+            logits = jnp.einsum("bhd,bdt->bht",
+                                q_eff[:, 0].astype(jnp.float32),
+                                Kc) * cfg.attn_scale
+            t_ids = jnp.arange(C.shape[-1])
+            logits = jnp.where(t_ids[None, None] <= pos, logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1)
+            o_lat = jnp.einsum("bht,bdt->bhd", probs, Vc)[:, :, :r]
+        else:
+            bb = self.block_b if b % self.block_b == 0 else 1
+            attn = dk.decode_attention_kv(q_eff, C, pos,
+                                          sm_scale=float(cfg.attn_scale),
+                                          block_b=bb)         # (b,1,h,dpad)
+            o_lat = attn[:, 0, :, :r].astype(jnp.float32)
         out = jnp.einsum("bhr,rhv->bhv", o_lat,
                          w["w_uv"].astype(jnp.float32)) \
             .reshape(b, h * dv).astype(dt)
