@@ -1136,8 +1136,14 @@ def mla_main():
                "mha": 2 * cfg_mha.num_key_value_heads * cfg_mha.head_dim}}
     # MHA first: its caches are the big ones — run them against a
     # clean HBM (the first ordering left the MLA model's arrays/jit
-    # constants resident and every MHA leg read OOM)
-    for name, cfg in (("mha", cfg_mha), ("mla", cfg_mla)):
+    # constants resident and every MHA leg read OOM).  --only mla|mha
+    # runs one model per process (the robust form: each model's
+    # engines + caches get the whole chip).
+    models = [("mha", cfg_mha), ("mla", cfg_mla)]
+    if "--only" in sys.argv:
+        pick = sys.argv[sys.argv.index("--only") + 1]
+        models = [(n, c) for n, c in models if n == pick]
+    for name, cfg in models:
         lm = CausalLM.from_config(cfg, dtype=dtype)
         out[f"{name}_params_M"] = round(sum(
             np.prod(x.shape) for x in jax.tree.leaves(lm.params)) / 1e6)
@@ -1147,7 +1153,13 @@ def mla_main():
         for ename, kw in (("bf16", {"mode": "bf16"}),
                           ("w8a8", {"mode": "w8a8_static",
                                     "act_stats": stats})):
-            eng = DecodeEngine(lm, **kw)
+            try:
+                eng = DecodeEngine(lm, **kw)
+            except Exception as e:
+                out[f"{name}_{ename}"] = ("OOM" if "RESOURCE_EXHAUSTED"
+                                          in str(e) else str(e)[:60])
+                print(json.dumps(out), flush=True)
+                continue
             for batch, ctx in legs:
                 tag = f"{name}_{ename}_b{batch}_ctx{ctx}"
                 ids = np.random.default_rng(0).integers(

@@ -24,6 +24,10 @@ python -u bench_llm.py --b1 > /tmp/q5b_b1b.log 2>&1
 echo B1B_DONE
 python -u bench_pipeline.py --family sd35 --vae-chunk 4 4 > /tmp/q5b_sd35c4.log 2>&1
 echo SD35_C4_DONE
+python -u bench_llm.py --mla --only mla > /tmp/q5b_mla_only.log 2>&1
+echo MLA_ONLY_DONE
+python -u bench_llm.py --mla --only mha > /tmp/q5b_mha_only.log 2>&1
+echo MHA_ONLY_DONE
 python -u bench_llm.py --stream > /tmp/q5b_stream2.log 2>&1
 echo STREAM3_DONE
 python -u bench_sd35.py 4 --mask-pad > /tmp/q5b_maskpad2.log 2>&1
