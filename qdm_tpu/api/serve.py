@@ -1091,14 +1091,21 @@ class DecodeEngine:
         # module rope() formula at d=dr (models/mla.py::mla_rope)
         self._mla_freqs = 1.0 / (
             cfg.rope_theta ** (jnp.arange(0, dr, 2, jnp.float32) / dr))
-        # engine latent-cache layout: the absorbed attention IS one MQA
-        # head of width r+dr, so it runs through the SAME combined
-        # [K|V] depth-major decode kernels as every other family —
-        # kv (B, 2, dpad, T), dpad = round_up(r+dr, 128):
-        # K row = [c_kv | roped k_pe | 0], V row = [c_kv | 0 | 0].
-        # 2*dpad (1280 for deepseek geometry) floats/token — 3.2x under
-        # the equal-size MHA 4096 (the un-duplicated 576-wide module
-        # cache remains the capacity floor on the module path).
+        # Latent-cache layouts, by measurement (BENCH_NOTES r5):
+        # DEFAULT — (B, T, r+dr) module-native rows + XLA einsum
+        # attention (b32 ctx1024: 5605 tok/s bf16).  The combined
+        # [K|V]-kernel variant (QDM_MLA_KERNEL_ATTN=1: kv (B, 2, dpad,
+        # T), dpad = round_up(r+dr, 128), K row [c|kpe|0] / V row
+        # [c|0|0], one hkv=1 MQA head through the decode megakernels)
+        # was BUILT AND MEASURED LOSING at every measurable shape
+        # (3617 vs 5605 at b32 ctx1024; 2162 vs 2924 at b16 ctx2048)
+        # — a single kv head gives the kernel grid almost no
+        # parallelism and the duplicated c_kv doubles the cache read,
+        # while XLA fuses the einsum softmax chain well at MQA widths.
+        # The flag keeps the variant testable.
+        import os as _os
+
+        self._mla_kernel = bool(_os.environ.get("QDM_MLA_KERNEL_ATTN"))
         self._mla_dpad = _round_up(cfg.kv_lora_rank + dr, 128)
 
         p = lm.params
@@ -1286,49 +1293,48 @@ class DecodeEngine:
         c_kv = _xla_norm(lat[..., :r], w["kvn"], None, "rmsnorm",
                          eps).astype(dt)
         k_pe = rot(lat[..., r:])
-        dpad = self._mla_dpad
-        krow = jnp.concatenate(
-            [c_kv, k_pe, jnp.zeros((bp, dpad - r - dr), dt)], axis=-1)[:b]
-        vrow = jnp.concatenate(
-            [c_kv, jnp.zeros((bp, dpad - r), dt)], axis=-1)[:b]
-        new = jnp.stack([krow, vrow], axis=1).astype(C.dtype)  # (b,2,dpad)
-        C = jax.lax.dynamic_update_slice(C, new[:, :, :, None],
-                                         (0, 0, 0, pos))
-
-        # absorbed attention as ONE MQA head through the combined-cache
-        # decode kernel (hkv=1, g=h, d=dpad — see _init_mla; the XLA
-        # einsum form measured ~4x off the roofline from the (B,h,T)
-        # f32 logits round trips).  Pad lanes are zero in q AND K, so
-        # they add nothing to any logit; the V pad/rope lanes produce
-        # zeros the [..., :r] slice drops.  sm_scale carries the MLA
-        # 1/sqrt(dn+dr) in place of the kernel's 1/sqrt(dpad).
         q_abs = jnp.einsum("bhd,rhd->bhr", q_nope.astype(jnp.float32),
                            w["w_uk"].astype(jnp.float32))
-        q_eff = jnp.concatenate(
-            [q_abs.astype(dt), q_pe,
-             jnp.zeros((bp, h, dpad - r - dr), dt)],
-            axis=-1)[:b, None]                                 # (b,1,h,dpad)
-        import os as _os
 
-        if _os.environ.get("QDM_MLA_XLA_ATTN"):
-            # escape hatch: same combined layout through XLA einsums
-            # (the softmax chain materializes (b,h,T) f32 logits —
-            # measured ~4x off the roofline; use only if the kernel
-            # shape ever regresses on a backend)
-            Kc = C[:, 0].astype(jnp.float32)                   # (b,dpad,T)
-            Vc = C[:, 1].astype(jnp.float32)
-            logits = jnp.einsum("bhd,bdt->bht",
-                                q_eff[:, 0].astype(jnp.float32),
-                                Kc) * cfg.attn_scale
-            t_ids = jnp.arange(C.shape[-1])
+        if not self._mla_kernel:
+            # DEFAULT (measured winner, see _init_mla): module-native
+            # (B, T, r+dr) cache rows + the XLA einsum softmax chain —
+            # the absorbed attention is one MQA head (W_UK^T q_nope
+            # rides the r part, q_pe the dr part)
+            rows = jnp.concatenate([c_kv, k_pe], axis=-1)[:b] \
+                .astype(C.dtype)                               # (b, W)
+            C = jax.lax.dynamic_update_slice(C, rows[:, None],
+                                             (0, pos, 0))
+            Cf = C.astype(jnp.float32)
+            logits = (jnp.einsum("bhr,btr->bht", q_abs[:b], Cf[..., :r])
+                      + jnp.einsum("bhp,btp->bht",
+                                   q_pe[:b].astype(jnp.float32),
+                                   Cf[..., r:])) * cfg.attn_scale
+            t_ids = jnp.arange(C.shape[1])
             logits = jnp.where(t_ids[None, None] <= pos, logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1)
-            o_lat = jnp.einsum("bht,bdt->bhd", probs, Vc)[:, :, :r]
+            probs = jax.nn.softmax(logits, axis=-1)            # (b, h, T)
+            o_lat = jnp.einsum("bht,btr->bhr", probs, Cf[..., :r])
         else:
+            # combined-kernel variant (QDM_MLA_KERNEL_ATTN=1 — built,
+            # measured losing; kept testable): one hkv=1 MQA head
+            # through the depth-major decode kernels at dpad lanes
+            dpad = self._mla_dpad
+            krow = jnp.concatenate(
+                [c_kv, k_pe, jnp.zeros((bp, dpad - r - dr), dt)],
+                axis=-1)[:b]
+            vrow = jnp.concatenate(
+                [c_kv, jnp.zeros((bp, dpad - r), dt)], axis=-1)[:b]
+            new = jnp.stack([krow, vrow], axis=1).astype(C.dtype)
+            C = jax.lax.dynamic_update_slice(C, new[:, :, :, None],
+                                             (0, 0, 0, pos))
+            q_eff = jnp.concatenate(
+                [q_abs.astype(dt), q_pe,
+                 jnp.zeros((bp, h, dpad - r - dr), dt)],
+                axis=-1)[:b, None]                             # (b,1,h,dpad)
             bb = self.block_b if b % self.block_b == 0 else 1
             attn = dk.decode_attention_kv(q_eff, C, pos,
                                           sm_scale=float(cfg.attn_scale),
-                                          block_b=bb)         # (b,1,h,dpad)
+                                          block_b=bb)
             o_lat = attn[:, 0, :, :r].astype(jnp.float32)
         out = jnp.einsum("bhr,rhv->bhv", o_lat,
                          w["w_uv"].astype(jnp.float32)) \
@@ -2570,8 +2576,12 @@ class DecodeEngine:
         cfg = self.cfg
         tp = _round_up(max_len, 128)
         if getattr(self, "mla", False):
-            return [(jnp.zeros((batch, 2, self._mla_dpad, tp),
-                               self.dtype),)
+            if self._mla_kernel:
+                return [(jnp.zeros((batch, 2, self._mla_dpad, tp),
+                                   self.dtype),)
+                        for _ in range(cfg.num_hidden_layers)]
+            width = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            return [(jnp.zeros((batch, tp, width), self.dtype),)
                     for _ in range(cfg.num_hidden_layers)]
         shape = (batch, 2 * cfg.num_key_value_heads, cfg.head_dim, tp)
         if self.kv_dtype == "int4":
@@ -2612,10 +2622,14 @@ class DecodeEngine:
         layers re-lay/pad to the window; global layers (gemma2/3
         alternation) pad by `pad` to the full serving length."""
         if getattr(self, "mla", False):
-            # module latent caches (B, S, r+dr) -> the engine's
-            # combined MQA layout (B, 2, dpad, T): K row = [c|kpe|0],
-            # V row = [c|0|0] (_init_mla), T padded to the serving
-            # length — one cheap transpose at prefill time
+            if not self._mla_kernel:
+                # module-native (B, S, r+dr) rows: pad T to the
+                # serving length, nothing else applies
+                return [(jnp.pad(C, ((0, 0), (0, pad), (0, 0))),)
+                        for (C,) in caches]
+            # kernel variant: module latent caches -> the combined MQA
+            # layout (B, 2, dpad, T): K row = [c|kpe|0], V row =
+            # [c|0|0] (_init_mla), one cheap transpose at prefill time
             r = self.cfg.kv_lora_rank
             dpad = self._mla_dpad
             out = []
