@@ -41,9 +41,11 @@ class MMDiTConfig:
     # mask the 128-pad ctx tokens out of every real token's softmax
     # (key-side segment mask): restores the reference's UNALIGNED
     # 333+4096 joint-attention numerics exactly while the pad keeps
-    # XLA/Pallas on the fused aligned schedule.  Off by default until
-    # the chip cost is measured (bench_sd35.py --mask-pad A/B).
-    mask_ctx_pad: bool = False
+    # XLA/Pallas on the fused aligned schedule.  DEFAULT ON — measured
+    # FREE on chip (bench_sd35 --mask-pad, batch 4 1024px: bf16 0.200
+    # masked vs 0.197 unmasked img/s, w8a8 0.229 vs 0.223 — within
+    # tunnel noise, the flash segment-ids schedule keeps its fusion).
+    mask_ctx_pad: bool = True
     # joint-sequence alignment target (128 = the TPU lane/fusion
     # requirement).  1 disables padding entirely — the reference's
     # unaligned run, usable off-TPU (tests build the ground truth for

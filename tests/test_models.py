@@ -386,12 +386,12 @@ def test_mmdit_pad_mask_restores_unaligned_numerics():
     params = m_ref.init(jax.random.PRNGKey(0), lat, t, ctx, pool)["params"]
     ref = m_ref.apply({"params": params}, lat, t, ctx, pool)
 
-    m_mask = MMDiT(config=dataclasses.replace(cfg, mask_ctx_pad=True),
-                   dtype=jnp.float32)
+    m_mask = MMDiT(config=cfg, dtype=jnp.float32)  # mask is the default
     got = m_mask.apply({"params": params}, lat, t, ctx, pool)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
-    m_pad = MMDiT(config=cfg, dtype=jnp.float32)   # attended pad (default)
+    m_pad = MMDiT(config=dataclasses.replace(cfg, mask_ctx_pad=False),
+                  dtype=jnp.float32)                # attended pad
     other = m_pad.apply({"params": params}, lat, t, ctx, pool)
     assert np.abs(np.asarray(other) - np.asarray(ref)).max() > 1e-5
