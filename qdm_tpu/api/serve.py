@@ -1002,7 +1002,11 @@ class DecodeEngine:
 
         Supported: mode 'bf16' / 'w8a8_static', single device,
         generate()/prefill() (module-path prefill writes the latent
-        cache natively — MLAAttention's len-1-tuple branch).  The MLA
+        cache natively — MLAAttention's len-1-tuple branch).  Quality
+        note: the low-rank q/latent projections are MORE quant
+        -sensitive than canonical projections — serve with smooth=True
+        (SmoothQuant through the MLA scaling groups), which recovers
+        the canonical-family w8a8 band (tools/mla_quality.json).  The MLA
         attention decode runs as XLA einsums, not megakernels: the
         whole step is a handful of dense contractions whose traffic is
         dominated by weights + the (tiny) latent cache; on w8a8_static
